@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * All declared queries read parquet directly so Catalyst sees the scan:
+  * filters and column pruning reach the parquet reader (PushedFilters /
+  * ReadSchema in `.explain`), which is the 100 TB posture — never cache a
+  * full table when the plan only needs two columns of it.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark has no
+    * native type for. Read it as nanos-since-epoch LONG and convert with
+    * integer division (exact — a double intermediate would lose precision
+    * above 2^53 ns). The test data is µs-granular, so this is lossless.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

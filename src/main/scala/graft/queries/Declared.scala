@@ -1,0 +1,280 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The declared query set from SURVEY.md §2.D: every query the driver
+  * hash-checks against a DuckDB oracle at sf0.01.
+  *
+  * Graph queries (G*) are the Spark mapping of the reference's traversal
+  * primitives (`getTargets` = index equi-join, `traverseSources` = reverse
+  * join, `getStats` = counts — /root/reference/library/GraphDB/Graph.hs:69-139),
+  * expressed over the star schema exactly how the reference's own Postgres
+  * benchmark relationalizes its graph
+  * (/root/reference/executables/Benchmarks/Postgres.hs:44-133).
+  *
+  * Scale notes (100 TB posture):
+  *  - dimension hops (region, nation) are broadcast — they stay tiny at any SF;
+  *  - fact-fact joins (orders⋈customer, lineitem⋈orders) shuffle on their
+  *    keys and rely on AQE for skew/size re-planning;
+  *  - every aggregate is a partial (map-side) hash agg by construction;
+  *  - all floating aggregates ROUND(_, 2) and every query is fully ordered
+  *    so result hashes are engine-stable.
+  *
+  * Column names are aliased IDENTICALLY in the DataFrame code and the
+  * oracle SQL — the driver sorts columns by name before hashing.
+  */
+object Declared {
+
+  final case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    graft.Tables.load(s, d, name)
+
+  val all: Seq[Q] = Seq(
+    // ---------------------------------------------------------------- G1
+    // Inventory #5 getTargets: index lookup by secondary key.
+    Q("g1_index_lookup",
+      (s, d) =>
+        t(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin)),
+
+    // ---------------------------------------------------------------- G2
+    // 1-hop traversal: customers(BUILDING) -> orders. Bag semantics, no dedup
+    // (hop results are lists — Catalogue.hs:92-95).
+    Q("g2_one_hop",
+      (s, d) => {
+        val c = t(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        t(s, d, "orders")
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o.o_orderkey FROM orders o
+             |JOIN customer c ON o.o_custkey = c.c_custkey
+             |WHERE c.c_mktsegment = 'BUILDING' ORDER BY o.o_orderkey""".stripMargin)),
+
+    // ---------------------------------------------------------------- G3
+    // 3-hop chain (Q-lookupArtistsBySongGenreName analog, Catalogue.hs:88-96):
+    // root -> region(ASIA) -> nation -> customer, dedup'd. region+nation are
+    // broadcast dims: the only shuffle is the final distinct.
+    Q("g3_three_hop",
+      (s, d) => {
+        val r = t(s, d, "region").filter(col("r_name") === "ASIA").select("r_regionkey")
+        val n = t(s, d, "nation").join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")
+        t(s, d, "customer")
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .select("c_custkey")
+          .distinct()
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT DISTINCT c.c_custkey FROM region r
+             |JOIN nation n ON n.n_regionkey = r.r_regionkey
+             |JOIN customer c ON c.c_nationkey = n.n_nationkey
+             |WHERE r.r_name = 'ASIA' ORDER BY c.c_custkey""".stripMargin)),
+
+    // ---------------------------------------------------------------- G4
+    // Reverse traversal (traverseSources, Graph.hs:79-80): part -> lineitem
+    // sources. Filtered part side is small → AQE converts to broadcast.
+    Q("g4_reverse_traversal",
+      (s, d) => {
+        val p = t(s, d, "part").filter(col("p_brand") === "Brand#13").select("p_partkey")
+        t(s, d, "lineitem")
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .select("l_suppkey")
+          .distinct()
+          .orderBy("l_suppkey")
+      },
+      Some("""SELECT DISTINCT l.l_suppkey FROM lineitem l
+             |JOIN part p ON l.l_partkey = p.p_partkey
+             |WHERE p.p_brand = 'Brand#13' ORDER BY l.l_suppkey""".stripMargin)),
+
+    // ---------------------------------------------------------------- G5
+    // getStats counts (#9, Graph.hs:82-118). Three independent count-only
+    // scans (parquet row-group metadata makes these near-free), cross-joined
+    // into one row.
+    Q("g5_stats",
+      (s, d) => {
+        val c = t(s, d, "customer").agg(count(lit(1)).as("customers"))
+        val o = t(s, d, "orders").agg(count(lit(1)).as("orders"))
+        val l = t(s, d, "lineitem").agg(count(lit(1)).as("lineitems"))
+        c.crossJoin(o).crossJoin(l)
+      },
+      Some("""SELECT (SELECT COUNT(*) FROM customer) AS customers,
+             |(SELECT COUNT(*) FROM orders) AS orders,
+             |(SELECT COUNT(*) FROM lineitem) AS lineitems""".stripMargin)),
+
+    // ---------------------------------------------------------------- G6
+    // Distinct traversal (visited-set dedup, Graph.hs:72-77).
+    Q("g6_distinct_traversal",
+      (s, d) =>
+        t(s, d, "orders").agg(countDistinct(col("o_custkey")).as("cnt")),
+      Some("SELECT COUNT(DISTINCT o_custkey) AS cnt FROM orders")),
+
+    // ---------------------------------------------------------------- R1
+    Q("r1_filter_project",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_quantity") > 45)
+          .select("l_orderkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+             |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---------------------------------------------------------------- R2
+    Q("r2_hash_agg",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sq"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+             |ROUND(SUM(l_quantity), 2) AS sq FROM lineitem
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---------------------------------------------------------------- R3
+    // Top-k: orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    // heaps, no global sort. This is the plan that survives 100×.
+    Q("r3_topk",
+      (s, d) =>
+        t(s, d, "orders")
+          .select("o_orderkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // ---------------------------------------------------------------- R4
+    Q("r4_semi_join",
+      (s, d) => {
+        val big = t(s, d, "orders")
+          .filter(col("o_totalprice") > 300000).select("o_custkey")
+        t(s, d, "customer")
+          .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_custkey IN
+             |(SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---------------------------------------------------------------- R5
+    // Anti join = `remove` semantics (detach then vacuum, Graph.hs:126-127).
+    Q("r5_anti_join",
+      (s, d) =>
+        t(s, d, "customer")
+          .join(t(s, d, "orders").select("o_custkey"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey")
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer WHERE c_custkey NOT IN
+             |(SELECT o_custkey FROM orders) ORDER BY c_custkey""".stripMargin)),
+
+    // ---------------------------------------------------------------- R6
+    Q("r6_union",
+      (s, d) =>
+        t(s, d, "nation").select(col("n_name").as("name"))
+          .unionAll(t(s, d, "region").select(col("r_name").as("name")))
+          .orderBy("name"),
+      Some("""SELECT n_name AS name FROM nation UNION ALL
+             |SELECT r_name FROM region ORDER BY name""".stripMargin)),
+
+    // ---------------------------------------------------------------- R7
+    // Window ranking. rnk cast to BIGINT to match DuckDB's ROW_NUMBER type.
+    Q("r7_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .withColumn("rnk", row_number().over(w).cast("bigint"))
+          .filter(col("rnk") <= 3)
+          .select("user_id", "event_id", "rnk")
+          .orderBy("user_id", "rnk")
+      },
+      Some("""SELECT user_id, event_id, rnk FROM
+             |(SELECT user_id, event_id, ROW_NUMBER() OVER
+             |(PARTITION BY user_id ORDER BY ts, event_id) AS rnk FROM events)
+             |WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin)),
+
+    // ---------------------------------------------------------------- R8
+    // Inverted-index build (search-term emission, Demo.hs:24-28):
+    // explode(split) then count — exactly how the index DF derives multi-key
+    // emissions from a value.
+    Q("r8_explode_words",
+      (s, d) =>
+        t(s, d, "part")
+          .select(explode(split(col("p_name"), " ")).as("word"))
+          .groupBy("word")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("word"))
+          .limit(20),
+      Some("""SELECT w AS word, COUNT(*) AS cnt FROM
+             |(SELECT UNNEST(string_split(p_name, ' ')) AS w FROM part)
+             |GROUP BY w ORDER BY cnt DESC, word LIMIT 20""".stripMargin)),
+
+    // ---------------------------------------------------------------- R9
+    Q("r9_time_window",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sv"))
+          .orderBy("h", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS cnt,
+             |ROUND(SUM(value), 2) AS sv FROM events
+             |GROUP BY h, event_type ORDER BY h, event_type""".stripMargin)),
+
+    // ---------------------------------------------------------------- R10
+    // Bench centerpiece: 3 fact joins + broadcast dim + agg.
+    Q("r10_multiway_join_agg",
+      (s, d) => {
+        val c = t(s, d, "customer").select("c_custkey", "c_nationkey")
+        val o = t(s, d, "orders").select("o_orderkey", "o_custkey")
+        val l = t(s, d, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+        val n = t(s, d, "nation").select("n_nationkey", "n_name")
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"))
+          .orderBy(col("rev").desc, col("n_name"))
+      },
+      Some("""SELECT n.n_name,
+             |ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev
+             |FROM customer c
+             |JOIN orders o ON c.c_custkey = o.o_custkey
+             |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |GROUP BY n.n_name ORDER BY rev DESC, n.n_name""".stripMargin)),
+
+    // ---------------------------------------------------------------- X1
+    Q("x1_dedup_counts",
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("total"), countDistinct(col("text")).as("uniq"))
+          .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS total, COUNT(DISTINCT text) AS uniq
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---------------------------------------------------------------- X2
+    Q("x2_text_stats",
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy("source")
+          .agg(round(avg(col("n_chars")), 2).as("avg_chars"))
+          .orderBy("source"),
+      Some("""SELECT source, ROUND(AVG(n_chars), 2) AS avg_chars
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+  )
+}
