@@ -1,11 +1,165 @@
 package graft.graph
 
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
 import graft.queries.Declared.Q
 
-/** Declared-query registry for traversals executed through the typed
-  * GraphSession API (the 9-operator surface of SURVEY.md §2.A), to prove
-  * the graph layer computes the same answers as the relational mapping.
+/** Declared queries executed through the GRAPH layer — the star schema
+  * interpreted as the reference's rooted indexed graph
+  * (root → region → nation → customer), bulk-loaded via
+  * [[GraphState.bulkLoad]] and traversed via index equi-joins (the Spark
+  * mapping of `getTargets`, /root/reference/library/GraphDB/Graph.hs:129-133).
+  * Each has a DuckDB oracle over the same tables, proving the graph layer
+  * computes the same answers as the relational mapping.
+  *
+  * Node-id scheme (stable, collision-free): root=0, region = 1+r_regionkey,
+  * nation = 100+n_nationkey, customer = 1000+c_custkey.
   */
 object GraphQueries {
-  def all: Seq[Q] = Seq.empty
+
+  sealed trait GeoV
+  case object GeoRoot extends GeoV
+  final case class RegionV(name: String) extends GeoV
+  final case class NationV(name: String) extends GeoV
+  final case class CustomerV(custkey: Long) extends GeoV
+
+  object GeoModel extends GraphModel[GeoV] {
+    val valueSchema: StructType = StructType(Seq(
+      StructField("name", StringType, nullable = true),
+      StructField("custkey", LongType, nullable = true)))
+
+    def kindOf(v: GeoV): String = v match {
+      case GeoRoot => "Root"
+      case _: RegionV => "Region"
+      case _: NationV => "Nation"
+      case _: CustomerV => "Customer"
+    }
+
+    def toValueRow(v: GeoV): Row = v match {
+      case GeoRoot => Row(null, null)
+      case RegionV(n) => Row(n, null)
+      case NationV(n) => Row(n, null)
+      case CustomerV(k) => Row(null, k)
+    }
+
+    def fromValueRow(kind: String, row: Row): GeoV = kind match {
+      case "Root" => GeoRoot
+      case "Region" => RegionV(row.getString(0))
+      case "Nation" => NationV(row.getString(0))
+      case "Customer" => CustomerV(row.getLong(1))
+    }
+
+    def indexes(target: GeoV, source: GeoV): Seq[IndexKey] = (target, source) match {
+      case (RegionV(n), GeoRoot) => Seq(IndexKey("Region_Name", n))
+      case (NationV(n), RegionV(_)) => Seq(IndexKey("Nation"), IndexKey("Nation_Name", n))
+      case (CustomerV(_), NationV(_)) => Seq(IndexKey("Nation_Customer"))
+      case _ => Seq.empty
+    }
+  }
+
+  /** Bulk-load the geo graph from the parquet tables — all derivation stays
+    * distributed (no collect): node/edge DataFrames are column projections,
+    * the index is a join + flatMap over the model's key emission.
+    */
+  def geoGraph(s: SparkSession, d: String, withCustomers: Boolean): GraphState[GeoV] = {
+    val region = graft.Tables.load(s, d, "region")
+    val nation = graft.Tables.load(s, d, "nation")
+    val rootDF = s.sql("SELECT CAST(0 AS LONG) AS id, 'Root' AS kind, " +
+      "named_struct('name', CAST(NULL AS STRING), 'custkey', CAST(NULL AS LONG)) AS value")
+    val regionNodes = region.select(
+      (col("r_regionkey").cast(LongType) + 1).as("id"),
+      lit("Region").as("kind"),
+      struct(col("r_name").as("name"), lit(null).cast(LongType).as("custkey")).as("value"))
+    val nationNodes = nation.select(
+      (col("n_nationkey").cast(LongType) + 100).as("id"),
+      lit("Nation").as("kind"),
+      struct(col("n_name").as("name"), lit(null).cast(LongType).as("custkey")).as("value"))
+    val rootEdges = region.select(
+      lit(0L).as("src"), (col("r_regionkey").cast(LongType) + 1).as("dst"))
+    val nationEdges = nation.select(
+      (col("n_regionkey").cast(LongType) + 1).as("src"),
+      (col("n_nationkey").cast(LongType) + 100).as("dst"))
+    val (nodes, edges) =
+      if (!withCustomers) (rootDF.unionByName(regionNodes).unionByName(nationNodes),
+        rootEdges.unionByName(nationEdges))
+      else {
+        val customer = graft.Tables.load(s, d, "customer")
+        val custNodes = customer.select(
+          (col("c_custkey") + 1000).as("id"),
+          lit("Customer").as("kind"),
+          struct(lit(null).cast(StringType).as("name"), col("c_custkey").as("custkey")).as("value"))
+        val custEdges = customer.select(
+          (col("c_nationkey").cast(LongType) + 100).as("src"),
+          (col("c_custkey") + 1000).as("dst"))
+        (rootDF.unionByName(regionNodes).unionByName(nationNodes).unionByName(custNodes),
+          rootEdges.unionByName(nationEdges).unionByName(custEdges))
+      }
+    GraphState.bulkLoad(s, GeoModel, nodes, edges)
+  }
+
+  /** One index hop: targets of `from` under key (kind, key?), as a DF of dst
+    * ids — `getTargets` as a composable plan fragment.
+    */
+  private def hop(index: DataFrame, from: DataFrame, kkind: String,
+      key: Option[String]): DataFrame = {
+    val keyed = key.fold(index.where(col("kkind") === kkind))(k =>
+      index.where(col("kkind") === kkind && col("key") === k))
+    keyed.join(from, keyed("src") === from("id"), "left_semi")
+      .select(col("dst").as("id")).distinct()
+  }
+
+  val all: Seq[Q] = Seq(
+    // root →(Region_Name ASIA) region →(Nation) nations → names.
+    Q("gq1_graph_region_nations",
+      (s, d) => {
+        val g = geoGraph(s, d, withCustomers = false)
+        val rootIds = s.sql("SELECT CAST(0 AS LONG) AS id")
+        val asia = hop(g.index, rootIds, "Region_Name", Some("ASIA"))
+        val nations = hop(g.index, asia, "Nation", None)
+        g.nodes.join(nations, Seq("id"), "left_semi")
+          .select(col("value.name").as("name"))
+          .orderBy("name")
+      },
+      Some("""SELECT n.n_name AS name FROM nation n
+             |JOIN region r ON n.n_regionkey = r.r_regionkey
+             |WHERE r.r_name = 'ASIA' ORDER BY name""".stripMargin)),
+
+    // 3-hop via the graph index — same answer as g3_three_hop's relational plan.
+    Q("gq2_graph_asia_customers",
+      (s, d) => {
+        val g = geoGraph(s, d, withCustomers = true)
+        val rootIds = s.sql("SELECT CAST(0 AS LONG) AS id")
+        val asia = hop(g.index, rootIds, "Region_Name", Some("ASIA"))
+        val nations = hop(g.index, asia, "Nation", None)
+        val customers = hop(g.index, nations, "Nation_Customer", None)
+        g.nodes.join(customers, Seq("id"), "left_semi")
+          .select(col("value.custkey").as("c_custkey"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT DISTINCT c.c_custkey FROM region r
+             |JOIN nation n ON n.n_regionkey = r.r_regionkey
+             |JOIN customer c ON c.c_nationkey = n.n_nationkey
+             |WHERE r.r_name = 'ASIA' ORDER BY c.c_custkey""".stripMargin)),
+
+    // getStats over the bulk-loaded graph, BFS-scoped from root; the oracle
+    // recomputes the same triple arithmetically from the base tables.
+    Q("gq3_graph_stats",
+      (s, d) => {
+        import s.implicits._
+        val g = geoGraph(s, d, withCustomers = true)
+        val (n, e, i) = g.stats(0L)
+        Seq((n, e, i)).toDF("gnodes", "gedges", "gindex")
+      },
+      Some("""SELECT (1 + (SELECT COUNT(*) FROM region)
+             |          + (SELECT COUNT(*) FROM nation)
+             |          + (SELECT COUNT(*) FROM customer)) AS gnodes,
+             |       ((SELECT COUNT(*) FROM region)
+             |          + (SELECT COUNT(*) FROM nation)
+             |          + (SELECT COUNT(*) FROM customer)) AS gedges,
+             |       ((SELECT COUNT(*) FROM region)
+             |          + 2 * (SELECT COUNT(*) FROM nation)
+             |          + (SELECT COUNT(*) FROM customer)) AS gindex""".stripMargin))
+  )
 }

@@ -1,0 +1,156 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** The 9-operator session surface of the reference
+  * (/root/reference/library/GraphDB/Action.hs:11-21, public wrappers
+  * GraphDB.hs:301-356), over immutable DataFrame state.
+  *
+  * Mutations buffer into an op list (the WAL analog, Persistent/Log.hs:20-28)
+  * and are applied as *batched* DataFrame transformations: consecutive ops of
+  * the same type collapse into one union / anti-join / index-derivation job.
+  * Reads force application of pending ops first — so a session behaves
+  * exactly like the reference's sequential transaction while executing
+  * O(runs), not O(ops), Spark jobs. Node handles are stable global ids
+  * (the reference's tx-local ordinals, Persistent.hs:126-171, are a
+  * serialization detail we deliberately replace — documented divergence
+  * with identical observable state).
+  */
+final class GraphSession[V](
+    val spark: SparkSession,
+    val model: GraphModel[V],
+    rootValue: V) {
+
+  type NodeId = Long
+
+  private sealed trait Op
+  private case class NewNode(id: NodeId, v: V) extends Op
+  private case class SetValue(id: NodeId, v: V) extends Op
+  private case class AddTarget(src: NodeId, dst: NodeId) extends Op
+  private case class RemoveTarget(src: NodeId, dst: NodeId) extends Op
+  private case class RemoveNode(id: NodeId) extends Op
+
+  private var state: GraphState[V] = GraphState.empty(spark, model)
+  private val pending = ArrayBuffer[Op]()
+  private var nextId: Long = 0L
+
+  /** getRoot (op #4, GraphDB.hs:318-319). Root is always node 0. */
+  val root: NodeId = {
+    val id = allocate(rootValue)
+    require(id == 0L)
+    id
+  }
+
+  private def allocate(v: V): NodeId = {
+    val id = nextId
+    nextId += 1
+    pending += NewNode(id, v)
+    id
+  }
+
+  // ---------------------------------------------------------------- writes
+
+  /** newNode (op #1, GraphDB.hs:301-302). Invisible to stats/persistence
+    * until linked (GraphDB.hs:296-300).
+    */
+  def newNode(v: V): NodeId = allocate(v)
+
+  /** setValue (op #3, GraphDB.hs:313-314) — re-indexes incoming edges. */
+  def setValue(n: NodeId, v: V): Unit = pending += SetValue(n, v)
+
+  /** addTarget (op #6, GraphDB.hs:335-336) — idempotent. */
+  def addTarget(src: NodeId, dst: NodeId): Unit = pending += AddTarget(src, dst)
+
+  /** removeTarget (op #7, GraphDB.hs:343-344). */
+  def removeTarget(src: NodeId, dst: NodeId): Unit = pending += RemoveTarget(src, dst)
+
+  /** remove (op #8, GraphDB.hs:348-349) — detach from all sources. */
+  def remove(n: NodeId): Unit = pending += RemoveNode(n)
+
+  // ---------------------------------------------------------------- reads
+
+  /** getValue (op #2, GraphDB.hs:306-309). */
+  def getValue(n: NodeId): V = {
+    val r = applied().nodes.where(col("id") === n)
+      .select(col("kind"), col("value")).head()
+    model.fromValueRow(r.getString(0), r.getStruct(1))
+  }
+
+  /** getTargets (op #5, GraphDB.hs:323-327): nodes reachable from `n` via
+    * index key `k`. Distinct per key (the multimap holds a set per key,
+    * Graph.hs:69-70).
+    */
+  def getTargets(n: NodeId, k: IndexKey): Seq[NodeId] =
+    targetsDF(n, k).collect().map(_.getLong(0)).toSeq
+
+  /** Dataset form of getTargets — the composable hop for analytics plans. */
+  def targetsDF(n: NodeId, k: IndexKey): DataFrame =
+    applied().index
+      .where(col("src") === n && col("kkind") === k.kind && col("key") === k.key)
+      .select(col("dst")).distinct()
+
+  /** Distinct targets regardless of key (traverseTargets, Graph.hs:72-77). */
+  def targets(n: NodeId): Seq[NodeId] =
+    applied().edges.where(col("src") === n)
+      .select(col("dst")).distinct().collect().map(_.getLong(0)).toSeq
+
+  /** Sources of a node (traverseSources/getSources, Graph.hs:79-80,135-139). */
+  def sources(n: NodeId): Seq[NodeId] =
+    applied().edges.where(col("dst") === n)
+      .select(col("src")).distinct().collect().map(_.getLong(0)).toSeq
+
+  /** getStats (op #9, GraphDB.hs:355-356): (nodes, edges, index entries)
+    * of the closure reachable from `from` (default root).
+    */
+  def getStats(from: NodeId = root): (Long, Long, Long) = applied().stats(from)
+
+  // ------------------------------------------------------------ state access
+
+  /** Current state with all pending ops applied — entry point for
+    * DataFrame-level analytics over the graph.
+    */
+  def applied(): GraphState[V] = {
+    if (pending.nonEmpty) {
+      // Collapse consecutive same-type ops into one batch application.
+      val runs = ArrayBuffer[ArrayBuffer[Op]]()
+      pending.foreach { op =>
+        if (runs.nonEmpty && runs.last.last.getClass == op.getClass) runs.last += op
+        else runs += ArrayBuffer(op)
+      }
+      runs.foreach { run =>
+        state = run.head match {
+          case _: NewNode =>
+            state.withNewNodes(run.collect { case NewNode(id, v) => (id, v) }.toSeq)
+          case _: SetValue =>
+            // later SetValue on the same id wins within a run
+            val last = run.collect { case SetValue(id, v) => (id, v) }
+              .foldLeft(Vector.empty[(NodeId, V)]) { (acc, kv) =>
+                acc.filterNot(_._1 == kv._1) :+ kv
+              }
+            state.withValues(last)
+          case _: AddTarget =>
+            state.withTargets(run.collect { case AddTarget(s, d) => (s, d) }.toSeq)
+          case _: RemoveTarget =>
+            state.withoutTargets(run.collect { case RemoveTarget(s, d) => (s, d) }.toSeq)
+          case _: RemoveNode =>
+            state.withoutNodes(run.collect { case RemoveNode(id) => id }.toSeq)
+        }
+      }
+      state = state.checkpointed()
+      pending.clear()
+    }
+    state
+  }
+}
+
+object GraphSession {
+
+  /** In-memory session with an initial root value — the analog of
+    * `runNonpersistentSession` (GraphDB.hs:128-131).
+    */
+  def inMemory[V](spark: SparkSession, model: GraphModel[V], rootValue: V): GraphSession[V] =
+    new GraphSession(spark, model, rootValue)
+}

@@ -1,0 +1,184 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Immutable graph state as three DataFrames — the Spark mapping of the
+  * reference's per-node `Refs` structure
+  * (/root/reference/library/GraphDB/Graph.hs:27-34):
+  *
+  *  - `nodes(id, kind, value)`   ← `refsValue` (Graph.hs:29)
+  *  - `edges(src, dst)`          ← `refsSources` reverse sets (Graph.hs:31);
+  *                                  set semantics (addTarget is idempotent,
+  *                                  GraphTests.hs:147-152)
+  *  - `index(src, kkind, key, dst)` ← the `refsTargets` multimap
+  *                                  (Graph.hs:30): one row per emitted key
+  *
+  * State transitions are whole-DataFrame transformations (union /
+  * anti-join), mirroring the reference's own WAL-replay model where state =
+  * checkpoint ⊕ replay(ops) (Persistent/Log.hs:38-52). At 100 TB the same
+  * code paths run as batch jobs: deltas arrive as DataFrames (see
+  * [[GraphState.bulkLoad]]), index derivation is a join + flatMap over the
+  * delta only, and all three tables are partitioned by their join key
+  * (`src`) so chained hops don't re-shuffle.
+  */
+object GraphState {
+
+  val edgesSchema: StructType = StructType(Seq(
+    StructField("src", LongType, nullable = false),
+    StructField("dst", LongType, nullable = false)))
+
+  val indexSchema: StructType = StructType(Seq(
+    StructField("src", LongType, nullable = false),
+    StructField("kkind", StringType, nullable = false),
+    StructField("key", StringType, nullable = false),
+    StructField("dst", LongType, nullable = false)))
+
+  def nodesSchema(model: GraphModel[_]): StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("value", model.valueSchema, nullable = true)))
+
+  def empty[V](spark: SparkSession, model: GraphModel[V]): GraphState[V] = {
+    def e(s: StructType) =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+    GraphState(spark, model, e(nodesSchema(model)), e(edgesSchema), e(indexSchema))
+  }
+
+  /** One-shot distributed load — the 100 TB ingest path. Index entries are
+    * derived in a single pass: edges ⋈ nodes(dst) ⋈ nodes(src) → flatMap
+    * over the model's key emission (the reference does the same work
+    * edge-at-a-time in `addTarget`, Graph.hs:57-61).
+    */
+  def bulkLoad[V](
+      spark: SparkSession,
+      model: GraphModel[V],
+      nodes: DataFrame,
+      edges: DataFrame): GraphState[V] = {
+    val dedupEdges = edges.select(
+      col("src").cast(LongType), col("dst").cast(LongType)).distinct()
+    val st = GraphState(spark, model, nodes, dedupEdges,
+      deriveIndex(model, nodes, dedupEdges))
+    st.repartitioned()
+  }
+
+  /** Index rows for an edge delta: one row per key the model emits for
+    * (targetValue, sourceValue). Runs as a distributed join + flatMap.
+    */
+  private[graph] def deriveIndex[V](
+      model: GraphModel[V], nodes: DataFrame, edgeDelta: DataFrame): DataFrame = {
+    val dstVals = nodes.select(col("id").as("dst"),
+      col("kind").as("_dk"), col("value").as("_dv"))
+    val srcVals = nodes.select(col("id").as("src"),
+      col("kind").as("_sk"), col("value").as("_sv"))
+    edgeDelta
+      .join(dstVals, "dst")
+      .join(srcVals, "src")
+      .flatMap { r =>
+        val tgt = model.fromValueRow(r.getAs[String]("_dk"), r.getAs[Row]("_dv"))
+        val src = model.fromValueRow(r.getAs[String]("_sk"), r.getAs[Row]("_sv"))
+        val srcId = r.getAs[Long]("src")
+        val dstId = r.getAs[Long]("dst")
+        model.indexes(tgt, src).map(k => Row(srcId, k.kind, k.key, dstId))
+      }(Encoders.row(indexSchema))
+  }
+}
+
+final case class GraphState[V](
+    spark: SparkSession,
+    model: GraphModel[V],
+    nodes: DataFrame,
+    edges: DataFrame,
+    index: DataFrame) {
+
+  import GraphState._
+
+  private def rowsDF(rows: Seq[Row], schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+  /** Append freshly allocated nodes (op #1, Graph.hs:40-41). Unlinked nodes
+    * are invisible to stats/persistence until an edge reaches them —
+    * reachability scoping preserves the reference's "not persisted unless
+    * linked" doc (GraphDB.hs:296-300).
+    */
+  def withNewNodes(vs: Seq[(Long, V)]): GraphState[V] = {
+    val rows = vs.map { case (id, v) => Row(id, model.kindOf(v), model.toValueRow(v)) }
+    copy(nodes = nodes.unionByName(rowsDF(rows, nodesSchema(model))))
+  }
+
+  /** addTarget (op #6, Graph.hs:57-61): idempotent edge insert + index key
+    * emission for the new edges only.
+    */
+  def withTargets(pairs: Seq[(Long, Long)]): GraphState[V] = {
+    val delta = rowsDF(pairs.distinct.map(p => Row(p._1, p._2)), edgesSchema)
+      .join(edges, Seq("src", "dst"), "left_anti")
+    val newIndex = deriveIndex(model, nodes, delta)
+    copy(edges = edges.unionByName(delta), index = index.unionByName(newIndex))
+  }
+
+  /** removeTarget (op #7, Graph.hs:63-67): unlink + drop the edge's keys. */
+  def withoutTargets(pairs: Seq[(Long, Long)]): GraphState[V] = {
+    val delta = rowsDF(pairs.map(p => Row(p._1, p._2)), edgesSchema)
+    copy(
+      edges = edges.join(delta, Seq("src", "dst"), "left_anti"),
+      index = index.join(delta, Seq("src", "dst"), "left_anti"))
+  }
+
+  /** remove (op #8, Graph.hs:126-127): detach from ALL sources — incoming
+    * edges and their index entries die; outgoing edges remain until the
+    * orphaned subgraph is vacuumed at checkpoint (reachability scoping,
+    * Graph.hs:145-195).
+    */
+  def withoutNodes(ids: Seq[Long]): GraphState[V] = {
+    val delta = rowsDF(ids.map(Row(_)), StructType(Seq(
+      StructField("dst", LongType, nullable = false))))
+    copy(
+      edges = edges.join(delta, Seq("dst"), "left_anti"),
+      index = index.join(delta, Seq("dst"), "left_anti"))
+  }
+
+  /** setValue (op #3, Graph.hs:46-55): replace the value and re-derive the
+    * index entries of all INCOMING edges (keys are functions of the target
+    * value — outgoing entries keep their keys, mirroring the reference).
+    */
+  def withValues(vs: Seq[(Long, V)]): GraphState[V] = {
+    val rows = vs.map { case (id, v) => Row(id, model.kindOf(v), model.toValueRow(v)) }
+    val delta = rowsDF(rows, nodesSchema(model))
+    val newNodes = nodes
+      .join(delta.select(col("id")), Seq("id"), "left_anti")
+      .unionByName(delta)
+    val touched = delta.select(col("id").as("dst"))
+    val incoming = edges.join(touched, Seq("dst"))
+    GraphState(spark, model, newNodes,
+      edges,
+      index.join(touched, Seq("dst"), "left_anti")
+        .unionByName(deriveIndex(model, newNodes, incoming)))
+  }
+
+  /** Materialize and truncate lineage. Called after each applied op batch —
+    * without it a long mutation session accumulates an unbounded plan.
+    */
+  def checkpointed(): GraphState[V] = copy(
+    nodes = nodes.localCheckpoint(true),
+    edges = edges.localCheckpoint(true),
+    index = index.localCheckpoint(true))
+
+  /** Partition adjacency by `src` so chained hop-joins are co-partitioned
+    * (the shuffle happens once at load, not per hop).
+    */
+  def repartitioned(): GraphState[V] = copy(
+    edges = edges.repartition(col("src")),
+    index = index.repartition(col("src")))
+
+  /** getStats (op #9, Graph.hs:82-118): (reachable nodes, distinct edges
+    * among them, index entries among them), scoped by BFS from `from`.
+    */
+  def stats(from: Long): (Long, Long, Long) = {
+    val reach = Reachability.reachable(edges, Seq(from)).select(col("id").as("src"))
+    val n = nodes.join(reach, nodes("id") === reach("src"), "left_semi").count()
+    val e = edges.join(reach, Seq("src"), "left_semi").count()
+    val i = index.join(reach, Seq("src"), "left_semi").count()
+    (n, e, i)
+  }
+}

@@ -1,0 +1,44 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Reachability from a seed set — the engine analog of the reference's BFS
+  * (serialize/getStats both walk the root-reachable closure,
+  * /root/reference/library/GraphDB/Graph.hs:82-118,145-195).
+  *
+  * Implemented as an iterative frontier-expansion join over the `edges`
+  * DataFrame, localCheckpoint-ing per level so the plan stays flat. Each
+  * level is one shuffle-free-ish job when `edges` is partitioned by `src`
+  * (frontier is broadcast when small — the common case). This is the same
+  * dataflow Pregel runs; for graphs with huge diameter a GraphX Pregel
+  * variant is available in graft.analytics.
+  */
+object Reachability {
+
+  private val idSchema = StructType(Seq(StructField("id", LongType, nullable = false)))
+
+  /** DataFrame(id) of every node reachable from `seeds` (inclusive). */
+  def reachable(edges: DataFrame, seeds: Seq[Long]): DataFrame = {
+    val spark = edges.sparkSession
+    var visited = spark.createDataFrame(
+      spark.sparkContext.parallelize(seeds.distinct.map(Row(_)), 1), idSchema)
+      .localCheckpoint(true)
+    var frontier = visited
+    var frontierSize = seeds.distinct.size.toLong
+    while (frontierSize > 0) {
+      val next = edges
+        .join(broadcast(frontier), edges("src") === frontier("id"), "left_semi")
+        .select(col("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      frontierSize = next.count()
+      if (frontierSize > 0) {
+        visited = visited.unionByName(next).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    visited
+  }
+}

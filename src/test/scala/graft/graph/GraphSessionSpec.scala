@@ -1,0 +1,105 @@
+package graft.graph
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator unit tests mirroring the reference's internal suite
+  * (/root/reference/executables/InternalTests/GraphTests.hs:104-167) —
+  * same fixtures, same expected stats triples.
+  */
+class GraphSessionSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  private def michaelFixture(): (GraphSession[Cat], Long, Long, Long) = {
+    val g = GraphSession.inMemory(spark, CatalogueModel, CatRoot: Cat)
+    val michael = g.newNode(Artist(1, "Michael Jackson"))
+    val billieJean = g.newNode(Song("Billie Jean"))
+    val whoIsIt = g.newNode(Song("Who is it?"))
+    g.addTarget(g.root, michael)
+    g.addTarget(g.root, billieJean)
+    g.addTarget(g.root, whoIsIt)
+    g.addTarget(billieJean, michael)
+    g.addTarget(whoIsIt, michael)
+    (g, michael, billieJean, whoIsIt)
+  }
+
+  test("stats of the michael fixture = (4, 5, 6)  [GraphTests.hs:121-133]") {
+    val (g, _, _, _) = michaelFixture()
+    assert(g.getStats() === ((4L, 5L, 6L)))
+  }
+
+  test("remove detaches from all sources → (3, 2, 2)  [GraphTests.hs:104-119]") {
+    val (g, michael, _, _) = michaelFixture()
+    g.remove(michael)
+    assert(g.getStats() === ((3L, 2L, 2L)))
+    assert(g.sources(michael).isEmpty)
+  }
+
+  test("adding a node affects the stats → (2, 1, 2)  [GraphTests.hs:135-138]") {
+    val g = GraphSession.inMemory(spark, CatalogueModel, CatRoot: Cat)
+    g.addTarget(g.root, g.newNode(Artist(1, "Michael Jackson")))
+    assert(g.getStats() === ((2L, 1L, 2L)))
+  }
+
+  test("removing a target affects the stats → (1, 0, 0)  [GraphTests.hs:140-145]") {
+    val g = GraphSession.inMemory(spark, CatalogueModel, CatRoot: Cat)
+    val artist = g.newNode(Artist(1, "Michael Jackson"))
+    g.addTarget(g.root, artist)
+    g.removeTarget(g.root, artist)
+    assert(g.getStats() === ((1L, 0L, 0L)))
+  }
+
+  test("addTarget is idempotent → (2, 1, 2)  [GraphTests.hs:147-152]") {
+    val g = GraphSession.inMemory(spark, CatalogueModel, CatRoot: Cat)
+    val artist = g.newNode(Artist(1, "Michael Jackson"))
+    g.addTarget(g.root, artist)
+    g.addTarget(g.root, artist)
+    assert(g.getStats() === ((2L, 1L, 2L)))
+  }
+
+  test("traverseTargets does not repeat  [GraphTests.hs:154-160]") {
+    val g = GraphSession.inMemory(spark, CatalogueModel, CatRoot: Cat)
+    g.addTarget(g.root, g.newNode(Artist(1, "Michael Jackson")))
+    assert(g.targets(g.root).size === 1)
+  }
+
+  test("traverseSources does not repeat  [GraphTests.hs:162-167]") {
+    val g = GraphSession.inMemory(spark, CatalogueModel, CatRoot: Cat)
+    val artist = g.newNode(Artist(1, "Michael Jackson"))
+    g.addTarget(g.root, artist)
+    assert(g.sources(artist).size === 1)
+  }
+
+  test("getValue round-trips the typed value") {
+    val g = GraphSession.inMemory(spark, CatalogueModel, CatRoot: Cat)
+    val artist = g.newNode(Artist(7, "Prince"))
+    g.addTarget(g.root, artist)
+    assert(g.getValue(artist) === Artist(7, "Prince"))
+    assert(g.getValue(g.root) === CatRoot)
+  }
+
+  test("getTargets resolves index lookups by key") {
+    val (g, michael, _, _) = michaelFixture()
+    assert(g.getTargets(g.root, IndexKey("Catalogue_Artist_Name", "Michael Jackson"))
+      === Seq(michael))
+    assert(g.getTargets(g.root, IndexKey("Catalogue_Artist_UID", "1")) === Seq(michael))
+    assert(g.getTargets(g.root, IndexKey("Catalogue_Artist_Name", "Nobody")).isEmpty)
+  }
+
+  test("setValue re-indexes incoming edges  [Graph.hs:46-55]") {
+    val g = GraphSession.inMemory(spark, CatalogueModel, CatRoot: Cat)
+    val artist = g.newNode(Artist(1, "Michael Jackson"))
+    g.addTarget(g.root, artist)
+    g.setValue(artist, Artist(1, "MJ"))
+    assert(g.getValue(artist) === Artist(1, "MJ"))
+    assert(g.getTargets(g.root, IndexKey("Catalogue_Artist_Name", "MJ")) === Seq(artist))
+    assert(g.getTargets(g.root, IndexKey("Catalogue_Artist_Name", "Michael Jackson")).isEmpty)
+    // stats unchanged: same number of index entries for the new name
+    assert(g.getStats() === ((2L, 1L, 2L)))
+  }
+
+  test("unlinked nodes are invisible to stats (reachability scoping)") {
+    val g = GraphSession.inMemory(spark, CatalogueModel, CatRoot: Cat)
+    g.newNode(Artist(9, "Orphan"))
+    assert(g.getStats() === ((1L, 0L, 0L)))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.graph
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** The music-catalogue model of the reference's internal tests
+  * (/root/reference/executables/InternalTests/GraphTests.hs:22-49),
+  * re-expressed as a sealed Scala ADT — no Template Haskell needed.
+  */
+sealed trait Cat
+case object CatRoot extends Cat
+final case class Artist(uid: Int, name: String) extends Cat
+final case class Genre(name: String) extends Cat
+final case class Song(name: String) extends Cat
+
+object CatalogueModel extends GraphModel[Cat] {
+  val valueSchema: StructType = StructType(Seq(
+    StructField("uid", IntegerType, nullable = true),
+    StructField("name", StringType, nullable = true)))
+
+  def kindOf(v: Cat): String = v match {
+    case CatRoot => "Catalogue"
+    case _: Artist => "Artist"
+    case _: Genre => "Genre"
+    case _: Song => "Song"
+  }
+
+  def toValueRow(v: Cat): Row = v match {
+    case CatRoot => Row(null, null)
+    case Artist(uid, n) => Row(uid, n)
+    case Genre(n) => Row(null, n)
+    case Song(n) => Row(null, n)
+  }
+
+  def fromValueRow(kind: String, row: Row): Cat = kind match {
+    case "Catalogue" => CatRoot
+    case "Artist" => Artist(row.getInt(0), row.getString(1))
+    case "Genre" => Genre(row.getString(1))
+    case "Song" => Song(row.getString(1))
+  }
+
+  /** Mirrors GraphTests.hs:37-43 exactly. */
+  def indexes(target: Cat, source: Cat): Seq[IndexKey] = (target, source) match {
+    case (Artist(uid, n), CatRoot) =>
+      Seq(IndexKey("Catalogue_Artist_Name", n), IndexKey("Catalogue_Artist_UID", uid.toString))
+    case (Artist(_, _), Song(_)) => Seq(IndexKey("Song_Artist"))
+    case (Genre(n), CatRoot) => Seq(IndexKey("Catalogue_Genre_Name", n))
+    case (Song(n), CatRoot) => Seq(IndexKey("Catalogue_Song_Name", n))
+    case (Song(_), Genre(_)) => Seq(IndexKey("Genre_Song"))
+    case _ => Seq.empty
+  }
+}
+
+/** The Demo model (/root/reference/executables/Demo.hs:10-45) with its
+  * word-split search-term index emission (Demo.hs:24-28).
+  */
+sealed trait DemoV
+case object DemoRoot extends DemoV
+final case class DArtist(name: String) extends DemoV
+final case class DGenre(name: String) extends DemoV
+
+object DemoModel extends GraphModel[DemoV] {
+  val valueSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = true)))
+
+  def kindOf(v: DemoV): String = v match {
+    case DemoRoot => "Catalogue"
+    case _: DArtist => "Artist"
+    case _: DGenre => "Genre"
+  }
+
+  def toValueRow(v: DemoV): Row = v match {
+    case DemoRoot => Row(null)
+    case DArtist(n) => Row(n)
+    case DGenre(n) => Row(n)
+  }
+
+  def fromValueRow(kind: String, row: Row): DemoV = kind match {
+    case "Catalogue" => DemoRoot
+    case "Artist" => DArtist(row.getString(0))
+    case "Genre" => DGenre(row.getString(0))
+  }
+
+  def indexes(target: DemoV, source: DemoV): Seq[IndexKey] = (target, source) match {
+    case (DArtist(n), DemoRoot) =>
+      IndexKey("Catalogue_Artist") +:
+        n.split("\\s+").filter(_.nonEmpty).toSeq
+          .map(w => IndexKey("Catalogue_Artist_SearchTerm", w))
+    case (DGenre(n), DemoRoot) =>
+      Seq(IndexKey("Catalogue_Genre"), IndexKey("Catalogue_Genre_Name", n))
+    case (DArtist(_), DGenre(_)) => Seq(IndexKey("Genre_Artist"))
+    case _ => Seq.empty
+  }
+}
