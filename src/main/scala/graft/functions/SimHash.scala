@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShim, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** 64-bit SimHash of a token array as a native Catalyst expression.
+  *
+  * The classic Charikar construction: each token is xxhash64'd; every bit
+  * position accumulates a ±1 vote across tokens; the result bit is the vote
+  * sign. One pass over the tokens per row, no shuffle; `doGenCode` emits a
+  * single static call so rows stay inside WholeStageCodegen with no boxing
+  * — the preferred extension shape (native Expression > Scala UDF).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<string>, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Static helper invoked from generated code — must stay public. */
+  def compute(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var k = 0
+    val n = tokens.numElements()
+    while (k < n) {
+      if (!tokens.isNullAt(k)) {
+        val h = XxHash64Function.hash(tokens.getUTF8String(k), StringType, 42L)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+      }
+      k += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  def apply(col: Column): Column =
+    GraftShim.column(SimHash64(GraftShim.expression(col)))
+}
+
+/** Registers graft's native functions into a session — usable either via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` or the
+  * programmatic [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.simhashDescriptor)
+}
+
+object GraftExtensions {
+  private val simhashDescriptor = (
+    new FunctionIdentifier("simhash64"),
+    new ExpressionInfo("graft.functions.SimHash64", "simhash64"),
+    (children: Seq[Expression]) => SimHash64(children.head): Expression)
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      simhashDescriptor._1, simhashDescriptor._2, simhashDescriptor._3)
+}

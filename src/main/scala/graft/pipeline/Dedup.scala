@@ -1,0 +1,143 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact → n-gram Jaccard → MinHash-LSH → SimHash.
+  *
+  * Scale design (the 100 TB story):
+  *  - exact dedup is one hash-shuffle on the key — the minimum possible;
+  *  - n-gram Jaccard generates candidates from a shingle inverted index
+  *    (pairs must share ≥1 shingle — exact, no recall loss) and supports a
+  *    document-frequency cap to drop stop-shingles, which is what bounds
+  *    the worst-case bucket blowup on skewed corpora;
+  *  - MinHash-LSH replaces the shingle index with b banded signature
+  *    buckets, making candidate volume independent of shingle frequency —
+  *    the standard web-scale near-dup design (b·r permutations tuned to the
+  *    target threshold);
+  *  - SimHash reduces each document to 64 bits; banding the bits into
+  *    (maxHamming+1) chunks guarantees (pigeonhole) every pair within the
+  *    hamming radius shares a chunk, so candidate generation is again an
+  *    equi-join, verified by bit_count(xor).
+  * All candidate generation is equi-join-shaped (shuffle on a synthetic
+  * key), all verification is per-pair expressions — nothing quadratic
+  * except within a bucket, which the banding/DF-cap parameters bound.
+  */
+object Dedup {
+
+  /** Exact dedup: one representative id (min) per distinct key. */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*).agg(min(col(idCol)).as(idCol))
+
+  /** Candidate pairs that share at least one value of `setCol` (an
+    * exploded inverted index), `maxDF` capping the per-value bucket size.
+    */
+  private def pairsSharing(ids: DataFrame, idCol: String, setCol: String,
+      maxDF: Option[Int]): DataFrame = {
+    val inv = ids.select(col(idCol).as("_id"), explode(col(setCol)).as("_k"))
+    val capped = maxDF.fold(inv) { cap =>
+      inv.withColumn("_df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_k")))
+        .where(col("_df") <= cap).drop("_df")
+    }
+    capped.as("a")
+      .join(capped.as("b"), col("a._k") === col("b._k") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id1"), col("b._id").as("id2"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs with similarity ≥ threshold.
+    * Exact because J(a,b) > 0 ⟹ the pair shares a shingle ⟹ it appears in
+    * the inverted-index candidates (when maxDF is None).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6, maxDF: Option[Int] = None): DataFrame = {
+    val sh = df.select(col(idCol).as("_id"),
+      TextAnalysis.shingles(col(textCol), n).as("_sh"))
+      .where(size(col("_sh")) > 0)
+    val sizes = sh.select(col("_id"), size(col("_sh")).as("_n"))
+    val shared = pairsSharing(sh, "_id", "_sh", maxDF)
+      .join(sh.select(col("_id").as("id1"), col("_sh").as("_sh1")), "id1")
+      .join(sh.select(col("_id").as("id2"), col("_sh").as("_sh2")), "id2")
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("_sh1"), col("_sh2"))).as("_shared"),
+        size(col("_sh1")).as("_n1"), size(col("_sh2")).as("_n2"))
+    shared
+      .withColumn("jaccard", round(col("_shared").cast("double") /
+        (col("_n1") + col("_n2") - col("_shared")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** MinHash signature: `numHashes` permutations simulated as
+    * xxhash64(shingle ++ permutation-id); banded LSH bucket hashes.
+    * Pure expressions — signature computation never shuffles.
+    */
+  private[pipeline] def minhashBands(sh: Column, numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    val sig = transform(sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(sh, s => xxhash64(concat(s, lit("#"), j.cast("string"))))))
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws(",",
+        transform(slice(sig, b * rows + 1, lit(rows)), x => x.cast("string")))))
+  }
+
+  /** MinHash+LSH near-dup pairs, exact-Jaccard-verified at `threshold`.
+    * Probabilistic candidate recall (tune numHashes/bands to the
+    * threshold); every emitted pair is exactly verified, so precision is 1.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6,
+      numHashes: Int = 64, bands: Int = 32): DataFrame = {
+    val sh = df.select(col(idCol).as("_id"),
+      TextAnalysis.shingles(col(textCol), n).as("_sh"))
+      .where(size(col("_sh")) > 0)
+    // bucket = (band position, band hash); pairs within a bucket
+    val inv = sh.select(col("_id"), col("_sh"))
+    val withBand = sh
+      .withColumn("_b", explode(
+        zip_with(
+          minhashBands(col("_sh"), numHashes, bands),
+          sequence(lit(0), lit(bands - 1)),
+          (h, i) => struct(i.as("pos"), h.as("h")))))
+      .select(col("_id"), col("_b"))
+    val cand = withBand.as("a")
+      .join(withBand.as("b"),
+        col("a._b") === col("b._b") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id1"), col("b._id").as("id2")).distinct()
+    cand
+      .join(inv.select(col("_id").as("id1"), col("_sh").as("_sh1")), "id1")
+      .join(inv.select(col("_id").as("id2"), col("_sh").as("_sh2")), "id2")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("_sh1"), col("_sh2"))).cast("double") /
+          size(array_union(col("_sh1"), col("_sh2"))), 4))
+      .where(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` bits. Banding the 64-bit
+    * hash into maxHamming+1 chunks guarantees every qualifying pair shares
+    * a chunk (pigeonhole) — candidate generation stays an equi-join.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bits = 64 / chunks
+    val sim = df.select(col(idCol).as("_id"),
+      graft.functions.SimHash64(TextAnalysis.tokens(col(textCol))).as("_h"))
+    val banded = sim.withColumn("_c", explode(array(
+      (0 until chunks).map(c => struct(lit(c).as("pos"),
+        shiftrightunsigned(col("_h"), c * bits)
+          .bitwiseAND(lit((1L << bits) - 1)).as("v"))): _*)))
+    banded.as("a")
+      .join(banded.as("b"), col("a._c") === col("b._c") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id1"), col("b._id").as("id2"),
+        col("a._h").as("_h1"), col("b._h").as("_h2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("_h1").bitwiseXOR(col("_h2"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
+}

@@ -1,12 +1,203 @@
 package graft.pipeline
 
+import org.apache.spark.sql.functions._
+
 import graft.queries.Declared.Q
 
-/** Declared-query registry for the training-data pipeline operators
-  * (dedup, similarity search, text analysis, multimodal). Populated as
-  * each operator lands; see Dedup.scala / TextAnalysis.scala /
-  * Similarity.scala / Multimodal.scala.
+/** Declared queries for the training-data pipeline operators, each backed
+  * by an operator in Dedup / TextAnalysis / Similarity / Multimodal.
+  *
+  * Queries with a clean DuckDB equivalent carry oracle SQL (hash-checked by
+  * the driver); the hash-based ops (MinHash, SimHash, LSH, fingerprints)
+  * depend on xxhash64 and are instead cross-checked in ScalaTest against
+  * their exact counterparts (e.g. minhash pairs ⊆/= exact Jaccard pairs) —
+  * the driver still runs them as rows-only checks.
   */
 object PipelineQueries {
-  def all: Seq[Q] = Seq.empty
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.Tables.load(s, d, "documents")
+  private def embs(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.Tables.load(s, d, "embeddings")
+
+  val all: Seq[Q] = Seq(
+    // -------------------------------------------------------- exact dedup
+    Q("px1_dedup_exact",
+      (s, d) => Dedup.exact(docs(s, d), Seq("text"), "doc_id")
+        .select("doc_id").orderBy("doc_id"),
+      Some("""SELECT MIN(doc_id) AS doc_id FROM documents
+             |GROUP BY text ORDER BY doc_id""".stripMargin)),
+
+    // --------------------------------------- exact n-gram Jaccard near-dup
+    Q("px2_dedup_ngram",
+      (s, d) => Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+        n = 3, threshold = 0.6)
+        .orderBy("id1", "id2"),
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |    unnest(list_distinct(list_transform(
+             |      range(1, len(t) - 1),
+             |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+             |  FROM (SELECT doc_id,
+             |          list_filter(string_split_regex(trim(text), '\s+'),
+             |                      x -> x <> '') AS t
+             |        FROM documents)
+             |  WHERE len(t) >= 3
+             |), sizes AS (
+             |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+             |), shared AS (
+             |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+             |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |)
+             |SELECT id1, id2,
+             |  ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+             |FROM shared
+             |JOIN sizes sa ON sa.doc_id = id1
+             |JOIN sizes sb ON sb.doc_id = id2
+             |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
+             |ORDER BY id1, id2""".stripMargin)),
+
+    // ----------------------------------------------- MinHash+LSH (verified)
+    Q("px3_dedup_minhash",
+      (s, d) => Dedup.minhashPairs(docs(s, d), "doc_id", "text",
+        n = 3, threshold = 0.6, numHashes = 64, bands = 32)
+        .orderBy("id1", "id2"),
+      None),
+
+    // --------------------------------------------------------- SimHash
+    Q("px4_dedup_simhash",
+      (s, d) => Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)
+        .orderBy("id1", "id2"),
+      None),
+
+    // ---------------------------------------------------- token counting
+    Q("px5_text_tokens",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '')) AS n_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // --------------------------------------------------- quality scoring
+    Q("px6_text_quality",
+      (s, d) => TextAnalysis.quality(docs(s, d), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents
+             |), m AS (
+             |  SELECT doc_id,
+             |    len(toks) AS n_tokens,
+             |    ROUND(list_sum(list_transform(toks, x -> length(x))) * 1.0
+             |          / GREATEST(len(toks), 1), 4) AS avg_token_len,
+             |    ROUND(len(list_filter(toks,
+             |        x -> list_contains(['the','a','and','of','to'], x))) * 1.0
+             |          / GREATEST(len(toks), 1), 4) AS stop_ratio
+             |  FROM t)
+             |SELECT doc_id, n_tokens, avg_token_len, stop_ratio,
+             |  ROUND(LEAST(n_tokens / 500.0, 1.0) * (1.0 - stop_ratio), 4)
+             |    AS quality_score
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------- language ID
+    Q("px7_text_langid",
+      (s, d) => TextAnalysis.langId(docs(s, d), "text", "doc_id")
+        .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang_pred"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |                x -> x <> '') AS toks
+             |  FROM documents
+             |), c AS (
+             |  SELECT doc_id,
+             |    len(list_filter(toks, x -> list_contains(['the','a','and','of','to'], x))) AS en,
+             |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS de,
+             |    len(list_filter(toks, x -> list_contains(['el','la','los','y','que'], x))) AS es,
+             |    len(list_filter(toks, x -> list_contains(['le','les','et','des','une'], x))) AS fr
+             |  FROM t)
+             |SELECT CASE
+             |    WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+             |    WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+             |    WHEN es >= fr AND es > 0 THEN 'es'
+             |    WHEN fr > 0 THEN 'fr'
+             |    ELSE 'und' END AS lang_pred,
+             |  COUNT(*) AS cnt
+             |FROM c GROUP BY 1 ORDER BY lang_pred""".stripMargin)),
+
+    // -------------------------------------------------- doc fingerprinting
+    Q("px8_text_fingerprint",
+      (s, d) => TextAnalysis.fingerprint(docs(s, d), "text", "doc_id")
+        .orderBy("doc_id"),
+      None),
+
+    // ------------------------------------------- similarity: brute force
+    Q("px9_sim_bruteforce",
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.bruteForceTopK(
+          corpus = e.select(col("vec_id"), col("embedding")),
+          queries = e.where(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
+          idCol = "vec_id", vecCol = "embedding", k = 5)
+          .select("qid", "nbr", "rank")
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+             |          FROM embeddings WHERE vec_id < 20),
+             |     c AS (SELECT vec_id AS nbr, embedding::DOUBLE[] AS cv
+             |          FROM embeddings),
+             |scored AS (
+             |  SELECT qid, nbr,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC, nbr) AS rank
+             |  FROM q JOIN c ON qid <> nbr)
+             |SELECT qid, nbr, rank FROM scored WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin)),
+
+    // ---------------------------------------------- similarity: LSH path
+    Q("px10_sim_lsh",
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.lshTopK(
+          corpus = e.select(col("vec_id"), col("embedding")),
+          queries = e.where(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
+          idCol = "vec_id", vecCol = "embedding", k = 5, dim = 64)
+          .select("qid", "nbr", "rank")
+          .orderBy("qid", "rank")
+      },
+      None),
+
+    // ------------------------------------- embedding-cosine near-dup pairs
+    // threshold 0.35 ≈ the 99.9th percentile of pairwise cosine in this
+    // corpus (synthetic embeddings have no true near-dups; this exercises
+    // the same plan a 0.95-threshold run has on a real corpus)
+    Q("px11_embed_neardup",
+      (s, d) => Similarity.embeddingNearDupPairs(
+        embs(s, d), "vec_id", "embedding", dim = 64, threshold = 0.35,
+        bits = 6, tables = 8)
+        .select("id1", "id2").orderBy("id1", "id2"),
+      None),
+
+    // --------------------------------------------------- multimodal plumbing
+    // Binary column built from text bytes (no codec libs in-env); metadata
+    // extraction is deterministic and oracle-checked; the batch decode path
+    // (mapPartitions) is exercised in MultimodalSpec.
+    Q("px12_multimodal_meta",
+      (s, d) => docs(s, d)
+        .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("media"))
+        .select(col("media_id"),
+          octet_length(col("media")).cast("bigint").as("n_bytes"),
+          (octet_length(col("media")).cast("bigint") % 640).as("fake_width"),
+          ((octet_length(col("media")).cast("bigint") * 7) % 480).as("fake_height"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+             |  octet_length(encode(text)) AS n_bytes,
+             |  octet_length(encode(text)) % 640 AS fake_width,
+             |  (octet_length(encode(text)) * 7) % 480 AS fake_height
+             |FROM documents ORDER BY media_id""".stripMargin))
+  )
 }

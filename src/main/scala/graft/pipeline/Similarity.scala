@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k. The query side is broadcast
+  *    (queries ≪ corpus is the normal shape), so the corpus is scanned once
+  *    with no shuffle; top-k per query is a windowed rank over the
+  *    candidate set. Exact baseline + the right plan when queries fit in
+  *    memory — even at 100 TB corpus the scan parallelizes per split.
+  *  - [[lshTopK]]: random-hyperplane LSH — each vector gets a b-bit
+  *    signature; only same-bucket pairs are scored. Bucket count 2^b bounds
+  *    candidate volume; recall is tuned by `tables` independent hash
+  *    tables. This is the scale path when queries are also huge: both
+  *    sides shuffle once on the bucket key, turning all-pairs into an
+  *    equi-join.
+  *
+  * Dot products use `aggregate(zip_with(...))` over doubles — codegen'd
+  * built-ins, deterministic sequential accumulation order (stable hashes).
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, accumulated in double. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0d), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k neighbors per query vector. `corpus` and `queries` carry
+    * (idCol, vecCol); self-matches are excluded when ids collide.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("nbr"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nbr"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nbr"), col("rank"), col("sim"))
+  }
+
+  /** Deterministic random hyperplanes (seeded) as literal arrays — shipped
+    * with the plan, no driver state on executors.
+    */
+  private def hyperplanes(dim: Int, bits: Int, table: Int): Seq[Array[Double]] = {
+    val rnd = new Random(42L + table * 1000L)
+    Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private def signature(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
+      val proj = aggregate(
+        zip_with(vec, lit(p), (x, w) => x.cast("double") * w),
+        lit(0d), (a, v) => a + v)
+      acc.bitwiseOR(when(proj > 0d, lit(1L << i)).otherwise(0L))
+    }
+
+  /** Approximate top-k via multi-table hyperplane LSH, exact-reranked
+    * within buckets. Emits ≤ k rows per query (fewer when buckets are
+    * sparse — the recall/efficiency tradeoff).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, bits: Int = 12,
+      tables: Int = 4): DataFrame = {
+    val buckets = (0 until tables).map { t =>
+      val planes = hyperplanes(dim, bits, t)
+      val c = corpus.select(col(idCol).as("nbr"), col(vecCol).as("cv"),
+        signature(col(vecCol), planes).as("_b"), lit(t).as("_t"))
+      val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        signature(col(vecCol), planes).as("_b"), lit(t).as("_t"))
+      c.join(q, Seq("_b", "_t")).where(col("qid") =!= col("nbr"))
+        .select(col("qid"), col("nbr"), col("qv"), col("cv"))
+    }.reduce(_ unionByName _).dropDuplicates("qid", "nbr")
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))
+    buckets
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nbr"), col("rank"), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (sim ≥ threshold), LSH-bucketed
+    * candidates, exact-verified — the embedding analog of Dedup.minhashPairs.
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double = 0.95, bits: Int = 8,
+      tables: Int = 6): DataFrame = {
+    val cands = (0 until tables).map { t =>
+      val planes = hyperplanes(dim, bits, t)
+      val sigs = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        signature(col(vecCol), planes).as("_b"))
+      sigs.as("a").join(sigs.as("b"),
+        col("a._b") === col("b._b") && col("a._id") < col("b._id"))
+        .select(col("a._id").as("id1"), col("b._id").as("id2"),
+          col("a._v").as("_v1"), col("b._v").as("_v2"))
+    }.reduce(_ unionByName _).dropDuplicates("id1", "id2")
+    cands
+      .withColumn("sim", round(cosine(col("_v1"), col("_v2")), 6))
+      .where(col("sim") >= threshold)
+      .select("id1", "id2", "sim")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID, document fingerprinting.
+  *
+  * Everything here is built from codegen'd Catalyst built-ins (split /
+  * filter / aggregate / transform — no UDFs), so the whole pipeline stays
+  * inside WholeStageCodegen and scales linearly with input splits: no
+  * shuffle is introduced by any per-document operator. The only shuffles in
+  * a typical run are the final aggregations the caller adds.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped (robust to leading/double spaces). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** Token count as BIGINT (matches DuckDB's len()). */
+  def tokenCount(text: Column): Column =
+    size(tokens(text)).cast("bigint")
+
+  /** Sum of token lengths — used for mean token length. */
+  private def tokenChars(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+
+  private val enStop = Seq("the", "a", "and", "of", "to")
+  private val deStop = Seq("der", "die", "das", "und", "ist")
+  private val esStop = Seq("el", "la", "los", "y", "que")
+  private val frStop = Seq("le", "les", "et", "des", "une")
+
+  private def stopCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(lit(words.toArray), t))).cast("bigint")
+
+  /** Per-document quality metrics + a composite score, mirroring the
+    * length / stopword-ratio heuristics used by web-scale corpus filters.
+    * All expressions are deterministic and DuckDB-replicable (the declared
+    * query px_text_quality hash-checks them).
+    */
+  def quality(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(
+      col(idCol),
+      tokenCount(col(textCol)).as("n_tokens"),
+      round(tokenChars(toks).cast("double") / greatest(size(toks), lit(1)), 4)
+        .as("avg_token_len"),
+      round(stopCount(toks, enStop).cast("double") / greatest(size(toks), lit(1)), 4)
+        .as("stop_ratio"))
+      .withColumn("quality_score",
+        round(least(col("n_tokens").cast("double") / 500d, lit(1d)) *
+          (lit(1d) - col("stop_ratio")), 4))
+  }
+
+  /** Stopword-vote language ID: count hits from per-language stopword sets,
+    * argmax with a fixed tiebreak (en > de > es > fr), 'und' when no set
+    * matches. A deliberately simple, fully deterministic heuristic — the
+    * point is a scalable, oracle-checkable classifier shape (the same
+    * n-gram-profile approach used by fastText/CLD fits the same plan:
+    * per-row expression, no shuffle).
+    */
+  def langId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    df.select(col(idCol), toks.as("_t"))
+      .withColumn("_en", stopCount(col("_t"), enStop))
+      .withColumn("_de", stopCount(col("_t"), deStop))
+      .withColumn("_es", stopCount(col("_t"), esStop))
+      .withColumn("_fr", stopCount(col("_t"), frStop))
+      .withColumn("lang_pred",
+        when(col("_en") >= col("_de") && col("_en") >= col("_es") &&
+          col("_en") >= col("_fr") && col("_en") > 0, "en")
+          .when(col("_de") >= col("_es") && col("_de") >= col("_fr") &&
+            col("_de") > 0, "de")
+          .when(col("_es") >= col("_fr") && col("_es") > 0, "es")
+          .when(col("_fr") > 0, "fr")
+          .otherwise("und"))
+      .select(col(idCol), col("lang_pred"))
+  }
+
+  /** Word n-gram shingles (the unit for Jaccard/MinHash dedup and
+    * fingerprinting). Distinct, order-insensitive set per document.
+    * Documents shorter than n tokens yield an empty set.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
+  }
+
+  /** Rolling document fingerprint: min/max/count sketch of xxhash64 over
+    * the 3-gram shingle set — a 1-permutation MinHash. Identical documents
+    * (post-tokenization) get identical fingerprints; any changed word flips
+    * `fp_min` with probability ≈ 1 - 1/|shingles|. Pure expressions
+    * (xxhash64 is codegen'd), no shuffle.
+    */
+  def fingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sh = shingles(col(textCol), 3)
+    df.select(
+      col(idCol),
+      array_min(transform(sh, s => xxhash64(s))).as("fp_min"),
+      array_max(transform(sh, s => xxhash64(s))).as("fp_max"),
+      size(sh).cast("bigint").as("fp_card"))
+  }
+}

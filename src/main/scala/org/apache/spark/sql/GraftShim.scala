@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge to the classic Column ↔ Expression converters, which are
+  * `private[sql]` in Spark 4 (the Connect refactor hid them). Needed so
+  * graft's native Catalyst expressions (graft.functions.*) can be exposed
+  * as Columns without going through the string `expr()` parser.
+  */
+object GraftShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.TestSpark
+
+/** Cross-checks for the hash-based pipeline operators that have no SQL
+  * oracle: MinHash vs exact Jaccard, SimHash radius guarantees, LSH vs
+  * brute-force similarity, fingerprint determinism, multimodal plumbing.
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = graft.Tables.load(spark, sf, "documents")
+  private def embs = graft.Tables.load(spark, sf, "embeddings")
+
+  test("exact dedup keeps min id per duplicated key") {
+    import spark.implicits._
+    val df = Seq((3L, "x"), (1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, Seq("text"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 2L))
+  }
+
+  test("minhash-LSH pairs equal exact n-gram Jaccard pairs (full recall here)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+      .select("id1", "id2", "jaccard").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text", 3, 0.6, 64, 32)
+      .select("id1", "id2", "jaccard").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(mh.subsetOf(exact), "minhash must never emit a non-qualifying pair (exact verify)")
+    assert(mh === exact, s"recall loss: ${exact.size - mh.size} of ${exact.size} pairs missed")
+  }
+
+  test("simhash pairs respect the hamming radius and are found via banding") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).collect()
+    assert(pairs.forall(_.getAs[Number]("hamming").longValue <= 3))
+    assert(pairs.nonEmpty, "corpus has near-dups; simhash should find some")
+  }
+
+  test("fingerprints are deterministic and equal for identical texts") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d X"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(fp(0).getLong(1) === fp(1).getLong(1)) // fp_min equal for dup
+    assert(fp(0).getLong(2) === fp(1).getLong(2)) // fp_max equal for dup
+    assert((fp(0).getLong(1) != fp(2).getLong(1)) ||
+      (fp(0).getLong(2) != fp(2).getLong(2)))
+    val fp2 = TextAnalysis.fingerprint(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(fp.map(_.toSeq).toSeq === fp2.map(_.toSeq).toSeq)
+  }
+
+  test("LSH top-k returns true neighbors with correctly ordered ranks") {
+    // k covers the whole corpus → bf holds the exact sim for EVERY pair
+    val bf = Similarity.bruteForceTopK(
+      embs.select(col("vec_id"), col("embedding")),
+      embs.where(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val lsh = Similarity.lshTopK(
+      embs.select(col("vec_id"), col("embedding")),
+      embs.where(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", k = 5, dim = 64)
+      .collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit's sim must equal the brute-force sim for that pair
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(bf.contains(key) && math.abs(bf(key) - r.getDouble(3)) < 1e-9,
+        s"pair $key sim mismatch vs brute force")
+    }
+    // ranks strictly ordered by sim desc within each query
+    lsh.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(2))
+      assert(sorted.map(_.getDouble(3)).toSeq ===
+        sorted.map(_.getDouble(3)).sortBy(-(_: Double)).toSeq)
+    }
+  }
+
+  test("multimodal decode preserves rows, nulls, and batch schema") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Array[Byte](0, 1, 2, 3, -1), ("jpeg", 2, 2)),
+      (2L, null.asInstanceOf[Array[Byte]], ("png", 1, 1)),
+      (3L, Array[Byte](), ("gif", 0, 0)))
+      .toDF("media_id", "media", "m")
+      .select(col("media_id"), col("media"),
+        struct(col("m._1").as("format"), col("m._2").as("width"),
+          col("m._3").as("height")).as("meta"))
+    val out = Multimodal.decodeFeatures(media).orderBy("media_id").collect()
+    assert(out.length === 3)
+    assert(out(0).getLong(1) === 5L)
+    assert(out(0).getString(2) === "jpeg")
+    val hist = out(0).getSeq[Double](3)
+    assert(hist.length === 8 && math.abs(hist.sum - 1.0) < 1e-9)
+    assert(out(1).isNullAt(3), "null media must keep its row with null feature")
+    assert(out(2).getSeq[Double](3).sum === 0.0)
+  }
+
+  test("frame sampling chunks binary payloads deterministically") {
+    import spark.implicits._
+    val media = Seq((1L, Array.tabulate[Byte](10)(_.toByte)))
+      .toDF("media_id", "media")
+    val frames = Multimodal.sampleFrames(media, chunkBytes = 4, stride = 1)
+      .orderBy("frame_idx").collect()
+    assert(frames.length === 3) // 10 bytes / 4 = 3 chunks
+    assert(frames(0).getAs[Array[Byte]]("frame").toSeq === Seq[Byte](0, 1, 2, 3))
+    assert(frames(2).getAs[Array[Byte]]("frame").toSeq === Seq[Byte](8, 9))
+  }
+
+  test("token/quality/langid edge cases: empty and whitespace-only text") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "   "), (3L, "the quick fox")).toDF("doc_id", "text")
+    val toks = df.select(TextAnalysis.tokenCount(col("text"))).as[Long]
+      .collect().toSeq
+    assert(toks === Seq(0L, 0L, 3L))
+    val lang = TextAnalysis.langId(df, "text", "doc_id").orderBy("doc_id")
+      .select("lang_pred").as[String].collect().toSeq
+    assert(lang === Seq("und", "und", "en"))
+    val q = TextAnalysis.quality(df, "text", "doc_id").orderBy("doc_id").collect()
+    assert(q(0).getAs[Long]("n_tokens") === 0L)
+    assert(q(2).getAs[Double]("stop_ratio") === 0.3333)
+  }
+}
