@@ -18,31 +18,26 @@ import scala.collection.mutable.ArrayBuffer
   * (the reference's tx-local ordinals, Persistent.hs:126-171, are a
   * serialization detail we deliberately replace — documented divergence
   * with identical observable state).
+  *
+  * Applied ops additionally accumulate in a drainable log so a persistent
+  * wrapper (graft.store.GraphStore) can append them as WAL batches.
   */
-final class GraphSession[V](
+final class GraphSession[V] private (
     val spark: SparkSession,
     val model: GraphModel[V],
-    rootValue: V) {
+    initialState: GraphState[V],
+    initialNextId: Long) {
 
   type NodeId = Long
+  import GraphOp._
 
-  private sealed trait Op
-  private case class NewNode(id: NodeId, v: V) extends Op
-  private case class SetValue(id: NodeId, v: V) extends Op
-  private case class AddTarget(src: NodeId, dst: NodeId) extends Op
-  private case class RemoveTarget(src: NodeId, dst: NodeId) extends Op
-  private case class RemoveNode(id: NodeId) extends Op
-
-  private var state: GraphState[V] = GraphState.empty(spark, model)
-  private val pending = ArrayBuffer[Op]()
-  private var nextId: Long = 0L
+  private var state: GraphState[V] = initialState
+  private val pending = ArrayBuffer[GraphOp[V]]()
+  private val opLog = ArrayBuffer[GraphOp[V]]()
+  private var nextId: Long = initialNextId
 
   /** getRoot (op #4, GraphDB.hs:318-319). Root is always node 0. */
-  val root: NodeId = {
-    val id = allocate(rootValue)
-    require(id == 0L)
-    id
-  }
+  val root: NodeId = 0L
 
   private def allocate(v: V): NodeId = {
     val id = nextId
@@ -50,6 +45,9 @@ final class GraphSession[V](
     pending += NewNode(id, v)
     id
   }
+
+  /** Current id watermark (persisted so restarts keep ids unique). */
+  def idWatermark: Long = nextId
 
   // ---------------------------------------------------------------- writes
 
@@ -115,34 +113,56 @@ final class GraphSession[V](
   def applied(): GraphState[V] = {
     if (pending.nonEmpty) {
       // Collapse consecutive same-type ops into one batch application.
-      val runs = ArrayBuffer[ArrayBuffer[Op]]()
+      val runs = ArrayBuffer[ArrayBuffer[GraphOp[V]]]()
       pending.foreach { op =>
         if (runs.nonEmpty && runs.last.last.getClass == op.getClass) runs.last += op
         else runs += ArrayBuffer(op)
       }
       runs.foreach { run =>
-        state = run.head match {
-          case _: NewNode =>
+        // localCheckpoint after EVERY run: index derivation references the
+        // nodes plan twice, so without truncation the logical plan doubles
+        // per run (2^runs blowup in the analyzer)
+        state = (run.head match {
+          case _: NewNode[_] =>
             state.withNewNodes(run.collect { case NewNode(id, v) => (id, v) }.toSeq)
-          case _: SetValue =>
+          case _: SetValue[_] =>
             // later SetValue on the same id wins within a run
             val last = run.collect { case SetValue(id, v) => (id, v) }
               .foldLeft(Vector.empty[(NodeId, V)]) { (acc, kv) =>
                 acc.filterNot(_._1 == kv._1) :+ kv
               }
             state.withValues(last)
-          case _: AddTarget =>
+          case _: AddTarget[_] =>
             state.withTargets(run.collect { case AddTarget(s, d) => (s, d) }.toSeq)
-          case _: RemoveTarget =>
+          case _: RemoveTarget[_] =>
             state.withoutTargets(run.collect { case RemoveTarget(s, d) => (s, d) }.toSeq)
-          case _: RemoveNode =>
+          case _: RemoveNode[_] =>
             state.withoutNodes(run.collect { case RemoveNode(id) => id }.toSeq)
-        }
+        }).checkpointed()
       }
-      state = state.checkpointed()
+      opLog ++= pending
       pending.clear()
     }
     state
+  }
+
+  /** Replay a logged op verbatim — ids are preserved (not re-allocated),
+    * and the id watermark advances past any replayed node id.
+    */
+  private[graft] def replayOp(op: GraphOp[V]): Unit = {
+    op match {
+      case NewNode(id, _) => nextId = math.max(nextId, id + 1)
+      case _ => ()
+    }
+    pending += op
+  }
+
+  /** Drain ops applied since the last drain — the WAL append feed. */
+  private[graft] def drainLog(): Seq[GraphOp[V]] = {
+    applied()
+    val out = opLog.toSeq
+    opLog.clear()
+    out
   }
 }
 
@@ -151,6 +171,17 @@ object GraphSession {
   /** In-memory session with an initial root value — the analog of
     * `runNonpersistentSession` (GraphDB.hs:128-131).
     */
-  def inMemory[V](spark: SparkSession, model: GraphModel[V], rootValue: V): GraphSession[V] =
-    new GraphSession(spark, model, rootValue)
+  def inMemory[V](spark: SparkSession, model: GraphModel[V], rootValue: V): GraphSession[V] = {
+    val s = new GraphSession(spark, model, GraphState.empty(spark, model), 0L)
+    val id = s.allocate(rootValue)
+    require(id == 0L)
+    s
+  }
+
+  /** Resume from existing state (checkpoint restore) — the root already
+    * exists, ids continue from the persisted watermark.
+    */
+  private[graft] def fromState[V](spark: SparkSession, model: GraphModel[V],
+      state: GraphState[V], nextId: Long): GraphSession[V] =
+    new GraphSession(spark, model, state, nextId)
 }

@@ -1,0 +1,227 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import graft.graph._
+
+/** Persistent graph sessions: parquet checkpoints ⊕ parquet op-log replay —
+  * the exact persistence model of the reference
+  * (/root/reference/library/GraphDB/Storage.hs:91-207, rules
+  * Storage/Rules.hs:7-25), with parquet directories instead of binary files:
+  *
+  * {{{
+  *   <path>/N.checkpoint/{nodes,edges,index}/ + _meta.json   (snapshot)
+  *   <path>/N.events/batch-K/                                 (op batches)
+  *   <path>/archive/                                          (superseded)
+  * }}}
+  *
+  * Invariants mirrored from the reference:
+  *  - open: newest readable checkpoint C, replay event dirs with index > C
+  *    ascending (Storage.hs:104-148); fresh session otherwise;
+  *  - each open starts a new events index; commit() appends one batch dir;
+  *  - close(): write checkpoint at the current index, then archive all
+  *    events ≤ index and checkpoints < index (Storage.hs:171-207);
+  *  - checkpoints are REACHABILITY-SCOPED (serialize walks from the root,
+  *    Graph.hs:145-195) — orphaned subgraphs are vacuumed on close.
+  *
+  * Scale posture: the checkpoint write is a straight distributed parquet
+  * dump of the three state DataFrames (repartitioned by `src` so a reload
+  * starts co-partitioned for hop joins); op batches are whole DataFrames
+  * too, so a bulk ingest commit of 10^9 ops never touches the driver.
+  */
+final class GraphStore[V] private (
+    spark: SparkSession,
+    model: GraphModel[V],
+    path: Path,
+    val session: GraphSession[V],
+    private var eventsIndex: Long) {
+
+  private var batchSeq: Long = 0
+  private var closed = false
+
+  private val opSchema = GraphStore.opSchema(model)
+
+  /** Apply pending ops and append them to the current events dir as one
+    * parquet batch — the WAL append (Persistent.hs:108-117 analog; our
+    * "buffering" is the batch itself).
+    */
+  def commit(): Unit = {
+    require(!closed, "store is closed")
+    val ops = session.drainLog()
+    if (ops.nonEmpty) {
+      // seq is GLOBALLY monotonic ((eventsIndex, batch, offset) packed into
+      // one long) so any reader — replay or a streaming follower that gets
+      // several batches in one trigger — can totally order ops by it
+      val base = (eventsIndex << 40) | (batchSeq << 20)
+      val rows = ops.zipWithIndex.map { case (op, i) =>
+        GraphStore.opToRow(model, op, base + i.toLong)
+      }
+      val dir = path.resolve(s"$eventsIndex.events").resolve(f"batch-$batchSeq%06d")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), opSchema)
+        .write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+      batchSeq += 1
+    }
+  }
+
+  /** Checkpoint + archive + release — the reference's session close
+    * (Persistent.hs:86-89): final checkpoint of the root-reachable closure,
+    * then archival of superseded files.
+    */
+  def close(): Unit = {
+    if (closed) return
+    commit()
+    val st = session.applied()
+    val reach = Reachability.reachable(st.edges, Seq(session.root))
+    val ckptDir = path.resolve(s"$eventsIndex.checkpoint")
+    val keepNodes = st.nodes.join(reach, Seq("id"), "left_semi")
+    val reachSrc = reach.select(col("id").as("src"))
+    keepNodes.write.parquet(ckptDir.resolve("nodes").toString)
+    st.edges.join(reachSrc, Seq("src"), "left_semi")
+      .repartition(col("src"))
+      .write.parquet(ckptDir.resolve("edges").toString)
+    st.index.join(reachSrc, Seq("src"), "left_semi")
+      .repartition(col("src"))
+      .write.parquet(ckptDir.resolve("index").toString)
+    Files.writeString(ckptDir.resolve("_meta.json"),
+      s"""{"nextId": ${session.idWatermark}}""")
+    GraphStore.cleanUp(path, eventsIndex)
+    closed = true
+  }
+}
+
+object GraphStore {
+
+  /** Open (or create) a persistent session at `path` — the analog of
+    * `runPersistentSession` (GraphDB.hs:152-156).
+    */
+  def open[V](spark: SparkSession, model: GraphModel[V], rootValue: V,
+      dir: String): GraphStore[V] = {
+    val path = Paths.get(dir)
+    Files.createDirectories(path)
+    Files.createDirectories(path.resolve("archive"))
+
+    val checkpoints = list(path, ".checkpoint")
+    val latest = checkpoints.sorted(Ordering[Long].reverse).headOption
+
+    val (session, replayedThrough) = latest match {
+      case Some(c) =>
+        val ckpt = path.resolve(s"$c.checkpoint")
+        val nodes = spark.read.parquet(ckpt.resolve("nodes").toString)
+        val edges = spark.read.parquet(ckpt.resolve("edges").toString)
+        val index = spark.read.parquet(ckpt.resolve("index").toString)
+        val meta = Files.readString(ckpt.resolve("_meta.json"))
+        val nextId = """"nextId":\s*(\d+)""".r.findFirstMatchIn(meta)
+          .map(_.group(1).toLong).getOrElse(0L)
+        val st = GraphState(spark, model, nodes, edges, index).checkpointed()
+        val s = GraphSession.fromState(spark, model, st, nextId)
+        (s, replay(spark, model, path, s, after = c))
+      case None =>
+        // brand-new store, or a crashed prior session left events but no
+        // checkpoint yet — replay everything from scratch (the root's own
+        // NewNode is in the WAL like every other op)
+        val s = GraphSession.fromState(spark, model,
+          GraphState.empty(spark, model), 0L)
+        (s, replay(spark, model, path, s, after = 0L))
+    }
+    // drop replayed ops from the log: they are already on disk
+    session.drainLog()
+    // brand-new store: create the root; it stays pending and is persisted
+    // by the first commit
+    if (session.idWatermark == 0L) {
+      val id = session.newNode(rootValue)
+      require(id == 0L)
+    }
+    new GraphStore(spark, model, path, session,
+      eventsIndex = math.max(replayedThrough, latest.getOrElse(0L)) + 1)
+  }
+
+  /** Replay event dirs with index > `after`, ascending — Storage.hs:136-148.
+    * Returns the last replayed index (or `after`).
+    */
+  private def replay[V](spark: SparkSession, model: GraphModel[V], path: Path,
+      session: GraphSession[V], after: Long): Long = {
+    val eventDirs = list(path, ".events").filter(_ > after).sorted
+    eventDirs.foreach { idx =>
+      val dir = path.resolve(s"$idx.events")
+      val batches = Files.list(dir).iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.startsWith("batch-"))
+        .sortBy(_.getFileName.toString)
+      batches.foreach { b =>
+        val rows = spark.read.parquet(b.toString)
+          .orderBy("seq").collect()
+        rows.foreach(r => session.replayOp(rowToOp(model, r)))
+      }
+    }
+    eventDirs.lastOption.getOrElse(after)
+  }
+
+  /** Archive events ≤ index and checkpoints < index; delete checkpoints >
+    * index (corrupt) — Storage.hs:179-205 / StorageTests.hs:130-144 rules.
+    */
+  private def cleanUp(path: Path, index: Long): Unit = {
+    val archive = path.resolve("archive")
+    list(path, ".checkpoint").foreach { c =>
+      if (c < index) move(path.resolve(s"$c.checkpoint"), archive)
+      else if (c > index) deleteRecursively(path.resolve(s"$c.checkpoint"))
+    }
+    list(path, ".events").foreach { e =>
+      if (e <= index) move(path.resolve(s"$e.events"), archive)
+    }
+  }
+
+  private def list(path: Path, suffix: String): Seq[Long] =
+    Files.list(path).iterator().asScala.toSeq
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(suffix))
+      .flatMap(n => Try(n.stripSuffix(suffix).toLong).toOption)
+
+  private def move(from: Path, archive: Path): Unit =
+    Files.move(from, archive.resolve(from.getFileName),
+      StandardCopyOption.REPLACE_EXISTING)
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+
+  // ------------------------------------------------------- op serialization
+
+  private def opSchema(model: GraphModel[_]): StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("id", LongType, nullable = true),
+    StructField("src", LongType, nullable = true),
+    StructField("dst", LongType, nullable = true),
+    StructField("kind", StringType, nullable = true),
+    StructField("value", model.valueSchema, nullable = true)))
+
+  private def opToRow[V](model: GraphModel[V], op: GraphOp[V], seq: Long): Row =
+    op match {
+      case GraphOp.NewNode(id, v) =>
+        Row(seq, "new", id, null, null, model.kindOf(v), model.toValueRow(v))
+      case GraphOp.SetValue(id, v) =>
+        Row(seq, "set", id, null, null, model.kindOf(v), model.toValueRow(v))
+      case GraphOp.AddTarget(s, d) => Row(seq, "add", null, s, d, null, null)
+      case GraphOp.RemoveTarget(s, d) => Row(seq, "rmt", null, s, d, null, null)
+      case GraphOp.RemoveNode(id) => Row(seq, "rm", id, null, null, null, null)
+    }
+
+  private def rowToOp[V](model: GraphModel[V], r: Row): GraphOp[V] =
+    r.getString(1) match {
+      case "new" => GraphOp.NewNode(r.getLong(2),
+        model.fromValueRow(r.getString(5), r.getStruct(6)))
+      case "set" => GraphOp.SetValue(r.getLong(2),
+        model.fromValueRow(r.getString(5), r.getStruct(6)))
+      case "add" => GraphOp.AddTarget(r.getLong(3), r.getLong(4))
+      case "rmt" => GraphOp.RemoveTarget(r.getLong(3), r.getLong(4))
+      case "rm" => GraphOp.RemoveNode(r.getLong(2))
+    }
+}

