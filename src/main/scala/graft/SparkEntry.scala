@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registry: Seq[graft.queries.Declared.Q] =
-    graft.queries.Declared.all ++ pipeline.PipelineQueries.all ++ graph.GraphQueries.all
+    graft.queries.Declared.all ++ pipeline.PipelineQueries.all ++
+      graph.GraphQueries.all ++ analytics.AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

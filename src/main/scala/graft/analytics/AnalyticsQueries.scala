@@ -1,0 +1,63 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.queries.Declared.Q
+import graft.graph.GraphQueries
+
+/** Declared queries for the GraphX/Pregel analytics layer, each with a
+  * DuckDB oracle derived from the star schema's known topology.
+  */
+object AnalyticsQueries {
+
+  val all: Seq[Q] = Seq(
+    // Pregel BFS over the geo graph: node count per depth. The oracle knows
+    // the topology: depth 0 = root, 1 = regions, 2 = nations, 3 = customers.
+    Q("ga1_pregel_bfs_depths",
+      (s, d) => {
+        val g = GraphQueries.geoGraph(s, d, withCustomers = true)
+        GraphAnalytics.bfsDepths(g.edges, root = 0L)
+          .groupBy("depth").agg(count(lit(1)).as("cnt"))
+          .orderBy("depth")
+      },
+      Some("""SELECT CAST(0 AS BIGINT) AS depth, CAST(1 AS BIGINT) AS cnt
+             |UNION ALL SELECT 1, (SELECT COUNT(*) FROM region)
+             |UNION ALL SELECT 2, (SELECT COUNT(*) FROM nation)
+             |UNION ALL SELECT 3, (SELECT COUNT(*) FROM customer)
+             |ORDER BY depth""".stripMargin)),
+
+    // Connected components over a per-nation customer star (every customer
+    // linked to its nation's min custkey → one component per nation with
+    // ≥2 customers). Star, not chain: CC label propagation needs
+    // O(diameter) supersteps, so a 6000-node path would take 6000 Pregel
+    // iterations — the star converges in 2 at any scale.
+    // Oracle recomputes components/largest from counts.
+    Q("ga2_connected_components",
+      (s, d) => {
+        val c = graft.Tables.load(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val star = c.withColumn("hub",
+          min("c_custkey").over(Window.partitionBy("c_nationkey")))
+          .where(col("c_custkey") =!= col("hub"))
+          .select(col("hub").as("src"), col("c_custkey").as("dst"))
+        val cc = GraphAnalytics.connectedComponents(star)
+        cc.groupBy("component").agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("components"), max("sz").as("largest"))
+      },
+      Some("""SELECT COUNT(*) AS components, MAX(cnt) AS largest FROM
+             |(SELECT c_nationkey, COUNT(*) AS cnt FROM customer
+             | GROUP BY c_nationkey HAVING COUNT(*) >= 2)""".stripMargin)),
+
+    // PageRank over the geo graph — engine-specific float ranks, so
+    // rows-only for the driver; the ordering property is spec-checked.
+    Q("ga3_pagerank",
+      (s, d) => {
+        val g = GraphQueries.geoGraph(s, d, withCustomers = false)
+        GraphAnalytics.pageRank(g.edges)
+          .orderBy(col("rank").desc, col("id")).limit(10)
+          .select(col("id"), round(col("rank"), 4).as("rank"))
+      },
+      None)
+  )
+}

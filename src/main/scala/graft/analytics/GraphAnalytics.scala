@@ -1,0 +1,71 @@
+package graft.analytics
+
+import org.apache.spark.graphx.{Edge, Graph, Pregel, VertexId}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GraphX/Pregel analytics over graft graph state — the iterative side
+  * that one Catalyst plan can't express (SURVEY §4.2): reachability, BFS
+  * depths, connected components, PageRank. The reference's only iterative
+  * computation is its BFS serialize/stats walk
+  * (/root/reference/library/GraphDB/Graph.hs:82-118,145-195); everything
+  * else here is capability the reference lacks but a graph analytics user
+  * expects.
+  *
+  * Scale notes: `Graph.fromEdges` hash-partitions the edge RDD; Pregel
+  * supersteps are joins between the vertex and edge partitions, so a
+  * 1000-executor run behaves like any iterative shuffle workload — no
+  * driver-side iteration state beyond the superstep counter. For the
+  * small-diameter graphs of this schema (≤4 hops) the DataFrame BFS in
+  * graft.graph.Reachability is usually faster (no RDD conversion); Pregel
+  * wins when diameter or frontier size explodes.
+  */
+object GraphAnalytics {
+
+  /** edges DataFrame (src, dst) → GraphX edge RDD. */
+  private def edgeRDD(edges: DataFrame): RDD[Edge[Unit]] =
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+
+  /** BFS depth of every vertex reachable from `root` (directed), via
+    * Pregel min-hop propagation. Returns DataFrame(id, depth).
+    */
+  def bfsDepths(edges: DataFrame, root: Long): DataFrame = {
+    val spark = edges.sparkSession
+    val g = Graph.fromEdges(edgeRDD(edges), defaultValue = Int.MaxValue)
+      .mapVertices((id, _) => if (id == root) 0 else Int.MaxValue)
+    val res = Pregel(g, Int.MaxValue, activeDirection =
+      org.apache.spark.graphx.EdgeDirection.Out)(
+      vprog = (_, d, msg) => math.min(d, msg),
+      sendMsg = t =>
+        if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
+          Iterator((t.dstId, t.srcAttr + 1))
+        else Iterator.empty,
+      mergeMsg = math.min)
+    import spark.implicits._
+    res.vertices.filter(_._2 != Int.MaxValue)
+      .map { case (id, d) => (id, d.toLong) }
+      .toDF("id", "depth")
+  }
+
+  /** Undirected connected components (GraphX built-in). Returns
+    * DataFrame(id, component) with component = min vertex id.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Graph.fromEdges(edgeRDD(edges), defaultValue = ())
+      .connectedComponents()
+      .vertices.map { case (id, c) => (id, c) }.toDF("id", "component")
+  }
+
+  /** PageRank (GraphX built-in), tol-converged. DataFrame(id, rank). */
+  def pageRank(edges: DataFrame, tol: Double = 1e-4): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Graph.fromEdges(edgeRDD(edges), defaultValue = ())
+      .pageRank(tol)
+      .vertices.map { case (id, r) => (id, r) }.toDF("id", "rank")
+  }
+}

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word n-gram shingles of a token array, as a native expression.
+  *
+  * Replaces the `transform(sequence(1, size-n+1), i -> concat_ws(...))` +
+  * `array_distinct` column pipeline, whose interpreted higher-order lambdas
+  * cost ~8 s per evaluation over the sf0.1 corpus — and dedup pipelines
+  * evaluate the shingle set 3-4× per query (inverted index, sizes,
+  * signatures). One tight loop with a hash set brings that to
+  * milliseconds and keeps rows inside codegen.
+  */
+case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingles requires array<string>, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Shingles.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Shingles.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+}
+
+object Shingles {
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Static helper invoked from generated code — must stay public. */
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val count = tokens.numElements() - n + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i < count) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(SPACE, parts: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  def apply(col: Column, n: Int): Column =
+    GraftShim.column(Shingles(GraftShim.expression(col), n))
+}

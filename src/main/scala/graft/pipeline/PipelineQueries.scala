@@ -61,7 +61,7 @@ object PipelineQueries {
     // ----------------------------------------------- MinHash+LSH (verified)
     Q("px3_dedup_minhash",
       (s, d) => Dedup.minhashPairs(docs(s, d), "doc_id", "text",
-        n = 3, threshold = 0.6, numHashes = 64, bands = 32)
+        n = 3, threshold = 0.6, numHashes = 64, bands = 16)
         .orderBy("id1", "id2"),
       None),
 

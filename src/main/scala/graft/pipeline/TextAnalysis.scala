@@ -79,16 +79,12 @@ object TextAnalysis {
   }
 
   /** Word n-gram shingles (the unit for Jaccard/MinHash dedup and
-    * fingerprinting). Distinct, order-insensitive set per document.
-    * Documents shorter than n tokens yield an empty set.
+    * fingerprinting). Distinct set per document (first-occurrence order);
+    * documents shorter than n tokens yield an empty set. Native expression
+    * (graft.functions.Shingles) — one codegen'd pass per row.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val grams = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
-    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
-  }
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.Shingles(tokens(text), n)
 
   /** Rolling document fingerprint: min/max/count sketch of xxhash64 over
     * the 3-gram shingle set — a 1-permutation MinHash. Identical documents

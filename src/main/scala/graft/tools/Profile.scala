@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev profiler for the ngram-dedup pipeline pieces. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.load(spark, sf, "documents")
+    def time(label: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROFILE $label ${(System.nanoTime() - t0) / 1e9}%.2f s ($r)")
+    }
+    time("tokens-count") {
+      docs.select(graft.pipeline.TextAnalysis.tokens(col("text")).as("t"))
+        .select(sum(size(col("t")))).head().getLong(0)
+    }
+    time("shingles-count") {
+      docs.select(graft.pipeline.TextAnalysis.shingles(col("text"), 3).as("s"))
+        .select(sum(size(col("s")))).head().getLong(0)
+    }
+    time("inv-explode-count") {
+      docs.select(col("doc_id"),
+        explode(graft.pipeline.TextAnalysis.shingles(col("text"), 3)).as("k"))
+        .count()
+    }
+    time("pair-groupby") {
+      val inv = docs.select(col("doc_id").as("_id"),
+        explode(graft.pipeline.TextAnalysis.shingles(col("text"), 3)).as("_k"))
+      inv.as("a").join(inv.as("b"),
+        col("a._k") === col("b._k") && col("a._id") < col("b._id"))
+        .groupBy(col("a._id"), col("b._id")).agg(count(lit(1)))
+        .count()
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,38 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.TestSpark
+
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def edgesDF(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  test("Pregel BFS depths on a diamond with a shortcut pick minimum hops") {
+    // 0→1→2→3 and 0→3: depth(3) must be 1, not 3
+    val depths = GraphAnalytics.bfsDepths(
+      edgesDF((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L)), root = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(depths === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("connected components find two chains") {
+    val cc = GraphAnalytics.connectedComponents(
+      edgesDF((1L, 2L), (2L, 3L), (10L, 11L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) === cc(2L) && cc(2L) === cc(3L))
+    assert(cc(10L) === cc(11L))
+    assert(cc(1L) !== cc(10L))
+  }
+
+  test("pagerank: sink vertices outrank sources; ranks positive") {
+    val pr = GraphAnalytics.pageRank(edgesDF((0L, 1L), (0L, 2L), (1L, 2L)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.values.forall(_ > 0))
+    assert(pr(2L) > pr(0L), "sink must outrank the pure source")
+  }
+}

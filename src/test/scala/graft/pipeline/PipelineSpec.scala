@@ -27,7 +27,7 @@ class PipelineSpec extends AnyFunSuite {
   test("minhash-LSH pairs equal exact n-gram Jaccard pairs (full recall here)") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
       .select("id1", "id2", "jaccard").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val mh = Dedup.minhashPairs(docs, "doc_id", "text", 3, 0.6, 64, 32)
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text", 3, 0.6, 64, 16)
       .select("id1", "id2", "jaccard").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(mh.subsetOf(exact), "minhash must never emit a non-qualifying pair (exact verify)")
     assert(mh === exact, s"recall loss: ${exact.size - mh.size} of ${exact.size} pairs missed")
