@@ -41,7 +41,8 @@ final class GraphStore[V] private (
     model: GraphModel[V],
     path: Path,
     val session: GraphSession[V],
-    private var eventsIndex: Long) {
+    private var eventsIndex: Long,
+    lock: GraphStore.DirLock) {
 
   private var batchSeq: Long = 0
   private var closed = false
@@ -92,8 +93,14 @@ final class GraphStore[V] private (
     Files.writeString(ckptDir.resolve("_meta.json"),
       s"""{"nextId": ${session.idWatermark}}""")
     GraphStore.cleanUp(path, eventsIndex)
+    lock.release()
     closed = true
   }
+
+  /** Test hook: simulate process death — drop the dir lock WITHOUT
+    * checkpointing (a real crash releases the OS file lock implicitly).
+    */
+  private[graft] def abandon(): Unit = { lock.release(); closed = true }
 }
 
 object GraphStore {
@@ -101,11 +108,34 @@ object GraphStore {
   /** Open (or create) a persistent session at `path` — the analog of
     * `runPersistentSession` (GraphDB.hs:152-156).
     */
+  /** Exclusive writer lock on the store directory — the analog of the
+    * reference's dir lock (Storage.hs:209-216 acquireFileLock). A second
+    * concurrent open throws; readers (OplogStream followers) don't lock.
+    */
+  final class DirLock private[GraphStore] (path: Path) {
+    private val channel = java.nio.channels.FileChannel.open(
+      path, java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    private val flock =
+      try Option(channel.tryLock()).getOrElse {
+        channel.close()
+        throw new IllegalStateException(
+          s"store at ${path.getParent} is locked by another session")
+      } catch {
+        case _: java.nio.channels.OverlappingFileLockException =>
+          channel.close()
+          throw new IllegalStateException(
+            s"store at ${path.getParent} is locked by another session (this JVM)")
+      }
+    def release(): Unit = { flock.release(); channel.close() }
+  }
+
   def open[V](spark: SparkSession, model: GraphModel[V], rootValue: V,
       dir: String): GraphStore[V] = {
     val path = Paths.get(dir)
     Files.createDirectories(path)
     Files.createDirectories(path.resolve("archive"))
+    val lock = new DirLock(path.resolve("lock"))
 
     val checkpoints = list(path, ".checkpoint")
     val latest = checkpoints.sorted(Ordering[Long].reverse).headOption
@@ -139,7 +169,7 @@ object GraphStore {
       require(id == 0L)
     }
     new GraphStore(spark, model, path, session,
-      eventsIndex = math.max(replayedThrough, latest.getOrElse(0L)) + 1)
+      eventsIndex = math.max(replayedThrough, latest.getOrElse(0L)) + 1, lock)
   }
 
   /** Replay event dirs with index > `after`, ascending — Storage.hs:136-148.

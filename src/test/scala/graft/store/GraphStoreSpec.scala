@@ -43,7 +43,8 @@ class GraphStoreSpec extends AnyFunSuite {
     val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
     val a = s1.session.newNode(Artist(7, "Prince"))
     s1.session.addTarget(s1.session.root, a)
-    s1.commit() // events on disk, NO checkpoint (simulated crash: no close)
+    s1.commit() // events on disk, NO checkpoint
+    s1.abandon() // simulated crash: lock drops, no checkpoint written
 
     val s2 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
     assert(s2.session.getStats() === ((2L, 1L, 2L)))
@@ -89,6 +90,19 @@ class GraphStoreSpec extends AnyFunSuite {
     val s3 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
     assert(s3.session.getStats() === ((3L, 2L, 4L)))
     s3.close()
+  }
+
+  test("second concurrent open is rejected by the dir lock") {
+    val dir = tmpDir().toString
+    val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val e = intercept[IllegalStateException] {
+      GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    }
+    assert(e.getMessage.contains("locked"))
+    s1.close()
+    // after close the lock is released and reopen works
+    val s2 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    s2.close()
   }
 
   test("random update mix preserves stats across restart (APITests analog)") {
