@@ -158,6 +158,19 @@ object PipelineQueries {
              |SELECT qid, nbr, rank FROM scored WHERE rank <= 5
              |ORDER BY qid, rank""".stripMargin)),
 
+    // ------------------------------------------- similarity: IVF scale path
+    Q("px13_sim_ivf",
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.ivfTopK(
+          corpus = e.select(col("vec_id"), col("embedding")),
+          queries = e.where(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
+          idCol = "vec_id", vecCol = "embedding", k = 5, nlist = 16, nprobe = 4)
+          .select("qid", "nbr", "rank")
+          .orderBy("qid", "rank")
+      },
+      None),
+
     // ---------------------------------------------- similarity: LSH path
     Q("px10_sim_lsh",
       (s, d) => {
@@ -181,6 +194,40 @@ object PipelineQueries {
         bits = 6, tables = 8)
         .select("id1", "id2").orderBy("id1", "id2"),
       None),
+
+    // ------------------------------------------- deterministic sampling
+    // The sampled ROWS are hash-chosen (Spark-only); the oracle checks the
+    // defining property the driver can verify: exactly min(k, |group|)
+    // rows per key survive.
+    Q("px14_sample_counts",
+      (s, d) => Sampling.reservoirPerKey(docs(s, d), "lang", "doc_id", k = 50)
+        .groupBy("lang").agg(count(lit(1)).as("sampled"))
+        .orderBy("lang"),
+      Some("""SELECT lang, LEAST(COUNT(*), 50) AS sampled FROM documents
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ------------------------------ X3: exact cosine top-k (SURVEY §2.D note)
+    Q("x3_sim_exact_topk",
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.bruteForceTopK(
+          corpus = e.select(col("vec_id"), col("embedding")),
+          queries = e.where(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+          idCol = "vec_id", vecCol = "embedding", k = 3)
+          .select("qid", "nbr", "rank")
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+             |          FROM embeddings WHERE vec_id < 10),
+             |     c AS (SELECT vec_id AS nbr, embedding::DOUBLE[] AS cv
+             |          FROM embeddings),
+             |scored AS (
+             |  SELECT qid, nbr,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC, nbr) AS rank
+             |  FROM q JOIN c ON qid <> nbr)
+             |SELECT qid, nbr, rank FROM scored WHERE rank <= 3
+             |ORDER BY qid, rank""".stripMargin)),
 
     // --------------------------------------------------- multimodal plumbing
     // Binary column built from text bytes (no codec libs in-env); metadata

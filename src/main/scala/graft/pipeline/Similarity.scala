@@ -71,8 +71,8 @@ object Similarity {
     * sparse — the recall/efficiency tradeoff).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, dim: Int, bits: Int = 12,
-      tables: Int = 4): DataFrame = {
+      vecCol: String, k: Int, dim: Int, bits: Int = 8,
+      tables: Int = 8): DataFrame = {
     val buckets = (0 until tables).map { t =>
       val planes = hyperplanes(dim, bits, t)
       val c = corpus.select(col(idCol).as("nbr"), col(vecCol).as("cv"),
@@ -84,6 +84,57 @@ object Similarity {
     }.reduce(_ unionByName _).dropDuplicates("qid", "nbr")
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))
     buckets
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nbr"), col("rank"), col("sim"))
+  }
+
+  /** IVF-flat ANN: the coarse-quantizer scale path (FAISS-style).
+    *
+    * Train: `nlist` centroids = deterministic corpus sample (smallest
+    * xxhash64(id)) refined by one distributed Lloyd iteration
+    * (assign via the native NearestCentroid expression, then
+    * posexplode + groupBy(cell, dim) mean — no driver-side math over the
+    * corpus, only the nlist×dim centroid matrix ever reaches the driver).
+    *
+    * Search: corpus partitioned by cell (ONE shuffle at index build);
+    * queries probe their `nprobe` highest-scoring cells and rerank
+    * exactly within them. Candidate volume ≈ corpus·nprobe/nlist per
+    * query — tunable recall/cost, independent of corpus skew.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import graft.functions.{CentroidDots, NearestCentroid}
+    val c = corpus.select(col(idCol).as("nbr"), col(vecCol).as("cv"))
+
+    // deterministic seed sample for centroids
+    val seed = c.orderBy(xxhash64(col("nbr")), col("nbr")).limit(nlist)
+      .select(col("cv")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    // one Lloyd refinement, fully distributed
+    val assigned = c.withColumn("_cell", NearestCentroid(col("cv"), seed))
+    val refinedRows = assigned
+      .select(col("_cell"), posexplode(col("cv")).as(Seq("_dim", "_x")))
+      .groupBy("_cell", "_dim").agg(avg(col("_x")).as("_m"))
+      .collect()
+    val refined = seed.indices.map { cell =>
+      val dims = refinedRows.filter(_.getInt(0) == cell)
+      if (dims.isEmpty) seed(cell)
+      else dims.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toArray
+    }.toArray
+
+    val cells = c.withColumn("_cell", NearestCentroid(col("cv"), refined))
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .select(col("qid"), col("qv"),
+        posexplode(CentroidDots(col("qv"), refined)).as(Seq("_cell", "_score")))
+      .withColumn("_pr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("_score").desc, col("_cell"))))
+      .where(col("_pr") <= nprobe)
+      .select(col("qid"), col("qv"), col("_cell"))
+
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))
+    cells.join(probes, Seq("_cell")).where(col("qid") =!= col("nbr"))
       .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .where(col("rank") <= k)

@@ -81,6 +81,41 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF top-k: exact sims within probed cells, decent recall vs brute force") {
+    val corpus = embs.select(col("vec_id"), col("embedding"))
+    val queries = embs.where(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+    val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val bfTop5 = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(math.abs(bf(key) - r.getDouble(3)) < 1e-9, s"sim mismatch for $key")
+    }
+    val hits = ivf.map(r => (r.getLong(0), r.getLong(1))).count(bfTop5.contains)
+    // nprobe=4/nlist=16 probes 25% of cells; on near-random vectors recall
+    // tracks coverage — just require it's clearly above a broken index
+    assert(hits >= bfTop5.size / 5, s"recall@5 too low: $hits/${bfTop5.size}")
+  }
+
+  test("reservoir sampling is content-deterministic and layout-independent") {
+    val k = 7
+    val s1 = Sampling.reservoirPerKey(docs, "lang", "doc_id", k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.reservoirPerKey(docs.repartition(13), "lang", "doc_id", k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 === s2, "sample must not depend on physical layout")
+    val perKey = Sampling.reservoirPerKey(docs, "lang", "doc_id", k)
+      .groupBy("lang").count().collect()
+    perKey.foreach(r => assert(r.getLong(1) <= k))
+    val s3 = Sampling.reservoirPerKey(docs, "lang", "doc_id", k, seed = 43L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 !== s3, "different seed must give a different sample")
+  }
+
   test("multimodal decode preserves rows, nulls, and batch schema") {
     import spark.implicits._
     val media = Seq(
