@@ -27,23 +27,31 @@ object Bench {
     def run(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // Locale.ROOT: the default-locale `f` interpolator emits comma decimal
+    // separators on e.g. de_DE, which breaks the one-JSON-line contract
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
     // warmup: JVM + codegen + parquet footer caches
     run(Tables.load(spark, sfDir, "lineitem").groupBy("l_returnflag").count())
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name $dt%.2f s")
+      val ok =
+        try { run(fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      // failures are reported as -1, not as a (fast-looking) wall time
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1d
+      System.err.println(s"[bench] $name ${fmt(dt)} s")
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

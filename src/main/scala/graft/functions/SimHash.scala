@@ -73,16 +73,37 @@ object SimHash64 {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.simhashDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val simhashDescriptor = (
-    new FunctionIdentifier("simhash64"),
-    new ExpressionInfo("graft.functions.SimHash64", "simhash64"),
-    (children: Seq[Expression]) => SimHash64(children.head): Expression)
+  import org.apache.spark.sql.catalyst.expressions.{IntegerLiteral, Literal}
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case IntegerLiteral(v) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got $other")
+  }
+
+  private[functions] val descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("simhash64"),
+      new ExpressionInfo("graft.functions.SimHash64", "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)),
+    (new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo("graft.functions.MinHashSigs", "minhash_sigs"),
+      (children: Seq[Expression]) =>
+        MinHashSigs(children.head, intArg(children(1), "minhash_sigs"))),
+    (new FunctionIdentifier("shingles"),
+      new ExpressionInfo("graft.functions.Shingles", "shingles"),
+      (children: Seq[Expression]) =>
+        Shingles(children.head, intArg(children(1), "shingles"))))
+  // NearestCentroid/CentroidDots carry a centroid matrix and are
+  // Column-API-only (no SQL-literal form for float[][]).
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      simhashDescriptor._1, simhashDescriptor._2, simhashDescriptor._3)
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

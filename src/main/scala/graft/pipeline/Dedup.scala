@@ -60,9 +60,13 @@ object Dedup {
     shared
       .join(sizes.select(col("_id").as("id1"), col("_n").as("_n1")), "id1")
       .join(sizes.select(col("_id").as("id2"), col("_n").as("_n2")), "id2")
-      .withColumn("jaccard", round(col("_shared").cast("double") /
-        (col("_n1") + col("_n2") - col("_shared")), 4))
-      .where(col("jaccard") >= threshold)
+      // threshold on the RAW ratio (rounding first would admit pairs just
+      // under the threshold that round up — and diverge from the oracle,
+      // which also filters raw); the rounded value is display-only
+      .withColumn("_j", col("_shared").cast("double") /
+        (col("_n1") + col("_n2") - col("_shared")))
+      .where(col("_j") >= threshold)
+      .withColumn("jaccard", round(col("_j"), 4))
       .select("id1", "id2", "jaccard")
   }
 
@@ -109,9 +113,10 @@ object Dedup {
     shared
       .join(sizes.select(col("_id").as("id1"), col("_n").as("_n1")), "id1")
       .join(sizes.select(col("_id").as("id2"), col("_n").as("_n2")), "id2")
-      .withColumn("jaccard", round(col("_shared").cast("double") /
-        (col("_n1") + col("_n2") - col("_shared")), 4))
-      .where(col("jaccard") >= threshold)
+      .withColumn("_j", col("_shared").cast("double") /
+        (col("_n1") + col("_n2") - col("_shared")))
+      .where(col("_j") >= threshold)
+      .withColumn("jaccard", round(col("_j"), 4))
       .select("id1", "id2", "jaccard")
   }
 

@@ -74,8 +74,14 @@ object Multimodal {
     media
       .withColumn("n_chunks",
         expr(s"CAST((octet_length(media) + $chunkBytes - 1) DIV $chunkBytes AS INT)"))
+      // explode_outer + null-guard: NULL media keeps its row (null frame,
+      // same row-preservation invariant as decodeFeatures), empty media
+      // emits no frames rather than one bogus empty frame
       .withColumn("frame_idx",
-        explode(sequence(lit(0), greatest(col("n_chunks") - 1, lit(0)), lit(stride))))
+        explode_outer(when(col("n_chunks") > 0,
+          sequence(lit(0), col("n_chunks") - 1, lit(stride)))))
       .select(col("media_id"), col("frame_idx"),
-        col("media").substr(col("frame_idx") * chunkBytes + 1, lit(chunkBytes)).as("frame"))
+        when(col("frame_idx").isNotNull,
+          col("media").substr(col("frame_idx") * chunkBytes + 1, lit(chunkBytes)))
+          .as("frame"))
 }

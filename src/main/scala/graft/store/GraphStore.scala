@@ -59,8 +59,15 @@ final class GraphStore[V] private (
     if (ops.nonEmpty) {
       // seq is GLOBALLY monotonic ((eventsIndex, batch, offset) packed into
       // one long) so any reader — replay or a streaming follower that gets
-      // several batches in one trigger — can totally order ops by it
-      val base = (eventsIndex << 40) | (batchSeq << 20)
+      // several batches in one trigger — can totally order ops by it.
+      // Packing bounds are enforced, not assumed: 2^28 ops/commit,
+      // 2^16 commits/session, 2^20 sessions — exceeding one would silently
+      // interleave seq ranges and corrupt replay order.
+      require(ops.size < (1L << 28),
+        s"commit of ${ops.size} ops exceeds the 2^28 per-commit seq range; split the batch")
+      require(batchSeq < (1L << 16),
+        s"session exceeded 2^16 commits; close() and reopen to roll the events index")
+      val base = (eventsIndex << 44) | (batchSeq << 28)
       val rows = ops.zipWithIndex.map { case (op, i) =>
         GraphStore.opToRow(model, op, base + i.toLong)
       }
@@ -136,6 +143,12 @@ object GraphStore {
     Files.createDirectories(path)
     Files.createDirectories(path.resolve("archive"))
     val lock = new DirLock(path.resolve("lock"))
+    try openLocked(spark, model, rootValue, path, lock)
+    catch { case e: Throwable => lock.release(); throw e }
+  }
+
+  private def openLocked[V](spark: SparkSession, model: GraphModel[V],
+      rootValue: V, path: Path, lock: DirLock): GraphStore[V] = {
 
     val checkpoints = list(path, ".checkpoint")
     val latest = checkpoints.sorted(Ordering[Long].reverse).headOption
@@ -224,7 +237,10 @@ object GraphStore {
 
   // ------------------------------------------------------- op serialization
 
-  private def opSchema(model: GraphModel[_]): StructType = StructType(Seq(
+  /** WAL op-row schema — single source of truth, shared with the streaming
+    * follower (graft.streaming.OplogStream.readOps).
+    */
+  private[graft] def opSchema(model: GraphModel[_]): StructType = StructType(Seq(
     StructField("seq", LongType, nullable = false),
     StructField("op", StringType, nullable = false),
     StructField("id", LongType, nullable = true),

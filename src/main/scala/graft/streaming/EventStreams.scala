@@ -55,7 +55,8 @@ object EventStreams {
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionAgg(user_id: Long, events: Long, start: java.sql.Timestamp,
       end: java.sql.Timestamp)
-  private final case class SessionState(events: Long, startMs: Long, lastMs: Long)
+  // public: the streaming state encoder's generated code instantiates it
+  final case class SessionState(events: Long, startMs: Long, lastMs: Long)
 
   /** Sessionization: events of one user belong to one session while gaps
     * stay under `gapMinutes`; a session is emitted when the gap is exceeded
@@ -69,23 +70,35 @@ object EventStreams {
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionAgg](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(_.ts.getTime)
-          var st = state.getOption.getOrElse(SessionState(0, -1, -1))
-          val closed = scala.collection.mutable.ArrayBuffer[SessionAgg]()
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            if (st.events == 0) st = SessionState(1, t, t)
-            else if (t - st.lastMs <= gapMs) st = st.copy(events = st.events + 1, lastMs = t)
-            else {
-              closed += SessionAgg(user, st.events,
-                new java.sql.Timestamp(st.startMs), new java.sql.Timestamp(st.lastMs))
-              st = SessionState(1, t, t)
+          if (state.hasTimedOut) {
+            // idle user: flush the open session and drop the state —
+            // without this, every user's final session is lost and state
+            // grows unboundedly on a live stream
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionAgg(user, st.events,
+              new java.sql.Timestamp(st.startMs), new java.sql.Timestamp(st.lastMs)))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.getOrElse(SessionState(0, -1, -1))
+            val closed = scala.collection.mutable.ArrayBuffer[SessionAgg]()
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (st.events == 0) st = SessionState(1, t, t)
+              else if (t - st.lastMs <= gapMs) st = st.copy(events = st.events + 1, lastMs = t)
+              else {
+                closed += SessionAgg(user, st.events,
+                  new java.sql.Timestamp(st.startMs), new java.sql.Timestamp(st.lastMs))
+                st = SessionState(1, t, t)
+              }
             }
+            state.update(st)
+            if (state.getOption.isDefined)
+              state.setTimeoutDuration(math.max(gapMs, 1L))
+            closed.iterator
           }
-          state.update(st)
-          closed.iterator
       }
   }
 }

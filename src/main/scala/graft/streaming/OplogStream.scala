@@ -16,28 +16,14 @@ import graft.graph.{GraphModel, GraphState}
   */
 object OplogStream {
 
-  /** Tail a store's op-log as a stream of op rows. */
+  /** Tail a store's op-log as a stream of op rows (schema shared with the
+    * writer — graft.store.GraphStore.opSchema).
+    */
   def readOps(spark: SparkSession, model: GraphModel[_], storeDir: String,
-      maxFilesPerTrigger: Int = 32): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("seq",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("op",
-        org.apache.spark.sql.types.StringType, nullable = false),
-      org.apache.spark.sql.types.StructField("id",
-        org.apache.spark.sql.types.LongType, nullable = true),
-      org.apache.spark.sql.types.StructField("src",
-        org.apache.spark.sql.types.LongType, nullable = true),
-      org.apache.spark.sql.types.StructField("dst",
-        org.apache.spark.sql.types.LongType, nullable = true),
-      org.apache.spark.sql.types.StructField("kind",
-        org.apache.spark.sql.types.StringType, nullable = true),
-      org.apache.spark.sql.types.StructField("value", model.valueSchema,
-        nullable = true)))
-    spark.readStream.schema(schema)
+      maxFilesPerTrigger: Int = 32): DataFrame =
+    spark.readStream.schema(graft.store.GraphStore.opSchema(model))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(s"$storeDir/*.events/batch-*")
-  }
 
   /** Fold op batches into a follower GraphState set-wise (no per-op driver
     * loop: each micro-batch applies new nodes / edges / removals as whole
@@ -56,15 +42,23 @@ object OplogStream {
       .start()
   }
 
-  /** Apply one op-batch DataFrame set-wise, honoring op order across types
-    * via the max seq per type (batches from GraphStore.commit are
-    * homogeneous runs in practice; mixed batches apply adds before
-    * removes of later seq).
+  /** Apply one op-batch DataFrame, preserving total op order (seq).
+    *
+    * Scale note (honest limit): run-boundary detection needs the ops in
+    * order, so the batch is collected to the driver — bounded by
+    * `maxOpsPerApply`. This matches the write path (GraphSession ops are
+    * driver-issued), and micro-batch size is already capped by
+    * `maxFilesPerTrigger`. A bulk-ingest follower that must stay fully
+    * distributed should instead re-run `GraphState.bulkLoad` over the
+    * writer's checkpoint — the WAL follower is for incremental tailing.
     */
   def applyOpBatch[V](model: GraphModel[V], state: GraphState[V],
-      batch: DataFrame): GraphState[V] = {
+      batch: DataFrame, maxOpsPerApply: Int = 1 << 22): GraphState[V] = {
     import org.apache.spark.sql.functions._
-    val rows = batch.orderBy("seq").collect()
+    val rows = batch.orderBy("seq").limit(maxOpsPerApply + 1).collect()
+    require(rows.length <= maxOpsPerApply,
+      s"op batch exceeds $maxOpsPerApply rows; lower maxFilesPerTrigger or " +
+        "bootstrap the follower from a checkpoint instead")
     // batches are small per-commit; group consecutive same-op runs exactly
     // like GraphSession.applied()
     var st = state

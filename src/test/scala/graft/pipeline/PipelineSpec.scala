@@ -145,6 +145,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.length === 3) // 10 bytes / 4 = 3 chunks
     assert(frames(0).getAs[Array[Byte]]("frame").toSeq === Seq[Byte](0, 1, 2, 3))
     assert(frames(2).getAs[Array[Byte]]("frame").toSeq === Seq[Byte](8, 9))
+
+    // null media keeps its row (null frame); empty media keeps its row and
+    // emits no bogus frame — same row-preservation invariant as decode
+    val rows: Seq[(Long, Array[Byte])] =
+      Seq((1L, Array[Byte](1, 2, 3)), (2L, null), (3L, Array.empty[Byte]))
+    val edge = Multimodal.sampleFrames(rows.toDF("media_id", "media"), 2, 1)
+      .orderBy("media_id", "frame_idx").collect()
+    val byId = edge.groupBy(_.getLong(0))
+    assert(byId(1L).length === 2 && byId(1L).forall(!_.isNullAt(1)))
+    assert(byId(2L).length === 1 && byId(2L).head.isNullAt(1), "null media row preserved")
+    assert(byId(3L).length === 1 && byId(3L).head.isNullAt(1), "empty media row preserved, no bogus frame")
   }
 
   test("token/quality/langid edge cases: empty and whitespace-only text") {

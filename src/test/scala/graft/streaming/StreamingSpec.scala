@@ -59,6 +59,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions === Set((1L, 2L, 0L, 10L), (1L, 2L, 100L, 105L)))
   }
 
+  test("sessionize flushes idle sessions via processing-time timeout (live stream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val ckpt = Files.createTempDirectory("graft-sess-ckpt-").toString
+    // run 1: user 9 opens a session (timeout duration 1ms armed)
+    val in1 = MemoryStream[EventStreams.Ev]
+    in1.addData(EventStreams.Ev(9, ts(0), "x"))
+    val q1 = EventStreams.sessionize(in1.toDS(), gapMinutes = 0)
+      .writeStream.format("memory").queryName("sess_t1")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(120000)
+    val run1 = spark.table("sess_t1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flushed =
+      if (run1.contains((9L, 1L))) run1 // timer fired in run 1's wrap-up batch
+      else {
+        Thread.sleep(50)
+        // run 2 (same checkpoint → state restored): a batch for ANOTHER
+        // user advances processing time, firing user 9's expired timer
+        val in2 = MemoryStream[EventStreams.Ev]
+        in2.addData(EventStreams.Ev(8, ts(99), "poke"))
+        val q2 = EventStreams.sessionize(in2.toDS(), gapMinutes = 0)
+          .writeStream.format("memory").queryName("sess_t2")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q2.awaitTermination(120000)
+        run1 ++ spark.table("sess_t2").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+    assert(flushed.contains((9L, 1L)),
+      s"idle user 9's session must be flushed by timeout; got ${flushed.mkString(",")}")
+  }
+
   test("op-log streaming follower converges to the writer's state") {
     val dir = Files.createTempDirectory("graft-oplog-").toString
     val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
