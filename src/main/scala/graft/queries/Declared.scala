@@ -257,6 +257,28 @@ object Declared {
              |JOIN nation n ON c.c_nationkey = n.n_nationkey
              |GROUP BY n.n_name ORDER BY rev DESC, n.n_name""".stripMargin)),
 
+    // ---------------------------------------------------------------- R11
+    // As-of join (temporal enrichment): every event matched to the latest
+    // order of the same key at or before its timestamp — composed as a
+    // tag-union + windowed last() (one shuffle, |L|+|R| rows; see
+    // graft.queries.AsOf). Oracle: DuckDB's native ASOF JOIN. Output keeps
+    // only deterministic columns (the matched DATE is unique even when
+    // several same-day orders tie; the order id would not be).
+    Q("r11_asof_join",
+      (s, d) =>
+        AsOf.asofJoin(
+          left = t(s, d, "events").select("event_id", "user_id", "ts"),
+          right = t(s, d, "orders"),
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          payload = Seq("o_orderdate"))
+          .select(col("event_id"), col("user_id"), col("o_orderdate").as("asof_date"))
+          .orderBy("event_id"),
+      Some("""SELECT e.event_id, e.user_id, o.o_orderdate AS asof_date
+             |FROM events e ASOF LEFT JOIN orders o
+             |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+             |ORDER BY e.event_id""".stripMargin)),
+
     // ---------------------------------------------------------------- X1
     Q("x1_dedup_counts",
       (s, d) =>

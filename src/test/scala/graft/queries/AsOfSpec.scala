@@ -1,0 +1,29 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.TestSpark
+
+class AsOfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("asofJoin picks latest right ≤ left time; inclusive; null when none") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, 10L), // matches right at t=10 (latest ≤ 10)
+      (1L, 101L, 15L), // matches t=15 exactly (inclusive)
+      (1L, 102L, 4L),  // before any right row → null
+      (2L, 103L, 50L)  // other key: matches its own timeline only
+    ).toDF("k", "event_id", "t")
+    val right = Seq(
+      (1L, 5L, "r5"), (1L, 10L, "r10"), (1L, 15L, "r15"), (1L, 99L, "r99"),
+      (2L, 49L, "s49"), (2L, 51L, "s51")
+    ).toDF("rk", "rt", "tag")
+    val out = AsOf.asofJoin(left, right, "k", "rk", "t", "rt", Seq("tag"))
+      .orderBy("event_id").collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(3)) null else r.getString(3)))
+      .toMap
+    assert(out === Map(100L -> "r10", 101L -> "r15", 102L -> null, 103L -> "s49"))
+  }
+}
