@@ -18,34 +18,52 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
-  /** @param payload right-side columns to carry (must exist in `right`) */
+  /** @param payload right-side columns to carry (must exist in `right`;
+    *   names must be disjoint from `left`'s columns)
+    */
   def asofJoin(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val missing = payload.filterNot(right.columns.contains)
+    require(missing.isEmpty, s"payload columns not in right: ${missing.mkString(", ")}")
+    val clash = payload.intersect(leftCols)
+    require(clash.isEmpty,
+      s"payload columns collide with left columns: ${clash.mkString(", ")} — alias one side first")
+    val reserved = Seq("_k", "_t", "_side", "_p", "_m").intersect(leftCols)
+    require(reserved.isEmpty,
+      s"left columns ${reserved.mkString(", ")} collide with asofJoin internals — alias them first")
+    // The payload travels as ONE struct: last(ignoreNulls) then selects the
+    // most recent right ROW atomically — a NULL field of the matched row
+    // stays NULL (ASOF JOIN semantics) instead of per-column last() falling
+    // back to an older right row and stitching fields from different rows.
+    // The struct itself is non-null for every right row even when all its
+    // fields are null, so ignoreNulls only skips left-side filler.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(right.schema.fieldIndex(p))))
     val l = left
       .withColumn("_k", col(leftKey))
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1)) // events sort AFTER same-instant rights (≤ is inclusive)
       .select((Seq(col("_k"), col("_t"), col("_side")) ++
-        leftCols.map(col) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"_p_$p"))): _*)
+        leftCols.map(col) :+
+        lit(null).cast(payloadType).as("_p")): _*)
     val r = right
       .withColumn("_k", col(rightKey))
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
       .select((Seq(col("_k"), col("_t"), col("_side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(p => col(p).as(s"_p_$p"))): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("_p")): _*)
     val w = Window.partitionBy("_k")
       .orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .select((leftCols.map(col) :+ col("_side")) ++
-        payload.map(p => last(col(s"_p_$p"), ignoreNulls = true).over(w).as(p)): _*)
+      .withColumn("_m", last(col("_p"), ignoreNulls = true).over(w))
       .where(col("_side") === 1)
-      .drop("_side")
+      .select(leftCols.map(col) ++
+        payload.map(p => col("_m").getField(p).as(p)): _*)
   }
 }

@@ -61,12 +61,16 @@ final class GraphStore[V] private (
       // one long) so any reader — replay or a streaming follower that gets
       // several batches in one trigger — can totally order ops by it.
       // Packing bounds are enforced, not assumed: 2^28 ops/commit,
-      // 2^16 commits/session, 2^20 sessions — exceeding one would silently
-      // interleave seq ranges and corrupt replay order.
+      // 2^16 commits/session, 2^19 sessions — exceeding one would silently
+      // interleave seq ranges and corrupt replay order (eventsIndex ≥ 2^19
+      // shifts into the sign bit, producing negative seqs that order BEFORE
+      // every existing op on replay).
       require(ops.size < (1L << 28),
         s"commit of ${ops.size} ops exceeds the 2^28 per-commit seq range; split the batch")
       require(batchSeq < (1L << 16),
         s"session exceeded 2^16 commits; close() and reopen to roll the events index")
+      require(eventsIndex < (1L << 19),
+        s"events index $eventsIndex exceeds the 2^19 session-generation seq range")
       val base = (eventsIndex << 44) | (batchSeq << 28)
       val rows = ops.zipWithIndex.map { case (op, i) =>
         GraphStore.opToRow(model, op, base + i.toLong)
@@ -150,8 +154,17 @@ object GraphStore {
   private def openLocked[V](spark: SparkSession, model: GraphModel[V],
       rootValue: V, path: Path, lock: DirLock): GraphStore[V] = {
 
-    val checkpoints = list(path, ".checkpoint")
-    val latest = checkpoints.sorted(Ordering[Long].reverse).headOption
+    // _meta.json is written LAST in close(), so it is the checkpoint's
+    // commit marker: a dir without it is a partial write from a crash
+    // mid-close. Fall back to the next-newest committed checkpoint (the
+    // reference's msum over deserializeLatestCheckpoint, Storage.hs:104-134)
+    // and delete the debris so it cannot shadow a later checkpoint at the
+    // same index; surviving events dirs still replay below.
+    val (committed, partial) =
+      list(path, ".checkpoint").partition(c =>
+        Files.exists(path.resolve(s"$c.checkpoint").resolve("_meta.json")))
+    partial.foreach(c => deleteRecursively(path.resolve(s"$c.checkpoint")))
+    val latest = committed.sorted(Ordering[Long].reverse).headOption
 
     val (session, replayedThrough) = latest match {
       case Some(c) =>

@@ -68,8 +68,17 @@ object OplogStream {
       rs.head.getString(1) match {
         case "new" => st = st.withNewNodes(rs.map(r =>
           (r.getLong(2), model.fromValueRow(r.getString(5), r.getStruct(6)))))
-        case "set" => st = st.withValues(rs.map(r =>
-          (r.getLong(2), model.fromValueRow(r.getString(5), r.getStruct(6)))))
+        case "set" =>
+          // keep-last by id, mirroring GraphSession.applied(): the writer's
+          // WAL logs EVERY SetValue (only state is deduped), so a run can
+          // carry several sets of one id — replaying all of them through
+          // withValues would union duplicate node rows after the anti-join
+          val lastPerId = rs.map(r =>
+            (r.getLong(2), model.fromValueRow(r.getString(5), r.getStruct(6))))
+            .foldLeft(Vector.empty[(Long, V)]) { (acc, kv) =>
+              acc.filterNot(_._1 == kv._1) :+ kv
+            }
+          st = st.withValues(lastPerId)
         case "add" => st = st.withTargets(rs.map(r => (r.getLong(3), r.getLong(4))))
         case "rmt" => st = st.withoutTargets(rs.map(r => (r.getLong(3), r.getLong(4))))
         case "rm" => st = st.withoutNodes(rs.map(_.getLong(2)))

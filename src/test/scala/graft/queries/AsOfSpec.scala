@@ -26,4 +26,35 @@ class AsOfSpec extends AnyFunSuite {
       .toMap
     assert(out === Map(100L -> "r10", 101L -> "r15", 102L -> null, 103L -> "s49"))
   }
+
+  test("matched right row is atomic: its NULL fields stay NULL (no stitching)") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 20L)).toDF("k", "event_id", "t")
+    // latest right ≤ 20 is t=15 with tag=null — ASOF semantics require the
+    // WHOLE t=15 row (tag NULL), not tag falling back to the older t=10 row
+    val right = Seq(
+      (1L, 10L, Option("old"), Option("o10")),
+      (1L, 15L, Option.empty[String], Option("o15"))
+    ).toDF("rk", "rt", "tag", "other")
+    val row = AsOf.asofJoin(left, right, "k", "rk", "t", "rt", Seq("tag", "other"))
+      .collect().head
+    assert(row.isNullAt(row.fieldIndex("tag")))
+    assert(row.getString(row.fieldIndex("other")) === "o15")
+  }
+
+  test("payload/internal name collisions are rejected up front") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, 1L, "y")).toDF("rk", "rt", "tag")
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoin(left, right, "k", "rk", "t", "rt", Seq("tag"))
+    }
+    val leftReserved = Seq((1L, 1L, "x")).toDF("k", "t", "_side")
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoin(leftReserved, right, "k", "rk", "t", "rt", Seq("tag"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoin(left.drop("tag"), right, "k", "rk", "t", "rt", Seq("nope"))
+    }
+  }
 }

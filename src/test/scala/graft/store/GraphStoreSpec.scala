@@ -92,6 +92,27 @@ class GraphStoreSpec extends AnyFunSuite {
     s3.close()
   }
 
+  test("partial checkpoint (no _meta.json) falls back to the previous one") {
+    val dir = tmpDir()
+    val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    val a = s1.session.newNode(Artist(3, "Kept"))
+    s1.session.addTarget(s1.session.root, a)
+    s1.close() // committed 1.checkpoint
+
+    // a crash mid-close leaves a newer checkpoint dir WITHOUT the
+    // _meta.json commit marker (it is written last) — open must skip and
+    // delete it, not throw on the incomplete parquet dirs
+    val partial = dir.resolve("5.checkpoint")
+    Files.createDirectories(partial.resolve("nodes"))
+    Files.writeString(partial.resolve("nodes").resolve("part-00000"), "garbage")
+
+    val s2 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    assert(s2.session.getStats() === ((2L, 1L, 2L)))
+    assert(s2.session.getValue(a) === Artist(3, "Kept"))
+    assert(!Files.exists(partial), "partial checkpoint debris must be deleted")
+    s2.close()
+  }
+
   test("second concurrent open is rejected by the dir lock") {
     val dir = tmpDir().toString
     val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)

@@ -120,4 +120,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(st.index.count() === g.applied().index.count())
     store.close()
   }
+
+  test("follower dedupes repeated SetValue on one id within a WAL batch") {
+    val dir = Files.createTempDirectory("graft-oplog-set-").toString
+    val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val g = store.session
+    val m = g.newNode(Artist(1, "v0"))
+    g.addTarget(g.root, m)
+    // one commit → one 'set' run with two ops on the same id; the WAL logs
+    // BOTH (only state is deduped writer-side), so the follower must
+    // keep-last or it unions two rows for node m
+    g.setValue(m, Artist(1, "v1"))
+    g.setValue(m, Artist(1, "v2"))
+    store.commit()
+
+    var last: Option[GraphState[Cat]] = None
+    val q = OplogStream.follow[Cat](spark, CatalogueModel, dir,
+      st => last = Some(st))
+    q.awaitTermination(120000)
+    val st = last.get
+    val mRows = st.nodes.where(col("id") === m).collect()
+    assert(mRows.length === 1, s"node $m duplicated: ${mRows.length} rows")
+    assert(mRows.head.getStruct(mRows.head.fieldIndex("value")).getString(1) === "v2")
+    assert(st.index.count() === g.applied().index.count())
+    store.close()
+  }
 }
