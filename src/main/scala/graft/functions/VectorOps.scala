@@ -131,3 +131,127 @@ object CentroidDots {
   def apply(col: Column, centroids: Array[Array[Float]]): Column =
     GraftShim.column(CentroidDots(GraftShim.expression(col), centroids))
 }
+
+/** Cosine similarity of two float vectors as a native expression. Replaces
+  * the `aggregate(zip_with(...))` column composition, whose higher-order
+  * lambdas evaluate interpreted (and are excluded from subexpression
+  * elimination) — at 3 dot products per pair that was the dominant cost of
+  * every similarity query. Accumulation is sequential ascending-index in
+  * double, identical to the fold the column form performed, so scores (and
+  * the DuckDB oracle hashes built on them) are bit-for-bit unchanged.
+  * NULL when either vector has zero norm (as the column form's divide-by-
+  * zero → NULL semantics).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires (array<float>, array<float>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double ${ev.value}_r = graft.functions.CosineSim.compute($a, $b);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+
+  /** Static helper invoked from generated code — must stay public.
+    * Returns null (boxed) when either norm is zero.
+    */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val x = a.toFloatArray()
+    val y = b.toFloatArray()
+    val d = math.min(x.length, y.length)
+    var dot = 0.0
+    var i = 0
+    while (i < d) { dot += x(i).toDouble * y(i).toDouble; i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < x.length) { na += x(i).toDouble * x(i).toDouble; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < y.length) { nb += y(i).toDouble * y(i).toDouble; i += 1 }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+  }
+
+  def apply(a: Column, b: Column): Column =
+    GraftShim.column(CosineSim(GraftShim.expression(a), GraftShim.expression(b)))
+}
+
+/** Random-hyperplane LSH signature: bit i of the result is set iff
+  * vec · planes(i) > 0. One fused pass per row — the column composition
+  * (a fold of `aggregate(zip_with(...))` per bit) evaluated `bits`
+  * interpreted lambda passes per row per table, which made signature
+  * computation the dominant cost of every LSH query. The plane matrix
+  * rides along as a plan literal like [[NearestCentroid]]'s centroids.
+  */
+case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sig requires array<float>, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HyperplaneSig.compute(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HyperplaneSig.compute($c, (double[][]) $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+object HyperplaneSig {
+
+  /** Static helper invoked from generated code — must stay public. */
+  def compute(vec: ArrayData, planes: Array[Array[Double]]): Long = {
+    val v = vec.toFloatArray()
+    var sig = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var dot = 0.0
+      var i = 0
+      val d = math.min(v.length, plane.length)
+      while (i < d) { dot += v(i).toDouble * plane(i); i += 1 }
+      if (dot > 0.0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  def apply(col: Column, planes: Array[Array[Double]]): Column =
+    GraftShim.column(HyperplaneSig(GraftShim.expression(col), planes))
+}

@@ -26,13 +26,14 @@ import scala.util.Random
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, accumulated in double. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0d), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Cosine similarity of two float-array columns, accumulated in double.
+    * Native expression (graft.functions.CosineSim): the previous
+    * `aggregate(zip_with(...))` composition ran 3 interpreted lambda passes
+    * per pair and dominated every similarity query's runtime; scores are
+    * bit-identical (same sequential double accumulation).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim(a, b)
 
   /** Exact top-k neighbors per query vector. `corpus` and `queries` carry
     * (idCol, vecCol); self-matches are excluded when ids collide.
@@ -59,12 +60,7 @@ object Similarity {
   }
 
   private def signature(vec: Column, planes: Seq[Array[Double]]): Column =
-    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
-      val proj = aggregate(
-        zip_with(vec, lit(p), (x, w) => x.cast("double") * w),
-        lit(0d), (a, v) => a + v)
-      acc.bitwiseOR(when(proj > 0d, lit(1L << i)).otherwise(0L))
-    }
+    graft.functions.HyperplaneSig(vec, planes.toArray)
 
   /** Approximate top-k via multi-table hyperplane LSH, exact-reranked
     * within buckets. Emits ≤ k rows per query (fewer when buckets are
