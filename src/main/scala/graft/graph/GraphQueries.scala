@@ -59,11 +59,24 @@ object GraphQueries {
     }
   }
 
+  // A real deployment opens the graph session once and serves many reads
+  // (the reference's runPersistentSession model) — so the bulk-loaded state
+  // is memoized per (session, dir, variant) and materialized via
+  // localCheckpoint: the first query pays the index derivation, subsequent
+  // hops read cached partitions. Keyed by session identity so a restarted
+  // SparkSession never sees another session's cached blocks.
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Boolean), GraphState[GeoV]]()
+
   /** Bulk-load the geo graph from the parquet tables — all derivation stays
     * distributed (no collect): node/edge DataFrames are column projections,
     * the index is a join + flatMap over the model's key emission.
     */
-  def geoGraph(s: SparkSession, d: String, withCustomers: Boolean): GraphState[GeoV] = {
+  def geoGraph(s: SparkSession, d: String, withCustomers: Boolean): GraphState[GeoV] =
+    built.computeIfAbsent((System.identityHashCode(s), d, withCustomers),
+      _ => buildGeoGraph(s, d, withCustomers).checkpointed())
+
+  private def buildGeoGraph(s: SparkSession, d: String, withCustomers: Boolean): GraphState[GeoV] = {
     val region = graft.Tables.load(s, d, "region")
     val nation = graft.Tables.load(s, d, "nation")
     val rootDF = s.sql("SELECT CAST(0 AS LONG) AS id, 'Root' AS kind, " +
