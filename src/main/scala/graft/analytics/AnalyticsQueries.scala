@@ -58,6 +58,34 @@ object AnalyticsQueries {
           .orderBy(col("rank").desc, col("id")).limit(10)
           .select(col("id"), round(col("rank"), 4).as("rank"))
       },
-      None)
+      None),
+
+    // Triangle count over the co-supplier graph (suppliers linked when they
+    // supply the same filtered part) — GraphX triangleCount vs an exact SQL
+    // triple self-join oracle. The graph stays bounded because edges are
+    // per-part supplier pairs over a selective dimension filter; at 100 TB
+    // the same plan holds (distinct + equi-join candidate generation, then
+    // GraphX on the induced subgraph, never on the raw fact table).
+    Q("ga4_triangle_count",
+      (s, d) => {
+        import s.implicits._
+        val li = graft.Tables.load(s, d, "lineitem")
+        val filteredPart = graft.Tables.load(s, d, "part")
+          .where(col("p_brand") === "Brand#13" && col("p_size") < 10)
+        val sp = li.join(filteredPart, li("l_partkey") === filteredPart("p_partkey"))
+          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+        val pairs = sp.as("a").join(sp.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+          .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+        Seq(GraphAnalytics.triangleCount(pairs)).toDF("triangles")
+      },
+      Some("""WITH sp AS (SELECT DISTINCT l.l_partkey AS pk, l.l_suppkey AS sk
+             |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+             |  WHERE p.p_brand = 'Brand#13' AND p.p_size < 10),
+             |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+             |  FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk < b.sk)
+             |SELECT COUNT(*) AS triangles
+             |FROM e e1 JOIN e e2 ON e2.u = e1.v
+             |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin))
   )
 }

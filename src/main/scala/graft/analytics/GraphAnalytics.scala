@@ -68,4 +68,15 @@ object GraphAnalytics {
       .pageRank(tol)
       .vertices.map { case (id, r) => (id, r) }.toDF("id", "rank")
   }
+
+  /** Total triangle count of an undirected simple graph (GraphX built-in,
+    * which canonicalizes and drops self-loops). Each triangle is counted
+    * at all 3 vertices, hence the /3. Caller passes (src, dst) edges;
+    * duplicates are tolerated (canonicalization dedupes).
+    */
+  def triangleCount(edges: DataFrame): Long = {
+    val g = Graph.fromEdges(edgeRDD(edges), defaultValue = ())
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+    g.triangleCount().vertices.map(_._2.toLong).fold(0L)(_ + _) / 3
+  }
 }

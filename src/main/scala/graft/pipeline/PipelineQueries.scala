@@ -233,6 +233,37 @@ object PipelineQueries {
     // Binary column built from text bytes (no codec libs in-env); metadata
     // extraction is deterministic and oracle-checked; the batch decode path
     // (mapPartitions) is exercised in MultimodalSpec.
+    // ------------------------------------------ vocabulary building (top-k)
+    // The tokenizer-training primitive: per-language token counts, top-20
+    // per language by a windowed rank. explode → two-level agg (partial
+    // map-side combine) → rank; at 100 TB the same plan holds because the
+    // token space, not the corpus, bounds the post-agg rank input.
+    Q("px15_vocab_topk",
+      (s, d) => docs(s, d)
+        .select(col("lang"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
+        .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")
+            .orderBy(col("cnt").desc, col("word"))).cast("bigint"))
+        .where(col("rnk") <= 20)
+        .select("lang", "word", "cnt", "rnk")
+        .orderBy("lang", "rnk"),
+      Some("""WITH tok AS (
+             |  SELECT lang,
+             |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |           x -> x <> '')) AS word
+             |  FROM documents
+             |), c AS (
+             |  SELECT lang, word, COUNT(*) AS cnt FROM tok GROUP BY lang, word
+             |), r AS (
+             |  SELECT lang, word, cnt,
+             |    ROW_NUMBER() OVER (PARTITION BY lang
+             |      ORDER BY cnt DESC, word) AS rnk
+             |  FROM c)
+             |SELECT lang, word, cnt, rnk FROM r WHERE rnk <= 20
+             |ORDER BY lang, rnk""".stripMargin)),
+
     Q("px12_multimodal_meta",
       (s, d) => docs(s, d)
         .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("media"))

@@ -279,6 +279,155 @@ object Declared {
              |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
              |ORDER BY e.event_id""".stripMargin)),
 
+    // ---------------------------------------------------------------- R12
+    // Multi-level aggregation: ROLLUP emits (flag, status), (flag), ()
+    // grouping sets in ONE pass — partial hash-agg per set, no extra scans.
+    // NULL grouping markers are coalesced to a sentinel so ordering and
+    // hashing are engine-stable.
+    Q("r12_rollup",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sq"))
+          .select(
+            coalesce(col("l_returnflag"), lit("_all")).as("rf"),
+            coalesce(col("l_linestatus"), lit("_all")).as("ls"),
+            col("cnt"), col("sq"))
+          .orderBy("rf", "ls"),
+      Some("""SELECT COALESCE(l_returnflag, '_all') AS rf,
+             |  COALESCE(l_linestatus, '_all') AS ls,
+             |  COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sq
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin)),
+
+    // ---------------------------------------------------------------- R13
+    // Pivot: status columns per priority. Pivot values are declared
+    // explicitly (F/O/P) so the plan is a single-pass pivot aggregate —
+    // leaving them implicit costs an extra distinct-values job and makes
+    // the output schema data-dependent.
+    Q("r13_pivot",
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(col("o_orderpriority"),
+            coalesce(col("F"), lit(0L)).as("f_cnt"),
+            coalesce(col("O"), lit(0L)).as("o_cnt"),
+            coalesce(col("P"), lit(0L)).as("p_cnt"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---------------------------------------------------------------- R14
+    // Set operators beyond UNION: INTERSECT/EXCEPT (both distinct-ing),
+    // tagged and unioned into one deterministic result.
+    Q("r14_intersect_except",
+      (s, d) => {
+        val cn = t(s, d, "customer").select(col("c_nationkey").cast("long").as("n"))
+        val sn = t(s, d, "supplier").select(col("s_nationkey").cast("long").as("n"))
+        cn.intersect(sn).withColumn("tag", lit("both"))
+          .unionByName(cn.except(sn).withColumn("tag", lit("cust_only")))
+          .select("tag", "n").orderBy("tag", "n")
+      },
+      Some("""SELECT 'both' AS tag, n FROM
+             |  (SELECT CAST(c_nationkey AS BIGINT) AS n FROM customer
+             |   INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+             |UNION ALL
+             |SELECT 'cust_only' AS tag, n FROM
+             |  (SELECT CAST(c_nationkey AS BIGINT) AS n FROM customer
+             |   EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+             |ORDER BY tag, n""".stripMargin)),
+
+    // ---------------------------------------------------------------- R15
+    // Exact interpolated percentiles per group (Spark percentile() ==
+    // DuckDB quantile_cont): the curation primitive behind length/quality
+    // cutoffs. Exact percentile sorts per group in the agg buffer;
+    // at 100 TB swap in approx_percentile (t-digest) — same plan shape,
+    // bounded memory.
+    Q("r15_percentiles",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_quantity, 0.25)"), 2).as("q25"),
+            round(expr("percentile(l_quantity, 0.5)"), 2).as("q50"),
+            round(expr("percentile(l_quantity, 0.75)"), 2).as("q75"),
+            round(expr("percentile(l_quantity, 0.95)"), 2).as("q95"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  ROUND(quantile_cont(l_quantity, 0.25), 2) AS q25,
+             |  ROUND(quantile_cont(l_quantity, 0.5), 2) AS q50,
+             |  ROUND(quantile_cont(l_quantity, 0.75), 2) AS q75,
+             |  ROUND(quantile_cont(l_quantity, 0.95), 2) AS q95
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---------------------------------------------------------------- R16
+    // Statistical aggregates: sample stddev + Pearson correlation per
+    // group — single-pass co-moment aggregation in both engines. corr is
+    // rounded at 4dp (unit scale), stddev at 2dp.
+    Q("r16_stats_agg",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_linestatus")
+          .agg(
+            round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"))
+          .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+             |  ROUND(stddev_samp(l_quantity), 2) AS sd_qty,
+             |  ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp
+             |FROM lineitem GROUP BY l_linestatus
+             |ORDER BY l_linestatus""".stripMargin)),
+
+    // ---------------------------------------------------------------- R17
+    // Range (banded) join: facts matched to a band dimension on a
+    // half-open interval. The band side is broadcast, so the non-equi
+    // condition never shuffles the fact table (BroadcastNestedLoop over 5
+    // rows ≡ a scan-side filter). The classic scale alternative — join on
+    // a computed bucket key — is what this degenerates to when the band
+    // table is too big to broadcast.
+    Q("r17_range_join",
+      (s, d) => {
+        import s.implicits._
+        val bands = Seq((0, 10, "b0_xs"), (10, 20, "b1_s"), (20, 30, "b2_m"),
+          (30, 40, "b3_l"), (40, 100, "b4_xl")).toDF("lo", "hi", "band")
+        t(s, d, "lineitem")
+          .join(broadcast(bands),
+            col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("rev"))
+          .orderBy("band")
+      },
+      Some("""SELECT band, COUNT(*) AS cnt,
+             |  ROUND(SUM(l_extendedprice), 2) AS rev
+             |FROM lineitem
+             |JOIN (VALUES (0, 10, 'b0_xs'), (10, 20, 'b1_s'), (20, 30, 'b2_m'),
+             |             (30, 40, 'b3_l'), (40, 100, 'b4_xl')) b(lo, hi, band)
+             |  ON l_quantity >= lo AND l_quantity < hi
+             |GROUP BY band ORDER BY band""".stripMargin)),
+
+    // ---------------------------------------------------------------- R18
+    // Date/time functions: calendar rollup by year/month with partition
+    // pruning-friendly grouping keys.
+    Q("r18_date_agg",
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy(
+            year(col("o_orderdate")).cast("bigint").as("yr"),
+            month(col("o_orderdate")).cast("bigint").as("mo"))
+          .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("tp"))
+          .orderBy("yr", "mo"),
+      Some("""SELECT EXTRACT(year FROM o_orderdate) AS yr,
+             |  EXTRACT(month FROM o_orderdate) AS mo,
+             |  COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS tp
+             |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin)),
+
     // ---------------------------------------------------------------- X1
     Q("x1_dedup_counts",
       (s, d) =>
