@@ -52,6 +52,18 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sv"))
       .select(col("window.start").as("h"), col("event_type"), col("cnt"), col("sv"))
 
+  /** Streaming exact dedup on event_id, watermark-bounded: a duplicate
+    * arriving within `watermark` of the first occurrence is dropped, and
+    * dedup state older than the watermark is evicted — the property that
+    * makes streaming dedup viable at scale (plain `dropDuplicates` on an
+    * unbounded stream accumulates state forever; this is the streaming
+    * form of pipeline op px1/Dedup.exact).
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionAgg(user_id: Long, events: Long, start: java.sql.Timestamp,
       end: java.sql.Timestamp)

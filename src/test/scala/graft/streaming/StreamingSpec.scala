@@ -96,6 +96,25 @@ class StreamingSpec extends AnyFunSuite {
       s"idle user 9's session must be flushed by timeout; got ${flushed.mkString(",")}")
   }
 
+  test("watermarked streaming dedup drops duplicate event_ids (== batch distinct)") {
+    // duplicate the whole events file: every event arrives exactly twice
+    val srcDir = Files.createTempDirectory("graft-stream-dedup-")
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      srcDir.resolve("a.parquet"))
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      srcDir.resolve("b.parquet"))
+    val q = EventStreams.dedupEvents(
+      EventStreams.readEvents(spark, srcDir.toString))
+      .writeStream.format("memory").queryName("dedup_ev")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dedup_ev")
+    val batchDistinct = graft.Tables.events(spark, sf)
+      .select("event_id").distinct().count()
+    assert(streamed.count() === batchDistinct)
+    assert(streamed.select("event_id").distinct().count() === batchDistinct)
+  }
+
   test("op-log streaming follower converges to the writer's state") {
     val dir = Files.createTempDirectory("graft-oplog-").toString
     val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
