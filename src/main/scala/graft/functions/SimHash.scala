@@ -98,9 +98,16 @@ object GraftExtensions {
     (new FunctionIdentifier("shingles"),
       new ExpressionInfo("graft.functions.Shingles", "shingles"),
       (children: Seq[Expression]) =>
-        Shingles(children.head, intArg(children(1), "shingles"))))
-  // NearestCentroid/CentroidDots carry a centroid matrix and are
-  // Column-API-only (no SQL-literal form for float[][]).
+        Shingles(children.head, intArg(children(1), "shingles"))),
+    (new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo("graft.functions.CosineSim", "cosine_sim"),
+      (children: Seq[Expression]) => CosineSim(children.head, children(1))),
+    (new FunctionIdentifier("hash_sketch"),
+      new ExpressionInfo("graft.functions.HashSketch", "hash_sketch"),
+      (children: Seq[Expression]) => HashSketch(children.head)))
+  // NearestCentroid/CentroidDots (centroid matrix), HyperplaneSig (plane
+  // matrix) and StopLang (stopword sets) carry non-SQL-literal payloads
+  // and are Column-API-only.
 
   def register(spark: SparkSession): Unit =
     descriptors.foreach { case (id, info, builder) =>

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.TestSpark
+
+/** Drives every SQL-registered native function through the SQL surface
+  * (GraftExtensions.register → spark.sql) and cross-checks against the
+  * Column API — the two entry points must be the same expression.
+  */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("SQL surface == Column API for simhash64 / minhash_sigs / shingles") {
+    import spark.implicits._
+    Seq(("a b c d e", 1L), ("c d e f g", 2L), ("", 3L))
+      .toDF("text", "id").createOrReplaceTempView("fx_docs")
+    val toks = graft.pipeline.TextAnalysis.tokens(col("text"))
+    val viaCol = spark.table("fx_docs")
+      .select(col("id"), SimHash64(toks).as("sh"),
+        MinHashSigs(Shingles(toks, 2), 8).as("mh"),
+        Shingles(toks, 2).as("sg"))
+      .orderBy("id").collect()
+    val viaSql = spark.sql(
+      """SELECT id,
+        |  simhash64(filter(split(trim(text), '\\s+'), t -> t != '')) AS sh,
+        |  minhash_sigs(shingles(filter(split(trim(text), '\\s+'), t -> t != ''), 2), 8) AS mh,
+        |  shingles(filter(split(trim(text), '\\s+'), t -> t != ''), 2) AS sg
+        |FROM fx_docs ORDER BY id""".stripMargin).collect()
+    assert(viaCol.map(_.toString).toSeq === viaSql.map(_.toString).toSeq)
+  }
+
+  test("SQL surface == Column API for cosine_sim / hash_sketch") {
+    import spark.implicits._
+    Seq((1L, Array(1f, 0f, 1f), Array(1f, 1f, 0f), Seq("x y", "y z")),
+      (2L, Array(0.5f, 2f, -1f), Array(0.5f, 2f, -1f), Seq.empty[String]))
+      .toDF("id", "a", "b", "arr").createOrReplaceTempView("fx_vecs")
+    val viaCol = spark.table("fx_vecs")
+      .select(col("id"), round(CosineSim(col("a"), col("b")), 6).as("cs"),
+        HashSketch(col("arr")).as("hs"))
+      .orderBy("id").collect()
+    val viaSql = spark.sql(
+      """SELECT id, round(cosine_sim(a, b), 6) AS cs, hash_sketch(arr) AS hs
+        |FROM fx_vecs ORDER BY id""".stripMargin).collect()
+    assert(viaCol.map(_.toString).toSeq === viaSql.map(_.toString).toSeq)
+    // identical vectors → cosine 1.0; empty array → null min/max, card 0
+    assert(math.abs(viaCol(1).getDouble(1) - 1.0) < 1e-9)
+    val hs = viaCol(1).getStruct(2)
+    assert(hs.isNullAt(0) && hs.isNullAt(1) && hs.getLong(2) === 0L)
+  }
+
+  test("cosine_sim matches the interpreted fold it replaced") {
+    import spark.implicits._
+    val df = Seq((Array(0.3f, -1.2f, 2.5f, 0f), Array(1.1f, 0.4f, -0.2f, 3f)))
+      .toDF("a", "b")
+    val native = df.select(CosineSim(col("a"), col("b"))).head().getDouble(0)
+    val folded = df.select(
+      aggregate(zip_with(col("a"), col("b"), (p, q) => p.cast("double") * q.cast("double")),
+        lit(0d), (acc, v) => acc + v) /
+        (sqrt(aggregate(zip_with(col("a"), col("a"), (p, q) => p.cast("double") * q.cast("double")),
+          lit(0d), (acc, v) => acc + v)) *
+          sqrt(aggregate(zip_with(col("b"), col("b"), (p, q) => p.cast("double") * q.cast("double")),
+            lit(0d), (acc, v) => acc + v)))).head().getDouble(0)
+    assert(native === folded, "native must be bit-identical to the column fold")
+  }
+}
