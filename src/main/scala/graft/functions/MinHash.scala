@@ -76,3 +76,63 @@ object MinHashSigs {
   def apply(col: Column, numHashes: Int): Column =
     GraftShim.column(MinHashSigs(GraftShim.expression(col), numHashes))
 }
+
+/** Banded LSH bucket hashes fused with the MinHash signature: band b's
+  * hash is xxhash64 of the comma-joined decimal signature values of its
+  * rows — BIT-IDENTICAL to the column composition it replaces
+  * (`transform(sequence(...), b => xxhash64(concat_ws(",", transform(
+  * slice(sig, ...), cast-to-string))))`), whose nested interpreted lambdas
+  * ran per row per band. One pass: signature, then bands.
+  */
+case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
+    extends UnaryExpression {
+  require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_bands requires array<string>, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashBands.compute(input.asInstanceOf[ArrayData], numHashes, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashBands.compute($c, $numHashes, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+object MinHashBands {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Static helper invoked from generated code — must stay public. */
+  def compute(shingles: ArrayData, numHashes: Int, bands: Int): ArrayData = {
+    val sig = MinHashSigs.compute(shingles, numHashes).toLongArray()
+    val rows = numHashes / bands
+    val out = new Array[Any](bands)
+    val sb = new java.lang.StringBuilder(rows * 21)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var j = 0
+      while (j < rows) {
+        if (j > 0) sb.append(',')
+        sb.append(sig(b * rows + j))
+        j += 1
+      }
+      out(b) = XxHash64Function.hash(
+        UTF8String.fromString(sb.toString), StringType, 42L)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(col: Column, numHashes: Int, bands: Int): Column =
+    GraftShim.column(MinHashBands(GraftShim.expression(col), numHashes, bands))
+}

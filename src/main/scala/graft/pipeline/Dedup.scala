@@ -70,16 +70,12 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
-  /** Banded LSH bucket hashes from a native MinHash signature
-    * (graft.functions.MinHashSigs — one pass over the shingles).
+  /** Banded LSH bucket hashes, fused with the signature in one native pass
+    * (graft.functions.MinHashBands) — band hashes bit-identical to the
+    * previous transform/slice/concat_ws composition.
     */
-  private[pipeline] def minhashBands(sh: Column, numHashes: Int, bands: Int): Column = {
-    val rows = numHashes / bands
-    val sig = graft.functions.MinHashSigs(sh, numHashes)
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(concat_ws(",",
-        transform(slice(sig, b * rows + 1, lit(rows)), x => x.cast("string")))))
-  }
+  private[pipeline] def minhashBands(sh: Column, numHashes: Int, bands: Int): Column =
+    graft.functions.MinHashBands(sh, numHashes, bands)
 
   /** MinHash+LSH near-dup pairs, exact-Jaccard-verified at `threshold`.
     * Probabilistic candidate recall tuned by (numHashes, bands): with

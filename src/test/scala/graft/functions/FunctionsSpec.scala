@@ -54,6 +54,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(hs.isNullAt(0) && hs.isNullAt(1) && hs.getLong(2) === 0L)
   }
 
+  test("minhash_bands matches the transform/slice/concat_ws composition it replaced") {
+    import spark.implicits._
+    val df = Seq(Seq("a b c", "b c d", "c d e"), Seq("x y z"))
+      .toDF("sh")
+    val (numHashes, bands) = (64, 16)
+    val rows = numHashes / bands
+    val sig = MinHashSigs(col("sh"), numHashes)
+    val composed = df.select(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          transform(slice(sig, b * rows + 1, lit(rows)), x => x.cast("string"))))).as("bh"))
+      .collect().map(_.getSeq[Long](0))
+    val native = df.select(MinHashBands(col("sh"), numHashes, bands).as("bh"))
+      .collect().map(_.getSeq[Long](0))
+    assert(native.toSeq === composed.toSeq)
+  }
+
   test("cosine_sim matches the interpreted fold it replaced") {
     import spark.implicits._
     val df = Seq((Array(0.3f, -1.2f, 2.5f, 0f), Array(1.1f, 0.4f, -0.2f, 3f)))
