@@ -101,6 +101,58 @@ object StopLang {
     GraftShim.column(StopLang(GraftShim.expression(col), sets, labels, fallback))
 }
 
+/** Drop empty and null elements from a string array — the tokenizer's
+  * `filter(split(...), t => t != "")` tail as a native expression. The
+  * lambda form is CodegenFallback, which pulls EVERY projection that
+  * references tokens out of whole-stage codegen and (worse) out of
+  * subexpression elimination; this keeps tokenization codegen'd end-to-end.
+  */
+case class DropEmpty(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "drop_empty"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"drop_empty requires array<string>, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    DropEmpty.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DropEmpty.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DropEmpty =
+    copy(child = newChild)
+}
+
+object DropEmpty {
+
+  /** Static helper invoked from generated code — must stay public. */
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var kept = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        if (s.numBytes() > 0) { out(kept) = s; kept += 1 }
+      }
+      i += 1
+    }
+    if (kept == n) arr
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], kept)
+        .asInstanceOf[Array[Any]])
+  }
+
+  def apply(col: Column): Column =
+    GraftShim.column(DropEmpty(GraftShim.expression(col)))
+}
+
 /** min/max/count sketch of xxhash64 over a string array (the 1-permutation
   * MinHash document fingerprint), as one native expression returning
   * `struct<fp_min, fp_max, fp_card>` in a single pass.

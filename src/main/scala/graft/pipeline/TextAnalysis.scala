@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens, empties dropped (robust to leading/double spaces). */
+  /** Whitespace tokens, empties dropped (robust to leading/double spaces).
+    * The empty-drop is a native expression (graft.functions.DropEmpty)
+    * rather than a filter() lambda: lambdas are CodegenFallback and are
+    * excluded from subexpression elimination, which pulled every consumer
+    * of tokens out of codegen and re-tokenized per reference.
+    */
   def tokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => t =!= "")
+    graft.functions.DropEmpty(split(trim(text), "\\s+"))
 
   /** Token count as BIGINT (matches DuckDB's len()). */
   def tokenCount(text: Column): Column =

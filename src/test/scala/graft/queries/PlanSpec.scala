@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.TestSpark
+
+/** Guards the plan properties the 100 TB posture depends on — a query can
+  * be hash-correct and still have lost its pushdown or broadcast; these
+  * assertions fail the build instead of silently regressing a scan that
+  * reads every column of a petabyte table.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("r1 filter+projection: predicate pushed to the parquet scan, columns pruned") {
+    val p = plan("r1_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"filter must reach the scan:\n$p")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.split(",").length == 3,
+      s"scan must read only (l_orderkey, l_linenumber, l_quantity), got: $read")
+  }
+
+  test("g1 index lookup: equality predicate pushed down") {
+    val p = plan("g1_index_lookup")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"index-key equality must reach the scan:\n$p")
+  }
+
+  test("r10 multi-way join: dimension side broadcast, no shuffle of nation") {
+    val p = plan("r10_multiway_join_agg")
+    assert(p.contains("BroadcastHashJoin"),
+      s"nation must join via broadcast:\n$p")
+  }
+
+  test("r2 hash aggregation: map-side partial aggregation present") {
+    val p = plan("r2_hash_agg")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"aggregate must combine map-side before the shuffle:\n$p")
+  }
+
+  test("px7 langid plan is fully native — no interpreted lambda anywhere") {
+    // lambdafunction(...) in a plan marks a higher-order function, which is
+    // CodegenFallback AND excluded from subexpression elimination — the
+    // round-1 30s regression shape. The whole tokenize→langid path must be
+    // native expressions.
+    val p = plan("px7_text_langid")
+    assert(!p.contains("lambdafunction"), s"interpreted lambda crept back in:\n$p")
+    assert(p.contains("stop_lang") && p.contains("drop_empty"),
+      s"native expressions missing:\n$p")
+  }
+
+  test("r17 range join: band dimension broadcast (fact side never shuffles)") {
+    val p = plan("r17_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"5-row band table must broadcast:\n$p")
+  }
+}
