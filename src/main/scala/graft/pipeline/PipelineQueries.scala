@@ -264,6 +264,21 @@ object PipelineQueries {
              |SELECT lang, word, cnt, rnk FROM r WHERE rnk <= 20
              |ORDER BY lang, rnk""".stripMargin)),
 
+    // ------------------------------------------- sketch aggregates (scale)
+    // The 100 TB forms of COUNT(DISTINCT) and percentile: HyperLogLog++ and
+    // a quantile sketch — single-pass, fixed-size state, mergeable across
+    // partitions (exact distinct shuffles every distinct value; exact
+    // percentile buffers the group). Values are sketch-dependent → no SQL
+    // oracle; PipelineSpec bounds them against the exact answers.
+    Q("px16_approx_stats",
+      (s, d) => docs(s, d)
+        .groupBy("lang")
+        .agg(
+          approx_count_distinct(col("text"), rsd = 0.02).as("uniq_est"),
+          expr("approx_percentile(n_chars, 0.5, 1000)").as("p50_est"))
+        .orderBy("lang"),
+      None),
+
     Q("px12_multimodal_meta",
       (s, d) => docs(s, d)
         .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("media"))

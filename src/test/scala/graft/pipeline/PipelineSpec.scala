@@ -101,6 +101,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits >= bfTop5.size / 5, s"recall@5 too low: $hits/${bfTop5.size}")
   }
 
+  test("approx sketches bound the exact answers (HLL distinct, percentile)") {
+    val approx = PipelineQueries.all.find(_.name == "px16_approx_stats").get
+      .run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = docs.groupBy("lang")
+      .agg(countDistinct(col("text")).as("u"),
+        expr("percentile(n_chars, 0.5)").as("p"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (lang, (uEst, pEst)) =>
+      val (u, p) = exact(lang)
+      assert(math.abs(uEst - u).toDouble / u <= 0.05,
+        s"$lang: HLL distinct $uEst vs exact $u exceeds 5% error")
+      assert(math.abs(pEst - p) / math.max(p, 1.0) <= 0.1,
+        s"$lang: approx p50 $pEst vs exact $p exceeds 10% error")
+    }
+  }
+
   test("reservoir sampling is content-deterministic and layout-independent") {
     val k = 7
     val s1 = Sampling.reservoirPerKey(docs, "lang", "doc_id", k)
