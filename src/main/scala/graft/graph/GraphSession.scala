@@ -146,6 +146,16 @@ final class GraphSession[V] private (
     state
   }
 
+  /** Apply a bulk edge delta (DataFrame, fully distributed) — the ingest
+    * path of GraphStore.commitBulk. Pending driver-side ops flush first so
+    * WAL order is preserved; the delta itself bypasses the op log (the
+    * store writes its WAL batch directly from the cluster).
+    */
+  private[graft] def applyBulkTargets(delta: org.apache.spark.sql.DataFrame): Unit = {
+    applied()
+    state = state.withTargetsDF(delta).checkpointed()
+  }
+
   /** Replay a logged op verbatim — ids are preserved (not re-allocated),
     * and the id watermark advances past any replayed node id.
     */

@@ -117,6 +117,23 @@ final case class GraphState[V](
     copy(edges = edges.unionByName(delta), index = index.unionByName(newIndex))
   }
 
+  /** addTarget in bulk from a DataFrame delta — the distributed form of
+    * [[withTargets]] for ingest volumes that must never touch the driver.
+    * Same semantics: idempotent (anti-join pre-filter), index keys derived
+    * for the new edges only. Edges referencing unknown node ids get no
+    * index rows (the typed session API cannot produce such edges; a bulk
+    * caller owns that contract).
+    */
+  def withTargetsDF(delta: DataFrame): GraphState[V] = {
+    val d = delta
+      .select(col("src").cast(LongType), col("dst").cast(LongType))
+      .distinct()
+      .join(edges, Seq("src", "dst"), "left_anti")
+    copy(
+      edges = edges.unionByName(d),
+      index = index.unionByName(deriveIndex(model, nodes, d)))
+  }
+
   /** removeTarget (op #7, Graph.hs:63-67): unlink + drop the edge's keys. */
   def withoutTargets(pairs: Seq[(Long, Long)]): GraphState[V] = {
     val delta = rowsDF(pairs.map(p => Row(p._1, p._2)), edgesSchema)

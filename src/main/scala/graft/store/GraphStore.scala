@@ -33,8 +33,10 @@ import graft.graph._
   *
   * Scale posture: the checkpoint write is a straight distributed parquet
   * dump of the three state DataFrames (repartitioned by `src` so a reload
-  * starts co-partitioned for hop joins); op batches are whole DataFrames
-  * too, so a bulk ingest commit of 10^9 ops never touches the driver.
+  * starts co-partitioned for hop joins); `commitBulk` writes edge-ingest
+  * WAL batches straight from the cluster and replays them set-wise, so a
+  * bulk commit of 10^9 ops never touches the driver (session ops via
+  * `commit()` are driver-issued by nature and stay driver-sized).
   */
 final class GraphStore[V] private (
     spark: SparkSession,
@@ -79,6 +81,46 @@ final class GraphStore[V] private (
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), opSchema)
         .write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
       batchSeq += 1
+    }
+  }
+
+  /** Distributed bulk edge ingest — the 100 TB commit path that makes the
+    * "never touches the driver" claim true: the delta is deduped, counted,
+    * and written as a WAL batch straight from the cluster (seq assigned by
+    * zipWithIndex), and the state update is a DataFrame anti-join/union
+    * (GraphState.withTargetsDF). Pending driver-side ops flush first as
+    * their own batch so WAL order is preserved. The batch dir carries a
+    * `-bulk` suffix; replay applies such batches set-wise instead of
+    * collecting rows (see [[GraphStore.replay]]). Streaming followers that
+    * tail a bulk-ingesting store should bootstrap from a checkpoint
+    * (documented on OplogStream.applyOpBatch).
+    */
+  def commitBulk(adds: org.apache.spark.sql.DataFrame): Unit = {
+    require(!closed, "store is closed")
+    commit()
+    val delta = adds
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+      .localCheckpoint(true)
+    val n = delta.count()
+    if (n > 0) {
+      require(n < (1L << 28),
+        s"bulk commit of $n edges exceeds the 2^28 per-commit seq range; split the batch")
+      require(batchSeq < (1L << 16),
+        s"session exceeded 2^16 commits; close() and reopen to roll the events index")
+      require(eventsIndex < (1L << 19),
+        s"events index $eventsIndex exceeds the 2^19 session-generation seq range")
+      val base = (eventsIndex << 44) | (batchSeq << 28)
+      val schema = opSchema
+      val rows = delta.rdd.zipWithIndex().map { case (r, i) =>
+        Row(base + i, "add", null, r.getLong(0), r.getLong(1), null, null)
+      }
+      val dir = path.resolve(s"$eventsIndex.events")
+        .resolve(f"batch-$batchSeq%06d-bulk")
+      spark.createDataFrame(rows, schema)
+        .write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+      batchSeq += 1
+      session.applyBulkTargets(delta)
     }
   }
 
@@ -210,9 +252,17 @@ object GraphStore {
         .filter(p => p.getFileName.toString.startsWith("batch-"))
         .sortBy(_.getFileName.toString)
       batches.foreach { b =>
-        val rows = spark.read.parquet(b.toString)
-          .orderBy("seq").collect()
-        rows.foreach(r => session.replayOp(rowToOp(model, r)))
+        if (b.getFileName.toString.endsWith("-bulk")) {
+          // bulk 'add' batches replay set-wise — a 10^9-edge ingest batch
+          // must not be collected to the driver; order within the batch is
+          // irrelevant (idempotent set union)
+          session.applyBulkTargets(
+            spark.read.parquet(b.toString).select("src", "dst"))
+        } else {
+          val rows = spark.read.parquet(b.toString)
+            .orderBy("seq").collect()
+          rows.foreach(r => session.replayOp(rowToOp(model, r)))
+        }
       }
     }
     eventDirs.lastOption.getOrElse(after)

@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.graph._
 
+import scala.jdk.CollectionConverters._
 import scala.util.Random
 
 /** Persistence suite mirroring the reference's StorageTests + the
@@ -89,6 +90,38 @@ class GraphStoreSpec extends AnyFunSuite {
 
     val s3 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
     assert(s3.session.getStats() === ((3L, 2L, 4L)))
+    s3.close()
+  }
+
+  test("bulk edge commit: distributed WAL batch, set-wise replay, restart-stable") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir()
+    val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    val g = s1.session
+    val artists = (1 to 20).map(i => g.newNode(Artist(i, s"artist-$i")))
+    val songs = (1 to 20).map(i => g.newNode(Song(s"song-$i")))
+    import spark.implicits._
+    // root→everything plus song→artist, as one distributed delta (with
+    // duplicates — commitBulk dedupes like addTarget's idempotence)
+    val edges = ((artists ++ songs).map(n => (g.root, n)) ++
+      songs.zip(artists) ++ songs.zip(artists)).toDF("src", "dst")
+    s1.commitBulk(edges)
+    val stats = g.getStats()
+    // 41 nodes; 40 root edges + 20 song→artist = 60; index: artists@root
+    // 2 keys (20×2) + songs@root 1 key (20) + Song_Artist (20) = 80
+    assert(stats === ((41L, 60L, 80L)))
+    val bulkDirs = java.nio.file.Files.list(dir.resolve("1.events"))
+      .iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(bulkDirs.exists(_.endsWith("-bulk")), s"bulk batch dir expected, got $bulkDirs")
+    s1.abandon() // crash BEFORE checkpoint: reopen must replay the bulk batch set-wise
+
+    val s2 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    assert(s2.session.getStats() === stats)
+    assert(s2.session.targets(songs.head).toSet === Set(artists.head))
+    s2.close()
+
+    val s3 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    assert(s3.session.getStats() === stats) // checkpoint round-trip too
     s3.close()
   }
 
