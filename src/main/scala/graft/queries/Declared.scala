@@ -35,6 +35,17 @@ object Declared {
   private def t(s: SparkSession, d: String, name: String): DataFrame =
     graft.Tables.load(s, d, name)
 
+  /** One ANSI string, two engines (r19): TPC-H Q3-shaped segment revenue. */
+  private[queries] val r19Sql: String =
+    """SELECT o.o_orderkey, o.o_orderpriority,
+      |  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |GROUP BY o.o_orderkey, o.o_orderpriority
+      |ORDER BY rev DESC, o.o_orderkey LIMIT 20""".stripMargin
+
   val all: Seq[Q] = Seq(
     // ---------------------------------------------------------------- G1
     // Inventory #5 getTargets: index lookup by secondary key.
@@ -427,6 +438,18 @@ object Declared {
              |  EXTRACT(month FROM o_orderdate) AS mo,
              |  COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS tp
              |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin)),
+
+    // ---------------------------------------------------------------- R19
+    // The SQL entry point end-to-end (SURVEY §3.4): temp views + one ANSI
+    // query string executed VERBATIM by both Spark and the DuckDB oracle —
+    // the strongest interop statement the declared set can make.
+    Q("r19_sql_surface",
+      (s, d) => {
+        Seq("customer", "orders", "lineitem").foreach(tn =>
+          t(s, d, tn).createOrReplaceTempView(tn))
+        s.sql(Declared.r19Sql)
+      },
+      Some(Declared.r19Sql)),
 
     // ---------------------------------------------------------------- X1
     Q("x1_dedup_counts",
