@@ -451,6 +451,49 @@ object Declared {
       },
       Some(Declared.r19Sql)),
 
+    // ---------------------------------------------------------------- R20
+    // Outer joins: FULL OUTER between per-nation customer and supplier
+    // counts — both null sides exercised (nations with only one role).
+    Q("r20_outer_join",
+      (s, d) => {
+        val c = t(s, d, "customer").groupBy(col("c_nationkey").cast("long").as("n"))
+          .agg(count(lit(1)).as("c_cnt"))
+        val sup = t(s, d, "supplier")
+          .where(col("s_acctbal") > 8000)
+          .groupBy(col("s_nationkey").cast("long").as("n"))
+          .agg(count(lit(1)).as("s_cnt"))
+        c.join(sup, Seq("n"), "full_outer")
+          .select(col("n"), coalesce(col("c_cnt"), lit(0L)).as("c_cnt"),
+            coalesce(col("s_cnt"), lit(0L)).as("s_cnt"))
+          .orderBy("n")
+      },
+      Some("""SELECT COALESCE(c.n, s.n) AS n,
+             |  COALESCE(c.c_cnt, 0) AS c_cnt, COALESCE(s.s_cnt, 0) AS s_cnt
+             |FROM (SELECT CAST(c_nationkey AS BIGINT) AS n, COUNT(*) AS c_cnt
+             |      FROM customer GROUP BY 1) c
+             |FULL OUTER JOIN
+             |     (SELECT CAST(s_nationkey AS BIGINT) AS n, COUNT(*) AS s_cnt
+             |      FROM supplier WHERE s_acctbal > 8000 GROUP BY 1) s
+             |ON c.n = s.n
+             |ORDER BY n""".stripMargin)),
+
+    // ---------------------------------------------------------------- R21
+    // Regex + string functions: extract the trailing word of each part
+    // name, uppercase it, count. Pattern kept in the common RE subset
+    // (Java and DuckDB regex dialects agree on it).
+    Q("r21_regexp",
+      (s, d) =>
+        t(s, d, "part")
+          .select(upper(regexp_extract(col("p_name"), "(\\w+)$", 1)).as("last_word"))
+          .where(col("last_word") =!= "")
+          .groupBy("last_word").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("last_word")).limit(15),
+      Some("""SELECT UPPER(regexp_extract(p_name, '(\w+)$', 1)) AS last_word,
+             |  COUNT(*) AS cnt
+             |FROM part
+             |WHERE regexp_extract(p_name, '(\w+)$', 1) <> ''
+             |GROUP BY 1 ORDER BY cnt DESC, last_word LIMIT 15""".stripMargin)),
+
     // ---------------------------------------------------------------- X1
     Q("x1_dedup_counts",
       (s, d) =>

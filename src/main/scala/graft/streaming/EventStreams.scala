@@ -52,6 +52,26 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sv"))
       .select(col("window.start").as("h"), col("event_type"), col("cnt"), col("sv"))
 
+  /** Stream-stream interval join: each click matched to the same user's
+    * purchases within `withinMinutes` AFTER it. Both sides carry
+    * watermarks and the join condition bounds event time on both ends, so
+    * the state store evicts rows once the watermark passes — the only
+    * shape under which unbounded stream-stream join state stays bounded.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      withinMinutes: Int, watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+      col("event_id").as("click_id")).withWatermark("c_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+      col("event_id").as("purchase_id")).withWatermark("p_ts", watermark)
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("c_ts"), col("p_ts"))
+  }
+
   /** Streaming exact dedup on event_id, watermark-bounded: a duplicate
     * arriving within `watermark` of the first occurrence is dropped, and
     * dedup state older than the watermark is evicted — the property that

@@ -120,6 +120,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.select("event_id").distinct().count() === batchDistinct)
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val srcDir = Files.createTempDirectory("graft-stream-ssj-")
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    def clicksOf(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("event_type") === "click")
+    def purchasesOf(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("event_type") === "purchase")
+
+    val stream = EventStreams.readEvents(spark, srcDir.toString)
+    val q = EventStreams.clickPurchaseJoin(
+      clicksOf(stream), purchasesOf(stream), withinMinutes = 30)
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ssj")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val ev = graft.Tables.events(spark, sf)
+    val batch = EventStreams.clickPurchaseJoin(
+      clicksOf(ev), purchasesOf(ev), withinMinutes = 30)
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(batch.nonEmpty, "fixture must contain click→purchase pairs")
+    assert(streamed === batch)
+  }
+
   test("op-log streaming follower converges to the writer's state") {
     val dir = Files.createTempDirectory("graft-oplog-").toString
     val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
