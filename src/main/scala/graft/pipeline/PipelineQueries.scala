@@ -279,6 +279,26 @@ object PipelineQueries {
         .orderBy("lang"),
       None),
 
+    // ------------------------------------- corpus-level minhash (typed UDAF)
+    // One merged signature per source via the MinHashMerge Aggregator —
+    // map-side partial merge like any built-in agg; cross-source Jaccard is
+    // then estimable from the merged sigs alone. Hash-specific values → no
+    // SQL oracle; PipelineSpec proves merged == signature-of-union.
+    Q("px17_corpus_minhash",
+      (s, d) => {
+        val merge = graft.functions.MinHashMerge(32)
+        docs(s, d)
+          .select(col("source"),
+            graft.functions.MinHashSigs(
+              TextAnalysis.shingles(col("text"), 3), 32).as("sig"))
+          .groupBy("source")
+          .agg(merge(col("sig")).as("merged"))
+          .select(col("source"),
+            xxhash64(concat_ws(",", col("merged"))).as("sig_digest"))
+          .orderBy("source")
+      },
+      None),
+
     Q("px12_multimodal_meta",
       (s, d) => docs(s, d)
         .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("media"))

@@ -101,6 +101,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits >= bfTop5.size / 5, s"recall@5 too low: $hits/${bfTop5.size}")
   }
 
+  test("MinHashMerge aggregator: merged signature == signature of the union") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", "the quick brown fox jumps over the lazy dog"),
+      ("s1", "a quick brown fox leaps over a sleepy cat"),
+      ("s2", "completely different text about spark engines here"))
+      .toDF("source", "text")
+    val sig = graft.functions.MinHashSigs(TextAnalysis.shingles(col("text"), 2), 16)
+    val merged = df.select(col("source"), sig.as("sig"))
+      .groupBy("source")
+      .agg(graft.functions.MinHashMerge(16)(col("sig")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // signature of each source's concatenated shingle UNION, computed directly
+    val direct = df.groupBy("source")
+      .agg(flatten(collect_list(TextAnalysis.shingles(col("text"), 2))).as("sh"))
+      .select(col("source"), graft.functions.MinHashSigs(array_distinct(col("sh")), 16).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(merged === direct)
+    // same-source docs share shingles → estimated Jaccard must exceed the
+    // cross-source estimate
+    val j11 = graft.functions.MinHashMerge.estimateJaccard(merged("s1"), merged("s1"))
+    val j12 = graft.functions.MinHashMerge.estimateJaccard(merged("s1"), merged("s2"))
+    assert(j11 === 1.0 && j12 < 1.0)
+  }
+
   test("approx sketches bound the exact answers (HLL distinct, percentile)") {
     val approx = PipelineQueries.all.find(_.name == "px16_approx_stats").get
       .run(spark, sf).collect()
