@@ -22,6 +22,7 @@ final class MinHashMerge(numHashes: Int)
   override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], sig: Seq[Long]): Array[Long] = {
+    if (sig == null) return buf // null input row (e.g. NULL text) → skip
     var i = 0
     val n = math.min(buf.length, sig.length)
     while (i < n) { if (sig(i) < buf(i)) buf(i) = sig(i); i += 1 }

@@ -183,7 +183,11 @@ object CosineSim {
   def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
     val x = a.toFloatArray()
     val y = b.toFloatArray()
-    val d = math.min(x.length, y.length)
+    // ragged pair → NULL, as the zip_with fold this replaces did (its null
+    // padding null-propagated); a finite min-length dot here would silently
+    // rank on a non-cosine number instead
+    if (x.length != y.length) return null
+    val d = x.length
     var dot = 0.0
     var i = 0
     while (i < d) { dot += x(i).toDouble * y(i).toDouble; i += 1 }

@@ -63,18 +63,25 @@ object GraphQueries {
   // (the reference's runPersistentSession model) — so the bulk-loaded state
   // is memoized per (session, dir, variant) and materialized via
   // localCheckpoint: the first query pays the index derivation, subsequent
-  // hops read cached partitions. Keyed by session identity so a restarted
-  // SparkSession never sees another session's cached blocks.
+  // hops read cached partitions. The outer map is WEAK-keyed on the
+  // SparkSession object itself: a stopped session's entries become
+  // collectable (no stale-context hits, no unbounded retention).
   private val built =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Boolean), GraphState[GeoV]]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, Boolean), GraphState[GeoV]]]()
 
   /** Bulk-load the geo graph from the parquet tables — all derivation stays
     * distributed (no collect): node/edge DataFrames are column projections,
     * the index is a join + flatMap over the model's key emission.
     */
-  def geoGraph(s: SparkSession, d: String, withCustomers: Boolean): GraphState[GeoV] =
-    built.computeIfAbsent((System.identityHashCode(s), d, withCustomers),
+  def geoGraph(s: SparkSession, d: String, withCustomers: Boolean): GraphState[GeoV] = {
+    val perSession = built.synchronized {
+      built.computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap[(String, Boolean), GraphState[GeoV]]())
+    }
+    perSession.computeIfAbsent((d, withCustomers),
       _ => buildGeoGraph(s, d, withCustomers).checkpointed())
+  }
 
   private def buildGeoGraph(s: SparkSession, d: String, withCustomers: Boolean): GraphState[GeoV] = {
     val region = graft.Tables.load(s, d, "region")

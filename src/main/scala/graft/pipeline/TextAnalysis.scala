@@ -70,10 +70,12 @@ object TextAnalysis {
     // stopCount columns + a CASE cascade: higher-order lambdas are excluded
     // from codegen AND subexpression elimination, so the column form
     // re-tokenized each row once per CASE comparison (~12×, ≈30 s at sf0.1)
+    // coalesce: StopLang null-propagates on NULL text, but the CASE cascade
+    // this replaces classified NULL text as 'und' — preserve that
     df.select(col(idCol),
-      graft.functions.StopLang(tokens(lower(col(textCol))),
+      coalesce(graft.functions.StopLang(tokens(lower(col(textCol))),
         Seq(enStop, deStop, esStop, frStop),
-        Seq("en", "de", "es", "fr"), "und").as("lang_pred"))
+        Seq("en", "de", "es", "fr"), "und"), lit("und")).as("lang_pred"))
 
   /** Word n-gram shingles (the unit for Jaccard/MinHash dedup and
     * fingerprinting). Distinct set per document (first-occurrence order);

@@ -32,9 +32,10 @@ object AsOf {
     val clash = payload.intersect(leftCols)
     require(clash.isEmpty,
       s"payload columns collide with left columns: ${clash.mkString(", ")} — alias one side first")
-    val reserved = Seq("_k", "_t", "_side", "_p", "_m").intersect(leftCols)
+    val internals = Seq("_k", "_t", "_side", "_p", "_m")
+    val reserved = internals.intersect(leftCols) ++ internals.intersect(payload)
     require(reserved.isEmpty,
-      s"left columns ${reserved.mkString(", ")} collide with asofJoin internals — alias them first")
+      s"columns ${reserved.mkString(", ")} collide with asofJoin internals — alias them first")
     // The payload travels as ONE struct: last(ignoreNulls) then selects the
     // most recent right ROW atomically — a NULL field of the matched row
     // stays NULL (ASOF JOIN semantics) instead of per-column last() falling

@@ -23,6 +23,8 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
+      "a _salt column collides with saltedJoin internals — alias it first")
     val salted = fact.withColumn("_salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
     val replicated = dim

@@ -85,4 +85,14 @@ class FunctionsSpec extends AnyFunSuite {
             lit(0d), (acc, v) => acc + v)))).head().getDouble(0)
     assert(native === folded, "native must be bit-identical to the column fold")
   }
+
+  test("cosine_sim is NULL for ragged or zero-norm vectors (no silent garbage)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1f, 2f, 3f), Array(1f, 2f)),        // ragged → NULL
+      (2L, Array(0f, 0f, 0f), Array(1f, 2f, 3f)))    // zero norm → NULL
+      .toDF("id", "a", "b")
+    val out = df.select(CosineSim(col("a"), col("b"))).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
 }

@@ -203,13 +203,16 @@ class PipelineSpec extends AnyFunSuite {
 
   test("token/quality/langid edge cases: empty and whitespace-only text") {
     import spark.implicits._
-    val df = Seq((1L, ""), (2L, "   "), (3L, "the quick fox")).toDF("doc_id", "text")
-    val toks = df.select(TextAnalysis.tokenCount(col("text"))).as[Long]
+    val df = Seq((1L, ""), (2L, "   "), (3L, "the quick fox"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val toks = df.where(col("text").isNotNull)
+      .select(TextAnalysis.tokenCount(col("text"))).as[Long]
       .collect().toSeq
     assert(toks === Seq(0L, 0L, 3L))
+    // NULL text classifies as 'und', as the CASE cascade StopLang replaced did
     val lang = TextAnalysis.langId(df, "text", "doc_id").orderBy("doc_id")
       .select("lang_pred").as[String].collect().toSeq
-    assert(lang === Seq("und", "und", "en"))
+    assert(lang === Seq("und", "und", "en", "und"))
     val q = TextAnalysis.quality(df, "text", "doc_id").orderBy("doc_id").collect()
     assert(q(0).getAs[Long]("n_tokens") === 0L)
     assert(q(2).getAs[Double]("stop_ratio") === 0.3333)
