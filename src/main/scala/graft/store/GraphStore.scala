@@ -240,6 +240,45 @@ object GraphStore {
       eventsIndex = math.max(replayedThrough, latest.getOrElse(0L)) + 1, lock)
   }
 
+  /** Committed checkpoint indices available for [[snapshot]] reads — live
+    * dir plus `archive/` (the reference moves superseded checkpoints there
+    * rather than deleting them, Storage.hs:179-205, which is what makes
+    * time travel possible at all).
+    */
+  def snapshots(dir: String): Seq[Long] = {
+    val path = Paths.get(dir)
+    val committed = (cp: Path) => (c: Long) =>
+      Files.exists(cp.resolve(s"$c.checkpoint").resolve("_meta.json"))
+    val live = list(path, ".checkpoint").filter(committed(path))
+    val archived =
+      if (Files.isDirectory(path.resolve("archive")))
+        list(path.resolve("archive"), ".checkpoint")
+          .filter(committed(path.resolve("archive")))
+      else Seq.empty
+    (live ++ archived).distinct.sorted
+  }
+
+  /** Read-only historical snapshot: the graph state exactly as checkpoint
+    * `index` persisted it (reachability-scoped, index included) — no
+    * writer lock taken, so it works while a live session holds the store.
+    * MVCC across restarts: DataFrame immutability gives point-in-time
+    * reads within a session; archived checkpoints extend that across the
+    * store's whole history.
+    */
+  def snapshot[V](spark: SparkSession, model: GraphModel[V], dir: String,
+      index: Long): GraphState[V] = {
+    val path = Paths.get(dir)
+    val ckpt = Seq(path.resolve(s"$index.checkpoint"),
+      path.resolve("archive").resolve(s"$index.checkpoint"))
+      .find(p => Files.exists(p.resolve("_meta.json")))
+      .getOrElse(throw new NoSuchElementException(
+        s"no committed checkpoint $index at $dir (have: ${snapshots(dir).mkString(",")})"))
+    GraphState(spark, model,
+      spark.read.parquet(ckpt.resolve("nodes").toString),
+      spark.read.parquet(ckpt.resolve("edges").toString),
+      spark.read.parquet(ckpt.resolve("index").toString))
+  }
+
   /** Replay event dirs with index > `after`, ascending — Storage.hs:136-148.
     * Returns the last replayed index (or `after`).
     */

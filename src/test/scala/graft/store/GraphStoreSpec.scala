@@ -159,6 +159,32 @@ class GraphStoreSpec extends AnyFunSuite {
     s2.close()
   }
 
+  test("time-travel snapshots: archived checkpoints stay readable, lock-free") {
+    val dir = tmpDir().toString
+    val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    s1.session.addTarget(s1.session.root, s1.session.newNode(Artist(1, "A")))
+    s1.close() // checkpoint 1
+    val s2 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    s2.session.addTarget(s2.session.root, s2.session.newNode(Artist(2, "B")))
+    s2.close() // checkpoint 2; checkpoint 1 archived
+
+    assert(GraphStore.snapshots(dir) === Seq(1L, 2L))
+    val v1 = GraphStore.snapshot(spark, CatalogueModel, dir, 1L)
+    val v2 = GraphStore.snapshot(spark, CatalogueModel, dir, 2L)
+    assert(v1.stats(0L) === ((2L, 1L, 2L)))
+    assert(v2.stats(0L) === ((3L, 2L, 4L)))
+
+    // snapshot reads take no lock: works while a writer holds the store
+    val s3 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    assert(GraphStore.snapshot(spark, CatalogueModel, dir, 2L)
+      .stats(0L) === ((3L, 2L, 4L)))
+    s3.close()
+
+    intercept[NoSuchElementException] {
+      GraphStore.snapshot(spark, CatalogueModel, dir, 99L)
+    }
+  }
+
   test("random update mix preserves stats across restart (APITests analog)") {
     // weighted mix per APITests/Catalogue.hs:148-209, driver-side shadow
     // for target selection, sized for Spark job latency
