@@ -494,6 +494,37 @@ object Declared {
              |WHERE regexp_extract(p_name, '(\w+)$', 1) <> ''
              |GROUP BY 1 ORDER BY cnt DESC, last_word LIMIT 15""".stripMargin)),
 
+    // ---------------------------------------------------------------- R22
+    // Collection aggregation: per-region sorted name list. Emitted as a
+    // joined string (sorted for determinism) so the cross-engine hash
+    // compare is representation-independent.
+    Q("r22_array_agg",
+      (s, d) =>
+        t(s, d, "nation")
+          .groupBy(col("n_regionkey").cast("long").as("rk"))
+          .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("names"))
+          .orderBy("rk"),
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS rk,
+             |  array_to_string(list_sort(list(n_name)), ',') AS names
+             |FROM nation GROUP BY 1 ORDER BY rk""".stripMargin)),
+
+    // ---------------------------------------------------------------- R23
+    // Semi-structured extraction: JSON path into the events.props payload,
+    // aggregated — the schema-on-read shape every event pipeline has.
+    Q("r23_json_extract",
+      (s, d) => {
+        val k = get_json_object(col("props"), "$.k").cast("bigint")
+        graft.Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(sum(k).as("sum_k"),
+            count(when(k > 50, 1)).as("hi_cnt"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS hi_cnt
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ---------------------------------------------------------------- X1
     Q("x1_dedup_counts",
       (s, d) =>
