@@ -43,9 +43,14 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6, maxDF: Option[Int] = None): DataFrame = {
+    // materialize the shingle sets once: the plan references them 4× (both
+    // self-join sides + both size lookups) and Catalyst does not reuse
+    // non-exchange subtrees, so without this the corpus is scanned and
+    // re-shingled four times per run
     val sh = df.select(col(idCol).as("_id"),
       TextAnalysis.shingles(col(textCol), n).as("_sh"))
       .where(size(col("_sh")) > 0)
+      .localCheckpoint(true)
     val sizes = sh.select(col("_id"), size(col("_sh")).cast("long").as("_n"))
     val inv = sh.select(col("_id"), explode(col("_sh")).as("_k"))
     val capped = maxDF.fold(inv) { cap =>
@@ -88,9 +93,12 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    // materialized once — referenced by banding, the inverted index, and
+    // the size lookups (see ngramJaccardPairs)
     val sh = df.select(col(idCol).as("_id"),
       TextAnalysis.shingles(col(textCol), n).as("_sh"))
       .where(size(col("_sh")) > 0)
+      .localCheckpoint(true)
     // bucket = (band position, band hash); pairs within a bucket
     val withBand = sh
       .select(col("_id"), posexplode(minhashBands(col("_sh"), numHashes, bands)))
