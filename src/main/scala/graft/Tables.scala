@@ -26,7 +26,13 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    nanosToTs(spark.read.parquet(s"$sfDir/events.parquet"))
   }
+
+  /** The single nanos-LONG → timestamp conversion, shared by the batch
+    * reader above and the streaming reader (EventStreams.readEvents) so
+    * the two can never drift.
+    */
+  private[graft] def nanosToTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 }

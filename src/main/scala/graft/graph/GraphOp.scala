@@ -15,4 +15,16 @@ object GraphOp {
   final case class AddTarget[V](src: Long, dst: Long) extends GraphOp[V]
   final case class RemoveTarget[V](src: Long, dst: Long) extends GraphOp[V]
   final case class RemoveNode[V](id: Long) extends GraphOp[V]
+
+  /** Keep-last per id, preserving last-write order — the SetValue-run
+    * dedupe shared by GraphSession.applied() and the streaming follower.
+    * O(n) (the filterNot-fold it replaces was O(n²) on the driver).
+    */
+  private[graft] def keepLastById[V](kvs: Seq[(Long, V)]): Seq[(Long, V)] = {
+    val m = new java.util.LinkedHashMap[java.lang.Long, V]()
+    kvs.foreach { case (k, v) => m.remove(k); m.put(k, v) } // move-to-end
+    val out = Vector.newBuilder[(Long, V)]
+    m.forEach((k, v) => out += ((k.longValue(), v)))
+    out.result()
+  }
 }

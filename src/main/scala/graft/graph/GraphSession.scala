@@ -127,11 +127,8 @@ final class GraphSession[V] private (
             state.withNewNodes(run.collect { case NewNode(id, v) => (id, v) }.toSeq)
           case _: SetValue[_] =>
             // later SetValue on the same id wins within a run
-            val last = run.collect { case SetValue(id, v) => (id, v) }
-              .foldLeft(Vector.empty[(NodeId, V)]) { (acc, kv) =>
-                acc.filterNot(_._1 == kv._1) :+ kv
-              }
-            state.withValues(last)
+            state.withValues(GraphOp.keepLastById(
+              run.collect { case SetValue(id, v) => (id, v) }.toSeq))
           case _: AddTarget[_] =>
             state.withTargets(run.collect { case AddTarget(s, d) => (s, d) }.toSeq)
           case _: RemoveTarget[_] =>
@@ -169,11 +166,22 @@ final class GraphSession[V] private (
 
   /** Drain ops applied since the last drain — the WAL append feed. */
   private[graft] def drainLog(): Seq[GraphOp[V]] = {
-    applied()
-    val out = opLog.toSeq
+    val out = peekLog()
     opLog.clear()
     out
   }
+
+  /** Apply pending ops and return the undrained log WITHOUT clearing it —
+    * the commit path peeks, validates, writes the WAL batch, and only then
+    * [[clearLog]]s, so a failed validation or write never loses ops.
+    */
+  private[graft] def peekLog(): Seq[GraphOp[V]] = {
+    applied()
+    opLog.toSeq
+  }
+
+  /** Acknowledge a successfully persisted [[peekLog]] batch. */
+  private[graft] def clearLog(): Unit = opLog.clear()
 }
 
 object GraphSession {

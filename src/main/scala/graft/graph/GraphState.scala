@@ -162,6 +162,13 @@ final case class GraphState[V](
   def withValues(vs: Seq[(Long, V)]): GraphState[V] = {
     val rows = vs.map { case (id, v) => Row(id, model.kindOf(v), model.toValueRow(v)) }
     val delta = rowsDF(rows, nodesSchema(model))
+    // the reference errors on an invalid node ref; without this check a
+    // typo'd id would silently FABRICATE a node row (and its WAL'd 'set'
+    // op would replay the phantom into every follower)
+    val unknown = delta.select(col("id"))
+      .join(nodes, Seq("id"), "left_anti").count()
+    require(unknown == 0L,
+      s"setValue on $unknown unknown node id(s) — nodes must be created first")
     val newNodes = nodes
       .join(delta.select(col("id")), Seq("id"), "left_anti")
       .unionByName(delta)

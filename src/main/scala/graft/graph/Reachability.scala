@@ -28,8 +28,13 @@ object Reachability {
     var frontier = visited
     var frontierSize = seeds.distinct.size.toLong
     while (frontierSize > 0) {
+      // broadcast only while the frontier is actually small — a BFS level
+      // that fans out to hundreds of millions of ids must shuffle-join, or
+      // the broadcast build side OOMs the driver/executors
+      val fr =
+        if (frontierSize <= 5_000_000L) broadcast(frontier) else frontier
       val next = edges
-        .join(broadcast(frontier), edges("src") === frontier("id"), "left_semi")
+        .join(fr, edges("src") === fr("id"), "left_semi")
         .select(col("dst").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
         .localCheckpoint(true)

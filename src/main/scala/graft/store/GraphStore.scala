@@ -57,7 +57,11 @@ final class GraphStore[V] private (
     */
   def commit(): Unit = {
     require(!closed, "store is closed")
-    val ops = session.drainLog()
+    // peek-validate-write-clear: the op log is only cleared after the WAL
+    // batch is durably on disk, so a failed validation (seq-range overflow)
+    // or write error leaves the ops drainable by a corrected retry instead
+    // of silently dropping them from the WAL
+    val ops = session.peekLog()
     if (ops.nonEmpty) {
       // seq is GLOBALLY monotonic ((eventsIndex, batch, offset) packed into
       // one long) so any reader — replay or a streaming follower that gets
@@ -80,6 +84,7 @@ final class GraphStore[V] private (
       val dir = path.resolve(s"$eventsIndex.events").resolve(f"batch-$batchSeq%06d")
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), opSchema)
         .write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+      session.clearLog()
       batchSeq += 1
     }
   }
@@ -169,17 +174,28 @@ object GraphStore {
     private val channel = java.nio.channels.FileChannel.open(
       path, java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.WRITE)
-    private val flock =
-      try Option(channel.tryLock()).getOrElse {
+    private val flock = {
+      // close the channel on EVERY failure path (an IOException from a
+      // lock-less filesystem would otherwise leak the fd, which can block
+      // reopening the store in this JVM until GC)
+      val l =
+        try channel.tryLock()
+        catch {
+          case _: java.nio.channels.OverlappingFileLockException =>
+            channel.close()
+            throw new IllegalStateException(
+              s"store at ${path.getParent} is locked by another session (this JVM)")
+          case e: Throwable =>
+            channel.close()
+            throw e
+        }
+      if (l == null) {
         channel.close()
         throw new IllegalStateException(
           s"store at ${path.getParent} is locked by another session")
-      } catch {
-        case _: java.nio.channels.OverlappingFileLockException =>
-          channel.close()
-          throw new IllegalStateException(
-            s"store at ${path.getParent} is locked by another session (this JVM)")
       }
+      l
+    }
     def release(): Unit = { flock.release(); channel.close() }
   }
 
@@ -287,10 +303,16 @@ object GraphStore {
     val eventDirs = list(path, ".events").filter(_ > after).sorted
     eventDirs.foreach { idx =>
       val dir = path.resolve(s"$idx.events")
-      val batches = Files.list(dir).iterator().asScala.toSeq
+      val allBatches = Files.list(dir).iterator().asScala.toSeq
         .filter(p => p.getFileName.toString.startsWith("batch-"))
         .sortBy(_.getFileName.toString)
-      batches.foreach { b =>
+      // _SUCCESS is Spark's write-commit marker: a batch dir without it is
+      // a torn write from a crash mid-commit() — those ops were never
+      // acknowledged to the writer, so drop the debris (the WAL-batch
+      // analog of the partial-checkpoint _meta.json rule above)
+      val (ready, torn) = allBatches.partition(b => Files.exists(b.resolve("_SUCCESS")))
+      torn.foreach(deleteRecursively)
+      ready.foreach { b =>
         if (b.getFileName.toString.endsWith("-bulk")) {
           // bulk 'add' batches replay set-wise — a 10^9-edge ingest batch
           // must not be collected to the driver; order within the batch is

@@ -36,9 +36,11 @@ object EventStreams {
     * conversion applied (mirrors graft.Tables.events for batch).
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    // nanosAsLong is session-global (it changes how every TIMESTAMP(NANOS)
+    // parquet read in this session is typed) — set by both this and the
+    // batch reader, which share one conversion helper (Tables.nanosToTs)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.nanosToTs(spark.readStream.schema(rawSchema).parquet(dir))
   }
 
   /** Tumbling 1-hour event-time windows with a watermark: counts + sums per
@@ -119,7 +121,15 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               if (st.events == 0) st = SessionState(1, t, t)
-              else if (t - st.lastMs <= gapMs) st = st.copy(events = st.events + 1, lastMs = t)
+              else if (t - st.lastMs <= gapMs)
+                // min/max bounds: a LATE event (prior micro-batch already
+                // advanced lastMs past t) merges into the open session
+                // without rewinding its end below its start — retroactive
+                // re-sessionization of already-emitted sessions is out of
+                // scope, as in any append-mode streaming sessionizer
+                st = st.copy(events = st.events + 1,
+                  startMs = math.min(st.startMs, t),
+                  lastMs = math.max(st.lastMs, t))
               else {
                 closed += SessionAgg(user, st.events,
                   new java.sql.Timestamp(st.startMs), new java.sql.Timestamp(st.lastMs))

@@ -28,13 +28,24 @@ object OplogStream {
   /** Fold op batches into a follower GraphState set-wise (no per-op driver
     * loop: each micro-batch applies new nodes / edges / removals as whole
     * DataFrames). Follower state is eventually consistent with the writer.
+    *
+    * `trigger` defaults to AvailableNow (catch-up-and-stop — the test and
+    * bootstrap shape); pass `Trigger.ProcessingTime(...)` to TAIL a live
+    * writer continuously. Follower state lives in this process, so a
+    * restart re-tails from the WAL start regardless of `checkpointDir`
+    * (which only makes source offsets durable) — long-lived followers
+    * should bootstrap from the writer's latest checkpoint instead.
     */
   def follow[V](spark: SparkSession, model: GraphModel[V], storeDir: String,
-      onBatch: GraphState[V] => Unit): StreamingQuery = {
+      onBatch: GraphState[V] => Unit,
+      trigger: Trigger = Trigger.AvailableNow(),
+      checkpointDir: Option[String] = None): StreamingQuery = {
     var state = GraphState.empty(spark, model)
-    readOps(spark, model, storeDir).writeStream
-      .trigger(Trigger.AvailableNow())
+    val writer = readOps(spark, model, storeDir).writeStream
+      .trigger(trigger)
       .outputMode("append")
+    checkpointDir.foreach(c => writer.option("checkpointLocation", c))
+    writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         state = applyOpBatch(model, state, batch)
         onBatch(state)
@@ -73,12 +84,9 @@ object OplogStream {
           // WAL logs EVERY SetValue (only state is deduped), so a run can
           // carry several sets of one id — replaying all of them through
           // withValues would union duplicate node rows after the anti-join
-          val lastPerId = rs.map(r =>
-            (r.getLong(2), model.fromValueRow(r.getString(5), r.getStruct(6))))
-            .foldLeft(Vector.empty[(Long, V)]) { (acc, kv) =>
-              acc.filterNot(_._1 == kv._1) :+ kv
-            }
-          st = st.withValues(lastPerId)
+          st = st.withValues(graft.graph.GraphOp.keepLastById(
+            rs.map(r => (r.getLong(2),
+              model.fromValueRow(r.getString(5), r.getStruct(6))))))
         case "add" => st = st.withTargets(rs.map(r => (r.getLong(3), r.getLong(4))))
         case "rmt" => st = st.withoutTargets(rs.map(r => (r.getLong(3), r.getLong(4))))
         case "rm" => st = st.withoutNodes(rs.map(_.getLong(2)))

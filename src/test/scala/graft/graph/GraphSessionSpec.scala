@@ -97,6 +97,13 @@ class GraphSessionSpec extends AnyFunSuite {
     assert(g.getStats() === ((2L, 1L, 2L)))
   }
 
+  test("setValue on an unknown id fails instead of fabricating a node") {
+    val g = GraphSession.inMemory(spark, CatalogueModel, CatRoot: Cat)
+    g.setValue(424242L, Artist(9, "Phantom"))
+    val e = intercept[IllegalArgumentException] { g.getStats() } // forces apply
+    assert(e.getMessage.contains("unknown node id"))
+  }
+
   test("unlinked nodes are invisible to stats (reachability scoping)") {
     val g = GraphSession.inMemory(spark, CatalogueModel, CatRoot: Cat)
     g.newNode(Artist(9, "Orphan"))

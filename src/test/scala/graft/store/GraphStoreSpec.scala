@@ -125,6 +125,26 @@ class GraphStoreSpec extends AnyFunSuite {
     s3.close()
   }
 
+  test("torn WAL batch (no _SUCCESS) is dropped on reopen, not replayed") {
+    val dir = tmpDir()
+    val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    val a = s1.session.newNode(Artist(5, "Kept"))
+    s1.session.addTarget(s1.session.root, a)
+    s1.commit()
+    s1.abandon() // crash without checkpoint
+
+    // simulate a crash mid-commit: a batch dir with parquet debris but no
+    // _SUCCESS marker (Spark writes the marker only on commit)
+    val torn = dir.resolve("1.events").resolve("batch-000001")
+    Files.createDirectories(torn)
+    Files.writeString(torn.resolve("part-00000.parquet"), "garbage")
+
+    val s2 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    assert(s2.session.getStats() === ((2L, 1L, 2L)))
+    assert(!Files.exists(torn), "torn batch debris must be deleted")
+    s2.close()
+  }
+
   test("partial checkpoint (no _meta.json) falls back to the previous one") {
     val dir = tmpDir()
     val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
