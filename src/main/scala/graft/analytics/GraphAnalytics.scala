@@ -44,9 +44,13 @@ object GraphAnalytics {
         else Iterator.empty,
       mergeMsg = math.min)
     import spark.implicits._
-    res.vertices.filter(_._2 != Int.MaxValue)
+    val out = res.vertices.filter(_._2 != Int.MaxValue)
       .map { case (id, d) => (id, d.toLong) }
       .toDF("id", "depth")
+    // Graph.fromEdges materializes only edge ENDPOINTS — an isolated root
+    // would otherwise be missing its depth-0 row entirely
+    out.unionByName(Seq((root, 0L)).toDF("id", "depth"))
+      .groupBy("id").agg(min("depth").as("depth"))
   }
 
   /** Undirected connected components (GraphX built-in). Returns

@@ -49,10 +49,16 @@ object MinHashMerge {
     (c: Column) => u(c)
   }
 
-  /** Estimated Jaccard between two merged signatures (matching-slot rate). */
+  /** Estimated Jaccard between two merged signatures (matching-slot rate).
+    * Slots still holding the Long.MaxValue sentinel on BOTH sides (both
+    * groups empty of shingles) are excluded — counting them would report
+    * similarity 1.0 for two corpora that share zero shingles.
+    */
   def estimateJaccard(a: Seq[Long], b: Seq[Long]): Double = {
-    val n = math.min(a.length, b.length)
-    if (n == 0) 0d
-    else a.zip(b).count { case (x, y) => x == y }.toDouble / n
+    val valid = a.zip(b).filterNot { case (x, y) =>
+      x == Long.MaxValue && y == Long.MaxValue
+    }
+    if (valid.isEmpty) 0d
+    else valid.count { case (x, y) => x == y }.toDouble / valid.size
   }
 }

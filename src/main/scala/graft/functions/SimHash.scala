@@ -104,7 +104,11 @@ object GraftExtensions {
       (children: Seq[Expression]) => CosineSim(children.head, children(1))),
     (new FunctionIdentifier("hash_sketch"),
       new ExpressionInfo("graft.functions.HashSketch", "hash_sketch"),
-      (children: Seq[Expression]) => HashSketch(children.head)))
+      (children: Seq[Expression]) => HashSketch(children.head)),
+    (new FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo("graft.functions.MinHashBands", "minhash_bands"),
+      (children: Seq[Expression]) => MinHashBands(children.head,
+        intArg(children(1), "minhash_bands"), intArg(children(2), "minhash_bands"))))
   // NearestCentroid/CentroidDots (centroid matrix), HyperplaneSig (plane
   // matrix) and StopLang (stopword sets) carry non-SQL-literal payloads
   // and are Column-API-only.

@@ -50,14 +50,19 @@ object Dedup {
     val sh = df.select(col(idCol).as("_id"),
       TextAnalysis.shingles(col(textCol), n).as("_sh"))
       .where(size(col("_sh")) > 0)
-      .localCheckpoint(true)
-    val sizes = sh.select(col("_id"), size(col("_sh")).cast("long").as("_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = sh.select(col("_id"), explode(col("_sh")).as("_k"))
     val capped = maxDF.fold(inv) { cap =>
       inv.withColumn("_df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("_k")))
         .where(col("_df") <= cap).drop("_df")
     }
+    // sizes from the SAME (possibly DF-capped) shingle space as the
+    // intersections: mixing capped intersections with uncapped sizes would
+    // yield a hybrid ratio that misses even exact duplicates whose shared
+    // shingles are mostly hot — with a cap, the similarity is Jaccard over
+    // the capped space, consistently
+    val sizes = capped.groupBy("_id").agg(count(lit(1)).as("_n"))
     val shared = capped.as("a")
       .join(capped.as("b"), col("a._k") === col("b._k") && col("a._id") < col("b._id"))
       .groupBy(col("a._id").as("id1"), col("b._id").as("id2"))
@@ -94,11 +99,12 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.6,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     // materialized once — referenced by banding, the inverted index, and
-    // the size lookups (see ngramJaccardPairs)
+    // the size lookups (see ngramJaccardPairs); persist keeps lineage so
+    // an executor loss recomputes instead of failing the job
     val sh = df.select(col(idCol).as("_id"),
       TextAnalysis.shingles(col(textCol), n).as("_sh"))
       .where(size(col("_sh")) > 0)
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bucket = (band position, band hash); pairs within a bucket
     val withBand = sh
       .select(col("_id"), posexplode(minhashBands(col("_sh"), numHashes, bands)))

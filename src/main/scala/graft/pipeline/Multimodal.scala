@@ -70,13 +70,16 @@ object Multimodal {
     * computed chunk index) — the chunk boundaries are where a real
     * demuxer's keyframe offsets would go.
     */
-  def sampleFrames(media: DataFrame, chunkBytes: Int, stride: Int): DataFrame =
+  def sampleFrames(media: DataFrame, chunkBytes: Int, stride: Int): DataFrame = {
+    require(chunkBytes > 0, "chunkBytes must be positive")
+    require(stride > 0, "stride must be positive")
     media
       .withColumn("n_chunks",
         expr(s"CAST((octet_length(media) + $chunkBytes - 1) DIV $chunkBytes AS INT)"))
-      // explode_outer + null-guard: NULL media keeps its row (null frame,
-      // same row-preservation invariant as decodeFeatures), empty media
-      // emits no frames rather than one bogus empty frame
+      // explode_outer: NULL and EMPTY media both keep their row with a
+      // NULL frame_idx/frame (the row-preservation invariant of
+      // decodeFeatures — a pipeline must not drop rows); emptiness vs
+      // nullness stays distinguishable via the media column itself
       .withColumn("frame_idx",
         explode_outer(when(col("n_chunks") > 0,
           sequence(lit(0), col("n_chunks") - 1, lit(stride)))))
@@ -84,4 +87,5 @@ object Multimodal {
         when(col("frame_idx").isNotNull,
           col("media").substr(col("frame_idx") * chunkBytes + 1, lit(chunkBytes)))
           .as("frame"))
+  }
 }

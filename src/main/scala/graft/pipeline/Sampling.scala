@@ -30,12 +30,20 @@ object Sampling {
 
   /** Bernoulli sample at `rate` by hash threshold — content-deterministic
     * row-level sampling, no shuffle at all.
+    *
+    * Contract: `idCol` should be a (near-)unique row identity. Rows
+    * sharing an id — including all NULL ids, which hash identically — are
+    * kept or dropped TOGETHER by construction (hash determinism), which is
+    * the right behavior for duplicate ids and surprising for NULLs.
     */
   def bernoulli(df: DataFrame, idCol: String, rate: Double,
       seed: Long = 42L): DataFrame = {
     require(rate >= 0 && rate <= 1)
-    // map hash to [0,1) via unsigned-ish normalization
-    val u = (score(col(idCol), seed) / lit(Long.MaxValue.toDouble) + 1d) / 2d
-    df.where(u < rate)
+    if (rate >= 1d) df // u < 1.0 would drop the row hashing exactly to MaxValue
+    else {
+      // map hash to [0,1) via unsigned-ish normalization
+      val u = (score(col(idCol), seed) / lit(Long.MaxValue.toDouble) + 1d) / 2d
+      df.where(u < rate)
+    }
   }
 }

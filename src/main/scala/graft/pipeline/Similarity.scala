@@ -72,10 +72,10 @@ object Similarity {
     val buckets = (0 until tables).map { t =>
       val planes = hyperplanes(dim, bits, t)
       val c = corpus.select(col(idCol).as("nbr"), col(vecCol).as("cv"),
-        signature(col(vecCol), planes).as("_b"), lit(t).as("_t"))
+        signature(col(vecCol), planes).as("_b"))
       val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-        signature(col(vecCol), planes).as("_b"), lit(t).as("_t"))
-      c.join(q, Seq("_b", "_t")).where(col("qid") =!= col("nbr"))
+        signature(col(vecCol), planes).as("_b"))
+      c.join(q, Seq("_b")).where(col("qid") =!= col("nbr"))
         .select(col("qid"), col("nbr"), col("qv"), col("cv"))
     }.reduce(_ unionByName _).dropDuplicates("qid", "nbr")
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))

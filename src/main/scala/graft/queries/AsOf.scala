@@ -54,6 +54,11 @@ object AsOf {
     val r = right
       .withColumn("_k", col(rightKey))
       .withColumn("_t", col(rightTime))
+      // ASOF semantics: a right row with NULL key or NULL time matches
+      // nothing (`leftTime >= NULL` is UNKNOWN); without this filter the
+      // ascending sort would put NULL times FIRST and last(ignoreNulls)
+      // would hand their payload to every earlier-than-all-rights left row
+      .where(col("_k").isNotNull && col("_t").isNotNull)
       .withColumn("_side", lit(0))
       .select((Seq(col("_k"), col("_t"), col("_side")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+

@@ -183,15 +183,21 @@ object Declared {
 
     // ---------------------------------------------------------------- R5
     // Anti join = `remove` semantics (detach then vacuum, Graph.hs:126-127).
+    // Both sides exclude NULL keys explicitly: SQL NOT IN returns ZERO
+    // rows if the subquery contains any NULL, while left_anti ignores
+    // NULLs — aligning the two keeps the pair equivalent even on data
+    // with a nullable FK (TPC-H's non-null o_custkey merely masks it).
     Q("r5_anti_join",
       (s, d) =>
         t(s, d, "customer")
-          .join(t(s, d, "orders").select("o_custkey"),
+          .join(t(s, d, "orders").select("o_custkey")
+            .where(col("o_custkey").isNotNull),
             col("c_custkey") === col("o_custkey"), "left_anti")
           .select("c_custkey")
           .orderBy("c_custkey"),
       Some("""SELECT c_custkey FROM customer WHERE c_custkey NOT IN
-             |(SELECT o_custkey FROM orders) ORDER BY c_custkey""".stripMargin)),
+             |(SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+             |ORDER BY c_custkey""".stripMargin)),
 
     // ---------------------------------------------------------------- R6
     Q("r6_union",
