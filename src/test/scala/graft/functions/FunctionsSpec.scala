@@ -69,6 +69,11 @@ class FunctionsSpec extends AnyFunSuite {
     val native = df.select(MinHashBands(col("sh"), numHashes, bands).as("bh"))
       .collect().map(_.getSeq[Long](0))
     assert(native.toSeq === composed.toSeq)
+    // and the SQL registration resolves to the same expression
+    df.createOrReplaceTempView("fx_bands")
+    val viaSql = spark.sql(s"SELECT minhash_bands(sh, $numHashes, $bands) FROM fx_bands")
+      .collect().map(_.getSeq[Long](0))
+    assert(viaSql.toSeq === native.toSeq)
   }
 
   test("cosine_sim matches the interpreted fold it replaced") {
