@@ -20,6 +20,14 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(depths === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("BFS depths include the root even when it touches no edge") {
+    // fromEdges materializes only edge endpoints — an isolated root must
+    // still get its depth-0 row
+    val depths = GraphAnalytics.bfsDepths(edgesDF((1L, 2L)), root = 99L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(depths === Map(99L -> 0L))
+  }
+
   test("connected components find two chains") {
     val cc = GraphAnalytics.connectedComponents(
       edgesDF((1L, 2L), (2L, 3L), (10L, 11L)))

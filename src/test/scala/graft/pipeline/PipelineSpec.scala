@@ -33,6 +33,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(mh === exact, s"recall loss: ${exact.size - mh.size} of ${exact.size} pairs missed")
   }
 
+  test("maxDF cap yields consistent capped-Jaccard: exact dups still found") {
+    import spark.implicits._
+    // two identical docs whose shingles are ALL document-frequency-hot
+    // (shared with many other docs): with inconsistent (uncapped) sizes the
+    // identical pair would score far below 1.0 and vanish
+    val hot = "alpha beta gamma delta epsilon zeta"
+    val docs = (1L to 8L).map(i => (i, hot)).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.99, maxDF = Some(4))
+      .collect()
+    // every shingle exceeds the cap of 4 (8 identical docs), so the capped
+    // space is empty → no candidates, but ALSO no sizes to divide by —
+    // must yield an empty result, not a crash or spurious pairs
+    assert(pairs.isEmpty)
+    val mixed = ((1L to 2L).map(i => (i, "unique one " + hot + " tail " + i)) ++
+      Seq((3L, hot))).toDF("doc_id", "text")
+    // docs 1,2 share low-DF shingles; capped-Jaccard over the surviving
+    // space must still be computed consistently (no hybrid ratio)
+    val p2 = Dedup.ngramJaccardPairs(mixed, "doc_id", "text",
+      n = 3, threshold = 0.1, maxDF = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2.contains((1L, 2L)))
+  }
+
   test("simhash pairs respect the hamming radius and are found via banding") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).collect()
     assert(pairs.forall(_.getAs[Number]("hamming").longValue <= 3))

@@ -42,6 +42,20 @@ class AsOfSpec extends AnyFunSuite {
     assert(row.getString(row.fieldIndex("other")) === "o15")
   }
 
+  test("right rows with NULL time or key match nothing (ASOF semantics)") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 5L)).toDF("k", "event_id", "t")
+    // the only right rows are a NULL-time and a NULL-key row: neither may
+    // match (leftTime >= NULL is UNKNOWN; NULL keys never equal)
+    val right = Seq(
+      (Option(1L), Option.empty[Long], "null-time"),
+      (Option.empty[Long], Option(1L), "null-key")
+    ).toDF("rk", "rt", "tag")
+    val row = AsOf.asofJoin(left, right, "k", "rk", "t", "rt", Seq("tag"))
+      .collect().head
+    assert(row.isNullAt(row.fieldIndex("tag")))
+  }
+
   test("payload/internal name collisions are rejected up front") {
     import spark.implicits._
     val left = Seq((1L, 1L, "x")).toDF("k", "t", "tag")

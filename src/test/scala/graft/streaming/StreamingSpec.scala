@@ -174,6 +174,36 @@ class StreamingSpec extends AnyFunSuite {
     store.close()
   }
 
+  test("follower live-tails a committing writer (ProcessingTime trigger)") {
+    val dir = Files.createTempDirectory("graft-oplog-tail-").toString
+    val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val g = store.session
+    val a = g.newNode(Artist(1, "First"))
+    g.addTarget(g.root, a)
+    store.commit()
+
+    @volatile var nodeCount = 0L
+    val q = OplogStream.follow[Cat](spark, CatalogueModel, dir,
+      st => nodeCount = st.nodes.count(),
+      trigger = Trigger.ProcessingTime("500 milliseconds"))
+    def awaitCount(expect: Long): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (nodeCount != expect && System.nanoTime() < deadline) Thread.sleep(250)
+      assert(nodeCount === expect, s"follower stuck at $nodeCount, want $expect")
+    }
+    awaitCount(2L) // root + First
+
+    // the writer keeps committing WHILE the follower runs — AvailableNow
+    // would have stopped at catch-up; ProcessingTime must pick these up
+    val b = g.newNode(Song("Second"))
+    g.addTarget(g.root, b)
+    store.commit()
+    awaitCount(3L)
+
+    q.stop()
+    store.close()
+  }
+
   test("follower dedupes repeated SetValue on one id within a WAL batch") {
     val dir = Files.createTempDirectory("graft-oplog-set-").toString
     val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
