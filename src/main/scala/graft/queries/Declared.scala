@@ -531,6 +531,46 @@ object Declared {
              |  COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS hi_cnt
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ---------------------------------------------------------------- R24
+    // Sessionization as a batch query (gaps-and-islands): LAG to find
+    // >30-min gaps, running sum of gap markers = session id, then per-user
+    // session stats. The relational form of streaming/EventStreams
+    // .sessionize — same gap rule, oracle-checkable.
+    Q("r24_sessions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        graft.Tables.events(s, d)
+          .withColumn("_prev", lag(col("ts"), 1).over(w))
+          .withColumn("_brk",
+            when(col("_prev").isNull ||
+              (unix_millis(col("ts")) - unix_millis(col("_prev"))) > 1800000L, 1L)
+              .otherwise(0L))
+          .withColumn("_sess", sum(col("_brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id")
+          .agg(max(col("_sess")).as("sessions"),
+            count(lit(1)).as("events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, event_id, ts,
+             |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events
+             |), m AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN prev IS NULL
+             |           OR epoch_ms(ts) - epoch_ms(prev) > 1800000 THEN 1
+             |         ELSE 0 END AS brk
+             |  FROM o
+             |), sx AS (
+             |  SELECT user_id,
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+             |  FROM m)
+             |SELECT user_id, CAST(MAX(sess) AS BIGINT) AS sessions,
+             |  COUNT(*) AS events
+             |FROM sx GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // ---------------------------------------------------------------- X1
     Q("x1_dedup_counts",
       (s, d) =>
