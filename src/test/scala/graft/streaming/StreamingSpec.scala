@@ -120,6 +120,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.select("event_id").distinct().count() === batchDistinct)
   }
 
+  test("sessionize agrees with the oracle-checked relational form (r24)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf)
+    // closed sessions from the state machine (its last session per user
+    // stays open and is not emitted by the batch path)
+    val closed = EventStreams.sessionize(
+      ev.select(col("user_id"), col("ts"), col("event_type"))
+        .as[EventStreams.Ev], gapMinutes = 30)
+      .groupByKey(_.user_id).count().collect().toMap
+    // total sessions per user, gaps-and-islands (the r24 oracle shape)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val total = ev
+      .withColumn("_prev", lag(col("ts"), 1).over(w))
+      .withColumn("_brk", when(col("_prev").isNull ||
+        (unix_millis(col("ts")) - unix_millis(col("_prev"))) > 1800000L, 1L)
+        .otherwise(0L))
+      .groupBy("user_id").agg(sum("_brk").as("sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(total.nonEmpty)
+    total.foreach { case (user, n) =>
+      assert(closed.getOrElse(user, 0L) === n - 1,
+        s"user $user: $n total sessions must mean ${n - 1} closed ones")
+    }
+  }
+
   test("stream-stream interval join == batch interval join") {
     val srcDir = Files.createTempDirectory("graft-stream-ssj-")
     Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
