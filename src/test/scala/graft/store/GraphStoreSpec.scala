@@ -205,6 +205,38 @@ class GraphStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("durability property: crash loses exactly the uncommitted suffix") {
+    val rnd = new Random(7)
+    (1 to 2).foreach { _ =>
+      val dir = tmpDir().toString
+      val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+      val g = store.session
+      val nodes = scala.collection.mutable.ArrayBuffer[Long]()
+      store.commit()
+      var committedStats = g.getStats()
+      (1 to 18).foreach { i =>
+        rnd.nextInt(4) match {
+          case 0 | 1 =>
+            val n = g.newNode(Song(s"s-$i")); g.addTarget(g.root, n); nodes += n
+          case 2 if nodes.nonEmpty =>
+            g.setValue(nodes(rnd.nextInt(nodes.size)), Song(s"s-$i'"))
+          case _ if nodes.nonEmpty =>
+            g.remove(nodes(rnd.nextInt(nodes.size)))
+          case _ => ()
+        }
+        if (rnd.nextInt(3) == 0) {
+          store.commit()
+          committedStats = g.getStats()
+        }
+      }
+      store.abandon() // crash: everything after the last commit is gone
+      val re = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+      assert(re.session.getStats() === committedStats,
+        "reopen must restore exactly the last committed state")
+      re.close()
+    }
+  }
+
   test("random update mix preserves stats across restart (APITests analog)") {
     // weighted mix per APITests/Catalogue.hs:148-209, driver-side shadow
     // for target selection, sized for Spark job latency
