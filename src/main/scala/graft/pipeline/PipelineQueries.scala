@@ -235,20 +235,34 @@ object PipelineQueries {
     // (mapPartitions) is exercised in MultimodalSpec.
     // ------------------------------------------ vocabulary building (top-k)
     // The tokenizer-training primitive: per-language token counts, top-20
-    // per language by a windowed rank. explode → two-level agg (partial
-    // map-side combine) → rank; at 100 TB the same plan holds because the
-    // token space, not the corpus, bounds the post-agg rank input.
+    // per language, computed as a TWO-PHASE top-k. A single window
+    // partitioned only by `lang` would sort each language's entire
+    // vocabulary on one task (|langs| ≈ 5 → parallelism 5 — a straggler/OOM
+    // machine at 100 TB). Instead: rank locally within each pre-shuffle
+    // partition (every global-top-20 row has local rank ≤ its global rank,
+    // so phase 1 never drops a winner), then rank the ≤ 20×P survivors
+    // globally — the only lang-partitioned sort runs on a provably tiny
+    // input regardless of corpus size.
     Q("px15_vocab_topk",
-      (s, d) => docs(s, d)
-        .select(col("lang"),
-          explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
-        .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
-        .withColumn("rnk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("lang")
-            .orderBy(col("cnt").desc, col("word"))).cast("bigint"))
-        .where(col("rnk") <= 20)
-        .select("lang", "word", "cnt", "rnk")
-        .orderBy("lang", "rnk"),
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val counts = docs(s, d)
+          .select(col("lang"),
+            explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
+          .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+        counts
+          .withColumn("_b", spark_partition_id())
+          .withColumn("_lr", row_number().over(
+            w.partitionBy("lang", "_b")
+              .orderBy(col("cnt").desc, col("word"))))
+          .where(col("_lr") <= 20)
+          .withColumn("rnk", row_number().over(
+            w.partitionBy("lang")
+              .orderBy(col("cnt").desc, col("word"))).cast("bigint"))
+          .where(col("rnk") <= 20)
+          .select("lang", "word", "cnt", "rnk")
+          .orderBy("lang", "rnk")
+      },
       Some("""WITH tok AS (
              |  SELECT lang,
              |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),

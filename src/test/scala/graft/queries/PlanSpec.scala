@@ -55,6 +55,25 @@ class PlanSpec extends AnyFunSuite {
       s"native expressions missing:\n$p")
   }
 
+  test("px15 vocab top-k is two-phase — the lang-only sort sees only survivors") {
+    // A single window partitioned by `lang` alone sorts each language's
+    // whole vocabulary on one task (parallelism = |langs|). The guarded
+    // shape is: local rank per (lang, _b) bucket → filter → global rank.
+    // The plan prints downstream-first, so the lang-only spec must appear
+    // BEFORE (above) the (lang, _b) spec, with the local-rank filter
+    // between them.
+    val p = plan("px15_vocab_topk")
+    val global = "windowspecdefinition\\(lang#\\d+, cnt#".r
+      .findFirstMatchIn(p).map(_.start).getOrElse(-1)
+    val local = "windowspecdefinition\\(lang#\\d+, _b#".r
+      .findFirstMatchIn(p).map(_.start).getOrElse(-1)
+    assert(local >= 0, s"local (lang, _b) rank phase missing:\n$p")
+    assert(global >= 0 && global < local,
+      s"global lang-only rank must consume the local phase's survivors:\n$p")
+    assert(p.substring(global, local).contains("_lr"),
+      s"local-rank filter must bound the global window's input:\n$p")
+  }
+
   test("r17 range join: band dimension broadcast (fact side never shuffles)") {
     val p = plan("r17_range_join")
     assert(p.contains("BroadcastNestedLoopJoin"),
