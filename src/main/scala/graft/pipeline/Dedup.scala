@@ -30,9 +30,19 @@ object Dedup {
   def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
     df.groupBy(keyCols.map(col): _*).agg(min(col(idCol)).as(idCol))
 
-  /** Exact n-gram Jaccard near-duplicate pairs with similarity ≥ threshold.
-    * Exact because J(a,b) > 0 ⟹ the pair shares a shingle ⟹ it appears in
-    * the inverted-index candidates (when maxDF is None).
+  /** Default document-frequency cap for [[ngramJaccardPairs]]: a shingle in
+    * more than this many documents is a stop-shingle (boilerplate) carrying
+    * no near-dup signal, and every document pair inside its bucket is a
+    * candidate — the cap is what keeps the inverted-index self-join from
+    * going quadratic on skewed corpora, so it is ON by default.
+    */
+  val DefaultMaxDF: Int = 1000
+
+  /** N-gram Jaccard near-duplicate pairs with similarity ≥ threshold over
+    * the DF-capped shingle space. Exact over that space: J(a,b) > 0 ⟹ the
+    * pair shares a surviving shingle ⟹ it appears in the inverted-index
+    * candidates. Pass `maxDF = None` for exact-over-all-shingles semantics
+    * (safe only on corpora known to be free of hot shingles).
     *
     * Intersection sizes come straight from the inverted index — count of
     * co-occurrences per pair (one shuffle on the pair key) — NOT from
@@ -42,7 +52,8 @@ object Dedup {
     * difference between seconds and minutes at sf0.1.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.6, maxDF: Option[Int] = None): DataFrame = {
+      n: Int = 3, threshold: Double = 0.6,
+      maxDF: Option[Int] = Some(DefaultMaxDF)): DataFrame = {
     // materialize the shingle sets once: the plan references them 4× (both
     // self-join sides + both size lookups) and Catalyst does not reuse
     // non-exchange subtrees, so without this the corpus is scanned and
@@ -52,10 +63,17 @@ object Dedup {
       .where(size(col("_sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = sh.select(col("_id"), explode(col("_sh")).as("_k"))
+    // document frequency via groupBy (map-side partial agg: a hot shingle's
+    // count combines per-partition before the shuffle), then anti-join away
+    // the hot shingles. A Window.partitionBy("_k") count would land every
+    // row of a hot shingle on ONE task — the exact skew the cap exists to
+    // bound. The hot set has at most |inv|/cap keys, so AQE broadcasts it
+    // in the common case; when it is genuinely large the anti-join is a
+    // plain shuffle join, still skew-free.
     val capped = maxDF.fold(inv) { cap =>
-      inv.withColumn("_df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("_k")))
-        .where(col("_df") <= cap).drop("_df")
+      val hot = inv.groupBy("_k").agg(count(lit(1)).as("_df"))
+        .where(col("_df") > cap).select("_k")
+      inv.join(hot, Seq("_k"), "left_anti")
     }
     // sizes from the SAME (possibly DF-capped) shingle space as the
     // intersections: mixing capped intersections with uncapped sizes would

@@ -28,21 +28,29 @@ object PipelineQueries {
       Some("""SELECT MIN(doc_id) AS doc_id FROM documents
              |GROUP BY text ORDER BY doc_id""".stripMargin)),
 
-    // --------------------------------------- exact n-gram Jaccard near-dup
+    // --------------------------------------- n-gram Jaccard near-dup
+    // DF cap active (the default): the oracle filters hot shingles with the
+    // same `HAVING COUNT(*) <= cap` predicate, so both sides compute
+    // Jaccard over the identical capped shingle space.
     Q("px2_dedup_ngram",
       (s, d) => Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
-        n = 3, threshold = 0.6)
+        n = 3, threshold = 0.6, maxDF = Some(Dedup.DefaultMaxDF))
         .orderBy("id1", "id2"),
-      Some("""WITH sh AS (
+      Some(s"""WITH sh0 AS (
              |  SELECT doc_id,
              |    unnest(list_distinct(list_transform(
              |      range(1, len(t) - 1),
              |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
              |  FROM (SELECT doc_id,
-             |          list_filter(string_split_regex(trim(text), '\s+'),
+             |          list_filter(string_split_regex(trim(text), '\\s+'),
              |                      x -> x <> '') AS t
              |        FROM documents)
              |  WHERE len(t) >= 3
+             |), hot AS (
+             |  SELECT g FROM sh0 GROUP BY g
+             |  HAVING COUNT(*) > ${Dedup.DefaultMaxDF}
+             |), sh AS (
+             |  SELECT doc_id, g FROM sh0 WHERE g NOT IN (SELECT g FROM hot)
              |), sizes AS (
              |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
              |), shared AS (

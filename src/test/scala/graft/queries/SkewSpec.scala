@@ -31,4 +31,43 @@ class SkewSpec extends AnyFunSuite {
       .select("_salt").distinct().count()
     assert(spread > 1, "salt must split the hot key across reducers")
   }
+
+  test("ngram DF cap is skew-safe: groupBy+anti-join bounds hot-shingle buckets") {
+    import spark.implicits._
+    import graft.pipeline.{Dedup, TextAnalysis}
+    // adversarial corpus: every doc carries the same hot boilerplate phrase,
+    // so uncapped candidate generation admits ALL C(60,2)=1770 pairs through
+    // the boilerplate shingles; each doc is otherwise unique
+    val boiler = "click here to accept all cookies on this site now"
+    val corpus = (1L to 60L)
+      .map(i => (i, s"$boiler document $i body ${i * 7} unique tail ${i * 13}"))
+      .toDF("doc_id", "text")
+    val cap = 10
+    val capped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDF = Some(cap))
+    // plan guard: the DF cap must be a partial-aggregating groupBy + anti
+    // join — a Window.partitionBy(shingle) count puts a hot shingle's whole
+    // bucket on one task, the exact skew the cap exists to bound
+    assert(!capped.queryExecution.executedPlan.toString.contains("Window"),
+      "DF cap must not be window-based")
+    // the boilerplate shingles exceed the cap and are dropped, so no pair
+    // survives on boilerplate alone
+    assert(capped.count() === 0L)
+    // every surviving inverted-index bucket is ≤ cap — the per-bucket
+    // quadratic term is bounded regardless of how hot the corpus is
+    val maxBucket = corpus
+      .select(col("doc_id"), explode(TextAnalysis.shingles(col("text"), 3)).as("_k"))
+      .groupBy("_k").count()
+      .where(col("count") <= cap)
+      .agg(max("count")).head().getLong(0)
+    assert(maxBucket <= cap)
+    // true duplicates under the cap are still found
+    val dup = "exactly the same long duplicated text body right here"
+    val withDups = corpus.unionByName(
+      Seq((100L, dup), (101L, dup)).toDF("doc_id", "text"))
+    val pairs = Dedup.ngramJaccardPairs(withDups, "doc_id", "text",
+      n = 3, threshold = 0.9, maxDF = Some(cap))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((100L, 101L)))
+  }
 }
