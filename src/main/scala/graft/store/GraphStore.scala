@@ -44,12 +44,79 @@ final class GraphStore[V] private (
     path: Path,
     val session: GraphSession[V],
     private var eventsIndex: Long,
-    lock: GraphStore.DirLock) {
+    lock: GraphStore.DirLock,
+    buffered: Boolean) {
 
   private var batchSeq: Long = 0
   private var closed = false
 
   private val opSchema = GraphStore.opSchema(model)
+
+  // ---------------------------------------------------- async WAL buffering
+  // The reference hides WAL write latency behind a bounded queue of pending
+  // txns drained by one background worker (PersistenceBuffering,
+  // /root/reference/library/GraphDB/Persistent.hs:108-117, worker loop
+  // Util/IOQueue.hs:20-48). Same shape here: one worker thread (FIFO — WAL
+  // order is batch order), a bounded queue (backpressure: an enqueue into a
+  // full buffer BLOCKS the caller instead of dropping or reordering), and a
+  // drain barrier on close. Durability trade, exactly the reference's: a
+  // buffered commit() is acknowledged before it is durable; a crash loses
+  // at most the buffered suffix, and because the worker is fail-stop (first
+  // failure poisons the queue — later writes are SKIPPED, not written
+  // around a hole) the surviving WAL is always a PREFIX of acked commits.
+  private val walFailure =
+    new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+  private val walExec: java.util.concurrent.ThreadPoolExecutor =
+    if (!buffered) null
+    else {
+      import java.util.concurrent._
+      new ThreadPoolExecutor(1, 1, 0L, TimeUnit.MILLISECONDS,
+        new ArrayBlockingQueue[Runnable](GraphStore.WalBufferDepth),
+        (r: Runnable) => {
+          val t = new Thread(r, s"graft-wal-$path"); t.setDaemon(true); t
+        },
+        new RejectedExecutionHandler {
+          def rejectedExecution(r: Runnable, e: ThreadPoolExecutor): Unit = {
+            if (e.isShutdown) throw new RejectedExecutionException("store is closed")
+            e.getQueue.put(r) // full buffer: block the caller (keeps FIFO)
+          }
+        })
+    }
+
+  private def enqueueWal(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    rethrowWalFailure()
+    walExec.execute { () =>
+      if (walFailure.get() == null) {
+        try writeWalBatch(name, df)
+        catch { case e: Throwable => walFailure.compareAndSet(null, e) }
+      }
+    }
+  }
+
+  private def rethrowWalFailure(): Unit = {
+    val e = walFailure.get()
+    if (e != null) throw new IllegalStateException(
+      "async WAL append failed; the store's WAL is the prefix of commits " +
+        "before the failure", e)
+  }
+
+  /** Barrier: block until every enqueued WAL batch is durably published,
+    * surfacing the first background failure — the IOQueue drain
+    * (Util/IOQueue.hs:40-48 `performUntilEmpty` on close).
+    */
+  def drain(): Unit = if (buffered) {
+    walExec.submit(new Runnable { def run(): Unit = () }).get()
+    rethrowWalFailure()
+  }
+
+  /** Test hook: park the WAL worker on `gate` so a spec can observe the
+    * buffered window deterministically.
+    */
+  private[graft] def stallWal(gate: java.util.concurrent.CountDownLatch): Unit =
+    if (buffered) walExec.execute { () =>
+      // interrupt = simulated process death via abandon(); not an error
+      try gate.await() catch { case _: InterruptedException => () }
+    }
 
   /** Apply pending ops and append them to the current events dir as one
     * parquet batch — the WAL append (Persistent.hs:108-117 analog; our
@@ -81,11 +148,59 @@ final class GraphStore[V] private (
       val rows = ops.zipWithIndex.map { case (op, i) =>
         GraphStore.opToRow(model, op, base + i.toLong)
       }
-      val dir = path.resolve(s"$eventsIndex.events").resolve(f"batch-$batchSeq%06d")
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), opSchema)
-        .write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), opSchema)
+      // buffered mode acknowledges BEFORE the write is durable (the
+      // reference's PersistenceBuffering trade): the log is cleared at
+      // enqueue, and a crash loses at most the buffered suffix — see the
+      // async-WAL block above. Synchronous mode keeps write-then-clear.
+      if (buffered) enqueueWal(f"batch-$batchSeq%06d", df)
+      else writeWalBatch(f"batch-$batchSeq%06d", df)
       session.clearLog()
       batchSeq += 1
+    }
+  }
+
+  /** Test-only fault injection: the next [[writeWalBatch]] throws AFTER the
+    * staging write, exercising the failure-cleanup path.
+    */
+  private[graft] var failNextWalPublish: Boolean = false
+
+  /** Durably append one WAL batch: write to `_staging/<name>`, then publish
+    * with an ATOMIC directory rename into the events dir. Two failure modes
+    * the reference's retryable-write promise (Storage.hs:154-177) requires:
+    *
+    *  - a failed write must not poison the slot: staging debris (ours
+    *    exclusively — the dir lock serializes writers) is cleared both
+    *    before an attempt and on its failure, so a retry of the SAME
+    *    batchSeq always starts clean instead of dying on ErrorIfExists
+    *    forever (which would also break close(), since close commits);
+    *  - a reader must never observe a half-written batch: the rename is the
+    *    publish point, so replay and live-tail followers either see the
+    *    complete batch (with its _SUCCESS marker already inside) or nothing.
+    *    Without staging there is a window between Spark's per-task file
+    *    renames and the _SUCCESS marker where a follower can apply ops the
+    *    writer then loses in crash recovery (phantom ops).
+    */
+  private def writeWalBatch(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    val staging = path.resolve("_staging").resolve(name)
+    val target = path.resolve(s"$eventsIndex.events").resolve(name)
+    GraphStore.deleteRecursively(staging)
+    // a target dir without _SUCCESS was never acknowledged to anyone
+    // (pre-staging debris or tampering) — clear it rather than failing
+    if (Files.exists(target) && !Files.exists(target.resolve("_SUCCESS")))
+      GraphStore.deleteRecursively(target)
+    try {
+      df.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+      if (failNextWalPublish) {
+        failNextWalPublish = false
+        throw new RuntimeException("injected WAL publish failure (test hook)")
+      }
+      Files.createDirectories(target.getParent)
+      Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case e: Throwable =>
+        GraphStore.deleteRecursively(staging)
+        throw e
     }
   }
 
@@ -120,10 +235,12 @@ final class GraphStore[V] private (
       val rows = delta.rdd.zipWithIndex().map { case (r, i) =>
         Row(base + i, "add", null, r.getLong(0), r.getLong(1), null, null)
       }
-      val dir = path.resolve(s"$eventsIndex.events")
-        .resolve(f"batch-$batchSeq%06d-bulk")
-      spark.createDataFrame(rows, schema)
-        .write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+      val df = spark.createDataFrame(rows, schema)
+      // routed through the same queue in buffered mode: a bulk batch that
+      // landed while an earlier driver-op batch was still queued would
+      // survive a crash as a non-prefix WAL (hole before it) otherwise
+      if (buffered) enqueueWal(f"batch-$batchSeq%06d-bulk", df)
+      else writeWalBatch(f"batch-$batchSeq%06d-bulk", df)
       batchSeq += 1
       session.applyBulkTargets(delta)
     }
@@ -136,6 +253,8 @@ final class GraphStore[V] private (
   def close(): Unit = {
     if (closed) return
     commit()
+    drain() // final batch (and any buffered ones) durable before checkpoint
+    if (buffered) walExec.shutdown()
     val st = session.applied()
     val reach = Reachability.reachable(st.edges, Seq(session.root))
     val ckptDir = path.resolve(s"$eventsIndex.checkpoint")
@@ -149,7 +268,7 @@ final class GraphStore[V] private (
       .repartition(col("src"))
       .write.parquet(ckptDir.resolve("index").toString)
     Files.writeString(ckptDir.resolve("_meta.json"),
-      s"""{"nextId": ${session.idWatermark}}""")
+      s"""{"formatVersion": ${GraphStore.FormatVersion}, "nextId": ${session.idWatermark}}""")
     GraphStore.cleanUp(path, eventsIndex)
     lock.release()
     closed = true
@@ -158,10 +277,38 @@ final class GraphStore[V] private (
   /** Test hook: simulate process death — drop the dir lock WITHOUT
     * checkpointing (a real crash releases the OS file lock implicitly).
     */
-  private[graft] def abandon(): Unit = { lock.release(); closed = true }
+  private[graft] def abandon(): Unit = {
+    if (buffered) walExec.shutdownNow() // queued WAL batches die with the "process"
+    lock.release(); closed = true
+  }
 }
 
 object GraphStore {
+
+  /** On-disk store format version, stamped into every checkpoint's
+    * _meta.json. The open/snapshot gate below is the single-process analog
+    * of the reference's client/server model-version handshake
+    * (/root/reference/library/GraphDB.hs:169-174, `ClientFailure`'s
+    * version-mismatch refusal): a store written by an incompatible layout
+    * must be refused with a typed error, not half-read into silent
+    * corruption.
+    */
+  val FormatVersion: Int = 1
+
+  /** Typed refusal for a store whose on-disk format this build cannot
+    * read — the `ClientFailure` analog.
+    */
+  final class IncompatibleStoreFormatException(val found: Int, val where: String)
+    extends IllegalStateException(
+      s"store at $where has format version $found; this build supports " +
+        s"version $FormatVersion — migrate the store or upgrade the library")
+
+  private def checkFormat(meta: String, where: String): Unit = {
+    val found = """"formatVersion":\s*(\d+)""".r.findFirstMatchIn(meta)
+      .map(_.group(1).toInt).getOrElse(1) // pre-gate stores are version 1
+    if (found != FormatVersion)
+      throw new IncompatibleStoreFormatException(found, where)
+  }
 
   /** Open (or create) a persistent session at `path` — the analog of
     * `runPersistentSession` (GraphDB.hs:152-156).
@@ -199,18 +346,34 @@ object GraphStore {
     def release(): Unit = { flock.release(); channel.close() }
   }
 
+  /** Bounded depth of the async WAL buffer (the reference's IOQueue is
+    * constructed with a caller-chosen bound, GraphDB.hs:152-156 passing
+    * `buffering`; we fix a depth that keeps at most 64 small op batches
+    * in flight).
+    */
+  val WalBufferDepth: Int = 64
+
+  /** Open (or create) a persistent session. `buffered = true` enables the
+    * async WAL append (see the buffering block in [[GraphStore]]): commit()
+    * returns after enqueue, close() drains.
+    */
   def open[V](spark: SparkSession, model: GraphModel[V], rootValue: V,
-      dir: String): GraphStore[V] = {
+      dir: String, buffered: Boolean = false): GraphStore[V] = {
     val path = Paths.get(dir)
     Files.createDirectories(path)
     Files.createDirectories(path.resolve("archive"))
     val lock = new DirLock(path.resolve("lock"))
-    try openLocked(spark, model, rootValue, path, lock)
+    try openLocked(spark, model, rootValue, path, lock, buffered)
     catch { case e: Throwable => lock.release(); throw e }
   }
 
   private def openLocked[V](spark: SparkSession, model: GraphModel[V],
-      rootValue: V, path: Path, lock: DirLock): GraphStore[V] = {
+      rootValue: V, path: Path, lock: DirLock, buffered: Boolean): GraphStore[V] = {
+
+    // staging debris is an un-published WAL batch from a crash mid-commit:
+    // never acknowledged, never readable (the events glob excludes
+    // _staging), safe to drop wholesale
+    deleteRecursively(path.resolve("_staging"))
 
     // _meta.json is written LAST in close(), so it is the checkpoint's
     // commit marker: a dir without it is a partial write from a crash
@@ -227,10 +390,11 @@ object GraphStore {
     val (session, replayedThrough) = latest match {
       case Some(c) =>
         val ckpt = path.resolve(s"$c.checkpoint")
+        val meta = Files.readString(ckpt.resolve("_meta.json"))
+        checkFormat(meta, ckpt.toString) // refuse BEFORE reading any parquet
         val nodes = spark.read.parquet(ckpt.resolve("nodes").toString)
         val edges = spark.read.parquet(ckpt.resolve("edges").toString)
         val index = spark.read.parquet(ckpt.resolve("index").toString)
-        val meta = Files.readString(ckpt.resolve("_meta.json"))
         val nextId = """"nextId":\s*(\d+)""".r.findFirstMatchIn(meta)
           .map(_.group(1).toLong).getOrElse(0L)
         val st = GraphState(spark, model, nodes, edges, index).checkpointed()
@@ -253,7 +417,8 @@ object GraphStore {
       require(id == 0L)
     }
     new GraphStore(spark, model, path, session,
-      eventsIndex = math.max(replayedThrough, latest.getOrElse(0L)) + 1, lock)
+      eventsIndex = math.max(replayedThrough, latest.getOrElse(0L)) + 1, lock,
+      buffered)
   }
 
   /** Committed checkpoint indices available for [[snapshot]] reads — live
@@ -289,6 +454,7 @@ object GraphStore {
       .find(p => Files.exists(p.resolve("_meta.json")))
       .getOrElse(throw new NoSuchElementException(
         s"no committed checkpoint $index at $dir (have: ${snapshots(dir).mkString(",")})"))
+    checkFormat(Files.readString(ckpt.resolve("_meta.json")), ckpt.toString)
     GraphState(spark, model,
       spark.read.parquet(ckpt.resolve("nodes").toString),
       spark.read.parquet(ckpt.resolve("edges").toString),

@@ -47,10 +47,34 @@ object OplogStream {
     checkpointDir.foreach(c => writer.option("checkpointLocation", c))
     writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        state = applyOpBatch(model, state, batch)
+        state = applyOpBatch(model, state, admitCommitted(batch))
         onBatch(state)
       }
       .start()
+  }
+
+  /** Admit only rows from batch dirs carrying Spark's `_SUCCESS` commit
+    * marker. The writer publishes batches with an atomic directory rename
+    * (graft.store.GraphStore.writeWalBatch), so with a current-format store
+    * this filter never drops anything — it is defense against legacy or
+    * tampered stores where a torn batch dir (no marker) could otherwise be
+    * applied by the follower and then dropped by the writer's crash
+    * recovery (phantom ops). Rows dropped here are dropped PERMANENTLY for
+    * this follower (the file source has marked their files seen) — exactly
+    * the recovery semantics: an unmarked batch was never acknowledged.
+    */
+  private[streaming] def admitCommitted(batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val withPath = batch.withColumn("_path", input_file_name())
+    // distinct file paths are bounded by maxFilesPerTrigger — driver-sized
+    val torn = withPath.select("_path").distinct().collect()
+      .map(_.getString(0))
+      .filter { p =>
+        val dir = java.nio.file.Paths.get(java.net.URI.create(p).getPath).getParent
+        !java.nio.file.Files.exists(dir.resolve("_SUCCESS"))
+      }
+    if (torn.isEmpty) batch
+    else withPath.where(!col("_path").isin(torn.toIndexedSeq: _*)).drop("_path")
   }
 
   /** Apply one op-batch DataFrame, preserving total op order (seq).

@@ -237,6 +237,112 @@ class GraphStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("failed WAL publish is retryable: slot not poisoned, retry succeeds") {
+    val dir = tmpDir().toString
+    val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val a = s1.session.newNode(Artist(1, "Retry"))
+    s1.session.addTarget(s1.session.root, a)
+    s1.failNextWalPublish = true
+    val e = intercept[RuntimeException] { s1.commit() }
+    assert(e.getMessage.contains("injected"))
+    // the ops are still drainable and the batch slot is clean — the retry
+    // (and close(), which commits) must succeed, per the docstring promise
+    // mirroring /root/reference/library/GraphDB/Storage.hs:154-177
+    s1.commit()
+    s1.abandon() // crash without checkpoint: reopen replays the retried batch
+    val s2 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    assert(s2.session.getStats() === ((2L, 1L, 2L)))
+    assert(s2.session.getValue(a) === Artist(1, "Retry"))
+    s2.close()
+  }
+
+  test("unmarked batch debris in the events dir cannot poison commit") {
+    val dir = tmpDir()
+    val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    // debris squatting on the exact slot the next commit will use — the
+    // old (pre-staging) failure mode where ErrorIfExists then fails every
+    // retry including close()
+    val debris = dir.resolve("1.events").resolve("batch-000000")
+    Files.createDirectories(debris)
+    Files.writeString(debris.resolve("part-00000.parquet"), "garbage")
+    val a = s1.session.newNode(Artist(2, "Wins"))
+    s1.session.addTarget(s1.session.root, a)
+    s1.commit() // must clear the unmarked debris and publish
+    assert(Files.exists(debris.resolve("_SUCCESS")))
+    s1.close()
+    val s2 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    assert(s2.session.getStats() === ((2L, 1L, 2L)))
+    s2.close()
+  }
+
+  test("format version gate refuses a bumped-version store with a typed error") {
+    val dir = tmpDir()
+    val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    s1.session.addTarget(s1.session.root, s1.session.newNode(Artist(1, "A")))
+    s1.close()
+    val meta = dir.resolve("1.checkpoint").resolve("_meta.json")
+    val original = Files.readString(meta)
+    assert(original.contains(s""""formatVersion": ${GraphStore.FormatVersion}"""))
+    Files.writeString(meta,
+      original.replace(s""""formatVersion": ${GraphStore.FormatVersion}""",
+        """"formatVersion": 99"""))
+    val e = intercept[GraphStore.IncompatibleStoreFormatException] {
+      GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    }
+    assert(e.found === 99)
+    // refusal is read-only: restoring the stamp makes the store usable again
+    Files.writeString(meta, original)
+    val s2 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    assert(s2.session.getStats() === ((2L, 1L, 2L)))
+    s2.close()
+  }
+
+  test("buffered WAL: commit acks before publish; drain/close make it durable") {
+    val dir = tmpDir()
+    val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString,
+      buffered = true)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    s1.stallWal(gate)
+    val a = s1.session.newNode(Artist(1, "Buffered"))
+    s1.session.addTarget(s1.session.root, a)
+    s1.commit()
+    // the worker is parked, yet commit returned — proof the parquet write
+    // is off the caller; nothing has been published
+    assert(!Files.exists(dir.resolve("1.events")),
+      "commit must not publish synchronously in buffered mode")
+    gate.countDown()
+    s1.drain()
+    assert(Files.exists(
+      dir.resolve("1.events").resolve("batch-000000").resolve("_SUCCESS")))
+    s1.close()
+    val s2 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    assert(s2.session.getStats() === ((2L, 1L, 2L)))
+    assert(s2.session.getValue(a) === Artist(1, "Buffered"))
+    s2.close()
+  }
+
+  test("buffered WAL crash loses exactly the buffered suffix (prefix property)") {
+    val dir = tmpDir().toString
+    val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir,
+      buffered = true)
+    val g = s1.session
+    val a = g.newNode(Artist(1, "Durable"))
+    g.addTarget(g.root, a)
+    s1.commit()
+    s1.drain() // batch 0 durable
+    val durableStats = g.getStats()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    s1.stallWal(gate)
+    val b = g.newNode(Song("Lost"))
+    g.addTarget(g.root, b)
+    s1.commit() // acked, queued behind the stalled worker — never published
+    s1.abandon() // crash: the buffered suffix dies with the process
+    val s2 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    assert(s2.session.getStats() === durableStats,
+      "reopen must restore exactly the durable prefix")
+    s2.close()
+  }
+
   test("random update mix preserves stats across restart (APITests analog)") {
     // weighted mix per APITests/Catalogue.hs:148-209, driver-side shadow
     // for target selection, sized for Spark job latency

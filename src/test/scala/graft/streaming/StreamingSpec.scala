@@ -230,6 +230,54 @@ class StreamingSpec extends AnyFunSuite {
     store.close()
   }
 
+  test("follower admits only _SUCCESS-committed batches (no phantom ops)") {
+    val dir = Files.createTempDirectory("graft-oplog-torn-")
+    val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    val g = store.session
+    val a = g.newNode(Artist(1, "Real"))
+    g.addTarget(g.root, a)
+    store.commit()
+
+    // craft a torn batch: VALID parquet op rows but no _SUCCESS marker —
+    // the debris a crashed legacy (pre-atomic-publish) writer could leave.
+    // Built through a scratch store so the rows are real op rows whose
+    // phantom NewNodes would visibly change the node count if applied.
+    val scratchDir = Files.createTempDirectory("graft-oplog-scratch-")
+    val scratch = GraphStore.open(spark, CatalogueModel, CatRoot: Cat,
+      scratchDir.toString)
+    // pad the id space so the phantom's id collides with NO real node id
+    (1 to 10).foreach(i => scratch.session.newNode(Song(s"pad-$i")))
+    val phantom = scratch.session.newNode(Artist(99, "Phantom"))
+    scratch.session.addTarget(scratch.session.root, phantom)
+    scratch.commit()
+    scratch.abandon()
+    val torn = dir.resolve("1.events").resolve("batch-000099")
+    Files.createDirectories(torn)
+    val src = scratchDir.resolve("1.events").resolve("batch-000000")
+    Files.list(src).iterator().forEachRemaining { p =>
+      val n = p.getFileName.toString
+      if (n != "_SUCCESS") Files.copy(p, torn.resolve(n))
+    }
+    assert(!Files.exists(torn.resolve("_SUCCESS")))
+
+    // a second real (atomically published) batch after the torn one
+    val b = g.newNode(Song("AlsoReal"))
+    g.addTarget(g.root, b)
+    store.commit()
+
+    var last: Option[GraphState[Cat]] = None
+    val q = OplogStream.follow[Cat](spark, CatalogueModel, dir.toString,
+      st => last = Some(st))
+    q.awaitTermination(120000)
+    val st = last.get
+    // both committed batches applied, the torn batch's phantom rows dropped
+    assert(st.nodes.count() === g.applied().nodes.count())
+    assert(st.nodes.where(col("id") === phantom).count() === 0L,
+      "phantom ops from an unmarked batch must never be applied")
+    assert(st.edges.count() === g.applied().edges.count())
+    store.close()
+  }
+
   test("follower dedupes repeated SetValue on one id within a WAL batch") {
     val dir = Files.createTempDirectory("graft-oplog-set-").toString
     val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
