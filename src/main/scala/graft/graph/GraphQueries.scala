@@ -63,24 +63,45 @@ object GraphQueries {
   // (the reference's runPersistentSession model) — so the bulk-loaded state
   // is memoized per (session, dir, variant) and materialized via
   // localCheckpoint: the first query pays the index derivation, subsequent
-  // hops read cached partitions. The outer map is WEAK-keyed on the
-  // SparkSession object itself: a stopped session's entries become
-  // collectable (no stale-context hits, no unbounded retention).
+  // hops read cached partitions. Keyed on `sessionUUID`, NOT weakly on the
+  // SparkSession object: a WeakHashMap entry whose VALUE (the cached
+  // GraphState's DataFrames) strongly references its key's session can
+  // never be collected, so the weak keying was unbounded retention in
+  // disguise. Eviction is explicit instead: a context-shutdown listener
+  // clears the map (the cached plans are unusable once their context
+  // stops), and [[evictSession]] drops one session's entries.
   private val built =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.concurrent.ConcurrentHashMap[String,
       java.util.concurrent.ConcurrentHashMap[(String, Boolean), GraphState[GeoV]]]()
+  private val evictorInstalled =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Drop the cached geo-graph states of one session (by `sessionUUID`). */
+  def evictSession(sessionUUID: String): Unit = built.remove(sessionUUID)
+
+  private[graph] def cachedSessions: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    built.keySet.asScala.toSet
+  }
 
   /** Bulk-load the geo graph from the parquet tables — all derivation stays
     * distributed (no collect): node/edge DataFrames are column projections,
     * the index is a join + flatMap over the model's key emission.
     */
   def geoGraph(s: SparkSession, d: String, withCustomers: Boolean): GraphState[GeoV] = {
-    val perSession = built.synchronized {
-      built.computeIfAbsent(s, _ =>
+    evictorInstalled.computeIfAbsent(s.sparkContext.applicationId, _ => {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          built.clear() // every cached plan belonged to the stopped context
+      })
+      java.lang.Boolean.TRUE
+    })
+    built
+      .computeIfAbsent(org.apache.spark.sql.GraftShim.sessionUUID(s), _ =>
         new java.util.concurrent.ConcurrentHashMap[(String, Boolean), GraphState[GeoV]]())
-    }
-    perSession.computeIfAbsent((d, withCustomers),
-      _ => buildGeoGraph(s, d, withCustomers).checkpointed())
+      .computeIfAbsent((d, withCustomers),
+        _ => buildGeoGraph(s, d, withCustomers).checkpointed())
   }
 
   private def buildGeoGraph(s: SparkSession, d: String, withCustomers: Boolean): GraphState[GeoV] = {

@@ -57,11 +57,15 @@ object Dedup {
     // materialize the shingle sets once: the plan references them 4× (both
     // self-join sides + both size lookups) and Catalyst does not reuse
     // non-exchange subtrees, so without this the corpus is scanned and
-    // re-shingled four times per run
+    // re-shingled four times per run. localCheckpoint, NOT persist(): a
+    // persist entry lives in the session's CacheManager until an explicit
+    // unpersist nobody is positioned to call, so every invocation would
+    // leak a MEMORY_AND_DISK entry for the session's lifetime; checkpoint
+    // blocks are owned by the returned plan and are GC-reclaimed with it
     val sh = df.select(col(idCol).as("_id"),
       TextAnalysis.shingles(col(textCol), n).as("_sh"))
       .where(size(col("_sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val inv = sh.select(col("_id"), explode(col("_sh")).as("_k"))
     // document frequency via groupBy (map-side partial agg: a hot shingle's
     // count combines per-partition before the shuffle), then anti-join away
@@ -117,12 +121,16 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.6,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     // materialized once — referenced by banding, the inverted index, and
-    // the size lookups (see ngramJaccardPairs); persist keeps lineage so
-    // an executor loss recomputes instead of failing the job
+    // the size lookups (see ngramJaccardPairs, incl. why this is a
+    // localCheckpoint and not a CacheManager-leaking persist). The trade:
+    // checkpoint truncates lineage, so an executor loss re-runs the job
+    // instead of recomputing the lost partitions — acceptable for a
+    // bounded-size intermediate; the alternative leaks storage memory on
+    // every call
     val sh = df.select(col(idCol).as("_id"),
       TextAnalysis.shingles(col(textCol), n).as("_sh"))
       .where(size(col("_sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // bucket = (band position, band hash); pairs within a bucket
     val withBand = sh
       .select(col("_id"), posexplode(minhashBands(col("_sh"), numHashes, bands)))

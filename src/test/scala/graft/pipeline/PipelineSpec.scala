@@ -57,6 +57,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(p2.contains((1L, 2L)))
   }
 
+  test("dedup operators leave no session-lifetime cache entries") {
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6).count()
+    Dedup.minhashPairs(docs, "doc_id", "text", 3, 0.6, 64, 16).count()
+    // the shingle materialization must be plan-owned (localCheckpoint),
+    // not a CacheManager persist() nobody is positioned to release —
+    // otherwise every invocation leaks MEMORY_AND_DISK storage for the
+    // session's lifetime
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "pipeline operators must not register unreleased cache entries")
+  }
+
   test("simhash pairs respect the hamming radius and are found via banding") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).collect()
     assert(pairs.forall(_.getAs[Number]("hamming").longValue <= 3))
