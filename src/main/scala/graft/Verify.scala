@@ -29,6 +29,25 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Auxiliary oracle inputs: hash signatures DuckDB cannot recompute
+    // (xxhash64 / seeded-hyperplane based). Dumped to a FIXED path that the
+    // px4/px10 oracle SQL reads directly — the oracle then re-derives the
+    // banding join and exact verify QUADRATICALLY in DuckDB, independent
+    // ground truth for the banded equi-join implementations.
+    locally {
+      import org.apache.spark.sql.functions.col
+      val aux = "/tmp/graft_verify_aux"
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          functions.SimHash64(pipeline.TextAnalysis.tokens(col("text"))).as("h"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$aux/px4_simhash")
+      val embs = Tables.load(spark, sfDir, "embeddings")
+      pipeline.Similarity.lshSignatures(embs, "vec_id", "embedding", dim = 64)
+        .coalesce(1).write.mode("overwrite").parquet(s"$aux/px10_sigs")
+      pipeline.Similarity.lshSignatures(embs, "vec_id", "embedding", dim = 64,
+        bits = 6, tables = 8) // px11's banding parameters
+        .coalesce(1).write.mode("overwrite").parquet(s"$aux/px11_sigs")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -67,17 +67,57 @@ object PipelineQueries {
              |ORDER BY id1, id2""".stripMargin)),
 
     // ----------------------------------------------- MinHash+LSH (verified)
+    // Oracle = the UNCAPPED exact n-gram Jaccard pairs: every emitted pair
+    // is exactly verified (precision 1 by construction), and on this corpus
+    // the 16×4 banding's recall is exactly 1 — deterministic (the hashes
+    // are seeded xxhash64, no RNG), so the oracle asserts the strong
+    // statement "the LSH path returns precisely the true pairs here".
+    // PipelineSpec independently cross-checks minhash == exact at sf0.001.
     Q("px3_dedup_minhash",
       (s, d) => Dedup.minhashPairs(docs(s, d), "doc_id", "text",
         n = 3, threshold = 0.6, numHashes = 64, bands = 16)
         .orderBy("id1", "id2"),
-      None),
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |    unnest(list_distinct(list_transform(
+             |      range(1, len(t) - 1),
+             |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+             |  FROM (SELECT doc_id,
+             |          list_filter(string_split_regex(trim(text), '\s+'),
+             |                      x -> x <> '') AS t
+             |        FROM documents)
+             |  WHERE len(t) >= 3
+             |), sizes AS (
+             |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+             |), shared AS (
+             |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+             |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |)
+             |SELECT id1, id2,
+             |  ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+             |FROM shared
+             |JOIN sizes sa ON sa.doc_id = id1
+             |JOIN sizes sb ON sb.doc_id = id2
+             |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
+             |ORDER BY id1, id2""".stripMargin)),
 
     // --------------------------------------------------------- SimHash
+    // Oracle reads the per-doc 64-bit simhash exported by graft.Verify
+    // (DuckDB has no xxhash64) and recomputes the radius search as a FULL
+    // O(n²) hamming join — independent ground truth proving the pigeonhole
+    // chunk-banding equi-join finds exactly the pairs within the radius.
     Q("px4_dedup_simhash",
       (s, d) => Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)
+        .select(col("id1"), col("id2"), col("hamming").cast("bigint").as("hamming"))
         .orderBy("id1", "id2"),
-      None),
+      Some("""WITH h AS (
+             |  SELECT * FROM '/tmp/graft_verify_aux/px4_simhash/*.parquet')
+             |SELECT a.doc_id AS id1, b.doc_id AS id2,
+             |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+             |FROM h a JOIN h b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.h, b.h)) <= 3
+             |ORDER BY id1, id2""".stripMargin)),
 
     // ---------------------------------------------------- token counting
     Q("px5_text_tokens",
@@ -180,6 +220,10 @@ object PipelineQueries {
       None),
 
     // ---------------------------------------------- similarity: LSH path
+    // Oracle reads the per-(vector, table) bucket signatures exported by
+    // graft.Verify and re-derives the SAME candidate set quadratically in
+    // DuckDB, then reranks by exact cosine with identical tie-breaking —
+    // ground truth for the bucketed equi-join + windowed top-k pipeline.
     Q("px10_sim_lsh",
       (s, d) => {
         val e = embs(s, d)
@@ -190,18 +234,48 @@ object PipelineQueries {
           .select("qid", "nbr", "rank")
           .orderBy("qid", "rank")
       },
-      None),
+      Some("""WITH sig AS (
+             |  SELECT * FROM '/tmp/graft_verify_aux/px10_sigs/*.parquet'),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cand AS (
+             |  SELECT DISTINCT q.id AS qid, c.id AS nbr
+             |  FROM sig q JOIN sig c ON q.t = c.t AND q.b = c.b
+             |  WHERE q.id < 20 AND q.id <> c.id),
+             |scored AS (
+             |  SELECT qid, nbr,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY ROUND(list_cosine_similarity(eq.v, ec.v), 6) DESC,
+             |               nbr) AS rank
+             |  FROM cand
+             |  JOIN e eq ON eq.vec_id = qid
+             |  JOIN e ec ON ec.vec_id = nbr)
+             |SELECT qid, nbr, rank FROM scored WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin)),
 
     // ------------------------------------- embedding-cosine near-dup pairs
     // threshold 0.35 ≈ the 99.9th percentile of pairwise cosine in this
     // corpus (synthetic embeddings have no true near-dups; this exercises
     // the same plan a 0.95-threshold run has on a real corpus)
+    // Oracle: same aux-export pattern as px10 — DuckDB re-derives the
+    // 6-bit × 8-table bucket candidates quadratically and applies the
+    // exact cosine threshold, verifying the full bucketed near-dup join.
     Q("px11_embed_neardup",
       (s, d) => Similarity.embeddingNearDupPairs(
         embs(s, d), "vec_id", "embedding", dim = 64, threshold = 0.35,
         bits = 6, tables = 8)
         .select("id1", "id2").orderBy("id1", "id2"),
-      None),
+      Some("""WITH sig AS (
+             |  SELECT * FROM '/tmp/graft_verify_aux/px11_sigs/*.parquet'),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cand AS (
+             |  SELECT DISTINCT a.id AS id1, b.id AS id2
+             |  FROM sig a JOIN sig b ON a.t = b.t AND a.b = b.b AND a.id < b.id)
+             |SELECT id1, id2
+             |FROM cand
+             |JOIN e e1 ON e1.vec_id = id1
+             |JOIN e e2 ON e2.vec_id = id2
+             |WHERE ROUND(list_cosine_similarity(e1.v, e2.v), 6) >= 0.35
+             |ORDER BY id1, id2""".stripMargin)),
 
     // ------------------------------------------- deterministic sampling
     // The sampled ROWS are hash-chosen (Spark-only); the oracle checks the

@@ -86,6 +86,21 @@ object Similarity {
       .select(col("qid"), col("nbr"), col("rank"), col("sim"))
   }
 
+  /** Per-table LSH bucket signatures as rows (id, t, b) — the audit export
+    * that lets an external checker recompute the bucketed candidate join
+    * independently (graft.Verify dumps this so the DuckDB oracle of
+    * px10_sim_lsh can re-derive candidates QUADRATICALLY and rerank them
+    * exactly — ground truth for the whole bucket-join + rank pipeline).
+    * Must stay parameter-compatible with [[lshTopK]]: same seeded
+    * hyperplanes per (table, dim, bits).
+    */
+  def lshSignatures(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      bits: Int = 8, tables: Int = 8): DataFrame =
+    (0 until tables).map { t =>
+      df.select(col(idCol).as("id"), lit(t).as("t"),
+        signature(col(vecCol), hyperplanes(dim, bits, t)).as("b"))
+    }.reduce(_ unionByName _)
+
   /** IVF-flat ANN: the coarse-quantizer scale path (FAISS-style).
     *
     * Train: `nlist` centroids = deterministic corpus sample (smallest
