@@ -12,12 +12,16 @@ import graft.graph.GraphQueries
 object AnalyticsQueries {
 
   val all: Seq[Q] = Seq(
-    // Pregel BFS over the geo graph: node count per depth. The oracle knows
-    // the topology: depth 0 = root, 1 = regions, 2 = nations, 3 = customers.
+    // BFS over the geo graph: node count per depth. The oracle knows the
+    // topology: depth 0 = root, 1 = regions, 2 = nations, 3 = customers.
+    // Routed through the bounded-diameter DataFrame frontier loop (this
+    // graph is depth ≤ 3 by construction); AnalyticsSpec cross-checks it
+    // against the GraphX Pregel route, which remains the path for graphs
+    // of unknown/unbounded diameter.
     Q("ga1_pregel_bfs_depths",
       (s, d) => {
         val g = GraphQueries.geoGraph(s, d, withCustomers = true)
-        GraphAnalytics.bfsDepths(g.edges, root = 0L)
+        GraphAnalytics.bfsDepthsBounded(g.edges, root = 0L, maxDepth = 8)
           .groupBy("depth").agg(count(lit(1)).as("cnt"))
           .orderBy("depth")
       },

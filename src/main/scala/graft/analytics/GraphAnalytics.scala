@@ -53,6 +53,44 @@ object GraphAnalytics {
       .groupBy("id").agg(min("depth").as("depth"))
   }
 
+  /** BFS depths via a DataFrame frontier loop — the fast route for graphs
+    * of KNOWN small diameter (this schema's geo graph is depth ≤ 3).
+    * GraphX Pregel carries a ~3-5 s fixed overhead (RDD conversion +
+    * per-superstep vertex/edge joins) regardless of input size; the
+    * frontier loop is the same dataflow as graft.graph.Reachability — a
+    * broadcast semi-join per level while the frontier is small, shuffle
+    * when it is not — and costs only what the levels cost. Semantically
+    * exact when the true eccentricity of `root` is ≤ `maxDepth`; the loop
+    * stops early on an empty frontier, and `maxDepth` is the safety bound
+    * for callers who misjudge the diameter (use [[bfsDepths]] / Pregel
+    * when the diameter is unknown or unbounded).
+    */
+  def bfsDepthsBounded(edges: DataFrame, root: Long, maxDepth: Int = 16): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var visited = Seq((root, 0L)).toDF("id", "depth").localCheckpoint(true)
+    var frontier = visited.select("id")
+    var depth = 0L
+    var frontierSize = 1L
+    while (frontierSize > 0 && depth < maxDepth) {
+      depth += 1
+      val fr = if (frontierSize <= 5_000_000L) broadcast(frontier) else frontier
+      val next = edges
+        .join(fr, edges("src") === fr("id"), "left_semi")
+        .select(col("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      frontierSize = next.count()
+      if (frontierSize > 0) {
+        visited = visited
+          .unionByName(next.withColumn("depth", lit(depth)))
+          .localCheckpoint(true)
+        frontier = next
+      }
+    }
+    visited
+  }
+
   /** Undirected connected components (GraphX built-in). Returns
     * DataFrame(id, component) with component = min vertex id.
     */

@@ -101,7 +101,7 @@ object GraphQueries {
       .computeIfAbsent(org.apache.spark.sql.GraftShim.sessionUUID(s), _ =>
         new java.util.concurrent.ConcurrentHashMap[(String, Boolean), GraphState[GeoV]]())
       .computeIfAbsent((d, withCustomers),
-        _ => buildGeoGraph(s, d, withCustomers).checkpointed())
+        _ => buildGeoGraph(s, d, withCustomers)) // bulkLoad materializes stage-wise
   }
 
   private def buildGeoGraph(s: SparkSession, d: String, withCustomers: Boolean): GraphState[GeoV] = {

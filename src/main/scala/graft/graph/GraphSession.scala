@@ -122,7 +122,7 @@ final class GraphSession[V] private (
         // localCheckpoint after EVERY run: index derivation references the
         // nodes plan twice, so without truncation the logical plan doubles
         // per run (2^runs blowup in the analyzer)
-        state = (run.head match {
+        state = try (run.head match {
           case _: NewNode[_] =>
             state.withNewNodes(run.collect { case NewNode(id, v) => (id, v) }.toSeq)
           case _: SetValue[_] =>
@@ -136,6 +136,15 @@ final class GraphSession[V] private (
           case _: RemoveNode[_] =>
             state.withoutNodes(run.collect { case RemoveNode(id) => id }.toSeq)
         }).checkpointed()
+        catch {
+          // the in-plan setValue guard (GraphState.withValues raise_error)
+          // fires during checkpointed()'s materialization as a wrapped
+          // SparkException — translate back to the session contract's
+          // typed error (the reference's invalid-ref failure)
+          case e: Throwable if GraphSession.unknownIdMessage(e).isDefined =>
+            throw new IllegalArgumentException(
+              GraphSession.unknownIdMessage(e).get, e)
+        }
       }
       opLog ++= pending
       pending.clear()
@@ -185,6 +194,14 @@ final class GraphSession[V] private (
 }
 
 object GraphSession {
+
+  /** Extract the in-plan setValue guard's message from a wrapped Spark
+    * failure (searches a bounded cause chain).
+    */
+  private def unknownIdMessage(e: Throwable): Option[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+      .map(t => Option(t.getMessage).getOrElse(""))
+      .find(_.contains("unknown node id"))
 
   /** In-memory session with an initial root value — the analog of
     * `runNonpersistentSession` (GraphDB.hs:128-131).

@@ -50,23 +50,39 @@ object GraphState {
     * derived in a single pass: edges ⋈ nodes(dst) ⋈ nodes(src) → flatMap
     * over the model's key emission (the reference does the same work
     * edge-at-a-time in `addTarget`, Graph.hs:57-61).
+    *
+    * The three tables materialize CONCURRENTLY (independent jobs submitted
+    * from separate threads — Spark's scheduler interleaves them): the
+    * wall-clock of the load is max(nodes, edges, index) instead of their
+    * sum. Each job scans the ingest input independently, trading one extra
+    * read for full overlap — on a cluster the scans are the same parquet
+    * splits server-side cached anyway.
     */
   def bulkLoad[V](
       spark: SparkSession,
       model: GraphModel[V],
       nodes: DataFrame,
       edges: DataFrame): GraphState[V] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
     val dedupEdges = edges.select(
       col("src").cast(LongType), col("dst").cast(LongType)).distinct()
-    val st = GraphState(spark, model, nodes, dedupEdges,
-      deriveIndex(model, nodes, dedupEdges))
-    st.repartitioned()
+    val nodesF = Future(nodes.localCheckpoint(true))
+    val edgesF = Future(
+      dedupEdges.repartition(col("src")).localCheckpoint(true))
+    val indexF = Future(deriveIndex(model, nodes, dedupEdges)
+      .repartition(col("src")).localCheckpoint(true))
+    GraphState(spark, model,
+      Await.result(nodesF, Duration.Inf),
+      Await.result(edgesF, Duration.Inf),
+      Await.result(indexF, Duration.Inf))
   }
 
   /** Index rows for an edge delta: one row per key the model emits for
     * (targetValue, sourceValue). Runs as a distributed join + flatMap.
     */
-  private[graph] def deriveIndex[V](
+  private[graft] def deriveIndex[V](
       model: GraphModel[V], nodes: DataFrame, edgeDelta: DataFrame): DataFrame = {
     val dstVals = nodes.select(col("id").as("dst"),
       col("kind").as("_dk"), col("value").as("_dv"))
@@ -164,14 +180,26 @@ final case class GraphState[V](
     val delta = rowsDF(rows, nodesSchema(model))
     // the reference errors on an invalid node ref; without this check a
     // typo'd id would silently FABRICATE a node row (and its WAL'd 'set'
-    // op would replay the phantom into every follower)
-    val unknown = delta.select(col("id"))
-      .join(nodes, Seq("id"), "left_anti").count()
-    require(unknown == 0L,
-      s"setValue on $unknown unknown node id(s) — nodes must be created first")
+    // op would replay the phantom into every follower). The check is IN
+    // THE PLAN (raise_error fused into the delta's kind column), not an
+    // eager anti-join count(): the eager form ran one extra distributed
+    // job per SetValue batch on the session, replay, AND follower paths.
+    // It fires on materialization — immediate in practice, because every
+    // session-path withValues is followed by checkpointed(), which
+    // materializes all columns eagerly (so pruning cannot elide it).
+    val known = nodes.select(col("id"), lit(true).as("_known"))
+    val checked = delta
+      .join(known, Seq("id"), "left")
+      .select(col("id"),
+        when(col("_known").isNull,
+          raise_error(concat(
+            lit("setValue on unknown node id "), col("id").cast("string"),
+            lit(" — nodes must be created first"))).cast(StringType))
+          .otherwise(col("kind")).as("kind"),
+        col("value"))
     val newNodes = nodes
       .join(delta.select(col("id")), Seq("id"), "left_anti")
-      .unionByName(delta)
+      .unionByName(checked)
     val touched = delta.select(col("id").as("dst"))
     val incoming = edges.join(touched, Seq("dst"))
     GraphState(spark, model, newNodes,

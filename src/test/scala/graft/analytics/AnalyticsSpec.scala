@@ -28,6 +28,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(depths === Map(99L -> 0L))
   }
 
+  test("bounded frontier BFS == Pregel BFS (diamond, cycle, isolated root)") {
+    // same minimum-hop semantics on a shortcut diamond...
+    val diamond = edgesDF((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L))
+    val frontier = GraphAnalytics.bfsDepthsBounded(diamond, root = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(frontier === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L))
+    // ...termination on a cycle (anti-join empties the frontier)...
+    val cycle = edgesDF((0L, 1L), (1L, 2L), (2L, 0L))
+    val cyc = GraphAnalytics.bfsDepthsBounded(cycle, root = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cyc === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    // ...the isolated-root row, and the maxDepth safety bound
+    assert(GraphAnalytics.bfsDepthsBounded(edgesDF((1L, 2L)), root = 99L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(99L -> 0L))
+    val chain = edgesDF((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val cut = GraphAnalytics.bfsDepthsBounded(chain, root = 0L, maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cut === Map(0L -> 0L, 1L -> 1L, 2L -> 2L),
+      "maxDepth must bound the traversal")
+  }
+
   test("connected components find two chains") {
     val cc = GraphAnalytics.connectedComponents(
       edgesDF((1L, 2L), (2L, 3L), (10L, 11L)))

@@ -104,6 +104,42 @@ class GraphSessionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown node id"))
   }
 
+  test("setValue validation is in-plan: no extra job beyond the checkpoints") {
+    val g = GraphSession.inMemory(spark, CatalogueModel, CatRoot: Cat)
+    val a = g.newNode(Artist(1, "A"))
+    g.addTarget(g.root, a)
+    g.getStats() // flush pending ops so the measurement sees ONE set-run
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { actions.add(funcName); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      g.setValue(a, Artist(1, "B"))
+      g.applied()
+      // listener events are async — wait until the action list stabilizes
+      var prev = -1; var cur = actions.size(); var spins = 0
+      while (cur != prev || spins < 3) {
+        prev = cur; Thread.sleep(200); cur = actions.size(); spins += 1
+      }
+      // applying one SetValue run must cost exactly the 3 checkpoint
+      // materializations of checkpointed() — the unknown-id guard rides in
+      // the plan; the eager anti-join used to surface here as an extra
+      // `count` action on the session, replay, and follower paths alike
+      val names = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        actions.iterator()).asScala.toList
+      assert(!names.contains("count"),
+        s"validation must not run an eager count action; saw $names")
+      assert(names.size <= 3, s"expected ≤3 actions (checkpoints), saw $names")
+    } finally spark.listenerManager.unregister(listener)
+    assert(g.getValue(a) === Artist(1, "B"))
+  }
+
   test("unlinked nodes are invisible to stats (reachability scoping)") {
     val g = GraphSession.inMemory(spark, CatalogueModel, CatRoot: Cat)
     g.newNode(Artist(9, "Orphan"))
