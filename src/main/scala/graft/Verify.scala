@@ -45,7 +45,8 @@ object Verify {
       pipeline.Similarity.lshSignatures(embs, "vec_id", "embedding", dim = 64)
         .coalesce(1).write.mode("overwrite").parquet(s"$aux/px10_sigs")
       pipeline.Similarity.lshSignatures(embs, "vec_id", "embedding", dim = 64,
-        bits = 6, tables = 8) // px11's banding parameters
+        bits = pipeline.Similarity.autoBits(embs.count()),
+        tables = 8) // px11's banding parameters (occupancy-auto-sized)
         .coalesce(1).write.mode("overwrite").parquet(s"$aux/px11_sigs")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

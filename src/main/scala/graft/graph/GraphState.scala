@@ -225,12 +225,20 @@ final case class GraphState[V](
 
   /** getStats (op #9, Graph.hs:82-118): (reachable nodes, distinct edges
     * among them, index entries among them), scoped by BFS from `from`.
+    * The three counts are independent jobs over the one materialized
+    * reachable set — submitted concurrently so the stats wall-clock is
+    * max(n, e, i), not their sum.
     */
   def stats(from: Long): (Long, Long, Long) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
     val reach = Reachability.reachable(edges, Seq(from)).select(col("id").as("src"))
-    val n = nodes.join(reach, nodes("id") === reach("src"), "left_semi").count()
-    val e = edges.join(reach, Seq("src"), "left_semi").count()
-    val i = index.join(reach, Seq("src"), "left_semi").count()
-    (n, e, i)
+    val n = Future(nodes.join(reach, nodes("id") === reach("src"), "left_semi").count())
+    val e = Future(edges.join(reach, Seq("src"), "left_semi").count())
+    val i = Future(index.join(reach, Seq("src"), "left_semi").count())
+    (Await.result(n, Duration.Inf),
+      Await.result(e, Duration.Inf),
+      Await.result(i, Duration.Inf))
   }
 }

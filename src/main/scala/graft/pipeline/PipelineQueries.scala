@@ -257,12 +257,14 @@ object PipelineQueries {
     // corpus (synthetic embeddings have no true near-dups; this exercises
     // the same plan a 0.95-threshold run has on a real corpus)
     // Oracle: same aux-export pattern as px10 — DuckDB re-derives the
-    // 6-bit × 8-table bucket candidates quadratically and applies the
-    // exact cosine threshold, verifying the full bucketed near-dup join.
+    // bucket candidates quadratically and applies the exact cosine
+    // threshold, verifying the full bucketed near-dup join. Signature
+    // width is occupancy-auto-sized (Similarity.autoBits) so the bucket
+    // space grows with the corpus; the exported sigs use the same sizing.
     Q("px11_embed_neardup",
       (s, d) => Similarity.embeddingNearDupPairs(
         embs(s, d), "vec_id", "embedding", dim = 64, threshold = 0.35,
-        bits = 6, tables = 8)
+        tables = 8)
         .select("id1", "id2").orderBy("id1", "id2"),
       Some("""WITH sig AS (
              |  SELECT * FROM '/tmp/graft_verify_aux/px11_sigs/*.parquet'),

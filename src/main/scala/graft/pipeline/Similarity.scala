@@ -152,14 +152,33 @@ object Similarity {
       .select(col("qid"), col("nbr"), col("rank"), col("sim"))
   }
 
+  /** Signature width that targets a constant expected bucket occupancy:
+    * bits = log2(n / target), clamped. With FIXED bits the bucket count is
+    * constant, occupancy grows linearly with the corpus, and the
+    * within-bucket candidate join grows QUADRATICALLY — the sf1 rehearsal
+    * measured exactly that (px11 at 10× data ran ~24× the time with
+    * bits=6). Occupancy-targeted sizing keeps candidates ≈ n·occupancy·
+    * tables/2 — linear at any corpus size (at n=10^9, bits≈26).
+    */
+  def autoBits(n: Long, targetOccupancy: Int = 16): Int = {
+    val b = math.ceil(math.log(math.max(n, 1).toDouble / targetOccupancy)
+      / math.log(2.0)).toInt
+    math.min(24, math.max(4, b))
+  }
+
   /** Embedding-cosine near-duplicate pairs (sim ≥ threshold), LSH-bucketed
     * candidates, exact-verified — the embedding analog of Dedup.minhashPairs.
+    * `bits ≤ 0` (the default) auto-sizes the signature width from the
+    * corpus count via [[autoBits]]; recall per table falls as bits grow,
+    * compensated by `tables` (every emitted pair is exactly verified, so
+    * precision is 1 regardless).
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double = 0.95, bits: Int = 8,
+      dim: Int, threshold: Double = 0.95, bits: Int = 0,
       tables: Int = 6): DataFrame = {
+    val useBits = if (bits > 0) bits else autoBits(df.count())
     val cands = (0 until tables).map { t =>
-      val planes = hyperplanes(dim, bits, t)
+      val planes = hyperplanes(dim, useBits, t)
       val sigs = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
         signature(col(vecCol), planes).as("_b"))
       sigs.as("a").join(sigs.as("b"),

@@ -1,0 +1,150 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scale rehearsal: synthesize a 10× blowup of sf0.1 (TPC-H-style —
+  * facts and the big dimensions replicate with shifted keys, region/nation
+  * stay fixed), then run the most expensive queries at both scales and
+  * report per-query blowup ratios. A query whose ratio is far above 10×
+  * has super-linear behavior a 1000-executor run would hit as a straggler
+  * or an OOM; ~10× or below means the plan scales with the data.
+  *
+  * Text copies suffix every token with the copy index and embedding copies
+  * rotate the vector, so each copy is a DISJOINT shard with the original's
+  * internal structure (near-dup pairs preserved within a copy, zero
+  * similarity across copies) — i.e. "10× more data drawn from the same
+  * process". Two rejected alternatives, both measured: identical copies
+  * turn every doc into a 10-clique of true near-dups (output grows
+  * 45-100×, time 18-24× — output semantics, not plan pathology), and
+  * token-permuted copies collapse into this corpus's tiny trigram space
+  * (avg shingle DF ~100 vs ~10 — Σdf² grew 90×, an artifact of the
+  * synthetic vocabulary, not of scale).
+  *
+  * Emits one BENCH-style JSON line with both timings and ratios.
+  */
+object ScaleRehearsal {
+
+  // the most expensive queries of the sf0.1 bench (plus the graph trio
+  // that shares the geo-graph build, in bench order so attribution of the
+  // build matches the bench)
+  val Targets: Seq[String] = Seq(
+    "ga1_pregel_bfs_depths", "ga2_connected_components", "ga4_triangle_count",
+    "gq3_graph_stats", "px2_dedup_ngram", "px3_dedup_minhash",
+    "px10_sim_lsh", "px11_embed_neardup", "px15_vocab_topk",
+    "r10_multiway_join_agg", "r12_rollup")
+
+  private val K = 10 // blowup factor
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dst = args.headOption.getOrElse("/tmp/graft_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    synthesize(spark, src, dst)
+
+    def run(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    // warmup both directions
+    run(graft.Tables.load(spark, src, "lineitem").groupBy("l_returnflag").count())
+    run(graft.Tables.load(spark, dst, "lineitem").groupBy("l_returnflag").count())
+
+    def timeAll(dir: String): Seq[(String, Double)] =
+      Targets.map { name =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { run(graft.SparkEntry.queries(name)(spark, dir)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[scale] $name @$dir failed: ${e.getMessage}")
+            false
+          }
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1d
+        System.err.println(s"[scale] $name @$dir ${fmt(dt)} s")
+        name -> dt
+      }
+
+    val base = timeAll(src)
+    val scaled = timeAll(dst)
+    val ratios = base.zip(scaled).map { case ((n, b), (_, s)) =>
+      n -> (if (b > 0 && s > 0) s / b else -1d)
+    }
+    val qs = scaled.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val bs = base.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val rs = ratios.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val total = scaled.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"sf1_rehearsal_total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf01_queries":$bs,"ratios":$rs,"blowup":$K,"sf":"$dst"}""")
+    spark.stop()
+  }
+
+  /** Build the 10× dataset once (idempotent via a _DONE marker). Key shifts
+    * keep every foreign key consistent within a copy; region/nation are
+    * fixed dimensions exactly as TPC-H scaling treats them.
+    */
+  private def synthesize(spark: SparkSession, src: String, dst: String): Unit = {
+    if (Files.exists(Paths.get(dst, "_DONE"))) return
+    Files.createDirectories(Paths.get(dst))
+
+    def copies(df: DataFrame, shifts: (String, Long)*): DataFrame =
+      (0 until K).map { i =>
+        shifts.foldLeft(df) { case (d, (c, off)) =>
+          d.withColumn(c, col(c) + lit(i * off))
+        }
+      }.reduce(_ unionByName _)
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+
+    val rd = (t: String) => spark.read.parquet(s"$src/$t.parquet")
+    write(rd("region"), "region")
+    write(rd("nation"), "nation")
+    write(copies(rd("customer"), "c_custkey" -> 1000000L), "customer")
+    write(copies(rd("supplier"), "s_suppkey" -> 1000000L), "supplier")
+    write(copies(rd("part"), "p_partkey" -> 1000000L), "part")
+    write(copies(rd("orders"),
+      "o_orderkey" -> 10000000L, "o_custkey" -> 1000000L), "orders")
+    write(copies(rd("lineitem"), "l_orderkey" -> 10000000L,
+      "l_partkey" -> 1000000L, "l_suppkey" -> 1000000L), "lineitem")
+    // events.ts is TIMESTAMP(NANOS) in the source; read it as a raw LONG
+    // and write the LONG back so Tables.events' nanos conversion still
+    // applies to the synthesized dir
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    write(copies(rd("events"),
+      "event_id" -> 10000000L, "user_id" -> 1000000L), "events")
+    // documents: copy i > 0 suffixes every token with the copy index —
+    // intra-copy structure (and its near-dup pairs) preserved exactly,
+    // cross-copy shingle overlap zero, df distribution per copy identical
+    // to the original
+    write((0 until K).map { i =>
+      val d = rd("documents").withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+      if (i == 0) d
+      else d.withColumn("text", expr(
+        s"""array_join(transform(
+           |  filter(split(trim(text), '\\\\s+'), x -> x <> ''),
+           |  x -> concat(x, '_$i')), ' ')""".stripMargin))
+    }.reduce(_ unionByName _), "documents")
+    // embeddings: copy i rotates the vector by i positions — norm-preserving,
+    // near-orthogonal to the original for these synthetic vectors
+    write((0 until K).map { i =>
+      val d = rd("embeddings").withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+      if (i == 0) d
+      else d.withColumn("embedding",
+        expr(s"concat(slice(embedding, ${i + 1}, ${64 - i}), slice(embedding, 1, $i))"))
+    }.reduce(_ unionByName _), "embeddings")
+    Files.writeString(Paths.get(dst, "_DONE"), "ok")
+  }
+}

@@ -74,6 +74,22 @@ class PlanSpec extends AnyFunSuite {
       s"local-rank filter must bound the global window's input:\n$p")
   }
 
+  test("px11 bucket space scales with the corpus (no fixed-bits quadratic)") {
+    // with FIXED signature bits the bucket count is constant and bucket
+    // occupancy — hence the within-bucket candidate join — grows
+    // quadratically with the corpus (the sf1 rehearsal measured ~24× time
+    // at 10× data). autoBits must widen the space as the corpus grows.
+    import graft.pipeline.Similarity.autoBits
+    assert(autoBits(2000) < autoBits(20000))
+    assert(autoBits(20000) < autoBits(1000000000L))
+    assert(autoBits(1000000000L) <= 24 && autoBits(1) >= 4)
+    // occupancy stays ~constant: n / 2^bits within 2× of the target
+    Seq(2000L, 20000L, 10000000L).foreach { n =>
+      val occ = n.toDouble / (1L << autoBits(n))
+      assert(occ <= 32, s"occupancy $occ at n=$n — bucket join goes quadratic")
+    }
+  }
+
   test("r17 range join: band dimension broadcast (fact side never shuffles)") {
     val p = plan("r17_range_join")
     assert(p.contains("BroadcastNestedLoopJoin"),

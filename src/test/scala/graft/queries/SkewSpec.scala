@@ -45,11 +45,18 @@ class SkewSpec extends AnyFunSuite {
     val cap = 10
     val capped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
       n = 3, threshold = 0.5, maxDF = Some(cap))
-    // plan guard: the DF cap must be a partial-aggregating groupBy + anti
-    // join — a Window.partitionBy(shingle) count puts a hot shingle's whole
-    // bucket on one task, the exact skew the cap exists to bound
-    assert(!capped.queryExecution.executedPlan.toString.contains("Window"),
-      "DF cap must not be window-based")
+    // plan guard: NO window may partition by the shingle key — that puts a
+    // hot shingle's whole bucket on one task, the exact skew this operator
+    // exists to avoid. (The prefix ranking's window partitions by DOC id,
+    // which is bounded by document length and skew-safe.)
+    val wins = capped.queryExecution.executedPlan.collect {
+      case win: org.apache.spark.sql.execution.window.WindowExec => win
+    }
+    assert(wins.forall(_.partitionSpec.forall(
+      _.references.toSeq.forall(_.name != "_k"))),
+      "no window may partition by the shingle key")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "a global (unpartitioned) window would serialize the corpus on one task")
     // the boilerplate shingles exceed the cap and are dropped, so no pair
     // survives on boilerplate alone
     assert(capped.count() === 0L)
