@@ -81,7 +81,10 @@ object AnalyticsQueries {
         val pairs = sp.as("a").join(sp.as("b"),
           col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
           .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
-        Seq(GraphAnalytics.triangleCount(pairs)).toDF("triangles")
+        // DF route: the induced co-supplier graph is already a Catalyst
+        // plan — counting wedges in-plan avoids GraphX's RDD conversion
+        // and fixed overhead (AnalyticsSpec cross-checks DF == GraphX)
+        Seq(GraphAnalytics.triangleCountDF(pairs)).toDF("triangles")
       },
       Some("""WITH sp AS (SELECT DISTINCT l.l_partkey AS pk, l.l_suppkey AS sk
              |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey

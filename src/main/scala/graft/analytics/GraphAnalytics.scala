@@ -121,4 +121,29 @@ object GraphAnalytics {
       .partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
     g.triangleCount().vertices.map(_._2.toLong).fold(0L)(_ + _) / 3
   }
+
+  /** Triangle count as a pure Catalyst plan: canonicalize edges to u < v,
+    * then count closed wedges with two self-joins (e1=(u,v), e2=(v,w),
+    * e3=(u,w) — each triangle matches exactly once, no /3). Same answer as
+    * [[triangleCount]]; preferable when the graph is an induced subgraph
+    * of a larger query (stays in one whole-stage-codegen'd plan instead of
+    * paying GraphX's RDD conversion + fixed superstep overhead), and the
+    * join-shaped form lets Catalyst broadcast/reorder. The classic caveat
+    * at web scale: the wedge join materializes Σ deg² rows — same
+    * asymptotics as GraphX's messaging, both shuffle-bound on skewed
+    * degree; cap hub degrees upstream if the graph has them.
+    */
+  def triangleCountDF(edges: DataFrame): Long = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true) // referenced 3× by the wedge joins
+    e.as("e1")
+      .join(e.as("e2"), col("e2.u") === col("e1.v"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .count()
+  }
 }

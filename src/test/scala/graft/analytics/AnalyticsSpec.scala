@@ -58,6 +58,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(cc(1L) !== cc(10L))
   }
 
+  test("DF triangle count == GraphX triangle count (incl. dirty inputs)") {
+    // K4 has 4 triangles; add a self-loop, a duplicate, and a reversed
+    // duplicate — canonicalization must absorb all three
+    val k4 = edgesDF((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (2L, 2L), (1L, 2L), (2L, 1L))
+    assert(GraphAnalytics.triangleCountDF(k4) === 4L)
+    assert(GraphAnalytics.triangleCount(k4) === 4L)
+    // triangle + dangling edge
+    val tri = edgesDF((1L, 2L), (2L, 3L), (3L, 1L), (3L, 9L))
+    assert(GraphAnalytics.triangleCountDF(tri) === 1L)
+    assert(GraphAnalytics.triangleCount(tri) === 1L)
+    // triangle-free bipartite-ish graph
+    val none = edgesDF((1L, 2L), (1L, 4L), (3L, 2L), (3L, 4L))
+    assert(GraphAnalytics.triangleCountDF(none) === 0L)
+  }
+
   test("pagerank: sink vertices outrank sources; ranks positive") {
     val pr = GraphAnalytics.pageRank(edgesDF((0L, 1L), (0L, 2L), (1L, 2L)))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

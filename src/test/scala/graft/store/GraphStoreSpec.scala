@@ -1,6 +1,6 @@
 package graft.store
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths}
 
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -340,6 +340,37 @@ class GraphStoreSpec extends AnyFunSuite {
     val s2 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
     assert(s2.session.getStats() === durableStats,
       "reopen must restore exactly the durable prefix")
+    s2.close()
+  }
+
+  test("buffered WAL preserves driver-op/bulk batch order through the queue") {
+    import spark.implicits._
+    val dir = tmpDir().toString
+    val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir,
+      buffered = true)
+    val g = s1.session
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    s1.stallWal(gate)
+    // driver ops then a bulk delta while the worker is parked: commitBulk
+    // must flush the driver ops as batch 0 and enqueue the bulk batch
+    // AFTER them — a bulk batch overtaking queued driver ops would survive
+    // a crash as a non-prefix WAL
+    val a = g.newNode(Artist(1, "First"))
+    g.addTarget(g.root, a)
+    val b = g.newNode(Song("Second"))
+    val edges = Seq((g.root, b), (b, a)).toDF("src", "dst")
+    s1.commitBulk(edges)
+    assert(!Files.exists(Paths.get(dir, "1.events")), "nothing published while parked")
+    gate.countDown()
+    s1.drain()
+    val batches = Files.list(Paths.get(dir, "1.events")).iterator().asScala
+      .map(_.getFileName.toString).toSeq.sorted
+    assert(batches === Seq("batch-000000", "batch-000001-bulk"))
+    val stats = g.getStats()
+    s1.abandon() // replay path (no checkpoint) must reproduce the same state
+    val s2 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    assert(s2.session.getStats() === stats)
+    assert(s2.session.targets(b).toSet === Set(a))
     s2.close()
   }
 
