@@ -48,6 +48,17 @@ object Verify {
         bits = pipeline.Similarity.autoBits(embs.count()),
         tables = 8) // px11's banding parameters (occupancy-auto-sized)
         .coalesce(1).write.mode("overwrite").parquet(s"$aux/px11_sigs")
+      // px13: the IVF model is deterministic (decimal Lloyd accumulation),
+      // so exporting (cells, probes) lets the oracle recompute the
+      // probed-cell search quadratically
+      val (cells, probes) = pipeline.Similarity.ivfModel(
+        embs.select(col("vec_id"), col("embedding")),
+        embs.where(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", nlist = 16, nprobe = 4)
+      cells.select(col("nbr"), col("_cell"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$aux/px13_cells")
+      probes.select(col("qid"), col("_cell"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$aux/px13_probes")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

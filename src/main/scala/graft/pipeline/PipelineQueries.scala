@@ -207,6 +207,9 @@ object PipelineQueries {
              |ORDER BY qid, rank""".stripMargin)),
 
     // ------------------------------------------- similarity: IVF scale path
+    // Oracle: the IVF model (cells + probes) is exported by graft.Verify —
+    // deterministic because the Lloyd refinement accumulates in decimal —
+    // and DuckDB recomputes the probed-cell search + exact rerank.
     Q("px13_sim_ivf",
       (s, d) => {
         val e = embs(s, d)
@@ -217,7 +220,25 @@ object PipelineQueries {
           .select("qid", "nbr", "rank")
           .orderBy("qid", "rank")
       },
-      None),
+      Some("""WITH cells AS (
+             |  SELECT * FROM '/tmp/graft_verify_aux/px13_cells/*.parquet'),
+             |probes AS (
+             |  SELECT * FROM '/tmp/graft_verify_aux/px13_probes/*.parquet'),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cand AS (
+             |  SELECT DISTINCT p.qid, c.nbr
+             |  FROM probes p JOIN cells c ON c._cell = p._cell
+             |  WHERE p.qid <> c.nbr),
+             |scored AS (
+             |  SELECT qid, nbr,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY ROUND(list_cosine_similarity(eq.v, ec.v), 6) DESC,
+             |               nbr) AS rank
+             |  FROM cand
+             |  JOIN e eq ON eq.vec_id = qid
+             |  JOIN e ec ON ec.vec_id = nbr)
+             |SELECT qid, nbr, rank FROM scored WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin)),
 
     // ---------------------------------------------- similarity: LSH path
     // Oracle reads the per-(vector, table) bucket signatures exported by

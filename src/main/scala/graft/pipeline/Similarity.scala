@@ -116,6 +116,27 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val (cells, probes) = ivfModel(corpus, queries, idCol, vecCol, nlist, nprobe)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))
+    cells.join(probes, Seq("_cell")).where(col("qid") =!= col("nbr"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nbr"), col("rank"), col("sim"))
+  }
+
+  /** The IVF index + probe assignment underlying [[ivfTopK]]: corpus rows
+    * with their cell (`nbr, cv, _cell`) and query rows with their probed
+    * cells (`qid, qv, _cell`). DETERMINISTIC end-to-end: the seed sample
+    * orders by hash with an id tie-break, and the Lloyd refinement
+    * accumulates in decimal — exact, associative addition, so the result
+    * is independent of partition merge order (a double `avg` varies in the
+    * low bits run-to-run, which can flip borderline cell assignments).
+    * Determinism is what lets graft.Verify export (cells, probes) and the
+    * px13 oracle recompute the probed-cell search quadratically in DuckDB.
+    */
+  def ivfModel(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, nlist: Int = 16, nprobe: Int = 4): (DataFrame, DataFrame) = {
     import graft.functions.{CentroidDots, NearestCentroid}
     val c = corpus.select(col(idCol).as("nbr"), col(vecCol).as("cv"))
 
@@ -123,16 +144,19 @@ object Similarity {
     val seed = c.orderBy(xxhash64(col("nbr")), col("nbr")).limit(nlist)
       .select(col("cv")).collect()
       .map(_.getSeq[Float](0).toArray)
-    // one Lloyd refinement, fully distributed
+    // one Lloyd refinement, fully distributed; decimal accumulation (see
+    // scaladoc) — floats are exactly representable in decimal(38,18), so
+    // the mean is exact up to the final division
     val assigned = c.withColumn("_cell", NearestCentroid(col("cv"), seed))
     val refinedRows = assigned
       .select(col("_cell"), posexplode(col("cv")).as(Seq("_dim", "_x")))
-      .groupBy("_cell", "_dim").agg(avg(col("_x")).as("_m"))
+      .groupBy("_cell", "_dim")
+      .agg(avg(col("_x").cast("decimal(38,18)")).as("_m"))
       .collect()
     val refined = seed.indices.map { cell =>
       val dims = refinedRows.filter(_.getInt(0) == cell)
       if (dims.isEmpty) seed(cell)
-      else dims.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toArray
+      else dims.sortBy(_.getInt(1)).map(_.getDecimal(2).doubleValue.toFloat).toArray
     }.toArray
 
     val cells = c.withColumn("_cell", NearestCentroid(col("cv"), refined))
@@ -143,13 +167,7 @@ object Similarity {
         Window.partitionBy("qid").orderBy(col("_score").desc, col("_cell"))))
       .where(col("_pr") <= nprobe)
       .select(col("qid"), col("qv"), col("_cell"))
-
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))
-    cells.join(probes, Seq("_cell")).where(col("qid") =!= col("nbr"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("nbr"), col("rank"), col("sim"))
+    (cells, probes)
   }
 
   /** Signature width that targets a constant expected bucket occupancy:
