@@ -102,6 +102,26 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Representative selection — the step that turns pairwise near-dup
+    * DETECTION into an actual deduplicated corpus: connected components
+    * over the (undirected) pair graph, keep the minimum id per cluster,
+    * drop the rest. Pairs can come from any of the detectors above
+    * (transitivity is deliberate: if A~B and B~C, one representative
+    * survives for {A,B,C} even when A~C is below threshold — the standard
+    * near-dup clustering semantics). GraphX connectedComponents labels
+    * every vertex with its component's minimum vertex id, so the kept id
+    * per cluster IS the label; docs in no pair survive untouched via the
+    * anti-join.
+    */
+  def keepRepresentatives(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val cc = graft.analytics.GraphAnalytics.connectedComponents(
+      pairs.select(col("id1").as("src"), col("id2").as("dst")))
+    val dupes = cc.where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(dupes, Seq(idCol), "left_anti")
+  }
+
   /** Banded LSH bucket hashes, fused with the signature in one native pass
     * (graft.functions.MinHashBands) — band hashes bit-identical to the
     * previous transform/slice/concat_ws composition.

@@ -66,6 +66,58 @@ object PipelineQueries {
              |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
              |ORDER BY id1, id2""".stripMargin)),
 
+    // ----------------------------------- near-dup clustering → representatives
+    // The pipeline's actual dedup OUTPUT: n-gram near-dup pairs → connected
+    // components → keep min doc id per cluster. Oracle recomputes the
+    // closure with a recursive CTE over the same pair derivation.
+    Q("px18_dedup_representatives",
+      (s, d) => {
+        val doc = docs(s, d)
+        val pairs = Dedup.ngramJaccardPairs(doc, "doc_id", "text",
+          n = 3, threshold = 0.6, maxDF = Some(Dedup.DefaultMaxDF))
+        Dedup.keepRepresentatives(doc, "doc_id", pairs)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE sh0 AS (
+             |  SELECT doc_id,
+             |    unnest(list_distinct(list_transform(
+             |      range(1, len(t) - 1),
+             |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+             |  FROM (SELECT doc_id,
+             |          list_filter(string_split_regex(trim(text), '\\s+'),
+             |                      x -> x <> '') AS t
+             |        FROM documents)
+             |  WHERE len(t) >= 3
+             |), hot AS (
+             |  SELECT g FROM sh0 GROUP BY g
+             |  HAVING COUNT(*) > ${Dedup.DefaultMaxDF}
+             |), sh AS (
+             |  SELECT doc_id, g FROM sh0 WHERE g NOT IN (SELECT g FROM hot)
+             |), sizes AS (
+             |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+             |), shared AS (
+             |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+             |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |), p AS (
+             |  SELECT id1, id2 FROM shared
+             |  JOIN sizes sa ON sa.doc_id = id1
+             |  JOIN sizes sb ON sb.doc_id = id2
+             |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
+             |), und AS (
+             |  SELECT id1 AS a, id2 AS b FROM p
+             |  UNION SELECT id2, id1 FROM p
+             |), reach(id, r) AS (
+             |  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+             |  UNION
+             |  SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.id
+             |), comp AS (
+             |  SELECT id, MIN(r) AS root FROM reach GROUP BY id
+             |)
+             |SELECT doc_id FROM documents
+             |WHERE doc_id NOT IN (SELECT id FROM comp WHERE root <> id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // ----------------------------------------------- MinHash+LSH (verified)
     // Oracle = the UNCAPPED exact n-gram Jaccard pairs: every emitted pair
     // is exactly verified (precision 1 by construction), and on this corpus

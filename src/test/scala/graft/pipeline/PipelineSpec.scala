@@ -57,6 +57,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(p2.contains((1L, 2L)))
   }
 
+  test("representative selection: one survivor per near-dup cluster (transitive)") {
+    import spark.implicits._
+    val doc = Seq(1L, 2L, 3L, 4L, 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // A~B and B~C but NOT A~C: transitivity must still collapse {1,2,3}
+    // to one representative; 4 and 5 are untouched singletons
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val kept = Dedup.keepRepresentatives(doc, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 4L, 5L))
+    // empty pair set: corpus unchanged
+    val none = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.keepRepresentatives(doc, "doc_id", none).count() === 5L)
+  }
+
   test("dedup operators leave no session-lifetime cache entries") {
     Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6).count()
     Dedup.minhashPairs(docs, "doc_id", "text", 3, 0.6, 64, 16).count()
