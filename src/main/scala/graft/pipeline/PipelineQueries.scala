@@ -67,32 +67,32 @@ object PipelineQueries {
              |ORDER BY id1, id2""".stripMargin)),
 
     // ----------------------------------- near-dup clustering → representatives
-    // The pipeline's actual dedup OUTPUT: n-gram near-dup pairs → connected
-    // components → keep min doc id per cluster. Oracle recomputes the
-    // closure with a recursive CTE over the same pair derivation.
+    // The pipeline's actual dedup OUTPUT: MinHash-LSH near-dup pairs →
+    // connected components → keep min doc id per cluster — the textbook
+    // web-scale dedup pipeline (banded candidates, exact verify, cluster,
+    // collapse). Oracle recomputes the closure with a recursive CTE over
+    // the exact n-gram pair derivation (== the LSH pairs here: every
+    // emitted pair is exactly verified, and banding recall is
+    // deterministically 1 on this corpus — the same equivalence px3's
+    // oracle asserts).
     Q("px18_dedup_representatives",
       (s, d) => {
         val doc = docs(s, d)
-        val pairs = Dedup.ngramJaccardPairs(doc, "doc_id", "text",
-          n = 3, threshold = 0.6, maxDF = Some(Dedup.DefaultMaxDF))
+        val pairs = Dedup.minhashPairs(doc, "doc_id", "text",
+          n = 3, threshold = 0.6, numHashes = 64, bands = 16)
         Dedup.keepRepresentatives(doc, "doc_id", pairs)
           .select("doc_id").orderBy("doc_id")
       },
-      Some(s"""WITH RECURSIVE sh0 AS (
+      Some("""WITH RECURSIVE sh AS (
              |  SELECT doc_id,
              |    unnest(list_distinct(list_transform(
              |      range(1, len(t) - 1),
              |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
              |  FROM (SELECT doc_id,
-             |          list_filter(string_split_regex(trim(text), '\\s+'),
+             |          list_filter(string_split_regex(trim(text), '\s+'),
              |                      x -> x <> '') AS t
              |        FROM documents)
              |  WHERE len(t) >= 3
-             |), hot AS (
-             |  SELECT g FROM sh0 GROUP BY g
-             |  HAVING COUNT(*) > ${Dedup.DefaultMaxDF}
-             |), sh AS (
-             |  SELECT doc_id, g FROM sh0 WHERE g NOT IN (SELECT g FROM hot)
              |), sizes AS (
              |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
              |), shared AS (
