@@ -374,6 +374,40 @@ class GraphStoreSpec extends AnyFunSuite {
     s2.close()
   }
 
+  test("buffered durability property: reopen lands on a commit boundary ≥ last drain") {
+    val rnd = new Random(13)
+    val dir = tmpDir().toString
+    val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir,
+      buffered = true)
+    val g = store.session
+    val nodes = scala.collection.mutable.ArrayBuffer[Long]()
+    // stats at every commit boundary; a crash may surface ANY boundary at
+    // or after the last drain (the worker may have flushed batches beyond
+    // the last barrier before the crash)
+    store.commit(); store.drain()
+    val boundaries = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](g.getStats())
+    var lastDrain = 0
+    (1 to 12).foreach { i =>
+      rnd.nextInt(3) match {
+        case 0 =>
+          val n = g.newNode(Song(s"s-$i")); g.addTarget(g.root, n); nodes += n
+        case 1 if nodes.nonEmpty =>
+          g.setValue(nodes(rnd.nextInt(nodes.size)), Song(s"s-$i'"))
+        case _ =>
+          val n = g.newNode(Artist(i, s"a-$i")); g.addTarget(g.root, n); nodes += n
+      }
+      if (rnd.nextInt(2) == 0) { store.commit(); boundaries += g.getStats() }
+      if (rnd.nextInt(4) == 0) { store.drain(); lastDrain = boundaries.size - 1 }
+    }
+    store.abandon() // crash with possibly-queued batches
+    val re = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val got = re.session.getStats()
+    assert(boundaries.drop(lastDrain).contains(got),
+      s"reopened stats $got not a commit boundary ≥ last drain " +
+        s"(${boundaries.drop(lastDrain).mkString(", ")})")
+    re.close()
+  }
+
   test("random update mix preserves stats across restart (APITests analog)") {
     // weighted mix per APITests/Catalogue.hs:148-209, driver-side shadow
     // for target selection, sized for Spark job latency
