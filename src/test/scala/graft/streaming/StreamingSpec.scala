@@ -278,6 +278,46 @@ class StreamingSpec extends AnyFunSuite {
     store.close()
   }
 
+  test("follower property: converges to the writer for random op sequences") {
+    val rnd = new scala.util.Random(29)
+    val dir = Files.createTempDirectory("graft-oplog-prop-").toString
+    val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val g = store.session
+    val nodes = scala.collection.mutable.ArrayBuffer[Long]()
+    (1 to 25).foreach { i =>
+      rnd.nextInt(5) match {
+        case 0 | 1 =>
+          val n = g.newNode(Artist(i, s"a-$i")); g.addTarget(g.root, n); nodes += n
+        case 2 =>
+          val n = g.newNode(Song(s"s-$i")); g.addTarget(g.root, n); nodes += n
+        case 3 if nodes.nonEmpty =>
+          g.setValue(nodes(rnd.nextInt(nodes.size)), Song(s"s-$i'"))
+        case 4 if nodes.size > 1 =>
+          g.addTarget(nodes(rnd.nextInt(nodes.size)), nodes(rnd.nextInt(nodes.size)))
+        case _ => ()
+      }
+      if (rnd.nextInt(3) == 0) store.commit()
+    }
+    store.commit()
+
+    var last: Option[GraphState[Cat]] = None
+    val q = OplogStream.follow[Cat](spark, CatalogueModel, dir,
+      st => last = Some(st))
+    q.awaitTermination(180000)
+    val st = last.get
+    val w = g.applied()
+    // full-state equivalence, not just counts: every node row (id, kind,
+    // value) and every edge must match the writer exactly
+    assert(st.nodes.unionByName(w.nodes).distinct().count() === w.nodes.count(),
+      "follower node rows differ from writer")
+    assert(st.nodes.count() === w.nodes.count())
+    assert(st.edges.unionByName(w.edges).distinct().count() === w.edges.count(),
+      "follower edge rows differ from writer")
+    assert(st.edges.count() === w.edges.count())
+    assert(st.index.unionByName(w.index).distinct().count() === w.index.count())
+    store.close()
+  }
+
   test("follower dedupes repeated SetValue on one id within a WAL batch") {
     val dir = Files.createTempDirectory("graft-oplog-set-").toString
     val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
