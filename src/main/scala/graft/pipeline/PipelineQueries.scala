@@ -203,6 +203,32 @@ object PipelineQueries {
              |    AS quality_score
              |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // --------------------------------------------------- quality filtering
+    // The curation step that CONSUMES the quality scores: keep documents
+    // above a score floor with a minimum token count — the standard
+    // pre-training corpus filter, expressed as a pushdown-friendly
+    // filter over the scored projection.
+    Q("px19_quality_filter",
+      (s, d) => TextAnalysis.quality(docs(s, d), "text", "doc_id")
+        .where(col("quality_score") >= 0.08 && col("n_tokens") >= 30)
+        .select("doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents
+             |), m AS (
+             |  SELECT doc_id,
+             |    len(toks) AS n_tokens,
+             |    ROUND(len(list_filter(toks,
+             |        x -> list_contains(['the','a','and','of','to'], x))) * 1.0
+             |          / GREATEST(len(toks), 1), 4) AS stop_ratio
+             |  FROM t)
+             |SELECT doc_id FROM m
+             |WHERE ROUND(LEAST(n_tokens / 500.0, 1.0) * (1.0 - stop_ratio), 4) >= 0.08
+             |  AND n_tokens >= 30
+             |ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------------------------- language ID
     Q("px7_text_langid",
       (s, d) => TextAnalysis.langId(docs(s, d), "text", "doc_id")
