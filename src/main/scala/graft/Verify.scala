@@ -30,35 +30,57 @@ object Verify {
       }
     }
     // Auxiliary oracle inputs: hash signatures DuckDB cannot recompute
-    // (xxhash64 / seeded-hyperplane based). Dumped to a FIXED path that the
-    // px4/px10 oracle SQL reads directly — the oracle then re-derives the
-    // banding join and exact verify QUADRATICALLY in DuckDB, independent
-    // ground truth for the banded equi-join implementations.
+    // (xxhash64 / seeded-hyperplane based). Dumped NEXT TO outDir (a child
+    // dir would be swept up by the driver's per-query result glob) and
+    // referenced from the oracle SQL via PipelineQueries.AuxToken, which is
+    // substituted with this run's absolute path below — so concurrent or
+    // stale runs against different sfDirs can never cross-feed signatures.
+    // The oracle re-derives the banding joins and exact verifies
+    // QUADRATICALLY in DuckDB — independent ground truth for the banded
+    // equi-join implementations.
+    val auxDir = Paths.get(outDir).toAbsolutePath.toString + "_aux"
+    // each export is isolated like the query loop above: one failed export
+    // must cost only its own queries, never abort main() before
+    // oracle_sql.json is written (which would zero the whole round)
+    def auxExport(names: String*)(write: => Unit): Unit =
+      if (names.exists(n => only.forall(_.contains(n))))
+        try write
+        catch { case e: Throwable =>
+          System.err.println(
+            s"[verify] aux export for ${names.mkString(",")} failed: ${e.getMessage}")
+        }
     locally {
       import org.apache.spark.sql.functions.col
-      val aux = "/tmp/graft_verify_aux"
-      Tables.load(spark, sfDir, "documents")
-        .select(col("doc_id"),
-          functions.SimHash64(pipeline.TextAnalysis.tokens(col("text"))).as("h"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$aux/px4_simhash")
-      val embs = Tables.load(spark, sfDir, "embeddings")
-      pipeline.Similarity.lshSignatures(embs, "vec_id", "embedding", dim = 64)
-        .coalesce(1).write.mode("overwrite").parquet(s"$aux/px10_sigs")
-      pipeline.Similarity.lshSignatures(embs, "vec_id", "embedding", dim = 64,
-        bits = pipeline.Similarity.autoBits(embs.count()),
-        tables = 8) // px11's banding parameters (occupancy-auto-sized)
-        .coalesce(1).write.mode("overwrite").parquet(s"$aux/px11_sigs")
-      // px13: the IVF model is deterministic (decimal Lloyd accumulation),
-      // so exporting (cells, probes) lets the oracle recompute the
-      // probed-cell search quadratically
-      val (cells, probes) = pipeline.Similarity.ivfModel(
-        embs.select(col("vec_id"), col("embedding")),
-        embs.where(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", nlist = 16, nprobe = 4)
-      cells.select(col("nbr"), col("_cell"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$aux/px13_cells")
-      probes.select(col("qid"), col("_cell"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$aux/px13_probes")
+      auxExport("px4_dedup_simhash") {
+        Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"),
+            functions.SimHash64(pipeline.TextAnalysis.tokens(col("text"))).as("h"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px4_simhash")
+      }
+      def embs = Tables.load(spark, sfDir, "embeddings")
+      auxExport("px10_sim_lsh") {
+        pipeline.Similarity.lshSignatures(embs, "vec_id", "embedding", dim = 64)
+          .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px10_sigs")
+      }
+      auxExport("px11_embed_neardup") {
+        pipeline.Similarity.lshSignatures(embs, "vec_id", "embedding", dim = 64,
+          bits = pipeline.Similarity.autoBits(embs.count()),
+          tables = 8) // px11's banding parameters (occupancy-auto-sized)
+          .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px11_sigs")
+      }
+      auxExport("px13_sim_ivf") {
+        // px13: the IVF model is deterministic (decimal Lloyd accumulation),
+        // so exporting (cells, probes) lets the oracle recompute the
+        // probed-cell search quadratically
+        val (cells, probes) = pipeline.Similarity.ivfModel(
+          embs.select(col("vec_id"), col("embedding")),
+          embs.where(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", nlist = 16, nprobe = 4)
+        cells.select(col("nbr"), col("_cell"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px13_cells")
+        probes.select(col("qid"), col("_cell"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px13_probes")
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -73,7 +95,9 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(pipeline.PipelineQueries.AuxToken, auxDir))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -15,6 +15,15 @@ import graft.queries.Declared.Q
   */
 object PipelineQueries {
 
+  /** Placeholder for the auxiliary oracle-input directory in oracle SQL.
+    * graft.Verify exports hash signatures DuckDB cannot recompute (xxhash64
+    * / seeded hyperplanes) and substitutes the actual absolute path — a
+    * sibling of its outDir, so each verify run reads its OWN exports (a
+    * fixed /tmp path let a stale or concurrent run against a different
+    * sfDir leave mismatched signatures behind).
+    */
+  val AuxToken: String = "__GRAFT_AUX_DIR__"
+
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.Tables.load(s, d, "documents")
   private def embs(s: org.apache.spark.sql.SparkSession, d: String) =
@@ -163,8 +172,8 @@ object PipelineQueries {
       (s, d) => Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)
         .select(col("id1"), col("id2"), col("hamming").cast("bigint").as("hamming"))
         .orderBy("id1", "id2"),
-      Some("""WITH h AS (
-             |  SELECT * FROM '/tmp/graft_verify_aux/px4_simhash/*.parquet')
+      Some(s"""WITH h AS (
+             |  SELECT * FROM '${AuxToken}/px4_simhash/*.parquet')
              |SELECT a.doc_id AS id1, b.doc_id AS id2,
              |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
              |FROM h a JOIN h b ON a.doc_id < b.doc_id
@@ -298,10 +307,10 @@ object PipelineQueries {
           .select("qid", "nbr", "rank")
           .orderBy("qid", "rank")
       },
-      Some("""WITH cells AS (
-             |  SELECT * FROM '/tmp/graft_verify_aux/px13_cells/*.parquet'),
+      Some(s"""WITH cells AS (
+             |  SELECT * FROM '${AuxToken}/px13_cells/*.parquet'),
              |probes AS (
-             |  SELECT * FROM '/tmp/graft_verify_aux/px13_probes/*.parquet'),
+             |  SELECT * FROM '${AuxToken}/px13_probes/*.parquet'),
              |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              |cand AS (
              |  SELECT DISTINCT p.qid, c.nbr
@@ -333,8 +342,8 @@ object PipelineQueries {
           .select("qid", "nbr", "rank")
           .orderBy("qid", "rank")
       },
-      Some("""WITH sig AS (
-             |  SELECT * FROM '/tmp/graft_verify_aux/px10_sigs/*.parquet'),
+      Some(s"""WITH sig AS (
+             |  SELECT * FROM '${AuxToken}/px10_sigs/*.parquet'),
              |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              |cand AS (
              |  SELECT DISTINCT q.id AS qid, c.id AS nbr
@@ -365,8 +374,8 @@ object PipelineQueries {
         embs(s, d), "vec_id", "embedding", dim = 64, threshold = 0.35,
         tables = 8)
         .select("id1", "id2").orderBy("id1", "id2"),
-      Some("""WITH sig AS (
-             |  SELECT * FROM '/tmp/graft_verify_aux/px11_sigs/*.parquet'),
+      Some(s"""WITH sig AS (
+             |  SELECT * FROM '${AuxToken}/px11_sigs/*.parquet'),
              |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              |cand AS (
              |  SELECT DISTINCT a.id AS id1, b.id AS id2
