@@ -4,6 +4,13 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+
   def main(args: Array[String]): Unit = {
     // optional 3rd arg (comma-separated query names) = local-iteration
     // filter; the driver always calls with exactly (sfDir, outDir)
@@ -38,37 +45,51 @@ object Verify {
     // The oracle re-derives the banding joins and exact verifies
     // QUADRATICALLY in DuckDB — independent ground truth for the banded
     // equi-join implementations.
-    val auxDir = Paths.get(outDir).toAbsolutePath.toString + "_aux"
+    // normalize() so an outDir like 'results/.' still yields a SIBLING
+    // 'results_aux' (un-normalized it would be 'results/._aux' — a child
+    // the driver's per-query result glob would sweep up)
+    val auxDir = Paths.get(outDir).toAbsolutePath.normalize().toString + "_aux"
     // each export is isolated like the query loop above: one failed export
     // must cost only its own queries, never abort main() before
     // oracle_sql.json is written (which would zero the whole round)
-    def auxExport(names: String*)(write: => Unit): Unit =
+    def auxExport(names: String*)(subdirs: Seq[String])(write: => Unit): Unit =
       if (names.exists(n => only.forall(_.contains(n))))
         try write
         catch { case e: Throwable =>
           System.err.println(
             s"[verify] aux export for ${names.mkString(",")} failed: ${e.getMessage}")
+          // a failed (or half-overwritten) export must leave NO readable
+          // parquet behind: stale signatures from a previous run would turn
+          // this export error into a confusing downstream DuckDB mismatch
+          // instead of a clear missing-input failure
+          subdirs.foreach { sub =>
+            try deleteRecursively(Paths.get(s"$auxDir/$sub"))
+            catch { case e2: Throwable =>
+              System.err.println(
+                s"[verify] cleanup of $auxDir/$sub failed: ${e2.getMessage}")
+            }
+          }
         }
     locally {
       import org.apache.spark.sql.functions.col
-      auxExport("px4_dedup_simhash") {
+      auxExport("px4_dedup_simhash")(Seq("px4_simhash")) {
         Tables.load(spark, sfDir, "documents")
           .select(col("doc_id"),
             functions.SimHash64(pipeline.TextAnalysis.tokens(col("text"))).as("h"))
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px4_simhash")
       }
       def embs = Tables.load(spark, sfDir, "embeddings")
-      auxExport("px10_sim_lsh") {
+      auxExport("px10_sim_lsh")(Seq("px10_sigs")) {
         pipeline.Similarity.lshSignatures(embs, "vec_id", "embedding", dim = 64)
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px10_sigs")
       }
-      auxExport("px11_embed_neardup") {
+      auxExport("px11_embed_neardup")(Seq("px11_sigs")) {
         pipeline.Similarity.lshSignatures(embs, "vec_id", "embedding", dim = 64,
           bits = pipeline.Similarity.autoBits(embs.count()),
           tables = 8) // px11's banding parameters (occupancy-auto-sized)
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px11_sigs")
       }
-      auxExport("px13_sim_ivf") {
+      auxExport("px13_sim_ivf")(Seq("px13_cells", "px13_probes")) {
         // px13: the IVF model is deterministic (decimal Lloyd accumulation),
         // so exporting (cells, probes) lets the oracle recompute the
         // probed-cell search quadratically
