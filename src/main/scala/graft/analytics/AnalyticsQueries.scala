@@ -11,6 +11,44 @@ import graft.graph.GraphQueries
   */
 object AnalyticsQueries {
 
+  /** Iteration count shared by ga3's Spark side and its DuckDB oracle —
+    * the comparison is only meaningful when both run the SAME N. */
+  val PageRankIters: Int = 8
+
+  /** ga3's oracle: the geo edge list (root=0 → regions=1+key →
+    * nations=100+key, GraphQueries' node-id scheme) rebuilt from the base
+    * tables, then [[PageRankIters]] chained power-method CTEs — rank₀ = 1,
+    * rankᵢ₊₁(v) = 0.15 + 0.85 · Σ rankᵢ(u)/outdeg(u) — exactly the
+    * arithmetic of GraphAnalytics.pageRankFixed.
+    */
+  private def pageRankOracleSql: String = {
+    val iterCtes = (1 to PageRankIters).map { i =>
+      s"""r$i AS (
+         |  SELECT v.id, 0.15 + 0.85 * COALESCE(s.c, CAST(0 AS DOUBLE)) AS rank
+         |  FROM v LEFT JOIN (
+         |    SELECT e.dst, SUM(r.rank / deg.d) AS c
+         |    FROM e JOIN r${i - 1} r ON r.id = e.src
+         |    JOIN deg ON deg.src = e.src
+         |    GROUP BY e.dst) s ON s.dst = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT CAST(0 AS BIGINT) AS src,
+       |         CAST(r_regionkey + 1 AS BIGINT) AS dst FROM region
+       |  UNION ALL
+       |  SELECT CAST(n_regionkey + 1 AS BIGINT),
+       |         CAST(n_nationkey + 100 AS BIGINT) FROM nation
+       |), v AS (
+       |  SELECT src AS id FROM e UNION SELECT dst FROM e
+       |), deg AS (
+       |  SELECT src, COUNT(*) AS d FROM e GROUP BY src
+       |), r0 AS (
+       |  SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM v
+       |),
+       |$iterCtes
+       |SELECT id, ROUND(rank, 6) AS rank FROM r$PageRankIters
+       |ORDER BY rank DESC, id LIMIT 10""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     // BFS over the geo graph: node count per depth. The oracle knows the
     // topology: depth 0 = root, 1 = regions, 2 = nations, 3 = customers.
@@ -53,16 +91,21 @@ object AnalyticsQueries {
              |(SELECT c_nationkey, COUNT(*) AS cnt FROM customer
              | GROUP BY c_nationkey HAVING COUNT(*) >= 2)""".stripMargin)),
 
-    // PageRank over the geo graph — engine-specific float ranks, so
-    // rows-only for the driver; the ordering property is spec-checked.
+    // PageRank over the geo graph — FIXED-ITERATION power method on both
+    // sides: N identical damped steps as DataFrame joins in Spark and as
+    // chained CTEs in DuckDB (the oracle below re-derives the same edge
+    // list from region/nation). The literals 0.15/0.85 parse to the same
+    // IEEE doubles in both engines and every per-vertex contribution sum
+    // here has one term, so ROUND(rank, 6) is bit-stable. Tol-converged
+    // GraphX pageRank remains as a cross-check in AnalyticsSpec.
     Q("ga3_pagerank",
       (s, d) => {
         val g = GraphQueries.geoGraph(s, d, withCustomers = false)
-        GraphAnalytics.pageRank(g.edges)
+        GraphAnalytics.pageRankFixed(g.edges, iters = PageRankIters)
+          .select(col("id"), round(col("rank"), 6).as("rank"))
           .orderBy(col("rank").desc, col("id")).limit(10)
-          .select(col("id"), round(col("rank"), 4).as("rank"))
       },
-      None),
+      Some(pageRankOracleSql)),
 
     // Triangle count over the co-supplier graph (suppliers linked when they
     // supply the same filtered part) — GraphX triangleCount vs an exact SQL

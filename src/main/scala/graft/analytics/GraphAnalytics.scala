@@ -111,6 +111,53 @@ object GraphAnalytics {
       .vertices.map { case (id, r) => (id, r) }.toDF("id", "rank")
   }
 
+  /** Fixed-iteration PageRank as a pure DataFrame power method —
+    * deterministic by construction (a fixed N of identical IEEE-double
+    * steps), which is what makes it ORACLE-REPLICABLE: the same N
+    * iterations expressed as chained CTEs in any SQL engine produce
+    * bit-compatible ranks (AnalyticsQueries ga3 does exactly that in
+    * DuckDB). Per-iteration semantics mirror GraphX's `staticPageRank`:
+    * rank₀(v) = 1.0; rankᵢ₊₁(v) = resetProb + damping · Σ_{u→v}
+    * rankᵢ(u)/outdeg(u); dangling mass is not redistributed; multi-edges
+    * contribute once per edge. The one deliberate difference: GraphX
+    * rescales final ranks to sum to N (SPARK-18847) — a global float
+    * reduction whose summation order no SQL oracle can replicate
+    * bit-stably — so this returns the raw power-method ranks
+    * (AnalyticsSpec cross-checks DF == GraphX modulo that rescale).
+    *
+    * Scale shape: each iteration is one equi-join (edges ⋈ ranks on src,
+    * both pre-partitioned by the same key) + one map-side-combined
+    * groupBy(dst) — the canonical iterative-shuffle workload; no driver
+    * state beyond the loop counter. Edges, vertices, and out-degrees are
+    * checkpointed ONCE and re-read by every iteration. For small `iters`
+    * the loop stays one lazy Catalyst plan (a single job); for long runs
+    * pass `ckptEvery` to truncate lineage every k iterations, else plan
+    * depth grows linearly with N.
+    */
+  def pageRankFixed(edges: DataFrame, iters: Int, resetProb: Double = 0.15,
+      damping: Double = 0.85, ckptEvery: Int = 0): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(true) // referenced by every iteration + the degree agg
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val withDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("_deg")), "src")
+      .localCheckpoint(true)
+    var ranks = verts.select(col("id"), lit(1.0).as("rank"))
+    for (i <- 1 to iters) {
+      val contrib = withDeg.join(ranks, withDeg("src") === ranks("id"))
+        .select(col("dst"), (col("rank") / col("_deg")).as("_c"))
+        .groupBy("dst").agg(sum("_c").as("_s"))
+      ranks = verts.join(contrib, verts("id") === contrib("dst"), "left_outer")
+        .select(verts("id"),
+          (lit(resetProb) + lit(damping) * coalesce(col("_s"), lit(0d)))
+            .as("rank"))
+      if (ckptEvery > 0 && i % ckptEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** Total triangle count of an undirected simple graph (GraphX built-in,
     * which canonicalizes and drops self-loops). Each triangle is counted
     * at all 3 vertices, hence the /3. Caller passes (src, dst) edges;

@@ -80,4 +80,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(pr.values.forall(_ > 0))
     assert(pr(2L) > pr(0L), "sink must outrank the pure source")
   }
+
+  test("fixed-iteration DF pagerank == GraphX staticPageRank") {
+    // non-trivial topology: a cycle feeding a sink, a dangling vertex, and
+    // a multi-out-degree hub — exercises dangling mass (not redistributed),
+    // in-degree > 1 sums, and the left-outer zero-contribution path
+    val edges = edgesDF((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L), (3L, 4L),
+      (2L, 3L))
+    for (iters <- Seq(1, 3, 10)) {
+      val raw = GraphAnalytics.pageRankFixed(edges, iters)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // GraphX staticPageRank rescales final ranks to sum to N
+      // (SPARK-18847); pageRankFixed deliberately does NOT — that global
+      // sum is an order-dependent float reduction the SQL oracle could not
+      // replicate bit-stably — so rescale here before comparing
+      val scale = raw.size / raw.values.sum
+      val df = raw.view.mapValues(_ * scale).toMap
+      val gx = org.apache.spark.graphx.Graph
+        .fromEdges(edges.rdd.map(r =>
+          org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), ())),
+          defaultValue = ())
+        .staticPageRank(iters)
+        .vertices.collect().toMap
+      assert(df.keySet === gx.keySet)
+      df.foreach { case (id, r) =>
+        assert(math.abs(r - gx(id)) < 1e-9,
+          s"vertex $id at iters=$iters: DF $r vs GraphX ${gx(id)}")
+      }
+    }
+  }
 }
