@@ -72,6 +72,23 @@ object Verify {
         }
     locally {
       import org.apache.spark.sql.functions.col
+      auxExport("px8_text_fingerprint")(Seq("px8_shingle_hashes")) {
+        // per-(doc, shingle) xxhash64 rows; DuckDB re-aggregates them into
+        // min/max/count independently, checking the single-pass HashSketch
+        // against Spark's own xxhash64 column function (same seed 42).
+        // explode_outer keeps sub-3-token docs as a NULL-hash row so the
+        // oracle's COUNT(h)=0 / NULL min/max matches fp_card=0 rows.
+        Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"), org.apache.spark.sql.functions.explode_outer(
+            pipeline.TextAnalysis.shingles(col("text"), 3)).as("g"))
+          .select(col("doc_id"),
+            // xxhash64(NULL) returns the SEED (42), not NULL — guard, or
+            // every empty doc would sketch as {42, 42, 1}
+            org.apache.spark.sql.functions.when(col("g").isNotNull,
+              org.apache.spark.sql.functions.xxhash64(col("g"))).as("h"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$auxDir/px8_shingle_hashes")
+      }
       auxExport("px4_dedup_simhash")(Seq("px4_simhash")) {
         Tables.load(spark, sfDir, "documents")
           .select(col("doc_id"),

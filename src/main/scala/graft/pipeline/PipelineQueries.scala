@@ -265,10 +265,19 @@ object PipelineQueries {
              |FROM c GROUP BY 1 ORDER BY lang_pred""".stripMargin)),
 
     // -------------------------------------------------- doc fingerprinting
+    // Oracle via the aux-export pattern: graft.Verify dumps one
+    // (doc_id, xxhash64(shingle)) row per shingle — Spark's own xxhash64
+    // COLUMN function, not HashSketch — and DuckDB independently
+    // re-aggregates min/max/count per doc, proving the single-pass native
+    // sketch against a two-step derivation it never shares code with.
     Q("px8_text_fingerprint",
       (s, d) => TextAnalysis.fingerprint(docs(s, d), "text", "doc_id")
         .orderBy("doc_id"),
-      None),
+      Some(s"""WITH h AS (
+             |  SELECT * FROM '${AuxToken}/px8_shingle_hashes/*.parquet')
+             |SELECT doc_id, MIN(h) AS fp_min, MAX(h) AS fp_max,
+             |  COUNT(h) AS fp_card
+             |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------- similarity: brute force
     Q("px9_sim_bruteforce",
