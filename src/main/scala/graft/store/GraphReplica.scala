@@ -1,0 +1,184 @@
+package graft.store
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.graph.{GraphModel, GraphState, IndexKey}
+import graft.streaming.OplogStream
+
+/** Read replica of a [[GraphStore]] — the Spark-suitable fraction of the
+  * reference's client/server session layer
+  * (/root/reference/library/GraphDB/Server.hs:17-94 serves sessions over a
+  * socket; Client.hs:53-117 connects; GraphDB.hs:397-415 wires them): a
+  * follower process that BOOTSTRAPS from the writer's newest committed
+  * checkpoint ([[GraphStore.snapshot]]) and then TAILS the live WAL
+  * (the [[OplogStream]] source) to serve read traffic — `getValue`,
+  * `getTargets`, `traverse`, `getStats` — without ever taking the writer's
+  * dir lock. The wire protocol itself (Protocol.hs:8-43) has no analog
+  * here by design: in the Spark deployment model the "connection" is a
+  * shared filesystem / object store, and remote clients reach the replica
+  * through Spark Connect, not a bespoke socket protocol (SURVEY §2.A).
+  *
+  * What IS ported faithfully is the handshake: the reference's client
+  * refuses a server whose serialized model version differs
+  * (GraphDB.hs:169-174, `ClientFailure`) — bootstrap refuses a store whose
+  * `_meta.json` format version this build cannot read, with the same typed
+  * [[GraphStore.IncompatibleStoreFormatException]] the writer-side gate
+  * throws.
+  *
+  * Consistency model: eventually consistent, WAL-prefix-ordered — exactly
+  * the guarantee the writer's atomic batch publish provides. [[catchUp]]
+  * applies everything published at call time; [[follow]] tails
+  * continuously. Batches are applied whole and in (eventsIndex, batchSeq)
+  * order, so a read between catch-ups observes some commit-boundary prefix
+  * of the writer's history, never a torn batch (the `_SUCCESS` gate +
+  * atomic rename close the phantom window; see OplogStream.admitCommitted).
+  *
+  * Scale notes: bootstrap is a parquet read of the checkpoint (co-partitioned
+  * by `src` as written); per-trigger work is bounded by `maxFilesPerTrigger`;
+  * bulk-ingest WAL batches (`batch-K-bulk`) are folded set-wise via
+  * [[GraphState.withTargetsDF]] — a 10^9-edge ingest batch never touches the
+  * replica's driver, mirroring [[GraphStore.replay]].
+  */
+final class GraphReplica[V] private (
+    spark: SparkSession,
+    model: GraphModel[V],
+    storeDir: String,
+    val bootstrapIndex: Long,
+    offsetsDir: String,
+    initialState: GraphState[V]) {
+
+  @volatile private var state: GraphState[V] = initialState
+
+  /** Current replica state — the composable entry point for analytics
+    * plans over the replica (same role as GraphSession.applied()).
+    */
+  def currentState: GraphState[V] = state
+
+  // ------------------------------------------------------------------ reads
+  // The served read surface (Server.hs dispatches the same session ops it
+  // receives over the wire; here they run against the follower state).
+
+  /** getValue — same contract as GraphSession.getValue (throws on an
+    * unknown id, the reference's invalid-ref failure).
+    */
+  def getValue(n: Long): V = {
+    val r = state.nodes.where(col("id") === n)
+      .select(col("kind"), col("value")).head()
+    model.fromValueRow(r.getString(0), r.getStruct(1))
+  }
+
+  /** getTargets under an index key — distinct, like the writer side. */
+  def getTargets(n: Long, k: IndexKey): Seq[Long] =
+    state.index
+      .where(col("src") === n && col("kkind") === k.kind && col("key") === k.key)
+      .select(col("dst")).distinct().collect().map(_.getLong(0)).toSeq
+
+  /** traverseTargets — distinct targets regardless of key. */
+  def targets(n: Long): Seq[Long] =
+    state.edges.where(col("src") === n)
+      .select(col("dst")).distinct().collect().map(_.getLong(0)).toSeq
+
+  /** traverseSources. */
+  def sources(n: Long): Seq[Long] =
+    state.edges.where(col("dst") === n)
+      .select(col("src")).distinct().collect().map(_.getLong(0)).toSeq
+
+  /** getStats of the closure reachable from `from` (default root). */
+  def getStats(from: Long = 0L): (Long, Long, Long) = state.stats(from)
+
+  // ----------------------------------------------------------------- tailing
+
+  /** Apply every WAL batch published up to now, then return — the
+    * bootstrap / poll shape. Successive calls resume from the streaming
+    * source's durable offsets (only NEW batches are read and applied).
+    */
+  def catchUp(maxFilesPerTrigger: Int = 32): Unit =
+    follow(Trigger.AvailableNow(), maxFilesPerTrigger).awaitTermination()
+
+  /** Tail the writer's WAL continuously (ProcessingTime trigger) or until
+    * exhaustion (AvailableNow). Apply semantics are at-least-once per
+    * micro-batch on crash-recovery, like OplogStream.follow — but edge
+    * set-ops are idempotent and node/value applies converge, and within one
+    * replica process each batch is applied exactly once.
+    */
+  def follow(trigger: Trigger,
+      maxFilesPerTrigger: Int = 32): StreamingQuery =
+    OplogStream.readOps(spark, model, storeDir, maxFilesPerTrigger)
+      .writeStream
+      .trigger(trigger)
+      .outputMode("append")
+      .option("checkpointLocation", offsetsDir)
+      .foreachBatch { (batch: DataFrame, _: Long) => applyWal(batch) }
+      .start()
+
+  /** Fold one micro-batch of WAL rows into the follower state, in WAL
+    * order. Rows from event dirs ≤ [[bootstrapIndex]] are already folded
+    * into the bootstrap checkpoint and are dropped (permanently — the file
+    * source marks their files seen, which is exactly right: they are
+    * history). Remaining rows are grouped by their batch dir, dirs applied
+    * ascending by (eventsIndex, batchSeq): bulk dirs set-wise as one
+    * DataFrame union, op dirs through OplogStream.applyOpBatch.
+    */
+  private def applyWal(batch: DataFrame): Unit = {
+    val withDir = batch
+      .withColumn("_path", input_file_name())
+      .withColumn("_eidx",
+        regexp_extract(col("_path"), "/(\\d+)\\.events/", 1).cast("long"))
+      .withColumn("_dir",
+        regexp_extract(col("_path"), "^(.*/\\d+\\.events/batch-[^/]+)/", 1))
+      .where(col("_eidx") > bootstrapIndex)
+      .localCheckpoint(true) // referenced once per batch dir below
+    // distinct dirs are bounded by maxFilesPerTrigger — driver-sized
+    val dirs = withDir.select("_dir").distinct().collect().map(_.getString(0))
+      // _SUCCESS gate, same defense as OplogStream.admitCommitted: an
+      // unmarked dir in a current-format store cannot appear (atomic
+      // publish), but a legacy/tampered store must not feed the replica
+      // torn batches
+      .filter { d =>
+        Files.exists(Paths.get(d.stripPrefix("file:")).resolve("_SUCCESS"))
+      }
+    val BatchDir = """.*/(\d+)\.events/batch-(\d+)(-bulk)?$""".r
+    val ordered = dirs.flatMap {
+      case d @ BatchDir(eidx, bseq, bulk) =>
+        Some(((eidx.toLong, bseq.toLong), d, bulk != null))
+      case _ => None
+    }.sortBy(_._1)
+    ordered.foreach { case (_, dir, isBulk) =>
+      val rows = withDir.where(col("_dir") === dir)
+        .drop("_path", "_eidx", "_dir")
+      state =
+        if (isBulk) state.withTargetsDF(rows.select("src", "dst")).checkpointed()
+        else OplogStream.applyOpBatch(model, state, rows)
+    }
+  }
+}
+
+object GraphReplica {
+
+  /** Bootstrap a replica: newest committed checkpoint (live or archived)
+    * via [[GraphStore.snapshot]] — which REFUSES an incompatible store
+    * format with the typed handshake error — or empty state for a store
+    * that has never checkpointed (full-WAL replay via the first catchUp).
+    * No writer lock is taken: replicas coexist with a live writer.
+    *
+    * `offsetsDir` persists the streaming source's file offsets so repeated
+    * [[GraphReplica.catchUp]] calls apply only newly published batches;
+    * default is a fresh temp dir (per-process replica).
+    */
+  def bootstrap[V](spark: SparkSession, model: GraphModel[V], storeDir: String,
+      offsetsDir: Option[String] = None): GraphReplica[V] = {
+    val idx = GraphStore.snapshots(storeDir).lastOption
+    val st = idx match {
+      case Some(i) => GraphStore.snapshot(spark, model, storeDir, i).checkpointed()
+      case None => GraphState.empty(spark, model)
+    }
+    new GraphReplica(spark, model, storeDir, idx.getOrElse(0L),
+      offsetsDir.getOrElse(
+        Files.createTempDirectory("graft-replica-offsets-").toString),
+      st)
+  }
+}

@@ -1,0 +1,114 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+import graft.graph._
+
+/** Read-replica suite — the serve/client analog (reference Server.hs /
+  * Client.hs behavior, SURVEY §2.A): a replica bootstrapped from the
+  * writer's checkpoint converges to the writer through the live WAL, and
+  * the model-version handshake refuses an incompatible store.
+  */
+class ReplicaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("replica: checkpoint bootstrap + live WAL tail converges; reads serve") {
+    val dir = Files.createTempDirectory("graft-replica-").toString
+
+    // session 1: checkpointed history
+    val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val mj = s1.session.newNode(Artist(1, "Michael Jackson"))
+    s1.session.addTarget(s1.session.root, mj)
+    s1.close() // checkpoint 1
+
+    // session 2: live writer with published-but-uncheckpointed batches
+    val s2 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val bj = s2.session.newNode(Song("Billie Jean"))
+    s2.session.addTarget(s2.session.root, bj)
+    s2.session.addTarget(bj, mj)
+    s2.commit() // batch on disk; store still open, lock held
+
+    val replica = GraphReplica.bootstrap(spark, CatalogueModel, dir)
+    assert(replica.bootstrapIndex === 1L, "must bootstrap from checkpoint 1")
+    replica.catchUp()
+
+    // replica reads == writer reads (no writer lock was taken)
+    assert(replica.getStats() === s2.session.getStats())
+    assert(replica.getValue(mj) === Artist(1, "Michael Jackson"))
+    assert(replica.getValue(bj) === Song("Billie Jean"))
+    assert(replica.getTargets(s2.session.root,
+      IndexKey("Catalogue_Artist_Name", "Michael Jackson")) === Seq(mj))
+    assert(replica.targets(bj) === Seq(mj))
+    assert(replica.sources(mj).sorted === Seq(s2.session.root, bj).sorted)
+
+    // writer keeps writing; a second catchUp resumes from durable offsets
+    // and applies ONLY the new batch
+    val thriller = s2.session.newNode(Song("Thriller"))
+    s2.session.addTarget(s2.session.root, thriller)
+    s2.session.addTarget(thriller, mj)
+    s2.commit()
+    replica.catchUp()
+    assert(replica.getStats() === s2.session.getStats())
+    assert(replica.getValue(thriller) === Song("Thriller"))
+
+    // a checkpoint-less replica replays the full WAL from empty instead
+    val fromScratch = GraphReplica.bootstrap(spark, CatalogueModel,
+      { // store with events only: copy session-2 events, no checkpoint
+        val d2 = Files.createTempDirectory("graft-replica-nockpt-")
+        val src = java.nio.file.Paths.get(dir)
+        Files.list(src).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".events"))
+          .foreach { ev => copyTree(ev, d2.resolve(ev.getFileName)) }
+        d2.toString
+      })
+    assert(fromScratch.bootstrapIndex === 0L)
+    fromScratch.catchUp()
+    // session 2's WAL alone holds ops since checkpoint 1 — 2 new nodes
+    assert(fromScratch.currentState.nodes.count() === 2L)
+
+    s2.close()
+  }
+
+  test("replica folds bulk-ingest WAL batches set-wise") {
+    val dir = Files.createTempDirectory("graft-replica-bulk-").toString
+    val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val a = s1.session.newNode(Artist(1, "Hub"))
+    s1.session.addTarget(s1.session.root, a)
+    s1.commit()
+    import spark.implicits._
+    s1.commitBulk(Seq((a, 100L), (a, 101L), (a, 102L)).toDF("src", "dst"))
+
+    val replica = GraphReplica.bootstrap(spark, CatalogueModel, dir)
+    replica.catchUp()
+    assert(replica.targets(a).sorted === Seq(100L, 101L, 102L))
+    // edge counts match the writer's view of the same bulk delta
+    assert(replica.currentState.edges.count() ===
+      s1.session.applied().edges.count())
+    s1.close()
+  }
+
+  test("replica bootstrap refuses an incompatible store format (handshake)") {
+    val dir = Files.createTempDirectory("graft-replica-fmt-")
+    val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    s1.session.addTarget(s1.session.root, s1.session.newNode(Artist(1, "A")))
+    s1.close()
+    val meta = dir.resolve("1.checkpoint").resolve("_meta.json")
+    Files.writeString(meta,
+      Files.readString(meta).replace("\"formatVersion\": 1", "\"formatVersion\": 99"))
+    val e = intercept[GraphStore.IncompatibleStoreFormatException] {
+      GraphReplica.bootstrap(spark, CatalogueModel, dir.toString)
+    }
+    assert(e.found === 99)
+  }
+
+  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit =
+    Files.walk(from).iterator().asScala.foreach { p =>
+      val t = to.resolve(from.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t)
+    }
+}
