@@ -74,6 +74,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(GraphAnalytics.triangleCountDF(none) === 0L)
   }
 
+  test("hub-degree cap bounds the wedge join; off-hub triangles survive") {
+    // adversarial hub: vertex 0 touches 200 spokes (Σ deg² blowup in the
+    // wedge join), plus one triangle far from the hub
+    val star = (1 to 200).map(i => (0L, i.toLong)) ++
+      Seq((500L, 501L), (501L, 502L), (500L, 502L))
+    val edges = edgesDF(star: _*)
+    // the off-hub triangle is counted with or without the cap
+    assert(GraphAnalytics.triangleCountDF(edges) === 1L)
+    assert(GraphAnalytics.triangleCountDF(edges, maxDegree = Some(10)) === 1L)
+    // the BOUND the cap buys: after dropHubs no vertex exceeds the cap, so
+    // wedge rows are ≤ |V|·cap²/2 regardless of input skew
+    val canonical = edges
+      .selectExpr("least(src, dst) AS u", "greatest(src, dst) AS v")
+      .distinct()
+    val capped = GraphAnalytics.dropHubs(canonical, cap = 10)
+    val maxDeg = capped.selectExpr("u AS id").union(capped.selectExpr("v AS id"))
+      .groupBy("id").count().agg(org.apache.spark.sql.functions.max("count"))
+      .collect()(0).getLong(0)
+    assert(maxDeg <= 10L)
+    // the documented trade: a triangle THROUGH a dropped hub is not counted
+    val hubTri = edgesDF(Seq((0L, 1L), (1L, 2L), (0L, 2L)) ++
+      (3 to 60).map(i => (0L, i.toLong)): _*)
+    assert(GraphAnalytics.triangleCountDF(hubTri) === 1L)
+    assert(GraphAnalytics.triangleCountDF(hubTri, maxDegree = Some(10)) === 0L)
+  }
+
   test("pagerank: sink vertices outrank sources; ranks positive") {
     val pr = GraphAnalytics.pageRank(edgesDF((0L, 1L), (0L, 2L), (1L, 2L)))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
