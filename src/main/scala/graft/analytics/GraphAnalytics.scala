@@ -102,6 +102,89 @@ object GraphAnalytics {
       .vertices.map { case (id, c) => (id, c) }.toDF("id", "component")
   }
 
+  /** Undirected connected components as a pure DataFrame loop — the
+    * alternating large-star/small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14). Same
+    * output contract as [[connectedComponents]]: DataFrame(id, component)
+    * with component = min vertex id of the component, every endpoint
+    * labeled (AnalyticsSpec cross-checks DF == GraphX on chains, cliques,
+    * stars and random graphs).
+    *
+    * Why it exists alongside GraphX: a dedup pipeline's pair graph is an
+    * induced subgraph of a larger Catalyst plan — staying in DataFrames
+    * avoids the RDD conversion + GraphX fixed superstep overhead
+    * (~3-5 s on this box), keeps one lineage for the whole pipeline, and
+    * converges in O(log n) rounds regardless of component diameter
+    * (plain min-label propagation needs O(diameter)). Each round is two
+    * groupBy-join steps over the current edge set — shuffle-bound,
+    * skew-tolerant (a hub's neighborhood is one group with map-side
+    * partial min), no driver state beyond the convergence fingerprint.
+    */
+  def connectedComponentsDF(edges: DataFrame, maxIter: Int = 64): DataFrame = {
+    // ONE scan of the (possibly expensive) upstream edge plan: canonical
+    // pairs are lazily checkpointed — the first fingerprint action
+    // materializes them — and vertices derive from the cached pairs
+    // (BEFORE the self-loop filter, so a self-loop-only vertex still gets
+    // its own component, like GraphX's fromEdges endpoints)
+    val raw = edges.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v"))
+      .distinct().localCheckpoint(false)
+    val verts = raw.select(col("u").as("id"))
+      .union(raw.select(col("v").as("id"))).distinct()
+    def undirect(e: DataFrame): DataFrame =
+      e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    // m(u) = min(Γ(u) ∪ {u}) over the current edge set
+    def minNbr(all: DataFrame): DataFrame =
+      all.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+    // large-star(u): every strictly LARGER neighbor links to m(u)
+    def largeStar(e: DataFrame): DataFrame = {
+      val all = undirect(e)
+      all.join(minNbr(all), "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    }
+    // small-star(u): every ≤ neighbor AND u itself link to m(u)
+    def smallStar(e: DataFrame): DataFrame = {
+      val all = undirect(e)
+      val m = minNbr(all)
+      all.join(m, "u").where(col("v") < col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(m.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+    }
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: order-independent AND overflow-free under ANSI
+      // (hash values are uniform longs — a sum overflows immediately)
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var e = raw.where(col("u") =!= col("v"))
+    var fp = fingerprint(e)
+    var it = 0
+    var converged = fp._1 == 0L // edgeless graph: nothing to iterate
+    while (!converged && it < maxIter) {
+      // LAZY checkpoints: each round runs exactly ONE Spark job — the
+      // fingerprint agg — which materializes the large-star and small-star
+      // sets as cache-backed lineage cuts on the way (an eager checkpoint
+      // per stage was 3 jobs/round; at ~0.3-0.8 s scheduler floor per job
+      // on small inputs that tripled wall time for nothing)
+      val next = smallStar(largeStar(e).localCheckpoint(false))
+        .localCheckpoint(false)
+      val nfp = fingerprint(next)
+      // set-equality check via (count, hash-xor) fingerprint: cheap (one
+      // agg per round) and cross-checked by the GraphX-equality spec; at
+      // the fixed point smallStar∘largeStar is the identity on the star
+      // edge set, which then maps every vertex to its component min
+      converged = nfp == fp
+      fp = nfp
+      e = next
+      it += 1
+    }
+    require(converged, s"connectedComponentsDF did not converge in $maxIter rounds")
+    verts.join(e, verts("id") === e("u"), "left_outer")
+      .select(col("id"), coalesce(col("v"), col("id")).as("component"))
+  }
+
   /** PageRank (GraphX built-in), tol-converged. DataFrame(id, rank). */
   def pageRank(edges: DataFrame, tol: Double = 1e-4): DataFrame = {
     val spark = edges.sparkSession

@@ -108,14 +108,18 @@ object Dedup {
     * drop the rest. Pairs can come from any of the detectors above
     * (transitivity is deliberate: if A~B and B~C, one representative
     * survives for {A,B,C} even when A~C is below threshold — the standard
-    * near-dup clustering semantics). GraphX connectedComponents labels
-    * every vertex with its component's minimum vertex id, so the kept id
-    * per cluster IS the label; docs in no pair survive untouched via the
-    * anti-join.
+    * near-dup clustering semantics). Components come from the
+    * alternating-star DataFrame algorithm
+    * (GraphAnalytics.connectedComponentsDF) so the WHOLE dedup pipeline is
+    * Catalyst end-to-end — no RDD conversion, no GraphX fixed overhead —
+    * and labels every vertex with its component's minimum vertex id, so
+    * the kept id per cluster IS the label; docs in no pair survive
+    * untouched via the anti-join. (AnalyticsSpec proves DF CC == GraphX
+    * CC; the GraphX route remains for callers already in RDD land.)
     */
   def keepRepresentatives(docs: DataFrame, idCol: String,
       pairs: DataFrame): DataFrame = {
-    val cc = graft.analytics.GraphAnalytics.connectedComponents(
+    val cc = graft.analytics.GraphAnalytics.connectedComponentsDF(
       pairs.select(col("id1").as("src"), col("id2").as("dst")))
     val dupes = cc.where(col("id") =!= col("component"))
       .select(col("id").as(idCol))

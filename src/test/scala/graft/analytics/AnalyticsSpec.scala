@@ -49,6 +49,32 @@ class AnalyticsSpec extends AnyFunSuite {
       "maxDepth must bound the traversal")
   }
 
+  test("alternating-star DF components == GraphX components") {
+    def ccDF(edges: org.apache.spark.sql.DataFrame) =
+      GraphAnalytics.connectedComponentsDF(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ccGX(edges: org.apache.spark.sql.DataFrame) =
+      GraphAnalytics.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // a LONG chain (the O(diameter) killer for plain label propagation),
+    // a clique, a star, an isolated pair — in one graph
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val clique = for (a <- 100L to 104L; b <- (a + 1) to 104L) yield (a, b)
+    val star = (201L to 210L).map(i => (200L, i))
+    val mixed = edgesDF(chain ++ clique ++ star ++ Seq((900L, 901L)): _*)
+    assert(ccDF(mixed) === ccGX(mixed))
+
+    // random graphs, fixed seed — duplicate and reversed edges included
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val es = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edgesDF(es: _*)
+      assert(ccDF(df) === ccGX(df))
+    }
+  }
+
   test("connected components find two chains") {
     val cc = GraphAnalytics.connectedComponents(
       edgesDF((1L, 2L), (2L, 3L), (10L, 11L)))
