@@ -461,6 +461,24 @@ object GraphStore {
       spark.read.parquet(ckpt.resolve("index").toString))
   }
 
+  /** Driver-safe ceiling for one NON-bulk replay batch (bulk batches replay
+    * set-wise and have no driver bound). 2^20 ops ≈ tens of MB of Row —
+    * far above anything commit() can produce in a driver-issued session,
+    * far below driver OOM. `var` only for the spec that lowers it to prove
+    * the typed failure without writing 2^20 rows.
+    */
+  private[graft] var maxReplayBatchRows: Int = 1 << 20
+
+  /** Typed refusal of an oversized non-bulk WAL batch: replaying it would
+    * collect unbounded rows to the driver. Large ingests belong to
+    * [[GraphStore.commitBulk]], whose `-bulk` batches replay set-wise.
+    */
+  final class OversizedReplayBatchException(where: String, bound: Int)
+    extends IllegalStateException(
+      s"non-bulk WAL batch at $where exceeds $bound ops; driver-issued " +
+        "op batches are driver-sized by construction — write large ingests " +
+        "with commitBulk (replayed set-wise, never collected)")
+
   /** Replay event dirs with index > `after`, ascending — Storage.hs:136-148.
     * Returns the last replayed index (or `after`).
     */
@@ -486,8 +504,16 @@ object GraphStore {
           session.applyBulkTargets(
             spark.read.parquet(b.toString).select("src", "dst"))
         } else {
+          // non-bulk batches are collected to the driver for ordered
+          // replay — driver-sized BY CONSTRUCTION (session ops are
+          // driver-issued). Make that invariant explicit instead of
+          // implicit: a store whose WAL somehow carries an oversized
+          // non-bulk batch (hand-written, foreign tooling) must fail
+          // loudly here, not OOM the driver
           val rows = spark.read.parquet(b.toString)
-            .orderBy("seq").collect()
+            .orderBy("seq").limit(maxReplayBatchRows + 1).collect()
+          if (rows.length > maxReplayBatchRows)
+            throw new OversizedReplayBatchException(b.toString, maxReplayBatchRows)
           rows.foreach(r => session.replayOp(rowToOp(model, r)))
         }
       }

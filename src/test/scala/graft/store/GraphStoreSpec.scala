@@ -437,4 +437,37 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(s2.session.getStats() === stats)
     s2.close()
   }
+
+  test("oversized non-bulk WAL batch is refused with a typed error on replay") {
+    val dir = tmpDir()
+    val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    val a = s1.session.newNode(Artist(1, "A"))
+    s1.session.addTarget(s1.session.root, a)
+    s1.commit()
+    s1.abandon() // crash: events stay, no checkpoint
+
+    // handcraft a non-bulk batch (foreign tooling analog) with more ops
+    // than the replay bound — lowered for the spec so proving the refusal
+    // does not require writing 2^20 real rows
+    val schema = GraphStore.opSchema(CatalogueModel)
+    val base = (1L << 44) | (1L << 28)
+    val rows = (0 until 10).map(i =>
+      org.apache.spark.sql.Row(base + i, "add", null, 0L, a, null, null))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.parquet(dir.resolve("1.events").resolve("batch-000001").toString)
+
+    val saved = GraphStore.maxReplayBatchRows
+    GraphStore.maxReplayBatchRows = 8
+    try {
+      intercept[GraphStore.OversizedReplayBatchException] {
+        GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+      }
+      // with the real bound the same store opens fine (10 ≤ 2^20) and the
+      // handcrafted ops are replayed
+      GraphStore.maxReplayBatchRows = saved
+      val s2 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+      assert(s2.session.targets(0L).contains(a))
+      s2.close()
+    } finally GraphStore.maxReplayBatchRows = saved
+  }
 }
