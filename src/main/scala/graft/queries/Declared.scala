@@ -519,11 +519,15 @@ object Declared {
     // aggregated — the schema-on-read shape every event pipeline has.
     Q("r23_json_extract",
       (s, d) => {
+        // extract ONCE in a pre-aggregation project: referencing the
+        // get_json_object expression from both aggregates would parse the
+        // JSON twice per row — the parse dominates this query's cost
         val k = get_json_object(col("props"), "$.k").cast("bigint")
         graft.Tables.events(s, d)
+          .select(col("event_type"), k.as("_k"))
           .groupBy("event_type")
-          .agg(sum(k).as("sum_k"),
-            count(when(k > 50, 1)).as("hi_cnt"))
+          .agg(sum(col("_k")).as("sum_k"),
+            count(when(col("_k") > 50, 1)).as("hi_cnt"))
           .orderBy("event_type")
       },
       Some("""SELECT event_type,

@@ -5,12 +5,13 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** sf1 scale rehearsal: synthesize a 10× blowup of sf0.1 (TPC-H-style —
-  * facts and the big dimensions replicate with shifted keys, region/nation
-  * stay fixed), then run the most expensive queries at both scales and
-  * report per-query blowup ratios. A query whose ratio is far above 10×
-  * has super-linear behavior a 1000-executor run would hit as a straggler
-  * or an OOM; ~10× or below means the plan scales with the data.
+/** Scale rehearsal: synthesize a K× blowup of sf0.1 (TPC-H-style — facts
+  * and the big dimensions replicate with shifted keys, region/nation stay
+  * fixed; K = 10 → sf1, K = 30 → sf3), then run the most expensive queries
+  * at both scales and report per-query blowup ratios. A query whose ratio
+  * is far above K has super-linear behavior a 1000-executor run would hit
+  * as a straggler or an OOM; ~K or below means the plan scales with the
+  * data. Usage: runMain graft.tools.ScaleRehearsal [dstDir] [K]
   *
   * Text copies suffix every token with the copy index and embedding copies
   * rotate the vector, so each copy is a DISJOINT shard with the original's
@@ -34,13 +35,15 @@ object ScaleRehearsal {
     "ga1_pregel_bfs_depths", "ga2_connected_components", "ga4_triangle_count",
     "gq3_graph_stats", "px2_dedup_ngram", "px3_dedup_minhash",
     "px10_sim_lsh", "px11_embed_neardup", "px15_vocab_topk",
-    "r10_multiway_join_agg", "r12_rollup")
+    "px18_dedup_representatives", "r10_multiway_join_agg", "r12_rollup")
 
-  private val K = 10 // blowup factor
+  private var K = 10 // blowup factor (arg 2)
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val dst = args.headOption.getOrElse("/tmp/graft_sf1")
+    K = if (args.length > 1) args(1).toInt else 10
+    require(K >= 2 && K < 64, s"blowup $K out of range (embedding rotation needs K < dim)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -88,7 +91,7 @@ object ScaleRehearsal {
     val rs = ratios.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = scaled.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"sf1_rehearsal_total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf01_queries":$bs,"ratios":$rs,"blowup":$K,"sf":"$dst"}""")
+    println(s"""{"metric":"scale_rehearsal_total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf01_queries":$bs,"ratios":$rs,"blowup":$K,"sf":"$dst"}""")
     spark.stop()
   }
 
