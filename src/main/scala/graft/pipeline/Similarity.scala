@@ -136,7 +136,8 @@ object Similarity {
     * px13 oracle recompute the probed-cell search quadratically in DuckDB.
     */
   def ivfModel(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, nlist: Int = 16, nprobe: Int = 4): (DataFrame, DataFrame) = {
+      vecCol: String, nlist: Int = 16, nprobe: Int = 4,
+      iters: Int = 1): (DataFrame, DataFrame) = {
     import graft.functions.{CentroidDots, NearestCentroid}
     val c = corpus.select(col(idCol).as("nbr"), col(vecCol).as("cv"))
 
@@ -144,20 +145,28 @@ object Similarity {
     val seed = c.orderBy(xxhash64(col("nbr")), col("nbr")).limit(nlist)
       .select(col("cv")).collect()
       .map(_.getSeq[Float](0).toArray)
-    // one Lloyd refinement, fully distributed; decimal accumulation (see
-    // scaladoc) — floats are exactly representable in decimal(38,18), so
-    // the mean is exact up to the final division
-    val assigned = c.withColumn("_cell", NearestCentroid(col("cv"), seed))
-    val refinedRows = assigned
-      .select(col("_cell"), posexplode(col("cv")).as(Seq("_dim", "_x")))
-      .groupBy("_cell", "_dim")
-      .agg(avg(col("_x").cast("decimal(38,18)")).as("_m"))
-      .collect()
-    val refined = seed.indices.map { cell =>
-      val dims = refinedRows.filter(_.getInt(0) == cell)
-      if (dims.isEmpty) seed(cell)
-      else dims.sortBy(_.getInt(1)).map(_.getDecimal(2).doubleValue.toFloat).toArray
-    }.toArray
+    // `iters` Lloyd refinements, each fully distributed; decimal
+    // accumulation (see scaladoc) — floats are exactly representable in
+    // decimal(38,18), so the mean is exact up to the final division. Per
+    // iteration only the nlist×dim centroid matrix reaches the driver —
+    // the right shape at any corpus size; more iterations buy tighter
+    // cells at one assign+agg pass each (the default stays 1: px13's
+    // declared plan, bit-identical to previous rounds)
+    var refined = seed
+    for (_ <- 1 to math.max(iters, 0)) {
+      val assigned = c.withColumn("_cell", NearestCentroid(col("cv"), refined))
+      val refinedRows = assigned
+        .select(col("_cell"), posexplode(col("cv")).as(Seq("_dim", "_x")))
+        .groupBy("_cell", "_dim")
+        .agg(avg(col("_x").cast("decimal(38,18)")).as("_m"))
+        .collect()
+      val prev = refined
+      refined = seed.indices.map { cell =>
+        val dims = refinedRows.filter(_.getInt(0) == cell)
+        if (dims.isEmpty) prev(cell) // empty cell keeps its centroid
+        else dims.sortBy(_.getInt(1)).map(_.getDecimal(2).doubleValue.toFloat).toArray
+      }.toArray
+    }
 
     val cells = c.withColumn("_cell", NearestCentroid(col("cv"), refined))
     val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))

@@ -150,6 +150,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits >= bfTop5.size / 5, s"recall@5 too low: $hits/${bfTop5.size}")
   }
 
+  test("IVF multi-iteration Lloyd is deterministic and serves the same contract") {
+    val corpus = embs.select(col("vec_id"), col("embedding"))
+    val queries = embs.where(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
+    def assignments(): Seq[(Long, Int)] = {
+      val (cells, _) = Similarity.ivfModel(corpus, queries,
+        "vec_id", "embedding", nlist = 8, nprobe = 2, iters = 3)
+      cells.select(col("nbr"), col("_cell")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    }
+    // decimal accumulation ⇒ partition-order-independent: two runs agree
+    // exactly even after 3 refinement passes
+    assert(assignments() === assignments())
+    // and the search contract holds with refined centroids: exact sims
+    // inside probed cells (spot-check against brute force)
+    val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding",
+      k = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val (cells3, probes3) = Similarity.ivfModel(corpus, queries,
+      "vec_id", "embedding", nlist = 8, nprobe = 2, iters = 3)
+    val ivf = cells3.join(probes3, Seq("_cell"))
+      .where(col("qid") =!= col("nbr"))
+      .withColumn("sim", round(Similarity.cosine(col("qv"), col("cv")), 6))
+      .select("qid", "nbr", "sim").collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      assert(math.abs(bf((r.getLong(0), r.getLong(1))) - r.getDouble(2)) < 1e-9)
+    }
+  }
+
   test("MinHashMerge aggregator: merged signature == signature of the union") {
     import spark.implicits._
     val df = Seq(
