@@ -73,6 +73,40 @@ class ReplicaSpec extends AnyFunSuite {
     s2.close()
   }
 
+  test("replica live-tails a committing writer (ProcessingTime trigger)") {
+    val dir = Files.createTempDirectory("graft-replica-tail-").toString
+    val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val g = store.session
+    val a = g.newNode(Artist(1, "First"))
+    g.addTarget(g.root, a)
+    store.commit()
+
+    val replica = GraphReplica.bootstrap(spark, CatalogueModel, dir)
+    val q = replica.follow(
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+    def awaitNodes(expect: Long): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      var n = -1L
+      while (n != expect && System.nanoTime() < deadline) {
+        Thread.sleep(250)
+        n = replica.currentState.nodes.count()
+      }
+      assert(n === expect, s"replica stuck at $n nodes, want $expect")
+    }
+    awaitNodes(2L) // root + First
+
+    // the writer keeps committing WHILE the replica serves — the tail must
+    // pick the new batch up without a new bootstrap
+    val b = g.newNode(Song("Second"))
+    g.addTarget(g.root, b)
+    store.commit()
+    awaitNodes(3L)
+    assert(replica.getValue(b) === Song("Second"))
+
+    q.stop()
+    store.close()
+  }
+
   test("replica folds bulk-ingest WAL batches set-wise") {
     val dir = Files.createTempDirectory("graft-replica-bulk-").toString
     val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
