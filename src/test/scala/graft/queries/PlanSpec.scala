@@ -90,6 +90,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("r23 parses the JSON exactly once per row (pre-aggregation project)") {
+    // two aggregates reference the extracted value; referencing the
+    // get_json_object expression from both would parse every props string
+    // twice — the pre-projection must leave exactly one parse in the plan
+    val p = plan("r23_json_extract")
+    assert("get_json_object".r.findAllIn(p).size === 1,
+      s"expected exactly one get_json_object in:\n$p")
+  }
+
   test("r17 range join: band dimension broadcast (fact side never shuffles)") {
     val p = plan("r17_range_join")
     assert(p.contains("BroadcastNestedLoopJoin"),
