@@ -396,6 +396,29 @@ object PipelineQueries {
              |WHERE ROUND(list_cosine_similarity(e1.v, e2.v), 6) >= 0.35
              |ORDER BY id1, id2""".stripMargin)),
 
+    // --------------------------------------------------- sequence packing
+    // Start-offset binning of documents into 2048-token windows over 8
+    // deterministic per-language streams (id % 8) — all integer arithmetic,
+    // so the oracle replays it verbatim with a DuckDB window.
+    Q("px20_pack_sequences",
+      (s, d) => Packing.binStats(docs(s, d), "doc_id", "lang", "text",
+        budget = 2048, shards = 8)
+        .orderBy("lang", "shard", "bin"),
+      Some("""WITH t AS (
+             |  SELECT lang, doc_id, doc_id % 8 AS shard,
+             |    len(list_filter(string_split_regex(trim(text), '\s+'),
+             |        x -> x <> '')) AS n
+             |  FROM documents
+             |), c AS (
+             |  SELECT lang, shard, doc_id, n,
+             |    SUM(n) OVER (PARTITION BY lang, shard ORDER BY doc_id) - n
+             |      AS start
+             |  FROM t)
+             |SELECT lang, shard, CAST(FLOOR(start / 2048) AS BIGINT) AS bin,
+             |  COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+             |FROM c GROUP BY 1, 2, 3
+             |ORDER BY lang, shard, bin""".stripMargin)),
+
     // ------------------------------------------- deterministic sampling
     // The sampled ROWS are hash-chosen (Spark-only); the oracle checks the
     // defining property the driver can verify: exactly min(k, |group|)

@@ -179,6 +179,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing: conservation, monotone bins, straddling docs") {
+    val df = docs
+    val bins = Packing.packBins(df, "doc_id", "lang", "text",
+      budget = 256, shards = 4).collect()
+    // conservation: every document lands in exactly one bin, tokens intact
+    assert(bins.length === df.count())
+    val totalTokens = df.select(
+      org.apache.spark.sql.functions.sum(
+        TextAnalysis.tokenCount(col("text")))).head().getLong(0)
+    assert(bins.map(_.getAs[Long]("n_tokens")).sum === totalTokens)
+    // per stream, bins are non-decreasing in doc order and start at 0
+    bins.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard")))
+      .foreach { case (_, rows) =>
+        val ordered = rows.sortBy(_.getAs[Long]("doc_id"))
+        val bs = ordered.map(_.getAs[Long]("bin")).toSeq
+        assert(bs.head === 0L)
+        assert(bs === bs.sorted)
+      }
+    // a document longer than the budget must NOT break assignment: with a
+    // tiny budget every doc still gets the bin of its start offset
+    val tiny = Packing.packBins(df, "doc_id", "lang", "text",
+      budget = 8, shards = 4).collect()
+    assert(tiny.length === df.count())
+  }
+
   test("MinHashMerge aggregator: merged signature == signature of the union") {
     import spark.implicits._
     val df = Seq(
