@@ -219,13 +219,17 @@ object GraphAnalytics {
     */
   def pageRankFixed(edges: DataFrame, iters: Int, resetProb: Double = 0.15,
       damping: Double = 0.85, ckptEvery: Int = 0): DataFrame = {
+    // LAZY checkpoints: shared inputs are still computed once and cached
+    // (every iteration re-reads them), but no job runs until the caller's
+    // single action — three eager checkpoints here cost three scheduler
+    // floors before the query even started
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint(true) // referenced by every iteration + the degree agg
+      .localCheckpoint(false) // referenced by every iteration + the degree agg
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val withDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("_deg")), "src")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var ranks = verts.select(col("id"), lit(1.0).as("rank"))
     for (i <- 1 to iters) {
       val contrib = withDeg.join(ranks, withDeg("src") === ranks("id"))
