@@ -28,6 +28,40 @@ object Sampling {
       .drop("_rk")
   }
 
+  /** Deterministic train/val/test split: every row gets a `split` label
+    * chosen by its id's hash bucket, so membership depends ONLY on row
+    * identity — stable across runs, partitionings, and corpus growth (a
+    * new document never moves an old one between splits, the property
+    * leakage-free eval sets need). `fractions` are (label, weight) pairs
+    * summing to ≤ 1; any remainder gets `restLabel`. Pure per-row
+    * expression: no shuffle, scales with input splits.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)], restLabel: String = "train",
+      seed: Long = 42L): DataFrame = {
+    require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9,
+      "split fractions must sum to ≤ 1")
+    val Buckets = 10000L
+    val bucket = pmod(score(col(idCol), seed), lit(Buckets))
+    // cumulative integer thresholds over [0, 10000) — exact arithmetic,
+    // replayable verbatim by any SQL engine over the exported buckets
+    val bounds = fractions.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * Buckets)
+    }
+    val expr = fractions.zipWithIndex.foldRight(lit(restLabel): Column) {
+      case (((label, _), i), els) =>
+        when(bucket >= bounds(i) && bucket < bounds(i + 1), label).otherwise(els)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** The split's hash bucket — exported by graft.Verify so the px21 oracle
+    * can re-derive the threshold assignment independently in DuckDB (which
+    * has no xxhash64). Must stay parameter-compatible with [[hashSplit]].
+    */
+  def splitBuckets(df: DataFrame, idCol: String, seed: Long = 42L): DataFrame =
+    df.select(col(idCol), pmod(score(col(idCol), seed), lit(10000L)).as("bucket"))
+
   /** Bernoulli sample at `rate` by hash threshold — content-deterministic
     * row-level sampling, no shuffle at all.
     *
