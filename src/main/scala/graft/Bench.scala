@@ -60,6 +60,11 @@ object Bench {
       results.map(r => "\"" + r._1 + "\":" + fmt(f(r))).mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"queries":${obj(_._2)},"spread":${obj(_._3)},"sf":"$sfDir"}""")
+    // tail-truncation insurance: the full line above exceeds the driver's
+    // ~4 KB tail window once per-query maps grow, and round 6 lost its
+    // headline number exactly that way ("parsed": null). This compact
+    // trailer always fits, so the round record always carries the total.
+    println(s"""{"metric":"total_compact","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"failed":${results.count(_._2 < 0)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

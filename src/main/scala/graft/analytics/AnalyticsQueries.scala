@@ -45,8 +45,9 @@ object AnalyticsQueries {
        |  SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM v
        |),
        |$iterCtes
-       |SELECT id, ROUND(rank, 6) AS rank FROM r$PageRankIters
-       |ORDER BY rank DESC, id LIMIT 10""".stripMargin
+       |SELECT id, CAST(FLOOR(rank * 1000000.0) AS BIGINT) AS rank_u
+       |FROM r$PageRankIters
+       |ORDER BY rank_u DESC, id LIMIT 10""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
@@ -96,14 +97,20 @@ object AnalyticsQueries {
     // chained CTEs in DuckDB (the oracle below re-derives the same edge
     // list from region/nation). The literals 0.15/0.85 parse to the same
     // IEEE doubles in both engines and every per-vertex contribution sum
-    // here has one term, so ROUND(rank, 6) is bit-stable. Tol-converged
-    // GraphX pageRank remains as a cross-check in AnalyticsSpec.
+    // here has one term, so the rank doubles are bit-identical. The
+    // projection is FLOOR(rank*1e6)→bigint rather than each engine's
+    // ROUND builtin: Spark's round(double, 6) (BigDecimal shortest-repr,
+    // HALF_UP) and DuckDB's ROUND (scaled multiply + C rounding) disagree
+    // on 7th-decimal ties, whereas multiply+floor is the same two IEEE
+    // ops in both engines — no rounding-mode surface at all.
+    // Tol-converged GraphX pageRank remains as a cross-check in
+    // AnalyticsSpec.
     Q("ga3_pagerank",
       (s, d) => {
         val g = GraphQueries.geoGraph(s, d, withCustomers = false)
         GraphAnalytics.pageRankFixed(g.edges, iters = PageRankIters)
-          .select(col("id"), round(col("rank"), 6).as("rank"))
-          .orderBy(col("rank").desc, col("id")).limit(10)
+          .select(col("id"), floor(col("rank") * lit(1e6)).as("rank_u"))
+          .orderBy(col("rank_u").desc, col("id")).limit(10)
       },
       Some(pageRankOracleSql)),
 

@@ -174,8 +174,13 @@ object GraphAnalytics {
       // set-equality check via (count, hash-xor) fingerprint: cheap (one
       // agg per round) and cross-checked by the GraphX-equality spec; at
       // the fixed point smallStar∘largeStar is the identity on the star
-      // edge set, which then maps every vertex to its component min
-      converged = nfp == fp
+      // edge set, which then maps every vertex to its component min.
+      // A fingerprint MATCH is confirmed with one exact set check (equal
+      // counts + next⊆e ⟹ equal sets): an xor-of-xxhash64 collision
+      // (~2^-64/round) would otherwise terminate early with wrong labels
+      // that keepRepresentatives then silently drops documents by. The
+      // check runs once, at the fixed point — never in the hot loop.
+      converged = nfp == fp && next.exceptAll(e).isEmpty
       fp = nfp
       e = next
       it += 1

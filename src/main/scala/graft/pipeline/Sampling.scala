@@ -44,9 +44,14 @@ object Sampling {
     val Buckets = 10000L
     val bucket = pmod(score(col(idCol), seed), lit(Buckets))
     // cumulative integer thresholds over [0, 10000) — exact arithmetic,
-    // replayable verbatim by any SQL engine over the exported buckets
-    val bounds = fractions.scanLeft(0L) { case (acc, (_, f)) =>
-      acc + math.round(f * Buckets)
+    // replayable verbatim by any SQL engine over the exported buckets.
+    // Round the CUMULATIVE sums, not each term: per-term rounding drifts
+    // the final boundary by up to fractions.size/2 buckets, whereas the
+    // cumulative form keeps every boundary within half a bucket of the
+    // intended split (a sub-1/20000 fraction then gets an explicit
+    // zero-width bucket rather than silently widening its neighbors).
+    val bounds = (0 to fractions.size).map { i =>
+      math.round(fractions.take(i).map(_._2).sum * Buckets)
     }
     val expr = fractions.zipWithIndex.foldRight(lit(restLabel): Column) {
       case (((label, _), i), els) =>
