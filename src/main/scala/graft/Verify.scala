@@ -89,6 +89,14 @@ object Verify {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$auxDir/px8_shingle_hashes")
       }
+      auxExport("px21_hash_split")(Seq("px21_buckets")) {
+        // per-doc (bucket, raw hash) rows — DuckDB replays hashSplit's
+        // integer threshold CASE and bernoulli's normalized threshold
+        // from these, pinning every document's split membership
+        pipeline.Sampling.splitBuckets(
+          Tables.load(spark, sfDir, "documents"), "doc_id")
+          .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px21_buckets")
+      }
       auxExport("px4_dedup_simhash")(Seq("px4_simhash")) {
         Tables.load(spark, sfDir, "documents")
           .select(col("doc_id"),

@@ -430,6 +430,47 @@ object PipelineQueries {
       Some("""SELECT lang, LEAST(COUNT(*), 50) AS sampled FROM documents
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // ----------------------------------- deterministic train/val/test split
+    // Both content-hash assignment modes in one query: hashSplit's bucket
+    // thresholds (val 5% / test 15% / train rest) and bernoulli's
+    // normalized-hash threshold (25%), counted per (lang, mode). The
+    // oracle replays BOTH from the (doc_id, bucket, h) rows graft.Verify
+    // exports — the integer CASE verbatim, and the bernoulli threshold as
+    // the same IEEE long→double normalize-and-compare — so membership of
+    // every document is pinned, not just the aggregate shape.
+    Q("px21_hash_split",
+      (s, d) => {
+        val doc = docs(s, d)
+        val splits = Sampling.hashSplit(doc, "doc_id",
+            Seq("val" -> 0.05, "test" -> 0.15))
+          .groupBy(col("lang"), col("split").as("mode"))
+          .agg(count(lit(1)).as("cnt"))
+        val bern = Sampling.bernoulli(doc, "doc_id", rate = 0.25)
+          .groupBy("lang").agg(count(lit(1)).as("cnt"))
+          .withColumn("mode", lit("bern25"))
+          .select("lang", "mode", "cnt")
+        splits.unionByName(bern).orderBy("lang", "mode")
+      },
+      Some(s"""WITH b AS (
+             |  SELECT * FROM '${AuxToken}/px21_buckets/*.parquet'),
+             |j AS (
+             |  SELECT d.lang, b.bucket, b.h
+             |  FROM b JOIN documents d ON d.doc_id = b.doc_id),
+             |sc AS (
+             |  SELECT lang,
+             |    CASE WHEN bucket >= 0    AND bucket < 500  THEN 'val'
+             |         WHEN bucket >= 500  AND bucket < 2000 THEN 'test'
+             |         ELSE 'train' END AS mode,
+             |    COUNT(*) AS cnt
+             |  FROM j GROUP BY 1, 2),
+             |bc AS (
+             |  SELECT lang, 'bern25' AS mode, COUNT(*) AS cnt FROM j
+             |  WHERE (h / 9223372036854775807.0 + 1.0) / 2.0 < 0.25
+             |  GROUP BY 1)
+             |SELECT lang, mode, cnt FROM sc
+             |UNION ALL SELECT lang, mode, cnt FROM bc
+             |ORDER BY lang, mode""".stripMargin)),
+
     // ------------------------------ X3: exact cosine top-k (SURVEY §2.D note)
     Q("x3_sim_exact_topk",
       (s, d) => {

@@ -60,12 +60,18 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
-  /** The split's hash bucket — exported by graft.Verify so the px21 oracle
-    * can re-derive the threshold assignment independently in DuckDB (which
-    * has no xxhash64). Must stay parameter-compatible with [[hashSplit]].
+  /** The split's hash bucket AND raw hash — exported by graft.Verify so
+    * the px21 oracle can independently re-derive both assignment modes in
+    * DuckDB (which has no xxhash64): `bucket` replays [[hashSplit]]'s
+    * integer threshold CASE verbatim, and `h` replays [[bernoulli]]'s
+    * normalize-and-threshold (long→double conversion and IEEE division
+    * are engine-independent). Must stay parameter-compatible with
+    * [[hashSplit]] / [[bernoulli]].
     */
   def splitBuckets(df: DataFrame, idCol: String, seed: Long = 42L): DataFrame =
-    df.select(col(idCol), pmod(score(col(idCol), seed), lit(10000L)).as("bucket"))
+    df.select(col(idCol),
+      pmod(score(col(idCol), seed), lit(10000L)).as("bucket"),
+      score(col(idCol), seed).as("h"))
 
   /** Bernoulli sample at `rate` by hash threshold — content-deterministic
     * row-level sampling, no shuffle at all.
