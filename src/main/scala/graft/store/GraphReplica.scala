@@ -71,6 +71,30 @@ final class GraphReplica[V] private (
     model.fromValueRow(r.getString(0), r.getStruct(1))
   }
 
+  /** Batched point reads: N lookups answered by ONE Spark job. The
+    * single-id [[getValue]] runs a full DataFrame filter per call (fine
+    * for analytics serving, but local-mode scheduling alone costs ~0.3 s
+    * per job — see PLANS.md) — a serving layer fanning out point reads
+    * should batch them here. Unknown ids are simply absent from the
+    * result (the single-id API keeps its throwing contract). Result is
+    * driver-sized: one row per requested id.
+    */
+  def getValues(ns: Seq[Long]): Map[Long, V] =
+    if (ns.isEmpty) Map.empty
+    else {
+      val wanted =
+        if (ns.size <= 10000) state.nodes.where(col("id").isin(ns: _*))
+        else {
+          // a giant in-list stresses codegen; past ~10k ids a broadcast
+          // semi-join is the plan that scales
+          import spark.implicits._
+          state.nodes.join(broadcast(ns.toDF("id")), Seq("id"), "left_semi")
+        }
+      wanted.select(col("id"), col("kind"), col("value")).collect()
+        .map(r => r.getLong(0) -> model.fromValueRow(r.getString(1), r.getStruct(2)))
+        .toMap
+    }
+
   /** getTargets under an index key — distinct, like the writer side. */
   def getTargets(n: Long, k: IndexKey): Seq[Long] =
     state.index
@@ -115,15 +139,37 @@ final class GraphReplica[V] private (
       .foreachBatch { (batch: DataFrame, _: Long) => applyWal(batch) }
       .start()
 
+  /** Batch dirs whose data files have not all been delivered by the file
+    * source yet: dir → (buffered rows, data-file names seen so far). A
+    * multi-file `-bulk` dir (commitBulk writes one part per partition) can
+    * be SPLIT across triggers by `maxFilesPerTrigger`; its rows wait here
+    * until the dir is whole. Bounded by one in-flight publish unit.
+    */
+  private var pendingDirs: Map[String, (DataFrame, Set[String])] = Map.empty
+
+  /** High-watermark of applied batch dirs — (eventsIndex, batchSeq) of the
+    * newest applied dir. The file source orders files by mtime, and two
+    * dirs published within the same mtime granularity can cross a trigger
+    * boundary in inverted order; applying them inverted (e.g. batch-K's
+    * `add` after batch-K+1's `rmt`) would leave the replica permanently
+    * divergent, so an out-of-order arrival fails loudly instead.
+    */
+  private var appliedMark: (Long, Long) = (Long.MinValue, Long.MinValue)
+
   /** Fold one micro-batch of WAL rows into the follower state, in WAL
     * order. Rows from event dirs ≤ [[bootstrapIndex]] are already folded
     * into the bootstrap checkpoint and are dropped (permanently — the file
     * source marks their files seen, which is exactly right: they are
-    * history). Remaining rows are grouped by their batch dir, dirs applied
-    * ascending by (eventsIndex, batchSeq): bulk dirs set-wise as one
-    * DataFrame union, op dirs through OplogStream.applyOpBatch.
+    * history). Remaining rows are grouped by their batch dir; WHOLE dirs
+    * are applied ascending by (eventsIndex, batchSeq) — bulk dirs set-wise
+    * as one DataFrame union, op dirs through OplogStream.applyOpBatch —
+    * and a dir missing any of its data files defers (itself and every dir
+    * behind it) to a later trigger, so a read between triggers still
+    * observes a commit-boundary prefix of the writer's history, never a
+    * torn batch.
     */
   private def applyWal(batch: DataFrame): Unit = {
+    import OplogStream.uriToPath
     val withDir = batch
       .withColumn("_path", input_file_name())
       .withColumn("_eidx",
@@ -131,29 +177,64 @@ final class GraphReplica[V] private (
       .withColumn("_dir",
         regexp_extract(col("_path"), "^(.*/\\d+\\.events/batch-[^/]+)/", 1))
       .where(col("_eidx") > bootstrapIndex)
-      .localCheckpoint(true) // referenced once per batch dir below
-    // distinct dirs are bounded by maxFilesPerTrigger — driver-sized
-    val dirs = withDir.select("_dir").distinct().collect().map(_.getString(0))
-      // _SUCCESS gate, same defense as OplogStream.admitCommitted: an
-      // unmarked dir in a current-format store cannot appear (atomic
-      // publish), but a legacy/tampered store must not feed the replica
-      // torn batches
-      .filter { d =>
-        Files.exists(Paths.get(d.stripPrefix("file:")).resolve("_SUCCESS"))
+      // rows must outlive this micro-batch: a split dir's rows sit in
+      // pendingDirs until a later trigger delivers the rest of the dir
+      .localCheckpoint(true)
+    // (dir → data files delivered this trigger) — driver-sized, bounded by
+    // maxFilesPerTrigger
+    val arrived: Map[String, Set[String]] =
+      withDir.select("_dir", "_path").distinct().collect()
+        .groupBy(_.getString(0))
+        .map { case (d, rs) =>
+          d -> rs.map(r => uriToPath(r.getString(1)).getFileName.toString).toSet
+        }
+        // _SUCCESS gate, same decode as OplogStream.admitCommitted (the
+        // regex keeps `_dir` a valid URI prefix): an unmarked dir in a
+        // current-format store cannot appear (atomic publish), but a
+        // legacy/tampered store must not feed the replica torn batches
+        .filter { case (d, _) => Files.exists(uriToPath(d).resolve("_SUCCESS")) }
+    arrived.foreach { case (d, files) =>
+      val rows = withDir.where(col("_dir") === d).drop("_path", "_eidx", "_dir")
+      pendingDirs = pendingDirs.updatedWith(d) {
+        case Some((prev, seen)) => Some((prev.unionByName(rows), seen ++ files))
+        case None => Some((rows, files))
       }
+    }
+    // a dir carrying _SUCCESS is final on disk: complete ⟺ every data
+    // file physically in the dir has been delivered to this replica
+    def complete(d: String): Boolean = {
+      val seen = pendingDirs(d)._2
+      val ls = Files.list(uriToPath(d))
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => !n.startsWith("_") && !n.startsWith("."))
+          .forall(seen.contains)
+      } finally ls.close()
+    }
     val BatchDir = """.*/(\d+)\.events/batch-(\d+)(-bulk)?$""".r
-    val ordered = dirs.flatMap {
+    val keyed = pendingDirs.keys.flatMap {
       case d @ BatchDir(eidx, bseq, bulk) =>
         Some(((eidx.toLong, bseq.toLong), d, bulk != null))
       case _ => None
-    }.sortBy(_._1)
-    ordered.foreach { case (_, dir, isBulk) =>
-      val rows = withDir.where(col("_dir") === dir)
-        .drop("_path", "_eidx", "_dir")
-      state =
-        if (isBulk) state.withTargetsDF(rows.select("src", "dst")).checkpointed()
-        else OplogStream.applyOpBatch(model, state, rows)
-    }
+    }.toSeq.sortBy(_._1)
+    // longest COMPLETE prefix in (eidx, bseq) order: a complete dir behind
+    // an incomplete one waits too — its predecessor is mid-delivery, and
+    // applying around it would break the prefix guarantee
+    keyed.takeWhile { case (_, d, _) => complete(d) }
+      .foreach { case (k, dir, isBulk) =>
+        if (Ordering[(Long, Long)].lteq(k, appliedMark))
+          throw new IllegalStateException(
+            s"WAL batch $dir (key $k) arrived after a later batch " +
+              s"($appliedMark) was already applied — out-of-order file-source " +
+              "delivery; bootstrap a fresh replica")
+        val rows = pendingDirs(dir)._1
+        state =
+          if (isBulk) state.withTargetsDF(rows.select("src", "dst")).checkpointed()
+          else OplogStream.applyOpBatch(model, state, rows)
+        appliedMark = k
+        pendingDirs -= dir
+      }
   }
 }
 

@@ -69,13 +69,22 @@ object OplogStream {
     // distinct file paths are bounded by maxFilesPerTrigger — driver-sized
     val torn = withPath.select("_path").distinct().collect()
       .map(_.getString(0))
-      .filter { p =>
-        val dir = java.nio.file.Paths.get(java.net.URI.create(p).getPath).getParent
-        !java.nio.file.Files.exists(dir.resolve("_SUCCESS"))
-      }
+      .filter(p => !java.nio.file.Files.exists(
+        uriToPath(p).getParent.resolve("_SUCCESS")))
     if (torn.isEmpty) batch
     else withPath.where(!col("_path").isin(torn.toIndexedSeq: _*)).drop("_path")
   }
+
+  /** Decode a file-source URI (`input_file_name()` output — percent-
+    * encoded) to a local filesystem path. Every `_SUCCESS` gate must go
+    * through this: a naive `stripPrefix("file:")` breaks on paths with a
+    * space, '%', or non-ASCII char, silently classifying every committed
+    * batch as torn — and torn rows are dropped PERMANENTLY (the file
+    * source marks them seen), so a follower would serve stale data
+    * forever.
+    */
+  private[graft] def uriToPath(uri: String): java.nio.file.Path =
+    java.nio.file.Paths.get(java.net.URI.create(uri).getPath)
 
   /** Apply one op-batch DataFrame, preserving total op order (seq).
     *

@@ -125,6 +125,104 @@ class ReplicaSpec extends AnyFunSuite {
     s1.close()
   }
 
+  test("split bulk dir: a multi-file batch is applied whole across triggers") {
+    val dir = Files.createTempDirectory("graft-replica-split-").toString
+    val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val a = s1.session.newNode(Artist(1, "Hub"))
+    s1.session.addTarget(s1.session.root, a)
+    s1.commit()
+    import spark.implicits._
+    // 4 partitions → one batch-K-bulk dir holding 4 part files. AQE would
+    // coalesce this tiny shuffle to ONE partition (and one file), hiding
+    // exactly the multi-file case that occurs at real bulk sizes — off
+    // for the write.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try s1.commitBulk((100L to 139L).map(d => (a, d)).toDF("src", "dst")
+      .repartition(4))
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // sanity: the bulk dir really is multi-file, else the test is vacuous
+    val bulkFiles = Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".events"))
+      .flatMap(ev => Files.list(ev).iterator().asScala)
+      .filter(_.getFileName.toString.endsWith("-bulk"))
+      .flatMap(b => Files.list(b).iterator().asScala)
+      .map(_.getFileName.toString)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .size
+    assert(bulkFiles > 1, s"expected a multi-file bulk dir, got $bulkFiles file(s)")
+
+    // maxFilesPerTrigger=1: every trigger delivers ONE file, so the bulk
+    // dir is guaranteed to arrive split. Polling between triggers must
+    // only ever observe commit-boundary prefixes — 0 or all 40 bulk edges,
+    // never a torn subset (the scaladoc's prefix guarantee).
+    val replica = GraphReplica.bootstrap(spark, CatalogueModel, dir)
+    val q = replica.follow(
+      org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maxFilesPerTrigger = 1)
+    var seen = Set.empty[Int]
+    while (q.isActive) { seen += replica.targets(a).size; Thread.sleep(50) }
+    q.awaitTermination()
+    seen += replica.targets(a).size
+    assert(seen.subsetOf(Set(0, 40)), s"observed torn bulk edge counts: $seen")
+    assert(replica.targets(a).sorted === (100L to 139L))
+    s1.close()
+  }
+
+  test("store path with space and percent: batches are not misread as torn") {
+    // input_file_name() returns a PERCENT-ENCODED URI; a naive
+    // stripPrefix("file:") gate would look up the wrong path, classify
+    // every committed batch as torn, and silently drop it forever. A dir
+    // name containing both a space and a literal '%' is the adversarial
+    // decode case ("%2520" round-trips wrong under double-decode too).
+    val base = Files.createTempDirectory("graft-replica-uri-")
+    val dir = base.resolve("odd name %20dir").toString
+    val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val a = s1.session.newNode(Artist(1, "Odd"))
+    s1.session.addTarget(s1.session.root, a)
+    s1.commit()
+    val replica = GraphReplica.bootstrap(spark, CatalogueModel, dir)
+    replica.catchUp()
+    assert(replica.getValue(a) === Artist(1, "Odd"))
+    assert(replica.targets(s1.session.root) === Seq(a))
+    s1.close()
+  }
+
+  test("getValues answers N point reads in one Spark job") {
+    val dir = Files.createTempDirectory("graft-replica-batchread-").toString
+    val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val ids = (1 to 5).map(i => s1.session.newNode(Artist(i, s"A$i")))
+    ids.foreach(s1.session.addTarget(s1.session.root, _))
+    s1.commit()
+    val replica = GraphReplica.bootstrap(spark, CatalogueModel, dir)
+    replica.catchUp()
+
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { actions.add(funcName); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val got = replica.getValues(ids :+ 424242L) // unknown id → absent
+      assert(got === ids.zipWithIndex.map { case (id, i) =>
+        id -> Artist(i + 1, s"A${i + 1}")
+      }.toMap)
+      // listener events are async — wait until the action list stabilizes
+      var prev = -1; var cur = actions.size(); var spins = 0
+      while (cur != prev || spins < 3) {
+        prev = cur; Thread.sleep(200); cur = actions.size(); spins += 1
+      }
+      val names = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        actions.iterator()).asScala.toList
+      assert(names.size === 1,
+        s"N point reads must batch into ONE job, saw $names")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("replica bootstrap refuses an incompatible store format (handshake)") {
     val dir = Files.createTempDirectory("graft-replica-fmt-")
     val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
