@@ -590,6 +590,49 @@ object PipelineQueries {
              |  octet_length(encode(text)) AS n_bytes,
              |  octet_length(encode(text)) % 640 AS fake_width,
              |  (octet_length(encode(text)) * 7) % 480 AS fake_height
-             |FROM documents ORDER BY media_id""".stripMargin))
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // ------------------------------------------- multimodal batch decode
+    // The ACTUAL decode path as a declared query (px12 covers only
+    // metadata arithmetic): binary media → Multimodal.decodeFeatures
+    // (mapPartitions batch shape, one decoder init per partition) → the
+    // 8-bucket byte histogram. The stub decoder is deterministic byte
+    // arithmetic — bucket = byte >> 5, normalized by length — so the
+    // integer bucket COUNTS are exactly recoverable as round(f_j·n) and
+    // DuckDB replays them from the text's code points (the corpus is
+    // ASCII, so byte == code point; TESTDATA is generated that way).
+    Q("px22_multimodal_decode",
+      (s, d) => {
+        val media = docs(s, d).select(
+          col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("media"),
+          struct(lit("txt").as("format"),
+            lit(null).cast("int").as("width"),
+            lit(null).cast("int").as("height")).as("meta"))
+        val decoded = Multimodal.decodeFeatures(media)
+        val counts = (0 until 8).map(j =>
+          round(element_at(col("feature"), j + 1) * col("n_bytes"))
+            .cast("bigint").as(s"c$j"))
+        decoded.select(col("media_id") +: col("n_bytes") +: counts: _*)
+          .orderBy("media_id")
+      },
+      Some("""WITH ch AS (
+             |  SELECT doc_id, unicode(c) // 32 AS b
+             |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+             |        FROM documents)
+             |  WHERE c <> ''
+             |)
+             |SELECT d.doc_id AS media_id,
+             |  octet_length(encode(d.text)) AS n_bytes,
+             |  CAST(COALESCE(SUM(CASE WHEN b = 0 THEN 1 END), 0) AS BIGINT) AS c0,
+             |  CAST(COALESCE(SUM(CASE WHEN b = 1 THEN 1 END), 0) AS BIGINT) AS c1,
+             |  CAST(COALESCE(SUM(CASE WHEN b = 2 THEN 1 END), 0) AS BIGINT) AS c2,
+             |  CAST(COALESCE(SUM(CASE WHEN b = 3 THEN 1 END), 0) AS BIGINT) AS c3,
+             |  CAST(COALESCE(SUM(CASE WHEN b = 4 THEN 1 END), 0) AS BIGINT) AS c4,
+             |  CAST(COALESCE(SUM(CASE WHEN b = 5 THEN 1 END), 0) AS BIGINT) AS c5,
+             |  CAST(COALESCE(SUM(CASE WHEN b = 6 THEN 1 END), 0) AS BIGINT) AS c6,
+             |  CAST(COALESCE(SUM(CASE WHEN b = 7 THEN 1 END), 0) AS BIGINT) AS c7
+             |FROM documents d LEFT JOIN ch ON ch.doc_id = d.doc_id
+             |GROUP BY 1, 2 ORDER BY media_id""".stripMargin))
   )
 }
