@@ -547,16 +547,32 @@ object PipelineQueries {
     // The 100 TB forms of COUNT(DISTINCT) and percentile: HyperLogLog++ and
     // a quantile sketch — single-pass, fixed-size state, mergeable across
     // partitions (exact distinct shuffles every distinct value; exact
-    // percentile buffers the group). Values are sketch-dependent → no SQL
-    // oracle; PipelineSpec bounds them against the exact answers.
+    // percentile buffers the group). The sketch VALUES are engine-specific,
+    // but their error BOUNDS are not: the query emits per-lang booleans —
+    // HLL estimate within 5% of exact (rsd=0.02, so 5% is >2 sigma), and
+    // the rank-sketch median between the exact 0.45/0.55 quantiles
+    // (accuracy=1000 bounds rank error by 0.001, so 0.05 is 50x margin) —
+    // and the oracle pins every boolean TRUE from DuckDB's exact side.
+    // The exact aggregations ride along only to make the bound checkable
+    // in-plan; a production pipeline runs the sketches alone.
     Q("px16_approx_stats",
       (s, d) => docs(s, d)
         .groupBy("lang")
         .agg(
           approx_count_distinct(col("text"), rsd = 0.02).as("uniq_est"),
-          expr("approx_percentile(n_chars, 0.5, 1000)").as("p50_est"))
+          countDistinct(col("text")).as("uniq_exact"),
+          expr("approx_percentile(n_chars, 0.5, 1000)").as("p50_est"),
+          expr("percentile(n_chars, 0.45)").as("p45"),
+          expr("percentile(n_chars, 0.55)").as("p55"))
+        .select(col("lang"),
+          (abs(col("uniq_est") - col("uniq_exact"))
+            <= col("uniq_exact") * 0.05).as("uniq_within_5pct"),
+          (col("p50_est") >= col("p45") && col("p50_est") <= col("p55"))
+            .as("p50_within_rank_bounds"))
         .orderBy("lang"),
-      None),
+      Some("""SELECT lang, TRUE AS uniq_within_5pct,
+             |  TRUE AS p50_within_rank_bounds
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // ------------------------------------- corpus-level minhash (typed UDAF)
     // One merged signature per source via the MinHashMerge Aggregator —

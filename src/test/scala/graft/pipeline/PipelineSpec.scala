@@ -230,9 +230,21 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("approx sketches bound the exact answers (HLL distinct, percentile)") {
-    val approx = PipelineQueries.all.find(_.name == "px16_approx_stats").get
+    // the declared px16 now emits the bound BOOLEANS themselves (the
+    // driver oracles them as all-TRUE); assert them here too
+    val flags = PipelineQueries.all.find(_.name == "px16_approx_stats").get
       .run(spark, sf).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(flags.nonEmpty)
+    flags.foreach { r =>
+      assert(r.getBoolean(1), s"${r.getString(0)}: HLL 5% bound violated")
+      assert(r.getBoolean(2), s"${r.getString(0)}: p50 rank bound violated")
+    }
+    // and keep the raw sketch-vs-exact comparison independent of the
+    // query's own bound arithmetic
+    val approx = docs.groupBy("lang")
+      .agg(approx_count_distinct(col("text"), rsd = 0.02).as("u"),
+        expr("approx_percentile(n_chars, 0.5, 1000)").as("p"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val exact = docs.groupBy("lang")
       .agg(countDistinct(col("text")).as("u"),
         expr("percentile(n_chars, 0.5)").as("p"))
@@ -245,6 +257,35 @@ class PipelineSpec extends AnyFunSuite {
       assert(math.abs(pEst - p) / math.max(p, 1.0) <= 0.1,
         s"$lang: approx p50 $pEst vs exact $p exceeds 10% error")
     }
+  }
+
+  test("hash split: layout-independent, growth-stable, bernoulli-monotone") {
+    val fr = Seq("val" -> 0.05, "test" -> 0.15)
+    def labels(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Sampling.hashSplit(df, "doc_id", fr)
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s1 = labels(docs)
+    // membership depends only on row identity, not physical layout
+    assert(labels(docs.repartition(13)) === s1)
+    // corpus growth never moves an old document between splits: the
+    // labels of any SUBSET equal the full corpus's labels
+    labels(docs.where(col("doc_id") % 2 === 0)).foreach { case (id, l) =>
+      assert(s1(id) === l, s"doc $id moved split under corpus change")
+    }
+    assert(s1.values.toSet === Set("train", "val", "test"))
+    // a sub-half-bucket fraction gets an explicit ZERO-width bucket
+    // (cumulative rounding) — never a silently widened neighbor
+    val tiny = Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.00004))
+      .where(col("split") === "a").count()
+    assert(tiny === 0L)
+    // bernoulli membership is monotone in rate (same hash, same seed)
+    def kept(rate: Double): Set[Long] =
+      Sampling.bernoulli(docs, "doc_id", rate)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val (k10, k25) = (kept(0.10), kept(0.25))
+    assert(k10.subsetOf(k25))
+    assert(k10.nonEmpty && k25.size > k10.size)
   }
 
   test("reservoir sampling is content-deterministic and layout-independent") {
