@@ -223,7 +223,8 @@ object GraphAnalytics {
     * depth grows linearly with N.
     */
   def pageRankFixed(edges: DataFrame, iters: Int, resetProb: Double = 0.15,
-      damping: Double = 0.85, ckptEvery: Int = 0): DataFrame = {
+      damping: Double = 0.85, ckptEvery: Int = 0,
+      danglingRedistribute: Boolean = false): DataFrame = {
     // LAZY checkpoints: shared inputs are still computed once and cached
     // (every iteration re-reads them), but no job runs until the caller's
     // single action — three eager checkpoints here cost three scheduler
@@ -235,15 +236,35 @@ object GraphAnalytics {
       .localCheckpoint(false)
     val withDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("_deg")), "src")
       .localCheckpoint(false)
+    // dangling handling is opt-in: the default mirrors GraphX's
+    // staticPageRank (mass at out-degree-0 vertices evaporates), keeping
+    // ga3's oracle arithmetic bit-identical. With redistribution ON, each
+    // iteration adds the dangling mass / |V| to every vertex's damped sum
+    // — the variant ranking users usually want (total mass conserved).
+    // The per-iteration mass is a 1-row aggregate cross-joined in-plan
+    // (broadcast), so the loop still runs as ONE lazy Catalyst plan.
+    lazy val srcs = e.select(col("src").as("id")).distinct()
+      .localCheckpoint(false)
+    val nVerts = if (danglingRedistribute) verts.count().toDouble else 0d
     var ranks = verts.select(col("id"), lit(1.0).as("rank"))
     for (i <- 1 to iters) {
       val contrib = withDeg.join(ranks, withDeg("src") === ranks("id"))
         .select(col("dst"), (col("rank") / col("_deg")).as("_c"))
         .groupBy("dst").agg(sum("_c").as("_s"))
-      ranks = verts.join(contrib, verts("id") === contrib("dst"), "left_outer")
-        .select(verts("id"),
-          (lit(resetProb) + lit(damping) * coalesce(col("_s"), lit(0d)))
-            .as("rank"))
+      val base = verts.join(contrib, verts("id") === contrib("dst"), "left_outer")
+      ranks =
+        if (!danglingRedistribute)
+          base.select(verts("id"),
+            (lit(resetProb) + lit(damping) * coalesce(col("_s"), lit(0d)))
+              .as("rank"))
+        else {
+          val dm = ranks.join(srcs, Seq("id"), "left_anti")
+            .agg(coalesce(sum("rank"), lit(0d)).as("_dm"))
+          base.crossJoin(dm).select(verts("id"),
+            (lit(resetProb) + lit(damping) *
+              (coalesce(col("_s"), lit(0d)) + col("_dm") / lit(nVerts)))
+              .as("rank"))
+        }
       if (ckptEvery > 0 && i % ckptEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint(true)
     }

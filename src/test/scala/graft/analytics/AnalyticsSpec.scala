@@ -161,4 +161,41 @@ class AnalyticsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("pagerank danglingRedistribute conserves mass (vs exact reference)") {
+    // dangling-HEAVY fixture: 3 of 5 vertices have no out-edges
+    val edges = edgesDF((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L))
+    val adj = Map(0L -> Seq(1L, 2L), 1L -> Seq(3L, 4L))
+    val n = 5
+    def reference(iters: Int): Map[Long, Double] = {
+      var r = (0L to 4L).map(_ -> 1.0).toMap
+      for (_ <- 1 to iters) {
+        val dm = r.collect { case (v, x) if !adj.contains(v) => x }.sum
+        r = r.keys.map { v =>
+          val in = adj.collect {
+            case (u, ts) if ts.contains(v) => r(u) / ts.size
+          }.sum
+          v -> (0.15 + 0.85 * (in + dm / n))
+        }.toMap
+      }
+      r
+    }
+    for (iters <- Seq(1, 4)) {
+      val df = GraphAnalytics.pageRankFixed(edges, iters,
+          danglingRedistribute = true)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val ref = reference(iters)
+      assert(df.keySet === ref.keySet)
+      df.foreach { case (id, r) =>
+        assert(math.abs(r - ref(id)) < 1e-9,
+          s"vertex $id at iters=$iters: DF $r vs reference ${ref(id)}")
+      }
+      // total mass conserved: sum == resetProb*N + damping*N == N exactly
+      // (up to float) — the property the evaporating default lacks here
+      assert(math.abs(df.values.sum - n) < 1e-9)
+      val dflt = GraphAnalytics.pageRankFixed(edges, iters)
+        .agg(org.apache.spark.sql.functions.sum("rank")).head().getDouble(0)
+      assert(dflt < n - 0.1, "default must keep evaporating semantics")
+    }
+  }
 }

@@ -93,6 +93,40 @@ class GraphStoreSpec extends AnyFunSuite {
     s3.close()
   }
 
+  test("store dir stays bounded across many open/close cycles") {
+    // the reference's cleanup contract (Rules.hs:7-25): superseded files
+    // move to archive/, the live dir holds exactly one checkpoint, and
+    // nothing (staging debris, stale events, duplicate checkpoints)
+    // accumulates per cycle — the property that keeps a long-lived store
+    // from growing without bound in its HOT path
+    val dir = tmpDir()
+    val N = 5
+    (1 to N).foreach { i =>
+      val s = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+      s.session.addTarget(s.session.root, s.session.newNode(Artist(i, s"A$i")))
+      s.close()
+    }
+    def entries(p: Path): Seq[String] =
+      if (!Files.exists(p)) Seq.empty
+      else Files.list(p).iterator().asScala.map(_.getFileName.toString).toSeq
+    val root = entries(dir)
+    // exactly ONE live checkpoint — the newest generation
+    assert(root.filter(_.endsWith(".checkpoint")) === Seq(s"$N.checkpoint"))
+    // every events dir was archived at its close; none linger live
+    assert(!root.exists(_.endsWith(".events")))
+    // a clean close leaves no staging debris behind
+    assert(entries(dir.resolve("_staging")).isEmpty)
+    // the archive holds exactly the superseded history — N-1 checkpoints
+    // and N event generations, not duplicates re-accumulated per cycle
+    val archived = entries(dir.resolve("archive"))
+    assert(archived.count(_.endsWith(".checkpoint")) === N - 1)
+    assert(archived.count(_.endsWith(".events")) === N)
+    // and the surviving state is the full history
+    val s = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    assert(s.session.getStats()._1 === N + 1L) // root + N artists
+    s.close()
+  }
+
   test("bulk edge commit: distributed WAL batch, set-wise replay, restart-stable") {
     import org.apache.spark.sql.functions.col
     val dir = tmpDir()
