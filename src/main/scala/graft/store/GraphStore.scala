@@ -50,6 +50,10 @@ final class GraphStore[V] private (
   private var batchSeq: Long = 0
   private var closed = false
 
+  // internal accessors for the write-shipping server (RemoteWrite)
+  private[store] def sparkOf: SparkSession = spark
+  private[store] def modelOf: GraphModel[V] = model
+
   private val opSchema = GraphStore.opSchema(model)
 
   // ---------------------------------------------------- async WAL buffering
@@ -565,7 +569,7 @@ object GraphStore {
     StructField("kind", StringType, nullable = true),
     StructField("value", model.valueSchema, nullable = true)))
 
-  private def opToRow[V](model: GraphModel[V], op: GraphOp[V], seq: Long): Row =
+  private[store] def opToRow[V](model: GraphModel[V], op: GraphOp[V], seq: Long): Row =
     op match {
       case GraphOp.NewNode(id, v) =>
         Row(seq, "new", id, null, null, model.kindOf(v), model.toValueRow(v))
@@ -576,7 +580,7 @@ object GraphStore {
       case GraphOp.RemoveNode(id) => Row(seq, "rm", id, null, null, null, null)
     }
 
-  private def rowToOp[V](model: GraphModel[V], r: Row): GraphOp[V] =
+  private[store] def rowToOp[V](model: GraphModel[V], r: Row): GraphOp[V] =
     r.getString(1) match {
       case "new" => GraphOp.NewNode(r.getLong(2),
         model.fromValueRow(r.getString(5), r.getStruct(6)))

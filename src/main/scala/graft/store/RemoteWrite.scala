@@ -1,0 +1,343 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import graft.graph._
+
+/** File-queue write shipping — the Spark-suitable analog of the reference's
+  * client/server WRITE path (/root/reference/library/GraphDB/Server.hs:17-94,
+  * Client.hs:53-117, Protocol.hs:8-43). The reference accepts socket
+  * connections and executes each client's shipped transaction inside a real
+  * local txn on a dedicated worker; here the transport is a shared
+  * filesystem inbox instead of a socket — the natural medium on a Spark
+  * deployment, where "clients" are other jobs sharing distributed storage:
+  *
+  * {{{
+  *   <inbox>/<clientId>-<seq>.txn/     one shipped transaction (parquet ops,
+  *                                     same row format as the WAL, + _meta.json)
+  *   <inbox>/acks/<txnId>.json         the server's response ("reply" leg)
+  *   <inbox>/applied/<txnId>.txn/      archive of executed transactions
+  * }}}
+  *
+  * Protocol semantics mirrored from the reference:
+  *  - '''tx-local refs''': a shipped `newNode` cannot know its global id, so
+  *    it carries a NEGATIVE ordinal (−1, −2, …) that later ops in the same
+  *    txn reference — exactly the reference's tx-local ordinal scheme
+  *    (Persistent.hs:126-171); the server resolves ordinals to fresh global
+  *    ids at apply time and returns the mapping in the ack (the response
+  *    round-trip of Client.hs:71-117).
+  *  - '''atomicity''': a txn is validated structurally before ANY op is
+  *    applied; a refused txn (bad ref, oversized, undecodable) changes no
+  *    state and gets a refused ack.
+  *  - '''version handshake''': each txn carries the client's format version;
+  *    a mismatch is refused, not half-applied — the `ClientFailure`
+  *    handshake (GraphDB.hs:169-174, 184-208).
+  *  - '''single-writer discipline''': only the store owner applies txns, so
+  *    the reference's exclusive write lock (Nonpersistent.hs:51-56) maps to
+  *    the store's dir lock; per-client FIFO order is guaranteed by the seq
+  *    in the dir name, cross-client order is arbitrary-but-deterministic
+  *    (lexicographic), matching concurrent-txn semantics.
+  *
+  * Durability trade (documented, same family as the reference's buffered
+  * WAL): the ack is written AFTER the txn's WAL batch is durable, so a
+  * server crash in the tiny window between commit and ack re-applies that
+  * txn on the next poll — at-least-once in the crash window, exactly-once
+  * otherwise (an acked txn dir found still in the inbox is moved to the
+  * archive without re-applying).
+  *
+  * Scale posture: txns are driver-sized by construction (a remote client
+  * ships a monadic program, not a dataset — the reference's txns are the
+  * same); bulk data belongs to [[GraphStore.commitBulk]]. An oversized txn
+  * is refused with a typed ack, not collected.
+  */
+object RemoteWrite {
+
+  /** Server response for one shipped transaction — the Protocol.hs response
+    * leg. `assigned` maps the client's tx-local negative ordinals to the
+    * global ids the server allocated.
+    */
+  final case class TxnAck(txnId: String, applied: Boolean,
+      assigned: Map[Long, Long], error: Option[String])
+
+  private val MetaName = "_meta.json"
+
+  private def writeJsonAtomic(target: Path, json: String): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def ackJson(a: TxnAck): String = {
+    val assigned = a.assigned.toSeq.sortBy(_._1)
+      .map { case (l, g) => s""""$l": $g""" }.mkString("{", ", ", "}")
+    val err = a.error.fold("null") { e =>
+      "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\r\n]", " ") + "\""
+    }
+    s"""{"txnId": "${a.txnId}", "applied": ${a.applied}, "assigned": $assigned, "error": $err}"""
+  }
+
+  private[store] def parseAck(json: String): TxnAck = {
+    val txnId = """"txnId":\s*"([^"]*)"""".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse("")
+    val applied = """"applied":\s*(true|false)""".r.findFirstMatchIn(json)
+      .exists(_.group(1) == "true")
+    val assigned = """"(-\d+)":\s*(\d+)""".r.findAllMatchIn(json)
+      .map(m => m.group(1).toLong -> m.group(2).toLong).toMap
+    val error = """"error":\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    TxnAck(txnId, applied, assigned, error)
+  }
+
+  // ------------------------------------------------------------- client side
+
+  /** Transaction builder — the client-side action DSL (Client.hs:53-60).
+    * `newNode` returns a tx-local NEGATIVE ref usable by later ops in this
+    * txn; ids ≥ 0 reference globally-known nodes (the root is 0; others come
+    * from prior acks or replica reads — the same "handles you got from the
+    * server" contract the reference's typed client enforces).
+    */
+  final class RemoteTxn[V] private[store] () {
+    private[store] val ops = mutable.ArrayBuffer[GraphOp[V]]()
+    private val defined = mutable.Set[Long]()
+    private var locals = 0
+
+    private def checkRef(x: Long, what: String): Unit =
+      require(x >= 0 || defined(x),
+        s"$what references undefined tx-local ref $x — refs must come from " +
+          "this txn's newNode (negative) or be global ids (non-negative)")
+
+    def newNode(v: V): Long = {
+      locals += 1
+      val ref = -locals.toLong
+      defined += ref
+      ops += GraphOp.NewNode(ref, v)
+      ref
+    }
+    def setValue(n: Long, v: V): Unit = {
+      checkRef(n, "setValue"); ops += GraphOp.SetValue(n, v)
+    }
+    def addTarget(src: Long, dst: Long): Unit = {
+      checkRef(src, "addTarget src"); checkRef(dst, "addTarget dst")
+      ops += GraphOp.AddTarget(src, dst)
+    }
+    def removeTarget(src: Long, dst: Long): Unit = {
+      checkRef(src, "removeTarget src"); checkRef(dst, "removeTarget dst")
+      ops += GraphOp.RemoveTarget(src, dst)
+    }
+    def remove(n: Long): Unit = {
+      checkRef(n, "remove"); ops += GraphOp.RemoveNode(n)
+    }
+  }
+
+  /** Write client: builds transactions and ships them to the inbox; polls
+    * acks for the response leg. One instance per logical client; `clientId`
+    * namespaces its txn ids, and a restarted client resumes after its
+    * highest shipped seq (scanning inbox + archive + acks), so ids never
+    * collide.
+    */
+  final class Client[V](spark: SparkSession, model: GraphModel[V],
+      inboxDir: String, clientId: String) {
+    require(clientId.matches("[A-Za-z0-9_-]+"),
+      s"clientId '$clientId' must be [A-Za-z0-9_-]+ (it names txn dirs)")
+
+    private val inbox = Paths.get(inboxDir)
+    Files.createDirectories(inbox)
+    private val mySeq = s"""^${java.util.regex.Pattern.quote(clientId)}-(\\d+)""".r
+
+    private var seq: Long = {
+      def seqsIn(p: Path): Seq[Long] =
+        if (!Files.isDirectory(p)) Seq.empty
+        else Files.list(p).iterator().asScala.toSeq
+          .flatMap(f => mySeq.findFirstMatchIn(f.getFileName.toString)
+            .flatMap(m => Try(m.group(1).toLong).toOption))
+      (seqsIn(inbox) ++ Seq("acks", "applied").flatMap(s => seqsIn(inbox.resolve(s))))
+        .maxOption.fold(0L)(_ + 1L)
+    }
+
+    /** Ship one transaction; returns its txnId. Published atomically: ops
+      * parquet + meta land in a staging dir, then one rename — a reader
+      * (the server) sees the whole txn or nothing, the same staged-publish
+      * rule as the WAL (GraphStore.writeWalBatch).
+      */
+    def submit(build: RemoteTxn[V] => Unit): String = {
+      val txn = new RemoteTxn[V]()
+      build(txn)
+      require(txn.ops.nonEmpty, "empty transaction")
+      val txnId = f"$clientId-$seq%06d"
+      val staging = inbox.resolve("_staging").resolve(s"$txnId.txn")
+      val target = inbox.resolve(s"$txnId.txn")
+      deleteRecursively(staging)
+      val rows = txn.ops.toSeq.zipWithIndex.map { case (op, i) =>
+        GraphStore.opToRow(model, op, i.toLong)
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), GraphStore.opSchema(model))
+      try {
+        df.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+        Files.writeString(staging.resolve(MetaName),
+          s"""{"formatVersion": ${GraphStore.FormatVersion}, "txnId": "$txnId", "ops": ${txn.ops.size}}""")
+        Files.createDirectories(target.getParent)
+        Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case e: Throwable => deleteRecursively(staging); throw e
+      }
+      seq += 1
+      txnId
+    }
+
+    /** Non-blocking ack poll. */
+    def ack(txnId: String): Option[TxnAck] = {
+      val f = inbox.resolve("acks").resolve(s"$txnId.json")
+      if (Files.exists(f)) Some(parseAck(Files.readString(f))) else None
+    }
+
+    /** Block until the server acks `txnId` — the synchronous round-trip the
+      * reference's client performs per action (Client.hs:71-117); ours is
+      * per-txn, which is strictly fewer round-trips.
+      */
+    def await(txnId: String, timeoutMs: Long = 30000L): TxnAck = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      var a = ack(txnId)
+      while (a.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(10L); a = ack(txnId)
+      }
+      a.getOrElse(throw new java.util.concurrent.TimeoutException(
+        s"no ack for $txnId within ${timeoutMs}ms"))
+    }
+  }
+
+  // ------------------------------------------------------------- server side
+
+  /** Apply every committed, un-acked transaction in `inboxDir` to the open
+    * store — the server's worker loop body (Server.hs:17-69). Returns the
+    * acks written this poll, in apply order. Call in a loop (or from a
+    * scheduler) to serve continuously; [[serveWhile]] wraps exactly that.
+    */
+  def applyPending[V](store: GraphStore[V], inboxDir: String): Seq[TxnAck] = {
+    val inbox = Paths.get(inboxDir)
+    val acksDir = inbox.resolve("acks")
+    val appliedDir = inbox.resolve("applied")
+    Files.createDirectories(acksDir)
+    Files.createDirectories(appliedDir)
+    if (!Files.isDirectory(inbox)) return Seq.empty
+
+    val committed = Files.list(inbox).iterator().asScala.toSeq
+      .filter(p => p.getFileName.toString.endsWith(".txn"))
+      // _SUCCESS (Spark's commit marker) + _meta.json are both inside the
+      // atomically-renamed dir: present ⇔ fully published; anything else is
+      // a foreign partial write — skip, never delete (it's not ours)
+      .filter(p => Files.exists(p.resolve("_SUCCESS")) &&
+        Files.exists(p.resolve(MetaName)))
+      .sortBy(_.getFileName.toString)
+
+    val acks = mutable.ArrayBuffer[TxnAck]()
+    committed.foreach { dir =>
+      val txnId = dir.getFileName.toString.stripSuffix(".txn")
+      val ackFile = acksDir.resolve(s"$txnId.json")
+      if (Files.exists(ackFile)) {
+        // crash-window recovery: acked means applied (ack is written after
+        // commit) — archive without re-applying
+        archive(dir, appliedDir)
+      } else {
+        val ack = applyOne(store, dir, txnId)
+        writeJsonAtomic(ackFile, ackJson(ack))
+        archive(dir, appliedDir)
+        acks += ack
+      }
+    }
+    acks.toSeq
+  }
+
+  /** Serve loop: poll-and-apply every `pollMs` until `keepGoing` turns
+    * false. The minimal continuous server — a caller owning the store runs
+    * this on a side thread, exactly the reference's accept-loop shape.
+    */
+  def serveWhile[V](store: GraphStore[V], inboxDir: String, pollMs: Long = 50L)(
+      keepGoing: () => Boolean): Unit =
+    while (keepGoing()) {
+      applyPending(store, inboxDir)
+      Thread.sleep(pollMs)
+    }
+
+  private def applyOne[V](store: GraphStore[V], dir: Path, txnId: String): TxnAck = {
+    def refused(msg: String) = TxnAck(txnId, applied = false, Map.empty, Some(msg))
+    try {
+      val meta = Files.readString(dir.resolve(MetaName))
+      val version = """"formatVersion":\s*(\d+)""".r.findFirstMatchIn(meta)
+        .map(_.group(1).toInt).getOrElse(-1)
+      if (version != GraphStore.FormatVersion)
+        return refused(s"incompatible format version $version; server speaks " +
+          s"${GraphStore.FormatVersion} — the ClientFailure handshake refusal")
+
+      val bound = GraphStore.maxReplayBatchRows
+      val rows = store.sparkOf.read.parquet(dir.toString)
+        .select("seq", "op", "id", "src", "dst", "kind", "value") // positional decode
+        .orderBy("seq").limit(bound + 1).collect()
+      if (rows.length > bound)
+        return refused(s"txn exceeds $bound ops; shipped txns are " +
+          "driver-sized by contract — use commitBulk for bulk ingest")
+
+      val ops = rows.map(r => GraphStore.rowToOp(store.modelOf, r)).toSeq
+
+      // structural validation BEFORE any state change (txn atomicity):
+      // every negative ref must be defined by a prior newNode in this txn
+      val defined = mutable.Set[Long]()
+      var invalid: Option[String] = None
+      val it = ops.iterator
+      while (invalid.isEmpty && it.hasNext) it.next() match {
+        case GraphOp.NewNode(id, _) =>
+          if (id >= 0)
+            invalid = Some(s"shipped newNode must use a negative tx-local ref, got $id")
+          else if (defined(id)) invalid = Some(s"duplicate tx-local ref $id")
+          else defined += id
+        case op =>
+          val refs = op match {
+            case GraphOp.SetValue(id, _) => Seq(id)
+            case GraphOp.AddTarget(s, d) => Seq(s, d)
+            case GraphOp.RemoveTarget(s, d) => Seq(s, d)
+            case GraphOp.RemoveNode(id) => Seq(id)
+            case _ => Seq.empty
+          }
+          refs.find(r => r < 0 && !defined(r)).foreach(r =>
+            invalid = Some(s"op references undefined tx-local ref $r"))
+      }
+      if (invalid.isDefined) return refused(invalid.get)
+
+      // apply as one local txn (the reference worker's interpret loop),
+      // resolving ordinals to fresh global ids as newNode executes
+      val session = store.session
+      val mapping = mutable.Map[Long, Long]()
+      def resolve(x: Long): Long = if (x < 0) mapping(x) else x
+      ops.foreach {
+        case GraphOp.NewNode(ref, v) => mapping(ref) = session.newNode(v)
+        case GraphOp.SetValue(id, v) => session.setValue(resolve(id), v)
+        case GraphOp.AddTarget(s, d) => session.addTarget(resolve(s), resolve(d))
+        case GraphOp.RemoveTarget(s, d) => session.removeTarget(resolve(s), resolve(d))
+        case GraphOp.RemoveNode(id) => session.remove(resolve(id))
+      }
+      store.commit() // one WAL batch per txn — the per-txn log append
+      TxnAck(txnId, applied = true, mapping.toMap, None)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        refused(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+    }
+  }
+
+  private def archive(dir: Path, appliedDir: Path): Unit =
+    Files.move(dir, appliedDir.resolve(dir.getFileName),
+      StandardCopyOption.REPLACE_EXISTING)
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,188 @@
+package graft.store
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph._
+import RemoteWrite._
+
+/** Write-shipping suite — the client/server WRITE path analog (reference
+  * Server.hs / Client.hs / Protocol.hs): shipped txns with tx-local refs
+  * execute atomically in the owner's session, acks carry the assigned
+  * global ids, the version handshake refuses, and the inbox protocol is
+  * torn-write-safe and idempotent under re-polling.
+  */
+class RemoteWriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshStore() = {
+    val dir = Files.createTempDirectory("graft-rw-store-").toString
+    (GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir), dir)
+  }
+  private def freshInbox() =
+    Files.createTempDirectory("graft-rw-inbox-").toString
+
+  test("shipped txn applies atomically; ack maps tx-local refs to global ids") {
+    val (store, storeDir) = freshStore()
+    val inbox = freshInbox()
+    val client = new Client(spark, CatalogueModel, inbox, "c1")
+
+    var mjRef = 0L
+    val t1 = client.submit { txn =>
+      mjRef = txn.newNode(Artist(1, "Michael Jackson"))
+      txn.addTarget(0L, mjRef) // 0 = the root, globally known
+    }
+    assert(RemoteWrite.applyPending(store, inbox).map(_.txnId) === Seq(t1))
+
+    val ack1 = client.await(t1)
+    assert(ack1.applied && ack1.error.isEmpty)
+    val mj = ack1.assigned(mjRef)
+    assert(mj > 0L)
+    assert(store.session.getValue(mj) === Artist(1, "Michael Jackson"))
+    assert(store.session.getTargets(store.session.root,
+      IndexKey("Catalogue_Artist_Name", "Michael Jackson")) === Seq(mj))
+
+    // second txn uses the global id learned from the first ack — the
+    // response-round-trip usage pattern of the reference client
+    val t2 = client.submit { txn =>
+      val song = txn.newNode(Song("Billie Jean"))
+      txn.addTarget(0L, song)
+      txn.addTarget(song, mj)
+      txn.setValue(mj, Artist(1, "MJ"))
+    }
+    RemoteWrite.applyPending(store, inbox)
+    val ack2 = client.await(t2)
+    assert(ack2.applied)
+    assert(store.session.getValue(mj) === Artist(1, "MJ"))
+    assert(store.session.sources(mj).size === 2)
+
+    // each applied txn committed as its own WAL batch: a restart replays
+    // everything the acks acknowledged
+    val statsBefore = store.session.getStats()
+    store.close()
+    val reopened = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, storeDir)
+    assert(reopened.session.getStats() === statsBefore)
+    assert(reopened.session.getValue(mj) === Artist(1, "MJ"))
+    reopened.close()
+  }
+
+  test("per-client FIFO: later txn's write wins on the same node") {
+    val (store, _) = freshStore()
+    val inbox = freshInbox()
+    val client = new Client(spark, CatalogueModel, inbox, "fifo")
+    var ref = 0L
+    val t1 = client.submit { txn => ref = txn.newNode(Genre("first")) ; txn.addTarget(0L, ref) }
+    val a1 = { RemoteWrite.applyPending(store, inbox); client.await(t1) }
+    val gid = a1.assigned(ref)
+    // two pending txns on the same global node, shipped before any poll
+    client.submit(txn => txn.setValue(gid, Genre("second")))
+    client.submit(txn => txn.setValue(gid, Genre("third")))
+    val acks = RemoteWrite.applyPending(store, inbox)
+    assert(acks.size === 2 && acks.forall(_.applied))
+    assert(store.session.getValue(gid) === Genre("third"),
+      "txns must apply in client-seq order")
+    store.close()
+  }
+
+  test("version handshake: a future-format txn is refused, state untouched") {
+    val (store, _) = freshStore()
+    val inbox = freshInbox()
+    val client = new Client(spark, CatalogueModel, inbox, "vgate")
+    val t = client.submit { txn => txn.addTarget(0L, txn.newNode(Song("nope"))) }
+    // tamper the shipped meta to a future format version
+    val meta = Paths.get(inbox).resolve(s"$t.txn").resolve("_meta.json")
+    Files.writeString(meta,
+      Files.readString(meta).replaceFirst("\"formatVersion\": \\d+",
+        "\"formatVersion\": 99"))
+    val before = store.session.getStats()
+    RemoteWrite.applyPending(store, inbox)
+    val ack = client.await(t)
+    assert(!ack.applied)
+    assert(ack.error.exists(_.contains("incompatible format version 99")))
+    assert(store.session.getStats() === before)
+    store.close()
+  }
+
+  test("invalid tx-local ref is refused atomically (no partial apply)") {
+    val (store, _) = freshStore()
+    val inbox = freshInbox()
+    // the client-side builder rejects undefined refs eagerly...
+    val client = new Client(spark, CatalogueModel, inbox, "bad")
+    intercept[IllegalArgumentException] {
+      client.submit(txn => txn.addTarget(0L, -7L))
+    }
+    // ...so forge a txn the server must reject: valid newNode, then an op
+    // on an undefined ordinal (an untrusted inbox is not our builder)
+    val t = client.submit { txn =>
+      txn.addTarget(0L, txn.newNode(Song("legit")))
+    }
+    val dir = Paths.get(inbox).resolve(s"$t.txn")
+    val forged = spark.read.parquet(dir.toString)
+    import org.apache.spark.sql.functions._
+    val extra = forged.withColumn("seq", col("seq") + 100)
+      .withColumn("op", lit("add")).withColumn("id", lit(null).cast("long"))
+      .withColumn("src", lit(0L)).withColumn("dst", lit(-9L))
+      .withColumn("kind", lit(null).cast("string"))
+      .withColumn("value", lit(null).cast(forged.schema("value").dataType))
+      .limit(1)
+    val tampered = forged.unionByName(extra)
+    val tmp = Files.createTempDirectory("graft-rw-forge-")
+    tampered.write.mode("overwrite").parquet(tmp.resolve("p").toString)
+    // replace data files in place, keep _meta.json/_SUCCESS
+    Files.list(dir).forEach(p =>
+      if (p.getFileName.toString.endsWith(".parquet")) Files.delete(p))
+    Files.list(tmp.resolve("p")).forEach { p =>
+      if (p.getFileName.toString.endsWith(".parquet"))
+        Files.copy(p, dir.resolve(p.getFileName))
+    }
+    val before = store.session.getStats()
+    RemoteWrite.applyPending(store, inbox)
+    val ack = client.await(t)
+    assert(!ack.applied)
+    assert(ack.error.exists(_.contains("undefined tx-local ref")))
+    assert(store.session.getStats() === before, "refused txn must change nothing")
+    store.close()
+  }
+
+  test("unpublished (torn) txn dirs are invisible; re-poll is idempotent") {
+    val (store, _) = freshStore()
+    val inbox = freshInbox()
+    val client = new Client(spark, CatalogueModel, inbox, "torn")
+    // a foreign partial write: dir without _SUCCESS/_meta — never admitted
+    Files.createDirectories(Paths.get(inbox).resolve("zzz-000000.txn"))
+    val t = client.submit { txn => txn.addTarget(0L, txn.newNode(Song("ok"))) }
+    assert(RemoteWrite.applyPending(store, inbox).size === 1)
+    val stats = store.session.getStats()
+    // second poll: nothing new — acked txn not re-applied, torn dir skipped
+    assert(RemoteWrite.applyPending(store, inbox).isEmpty)
+    assert(store.session.getStats() === stats)
+    assert(client.await(t).applied)
+    store.close()
+  }
+
+  test("restarted client resumes its seq; serve loop answers a live client") {
+    val (store, _) = freshStore()
+    val inbox = freshInbox()
+    val c1 = new Client(spark, CatalogueModel, inbox, "live")
+    val t1 = c1.submit { txn => txn.addTarget(0L, txn.newNode(Song("one"))) }
+
+    @volatile var serving = true
+    val server = new Thread(() =>
+      RemoteWrite.serveWhile(store, inbox, pollMs = 20L)(() => serving))
+    server.start()
+    try {
+      assert(c1.await(t1).applied)
+      // a NEW client instance with the same id must not reuse seq 0
+      val c2 = new Client(spark, CatalogueModel, inbox, "live")
+      val t2 = c2.submit { txn => txn.addTarget(0L, txn.newNode(Song("two"))) }
+      assert(t2 !== t1)
+      assert(c2.await(t2).applied)
+    } finally {
+      serving = false
+      server.join(5000)
+    }
+    assert(store.session.getStats()._1 === 3L) // root + two songs
+    store.close()
+  }
+}
