@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the training-data hygiene operator the
+  * reference has no analog of but every large-scale pipeline needs: flag
+  * corpus documents that share n-gram shingles with a (small) evaluation
+  * set, so eval data can be excluded from training.
+  *
+  * Scale design (the 100 TB shape):
+  *  - the EVAL side is small by nature (thousands of documents, not
+  *    billions) — its exploded shingle set is broadcast, so the corpus is
+  *    scanned exactly once with a broadcast hash join: no shuffle of the
+  *    corpus's exploded shingles at all;
+  *  - the only shuffle is the final per-document max over the (doc, bench)
+  *    overlap counts, which is bounded by the number of MATCHING pairs,
+  *    not the corpus size, and map-side partial aggregation applies;
+  *  - super-common shingles (stop n-grams) would make every corpus doc
+  *    match every bench doc — `maxBenchDF` drops shingles appearing in
+  *    more than that many bench documents before the join, the same
+  *    hot-key cap Dedup.ngramJaccardPairs applies (Dedup.DefaultMaxDF
+  *    rationale), evaluated on the tiny bench side.
+  *
+  * Shingle sets are DISTINCT per document on both sides (the Shingles
+  * expression dedups), so `count(*)` per (doc, bench) pair is exactly the
+  * intersection size |shingles(doc) ∩ shingles(bench)|.
+  */
+object Decontaminate {
+
+  /** Per-corpus-document maximum shingle overlap with any single benchmark
+    * document: `(idCol, max_overlap)`, one row per corpus document with at
+    * least one shared shingle. `contaminated` policy thresholds belong to
+    * the caller (a doc matching ≥ k shingles of one eval doc is the usual
+    * rule — per-single-document overlap, not union overlap, so a doc
+    * brushing many eval docs lightly is not over-flagged).
+    */
+  def overlap(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, maxBenchDF: Option[Int] = None): DataFrame = {
+    val benchSh0 = bench.select(col(idCol).as("bench_id"),
+      explode(TextAnalysis.shingles(col(textCol), n)).as("g"))
+    val benchSh = maxBenchDF.fold(benchSh0) { cap =>
+      val hot = benchSh0.groupBy("g").agg(count(lit(1)).as("df"))
+        .where(col("df") > cap).select("g")
+      benchSh0.join(hot, Seq("g"), "left_anti")
+    }
+    val corpusSh = corpus.select(col(idCol),
+      explode(TextAnalysis.shingles(col(textCol), n)).as("g"))
+    corpusSh
+      .join(broadcast(benchSh), Seq("g"))
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .groupBy(col(idCol))
+      .agg(max(col("overlap")).as("max_overlap"))
+  }
+}

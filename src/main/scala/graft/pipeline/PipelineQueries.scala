@@ -471,6 +471,68 @@ object PipelineQueries {
              |UNION ALL SELECT lang, mode, cnt FROM bc
              |ORDER BY lang, mode""".stripMargin)),
 
+    // ------------------------------------------- repetition quality gate
+    // Gopher-style duplicate-word / duplicate-2gram signals. The query
+    // hash-checks the INTEGER counts and the integer-arithmetic flag only
+    // (the double fractions ride in the operator's API output) — immune to
+    // the cross-engine double-rounding tie class ADVICE r6 flagged.
+    Q("px23_repetition",
+      (s, d) => TextAnalysis.repetition(docs(s, d), "text", "doc_id")
+        .select("doc_id", "n_tokens", "n_distinct_words",
+          "n_distinct_2grams", "repetitive")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |                x -> x <> '') AS t
+             |  FROM documents)
+             |SELECT doc_id,
+             |  len(t) AS n_tokens,
+             |  len(list_distinct(t)) AS n_distinct_words,
+             |  CASE WHEN len(t) < 2 THEN 0 ELSE
+             |    len(list_distinct(list_transform(range(1, len(t)),
+             |        i -> t[i] || ' ' || t[i+1]))) END AS n_distinct_2grams,
+             |  CASE WHEN len(t) < 2 THEN FALSE ELSE
+             |    ((len(t) - 1) - len(list_distinct(list_transform(range(1, len(t)),
+             |        i -> t[i] || ' ' || t[i+1])))) * 1000
+             |      > (len(t) - 1) * 50 END AS repetitive
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // --------------------------------------- benchmark decontamination
+    // Eval set = every 50th document (deterministic); a corpus doc is
+    // contaminated when it shares >= 8 distinct 3-gram shingles with any
+    // SINGLE eval doc. Broadcast the eval shingles — the corpus is scanned
+    // once, no corpus-side shuffle before the bounded pair aggregation.
+    Q("px24_decontaminate",
+      (s, d) => {
+        val doc = docs(s, d)
+        Decontaminate.overlap(
+          corpus = doc.where(col("doc_id") % 50 =!= 0),
+          bench = doc.where(col("doc_id") % 50 === 0),
+          idCol = "doc_id", textCol = "text", n = 3)
+          .where(col("max_overlap") >= 2)
+          .withColumn("contaminated", col("max_overlap") >= 8)
+          .orderBy("doc_id")
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |    unnest(list_distinct(list_transform(
+             |      range(1, len(t) - 1),
+             |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+             |  FROM (SELECT doc_id,
+             |          list_filter(string_split_regex(trim(text), '\s+'),
+             |                      x -> x <> '') AS t
+             |        FROM documents)
+             |  WHERE len(t) >= 3
+             |), b AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % 50 = 0),
+             |   c AS (SELECT doc_id, g FROM sh WHERE doc_id % 50 <> 0),
+             |   o AS (
+             |  SELECT c.doc_id, b.bench_id, COUNT(*) AS ov
+             |  FROM c JOIN b USING (g) GROUP BY 1, 2
+             |), m AS (SELECT doc_id, MAX(ov) AS max_overlap FROM o GROUP BY 1)
+             |SELECT doc_id, max_overlap, max_overlap >= 8 AS contaminated
+             |FROM m WHERE max_overlap >= 2 ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------ X3: exact cosine top-k (SURVEY §2.D note)
     Q("x3_sim_exact_topk",
       (s, d) => {

@@ -345,6 +345,71 @@ class PipelineSpec extends AnyFunSuite {
     assert(byId(3L).length === 1 && byId(3L).head.isNullAt(1), "empty media row preserved, no bogus frame")
   }
 
+  test("repetition signals: exact fractions, integer flag, degenerate docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a a"),          // 4 tokens, 1 distinct; 3 2grams, 1 distinct
+      (2L, "a b c d"),          // no repetition
+      (3L, "a b a b a b"),      // 5 2grams, 2 distinct -> dup frac 0.6
+      (4L, "solo"),             // 1 token: zero 2grams, flag false
+      (5L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_tokens") === 4L)
+    assert(r(0).getAs[Long]("n_distinct_words") === 1L)
+    assert(r(0).getAs[Long]("n_distinct_2grams") === 1L)
+    assert(r(0).getAs[Double]("dup_word_frac") === 0.75)
+    assert(r(0).getAs[Double]("dup_2gram_frac") === 0.6667)
+    assert(r(0).getAs[Boolean]("repetitive"))
+    assert(!r(1).getAs[Boolean]("repetitive") &&
+      r(1).getAs[Double]("dup_2gram_frac") === 0.0)
+    assert(r(2).getAs[Double]("dup_2gram_frac") === 0.6 &&
+      r(2).getAs[Boolean]("repetitive"))
+    assert(r(3).getAs[Long]("n_2grams") === 0L &&
+      r(3).getAs[Double]("dup_2gram_frac") === 0.0 &&
+      !r(3).getAs[Boolean]("repetitive"))
+    assert(r(4).getAs[Long]("n_tokens") === 0L && !r(4).getAs[Boolean]("repetitive"))
+    assert(r(4).getAs[Double]("dup_word_frac") === 0.0, "empty doc is not 'all duplicates'")
+    // flag boundary is strict: exactly at the threshold does not fire
+    // (dup=1 of 20 2grams = 0.05, flagPermille default 50)
+    val edge = Seq((9L, (1 to 20).map(i => s"w$i").mkString(" ") + " w1 w2"))
+      .toDF("doc_id", "text") // 22 tokens, 21 2grams, 1 duplicate ("w1 w2")
+    val er = TextAnalysis.repetition(edge, "text", "doc_id").collect()(0)
+    assert(er.getAs[Long]("n_2grams") === 21L)
+    assert(er.getAs[Long]("n_distinct_2grams") === 20L)
+    assert(!er.getAs[Boolean]("repetitive"), "1000/21000 < 50/1000·21 — below threshold")
+  }
+
+  test("decontamination: per-single-bench max overlap; hot-shingle cap") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "alpha beta gamma delta"),        // shingles: ab g, b g d
+      (101L, "one two three four five")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares both 3-gram shingles of bench 100 -> overlap 2
+      (1L, "alpha beta gamma delta extra"),
+      // shares 1 shingle with EACH bench doc -> max_overlap 1 (not summed)
+      (2L, "alpha beta gamma zz one two three"),
+      (3L, "nothing shared here at all")).toDF("doc_id", "text")
+    val out = Decontaminate.overlap(corpus, bench, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 2L), (2L, 1L)), "per-single-bench-doc max, zero-overlap docs absent")
+
+    // a shingle present in > maxBenchDF bench docs is dropped before the join
+    val hotBench = Seq(
+      (200L, "the common phrase one"),
+      (201L, "the common phrase two"),
+      (202L, "the common phrase three")).toDF("doc_id", "text")
+    val probe = Seq((10L, "the common phrase xyz")).toDF("doc_id", "text")
+    val capped = Decontaminate.overlap(probe, hotBench, "doc_id", "text",
+      n = 3, maxBenchDF = Some(2)).collect()
+    assert(capped.isEmpty, "'the common phrase' occurs in 3 bench docs > cap 2")
+    val uncapped = Decontaminate.overlap(probe, hotBench, "doc_id", "text", n = 3)
+      .collect()
+    assert(uncapped.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((10L, 1L)))
+  }
+
   test("token/quality/langid edge cases: empty and whitespace-only text") {
     import spark.implicits._
     val df = Seq((1L, ""), (2L, "   "), (3L, "the quick fox"),

@@ -104,4 +104,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"5-row band table must broadcast:\n$p")
   }
+
+  test("px24 decontamination: eval shingles broadcast, corpus scanned once") {
+    val p = plan("px24_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the small eval side must broadcast (no corpus-side shuffle join):\n$p")
+    // exactly two parquet scans of documents (corpus + bench split) — a
+    // third would mean the corpus is re-read for the aggregation
+    assert("documents\\.parquet".r.findAllIn(p).size <= 2,
+      s"documents must be scanned at most twice:\n$p")
+  }
 }
