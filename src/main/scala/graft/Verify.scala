@@ -97,6 +97,19 @@ object Verify {
           Tables.load(spark, sfDir, "documents"), "doc_id")
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px21_buckets")
       }
+      auxExport("px17_corpus_minhash")(Seq("px17_sigs")) {
+        // per-doc minhash signatures, one row per (source, slot) — DuckDB
+        // recomputes the per-source elementwise-min merged signature as an
+        // independent check of the MinHashMerge Aggregator. Empty shingle
+        // sets export their Long.MaxValue sentinels, matching zero()
+        Tables.load(spark, sfDir, "documents")
+          .select(col("source"),
+            org.apache.spark.sql.functions.posexplode(
+              functions.MinHashSigs(
+                pipeline.TextAnalysis.shingles(col("text"), 3), 32))
+              .as(Seq("pos", "h")))
+          .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px17_sigs")
+      }
       auxExport("px4_dedup_simhash")(Seq("px4_simhash")) {
         Tables.load(spark, sfDir, "documents")
           .select(col("doc_id"),

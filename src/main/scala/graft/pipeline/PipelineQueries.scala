@@ -5,13 +5,15 @@ import org.apache.spark.sql.functions._
 import graft.queries.Declared.Q
 
 /** Declared queries for the training-data pipeline operators, each backed
-  * by an operator in Dedup / TextAnalysis / Similarity / Multimodal.
+  * by an operator in Dedup / TextAnalysis / Similarity / Multimodal /
+  * Decontaminate / Sampling / Packing.
   *
-  * Queries with a clean DuckDB equivalent carry oracle SQL (hash-checked by
-  * the driver); the hash-based ops (MinHash, SimHash, LSH, fingerprints)
-  * depend on xxhash64 and are instead cross-checked in ScalaTest against
-  * their exact counterparts (e.g. minhash pairs ⊆/= exact Jaccard pairs) —
-  * the driver still runs them as rows-only checks.
+  * Every query carries oracle SQL (hash-checked by the driver). Ops whose
+  * values DuckDB cannot recompute (xxhash64 / seeded hyperplanes / the
+  * IVF model) are oracled via graft.Verify's aux exports: the hash inputs
+  * are dumped as parquet and the oracle re-derives the banding joins /
+  * merges / thresholds independently — plus ScalaTest cross-checks against
+  * exact counterparts (e.g. minhash pairs ⊆/= exact Jaccard pairs).
   */
 object PipelineQueries {
 
@@ -639,8 +641,11 @@ object PipelineQueries {
     // ------------------------------------- corpus-level minhash (typed UDAF)
     // One merged signature per source via the MinHashMerge Aggregator —
     // map-side partial merge like any built-in agg; cross-source Jaccard is
-    // then estimable from the merged sigs alone. Hash-specific values → no
-    // SQL oracle; PipelineSpec proves merged == signature-of-union.
+    // then estimable from the merged sigs alone. Fully oracled: Verify
+    // exports the per-doc signatures (posexploded), and DuckDB recomputes
+    // the per-source elementwise MIN independently — checking the
+    // Aggregator's zero/reduce/merge path against a flat re-aggregation
+    // (PipelineSpec additionally proves merged == signature-of-union).
     Q("px17_corpus_minhash",
       (s, d) => {
         val merge = graft.functions.MinHashMerge(32)
@@ -651,10 +656,15 @@ object PipelineQueries {
           .groupBy("source")
           .agg(merge(col("sig")).as("merged"))
           .select(col("source"),
-            xxhash64(concat_ws(",", col("merged"))).as("sig_digest"))
+            expr("array_join(transform(merged, x -> cast(x as string)), ',')")
+              .as("sig"))
           .orderBy("source")
       },
-      None),
+      Some(s"""WITH s AS (SELECT * FROM '${AuxToken}/px17_sigs/*.parquet'),
+             |m AS (SELECT source, pos, MIN(h) AS mh FROM s GROUP BY 1, 2)
+             |SELECT source,
+             |  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pos) AS sig
+             |FROM m GROUP BY source ORDER BY source""".stripMargin)),
 
     Q("px12_multimodal_meta",
       (s, d) => docs(s, d)
