@@ -65,6 +65,18 @@ object RemoteWrite {
   final case class TxnAck(txnId: String, applied: Boolean,
       assigned: Map[Long, Long], error: Option[String])
 
+  /** Fail-stop signal: a txn failed AFTER its first session mutation. No
+    * ack is written (the txn stays in the inbox); the store owner must
+    * reopen the store (WAL-prefix recovery) before serving again — a
+    * refusal ack here would lie, because the partial txn's ops sit in the
+    * session op log and a later commit would persist them.
+    */
+  final class ApplyFailedException(val txnId: String, cause: Throwable)
+    extends IllegalStateException(
+      s"write-shipping apply failed mid-txn $txnId; the session may hold a " +
+        "partial txn — reopen the store to recover (the WAL holds only " +
+        "complete, acked txns)", cause)
+
   private val MetaName = "_meta.json"
 
   private def writeJsonAtomic(target: Path, json: String): Unit = {
@@ -171,6 +183,11 @@ object RemoteWrite {
       val txn = new RemoteTxn[V]()
       build(txn)
       require(txn.ops.nonEmpty, "empty transaction")
+      // the server orders txns lexicographically by dir name; a seq wider
+      // than the zero-padding would sort BEFORE 999999 and break FIFO —
+      // enforce the bound instead of silently reordering
+      require(seq < 1000000L,
+        s"client '$clientId' exceeded 10^6 shipped txns; use a new clientId")
       val txnId = f"$clientId-$seq%06d"
       val staging = inbox.resolve("_staging").resolve(s"$txnId.txn")
       val target = inbox.resolve(s"$txnId.txn")
@@ -312,20 +329,34 @@ object RemoteWrite {
       if (invalid.isDefined) return refused(invalid.get)
 
       // apply as one local txn (the reference worker's interpret loop),
-      // resolving ordinals to fresh global ids as newNode executes
+      // resolving ordinals to fresh global ids as newNode executes.
+      // IMPORTANT: from the first session mutation on, failures are
+      // FAIL-STOP, not refusals — a refused ack after mutation would lie
+      // (the mutated ops sit in the session op log and a LATER txn's
+      // commit would persist them while the client was told "refused").
+      // A throw here leaves the txn un-acked in the inbox; the owner must
+      // reopen the store (WAL-prefix recovery), after which the next poll
+      // re-applies the txn from scratch — the same fail-stop discipline
+      // as the buffered WAL worker (GraphStore walFailure).
       val session = store.session
       val mapping = mutable.Map[Long, Long]()
       def resolve(x: Long): Long = if (x < 0) mapping(x) else x
-      ops.foreach {
-        case GraphOp.NewNode(ref, v) => mapping(ref) = session.newNode(v)
-        case GraphOp.SetValue(id, v) => session.setValue(resolve(id), v)
-        case GraphOp.AddTarget(s, d) => session.addTarget(resolve(s), resolve(d))
-        case GraphOp.RemoveTarget(s, d) => session.removeTarget(resolve(s), resolve(d))
-        case GraphOp.RemoveNode(id) => session.remove(resolve(id))
+      try {
+        ops.foreach {
+          case GraphOp.NewNode(ref, v) => mapping(ref) = session.newNode(v)
+          case GraphOp.SetValue(id, v) => session.setValue(resolve(id), v)
+          case GraphOp.AddTarget(s, d) => session.addTarget(resolve(s), resolve(d))
+          case GraphOp.RemoveTarget(s, d) => session.removeTarget(resolve(s), resolve(d))
+          case GraphOp.RemoveNode(id) => session.remove(resolve(id))
+        }
+        store.commit() // one WAL batch per txn — the per-txn log append
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          throw new ApplyFailedException(txnId, e)
       }
-      store.commit() // one WAL batch per txn — the per-txn log append
       TxnAck(txnId, applied = true, mapping.toMap, None)
     } catch {
+      case e: ApplyFailedException => throw e
       case scala.util.control.NonFatal(e) =>
         refused(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
     }

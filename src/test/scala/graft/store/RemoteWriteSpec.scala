@@ -161,6 +161,40 @@ class RemoteWriteSpec extends AnyFunSuite {
     store.close()
   }
 
+  test("apply failure after mutation is fail-stop: typed throw, no ack") {
+    val (store, _) = freshStore()
+    val inbox = freshInbox()
+    val client = new Client(spark, CatalogueModel, inbox, "failstop")
+    val t = client.submit { txn => txn.addTarget(0L, txn.newNode(Song("x"))) }
+    store.failNextWalPublish = true // commit() will fail AFTER session mutation
+    val e = intercept[ApplyFailedException] {
+      RemoteWrite.applyPending(store, inbox)
+    }
+    assert(e.txnId === t)
+    assert(client.ack(t).isEmpty,
+      "a refusal ack here would lie — the mutated ops are in the op log")
+    assert(Files.exists(Paths.get(inbox).resolve(s"$t.txn")),
+      "txn stays shipped for the post-recovery retry")
+    store.abandon() // owner dies; recovery = reopen (WAL-prefix discipline)
+  }
+
+  test("two concurrent clients: both applied, ids disjoint, acks separate") {
+    val (store, _) = freshStore()
+    val inbox = freshInbox()
+    val ca = new Client(spark, CatalogueModel, inbox, "alice")
+    val cb = new Client(spark, CatalogueModel, inbox, "bob")
+    var ra = 0L; var rb = 0L
+    val ta = ca.submit { txn => ra = txn.newNode(Artist(1, "A")); txn.addTarget(0L, ra) }
+    val tb = cb.submit { txn => rb = txn.newNode(Artist(2, "B")); txn.addTarget(0L, rb) }
+    val acks = RemoteWrite.applyPending(store, inbox)
+    assert(acks.size === 2 && acks.forall(_.applied))
+    val (ga, gb) = (ca.await(ta).assigned(ra), cb.await(tb).assigned(rb))
+    assert(ga !== gb, "global ids must be disjoint across clients")
+    assert(store.session.getValue(ga) === Artist(1, "A"))
+    assert(store.session.getValue(gb) === Artist(2, "B"))
+    store.close()
+  }
+
   test("restarted client resumes its seq; serve loop answers a live client") {
     val (store, _) = freshStore()
     val inbox = freshInbox()
