@@ -318,22 +318,27 @@ object GraphAnalytics {
       .unionAll(canonical.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
     // orient low → high under (degree, id) — a total order, since ids are
-    // unique — carrying the head's order key for the wedge ordering below
-    def ord(d: String, id: String) = struct(col(d).as("d"), col(id).as("i"))
-    val lowFirst = ord("du", "u") < ord("dv", "v")
+    // unique. The head's order key rides along as TWO flat long columns
+    // (bd, b) rather than a struct: struct LessThan drops the comparison
+    // out of simple codegen into a generated comparator call per row, and
+    // this predicate runs once per O(m^1.5) wedge candidate
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
     val oriented = canonical
       .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
       .select(
         when(lowFirst, col("u")).otherwise(col("v")).as("a"),
         when(lowFirst, col("v")).otherwise(col("u")).as("b"),
-        when(lowFirst, ord("dv", "v")).otherwise(ord("du", "u")).as("ob"))
+        when(lowFirst, col("dv")).otherwise(col("du")).as("bd"))
       .localCheckpoint(true) // referenced 3× by the wedge joins
-    // wedge (a→b1, a→b2) with ord(b1) < ord(b2) closes iff b1→b2 exists
+    // wedge (a→b1, a→b2) with (db1,b1) < (db2,b2) closes iff b1→b2 exists
     // (the closing edge is oriented that way BY construction of the order)
     oriented.as("e1")
       .join(oriented.as("e2"),
-        col("e2.a") === col("e1.a") && col("e1.ob") < col("e2.ob"))
+        col("e2.a") === col("e1.a") &&
+          (col("e1.bd") < col("e2.bd") ||
+            (col("e1.bd") === col("e2.bd") && col("e1.b") < col("e2.b"))))
       .join(oriented.as("e3"),
         col("e3.a") === col("e1.b") && col("e3.b") === col("e2.b"))
       .count()

@@ -35,7 +35,8 @@ object ScaleRehearsal {
     "ga1_pregel_bfs_depths", "ga2_connected_components", "ga4_triangle_count",
     "gq3_graph_stats", "px2_dedup_ngram", "px3_dedup_minhash",
     "px10_sim_lsh", "px11_embed_neardup", "px15_vocab_topk",
-    "px18_dedup_representatives", "r10_multiway_join_agg", "r12_rollup")
+    "px18_dedup_representatives", "px24_decontaminate",
+    "r10_multiway_join_agg", "r12_rollup")
 
   private var K = 10 // blowup factor (arg 2)
 
@@ -65,17 +66,29 @@ object ScaleRehearsal {
     run(graft.Tables.load(spark, src, "lineitem").groupBy("l_returnflag").count())
     run(graft.Tables.load(spark, dst, "lineitem").groupBy("l_returnflag").count())
 
+    // best-of-2: a single cold run conflates the query with JIT/codegen
+    // warmup and one-off GC flukes — a measured 4× swing on identical
+    // code+data. The min of two runs is the plan's cost; ratios computed
+    // from one-shot numbers mis-rank which queries actually scale badly.
     def timeAll(dir: String): Seq[(String, Double)] =
       Targets.map { name =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { run(graft.SparkEntry.queries(name)(spark, dir)); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[scale] $name @$dir failed: ${e.getMessage}")
-            false
-          }
-        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1d
-        System.err.println(s"[scale] $name @$dir ${fmt(dt)} s")
+        // release the previous query's plan-owned localCheckpoint blocks:
+        // they are freed by the ContextCleaner only after their RDDs are
+        // garbage-collected, and a measurement harness running 2×13 heavy
+        // queries in one JVM accumulates them into an OOM otherwise
+        System.gc()
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { run(graft.SparkEntry.queries(name)(spark, dir)); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[scale] $name @$dir failed: ${e.getMessage}")
+              false
+            }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1d
+        }
+        val dt = if (times.exists(_ < 0)) -1d else times.min
+        System.err.println(s"[scale] $name @$dir ${fmt(dt)} s (runs ${times.map(fmt).mkString("/")})")
         name -> dt
       }
 
