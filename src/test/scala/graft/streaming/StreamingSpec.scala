@@ -43,6 +43,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size >= batch.size / 2, "most windows should be closed")
   }
 
+  test("repetition quality gate runs unchanged on a stream (== batch)") {
+    // the px23 operator is a stateless per-row projection, so the same
+    // code path must serve a Structured Streaming ingest pipeline
+    // verbatim — filter-at-ingest is how a production corpus applies it
+    val srcDir = Files.createTempDirectory("graft-stream-px23-")
+    Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      srcDir.resolve("documents.parquet"))
+    val batch = graft.Tables.load(spark, sf, "documents")
+    val stream = spark.readStream.schema(batch.schema)
+      .parquet(srcDir.toString)
+    val q = graft.pipeline.TextAnalysis.repetition(stream, "text", "doc_id")
+      .writeStream.format("memory").queryName("rep_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6), r.getBoolean(7))
+    val streamed = spark.table("rep_stream").collect().map(key).toMap
+    val expected = graft.pipeline.TextAnalysis.repetition(batch, "text", "doc_id")
+      .collect().map(key).toMap
+    assert(streamed === expected, "stateless gate: stream must equal batch")
+  }
+
   test("sessionization via flatMapGroupsWithState") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
