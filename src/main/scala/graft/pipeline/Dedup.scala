@@ -38,6 +38,43 @@ object Dedup {
     */
   val DefaultMaxDF: Int = 1000
 
+  /** Span-level (substring) duplication signals — the "repeated n-token
+    * window" method of span-dedup pipelines: for each document, how many of
+    * its distinct n-token windows also occur in at least `minDocs`
+    * documents (itself included). Catches boilerplate spans and cross-doc
+    * copied passages that whole-document Jaccard ([[ngramJaccardPairs]])
+    * dilutes away, and is the corpus-level analog of line-dedup for
+    * corpora without line structure.
+    *
+    * Scale design: fully LINEAR, unlike every pair-generating operator
+    * here — the window frequency table is one groupBy (map-side partial
+    * agg), and the join-back is 1:1 per (doc, window) row, so hot
+    * boilerplate windows cost their row count, never a pairwise blowup.
+    * No DF cap needed: frequency IS the signal.
+    *
+    * Output: `(idCol, n_windows, n_shared, repeated)` per document, where
+    * `repeated` = shared windows exceed 10% of the doc's windows, computed
+    * in exact integer arithmetic (10·n_shared > n_windows).
+    */
+  def sharedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val win = df.select(col(idCol),
+      explode(TextAnalysis.shingles(col(textCol), n)).as("w"))
+    // windows are DISTINCT per doc (Shingles dedups), so count(*) per
+    // window == number of documents containing it
+    val freq = win.groupBy("w").agg(count(lit(1)).as("_nd"))
+    val per = win.join(freq, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("_nd") >= minDocs, 1L).otherwise(0L)).as("n_shared"))
+    df.select(col(idCol))
+      .join(per, Seq(idCol), "left_outer") // sub-n-token docs keep a row
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("repeated", col("n_shared") * 10 > col("n_windows"))
+  }
+
   /** N-gram Jaccard near-duplicate pairs with similarity ≥ threshold over
     * the DF-capped shingle space. Exact over that space: J(a,b) > 0 ⟹ the
     * pair shares a surviving shingle ⟹ it appears in the inverted-index

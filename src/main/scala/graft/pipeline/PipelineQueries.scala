@@ -535,6 +535,38 @@ object PipelineQueries {
              |SELECT doc_id, max_overlap, max_overlap >= 8 AS contaminated
              |FROM m WHERE max_overlap >= 2 ORDER BY doc_id""".stripMargin)),
 
+    // --------------------------------------------- span-level duplication
+    // Repeated 8-token windows across the corpus (span-dedup signal,
+    // distinct from whole-doc Jaccard). Linear plan: window frequency is
+    // one groupBy, the join-back is 1:1 — hot boilerplate windows cost
+    // their row count, never a pairwise blowup. Integer output only.
+    Q("px25_shared_spans",
+      (s, d) => Dedup.sharedSpans(docs(s, d), "doc_id", "text", n = 8)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |                x -> x <> '') AS t
+             |  FROM documents
+             |), w AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    range(1, len(t) - 6),
+             |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+             |         t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+             |         t[i+6] || ' ' || t[i+7]))) AS w
+             |  FROM t WHERE len(t) >= 8
+             |), d AS (SELECT w, COUNT(*) AS nd FROM w GROUP BY w),
+             |per AS (
+             |  SELECT doc_id, COUNT(*) AS nw,
+             |    COUNT(*) FILTER (nd >= 2) AS ns
+             |  FROM w JOIN d USING (w) GROUP BY doc_id)
+             |SELECT doc.doc_id,
+             |  COALESCE(nw, 0) AS n_windows,
+             |  COALESCE(ns, 0) AS n_shared,
+             |  COALESCE(ns, 0) * 10 > COALESCE(nw, 0) AS repeated
+             |FROM documents doc LEFT JOIN per ON per.doc_id = doc.doc_id
+             |ORDER BY doc.doc_id""".stripMargin)),
+
     // ------------------------------ X3: exact cosine top-k (SURVEY §2.D note)
     Q("x3_sim_exact_topk",
       (s, d) => {

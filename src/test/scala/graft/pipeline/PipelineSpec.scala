@@ -380,6 +380,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(!er.getAs[Boolean]("repetitive"), "1000/21000 < 50/1000·21 — below threshold")
   }
 
+  test("shared spans: cross-doc windows count, intra-doc repeats don't") {
+    import spark.implicits._
+    val common = "a b c d e f g h" // one 8-token window
+    val df = Seq(
+      (1L, s"$common x1 y1"),                   // 3 windows, 1 shared w/ doc 2
+      (2L, s"z2 $common"),                      // 2 windows, 1 shared w/ doc 1
+      (3L, "q r s t u v w aa bb"),              // 2 windows, nothing shared
+      (4L, "too short"),                        // < 8 tokens: zero windows
+      (5L, "p1 p2 p3 p4 p5 p6 p7 p8 gap p1 p2 p3 p4 p5 p6 p7 p8")
+      // the same window twice WITHIN one doc: distinct-per-doc, so its
+      // corpus doc-count is 1 — intra-doc repetition is px23's business
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedSpans(df, "doc_id", "text", n = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out(0) === ((1L, 3L, 1L, true)))  // 10 > 3
+    assert(out(1) === ((2L, 2L, 1L, true)))
+    assert(out(2) === ((3L, 2L, 0L, false)))
+    assert(out(3) === ((4L, 0L, 0L, false)))
+    assert(out(4)._3 === 0L, "intra-doc repeat must not count as shared")
+  }
+
   test("decontamination: per-single-bench max overlap; hot-shingle cap") {
     import spark.implicits._
     val bench = Seq(
