@@ -535,6 +535,31 @@ object PipelineQueries {
              |SELECT doc_id, max_overlap, max_overlap >= 8 AS contaminated
              |FROM m WHERE max_overlap >= 2 ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------------------ distinctive terms (TF-IDF)
+    // Top-3 rarity-weighted terms per document. Ordering is tf/df via IEEE
+    // division of identical integers (correctly rounded -> identical in
+    // both engines); output is integers + the term, so the hash compare
+    // has no float-formatting surface at all.
+    Q("px26_distinctive_terms",
+      (s, d) => TextAnalysis.distinctiveTerms(docs(s, d), "doc_id", "text",
+        k = 3)
+        .orderBy("doc_id", "rnk"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |           x -> x <> '')) AS term
+             |  FROM documents
+             |), tf AS (
+             |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+             |), dfq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+             |r AS (
+             |  SELECT doc_id, term, tf, dfreq,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id
+             |      ORDER BY tf * 1.0 / dfreq DESC, term) AS rnk
+             |  FROM tf JOIN dfq USING (term))
+             |SELECT doc_id, term, tf, dfreq, rnk FROM r WHERE rnk <= 3
+             |ORDER BY doc_id, rnk""".stripMargin)),
+
     // --------------------------------------------- span-level duplication
     // Repeated 8-token windows across the corpus (span-dedup signal,
     // distinct from whole-doc Jaccard). Linear plan: window frequency is

@@ -123,6 +123,36 @@ object TextAnalysis {
           > col("n_2grams") * flagPermille)
   }
 
+  /** Per-document distinctive terms — the TF-IDF-family tagging primitive:
+    * rank each document's terms by term-frequency weighted by corpus
+    * rarity and keep the top k. The rarity weight is `tf / df` (document
+    * frequency) rather than `tf·ln(N/df)`: within one document the two
+    * orderings serve the same purpose, but IEEE integer division is
+    * correctly rounded and therefore IDENTICAL across engines, while ln()
+    * is not — an oracle compared on ln-scores would flake on last-ulp
+    * ties. Output carries only integers (tf, df, rank) for the same
+    * reason.
+    *
+    * Scale: tf is one groupBy (map-side combine), df one more over the
+    * (term-distinct) tf rows; the top-k window partitions by DOCUMENT —
+    * millions of small groups, no skew (unlike a by-language partition,
+    * which is why px15 needs its two-phase form and this does not).
+    */
+  def distinctiveTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+      .orderBy((col("tf").cast("double") / col("dfreq")).desc, col("term"))
+    val tf = df
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    tf.join(dfreq, "term")
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .where(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("dfreq"), col("rnk"))
+  }
+
   /** Rolling document fingerprint: min/max/count sketch of xxhash64 over
     * the 3-gram shingle set — a 1-permutation MinHash. Identical documents
     * (post-tokenization) get identical fingerprints; any changed word flips

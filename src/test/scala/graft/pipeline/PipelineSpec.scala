@@ -380,6 +380,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(!er.getAs[Boolean]("repetitive"), "1000/21000 < 50/1000·21 — below threshold")
   }
 
+  test("distinctive terms: rarity-weighted ranking with term tiebreak") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "apple apple banana common"),  // apple tf=2 df=1 -> 2.0 wins
+      (2L, "banana cherry common common"),
+      (3L, "common common common date")).toDF("doc_id", "text")
+    // dfs: apple 1, banana 2, cherry 1, common 3, date 1
+    val out = TextAnalysis.distinctiveTerms(df, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out(0) === ((1L, "apple", 2L, 1L, 1L)))   // 2/1 = 2.0
+    assert(out(1) === ((1L, "banana", 1L, 2L, 2L)))  // 0.5 > common 1/3
+    assert(out(2) === ((2L, "cherry", 1L, 1L, 1L)))  // 1.0
+    // doc 2: common tf=2 df=3 = 0.667 beats banana 0.5
+    assert(out(3) === ((2L, "common", 2L, 3L, 2L)))
+    assert(out(4) === ((3L, "common", 3L, 3L, 1L)))  // 1.0, beats date on tie? 3/3 vs 1/1
+    // tie 1.0 vs 1.0 -> term asc: "common" < "date"
+    assert(out(5) === ((3L, "date", 1L, 1L, 2L)))
+  }
+
   test("shared spans: cross-doc windows count, intra-doc repeats don't") {
     import spark.implicits._
     val common = "a b c d e f g h" // one 8-token window

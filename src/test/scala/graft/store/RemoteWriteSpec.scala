@@ -195,6 +195,32 @@ class RemoteWriteSpec extends AnyFunSuite {
     store.close()
   }
 
+  test("full serve loop: remote write -> owner applies -> replica reads") {
+    // the reference's complete client/server story in Spark terms: a
+    // remote client ships a txn (write leg), the store owner applies it
+    // under the single-writer lock, and an independent READ REPLICA
+    // tailing the WAL serves the new data without ever taking the lock
+    val dir = Files.createTempDirectory("graft-rw-e2e-").toString
+    val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val inbox = freshInbox()
+    val client = new Client(spark, CatalogueModel, inbox, "remote")
+    var ref = 0L
+    val t = client.submit { txn =>
+      ref = txn.newNode(Artist(7, "Stevie Wonder"))
+      txn.addTarget(0L, ref)
+    }
+    RemoteWrite.applyPending(store, inbox)
+    val gid = client.await(t).assigned(ref)
+
+    val replica = GraphReplica.bootstrap(spark, CatalogueModel, dir)
+    replica.catchUp()
+    assert(replica.getValue(gid) === Artist(7, "Stevie Wonder"))
+    assert(replica.getTargets(0L,
+      IndexKey("Catalogue_Artist_Name", "Stevie Wonder")) === Seq(gid))
+    assert(replica.getStats() === store.session.getStats())
+    store.close()
+  }
+
   test("restarted client resumes its seq; serve loop answers a live client") {
     val (store, _) = freshStore()
     val inbox = freshInbox()
