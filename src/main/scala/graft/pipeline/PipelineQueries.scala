@@ -535,6 +535,37 @@ object PipelineQueries {
              |SELECT doc_id, max_overlap, max_overlap >= 8 AS contaminated
              |FROM m WHERE max_overlap >= 2 ORDER BY doc_id""".stripMargin)),
 
+    // --------------------------------------- BPE-ish regex tokenization
+    // The GPT-style pre-tokenizer over the JSON-structured props column
+    // (letters / digit runs / symbol runs), where whitespace splitting
+    // under-segments. Character-class regex -> Java and RE2 agree exactly.
+    Q("px27_bpe_tokens",
+      (s, d) => {
+        val ev = graft.Tables.events(s, d)
+        ev.select(col("event_type"), col("props"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(size(TextAnalysis.bpeTokens(col("props"))))
+              .cast("bigint").as("n_tokens"),
+            sum(size(regexp_extract_all(col("props"), lit("[A-Za-z]+"), lit(0))))
+              .cast("bigint").as("n_alpha"),
+            sum(size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0))))
+              .cast("bigint").as("n_num"),
+            sum(size(regexp_extract_all(col("props"),
+              lit("[^A-Za-z0-9\\s]+"), lit(0))))
+              .cast("bigint").as("n_punct"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(len(regexp_extract_all(props,
+             |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(len(regexp_extract_all(props, '[A-Za-z]+'))) AS BIGINT) AS n_alpha,
+             |  CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_num,
+             |  CAST(SUM(len(regexp_extract_all(props,
+             |    '[^A-Za-z0-9\s]+'))) AS BIGINT) AS n_punct
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ------------------------------------------ distinctive terms (TF-IDF)
     // Top-3 rarity-weighted terms per document. Ordering is tf/df via IEEE
     // division of identical integers (correctly rounded -> identical in

@@ -123,6 +123,19 @@ object TextAnalysis {
           > col("n_2grams") * flagPermille)
   }
 
+  /** BPE-ish regex tokenization — the pre-tokenizer shape GPT-style BPE
+    * vocabularies train over: maximal runs of letters, digits, or
+    * non-alphanumeric symbols (so `{"k": 69}` → `{"`, `k`, `":`, `69`,
+    * `}`). Complements whitespace [[tokens]] for text with structure
+    * (JSON, code, markup) where whitespace splitting under-segments.
+    * Pure per-row expression (regexp_extract_all is codegen'd), and the
+    * character-class pattern means Java regex and RE2 (DuckDB) agree —
+    * which is what makes the px27 oracle exact.
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
   /** Per-document distinctive terms — the TF-IDF-family tagging primitive:
     * rank each document's terms by term-frequency weighted by corpus
     * rarity and keep the top k. The rarity weight is `tf / df` (document

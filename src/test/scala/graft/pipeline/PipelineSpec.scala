@@ -380,6 +380,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(!er.getAs[Boolean]("repetitive"), "1000/21000 < 50/1000·21 — below threshold")
   }
 
+  test("bpe-ish tokens: maximal letter/digit/symbol runs") {
+    import spark.implicits._
+    val df = Seq(("""{"k": 69}""", 1), ("a1b--2", 2), ("", 3), ("   ", 4))
+      .toDF("s", "i")
+    val out = df.orderBy("i")
+      .select(TextAnalysis.bpeTokens(col("s"))).as[Seq[String]].collect()
+    assert(out(0) === Seq("{\"", "k", "\":", "69", "}"))
+    assert(out(1) === Seq("a", "1", "b", "--", "2"))
+    assert(out(2) === Seq.empty && out(3) === Seq.empty)
+  }
+
   test("distinctive terms: rarity-weighted ranking with term tiebreak") {
     import spark.implicits._
     val df = Seq(
