@@ -65,6 +65,40 @@ object Multimodal {
     }(Encoders.row(decodedSchema))
   }
 
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media", BinaryType, nullable = true)))
+
+  /** Resize stub — uniform index subsampling of the payload to `outLen`
+    * bytes (`out[i] = in[(i·n) div outLen]`, integer arithmetic), the
+    * nearest-neighbor downscale a real image resize performs per axis.
+    * Same batch shape as [[decodeFeatures]] (one "scaler" init per
+    * partition); null media keeps its row with null output, empty media
+    * stays empty — the row-preservation invariant. Swap the sampling loop
+    * for a codec-backed scaler and nothing else changes.
+    */
+  def resize(media: DataFrame, outLen: Int): DataFrame = {
+    require(outLen > 0, "outLen must be positive")
+    media.select("media_id", "media").mapPartitions { it =>
+      // scaler init would happen HERE, once per partition
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (bytes == null) Row(id, null)
+        else if (bytes.isEmpty) Row(id, Array.empty[Byte])
+        else {
+          val out = new Array[Byte](outLen)
+          var i = 0
+          while (i < outLen) {
+            out(i) = bytes((i.toLong * bytes.length / outLen).toInt)
+            i += 1
+          }
+          Row(id, out)
+        }
+      }
+    }(Encoders.row(resizedSchema))
+  }
+
   /** Frame sampling for video-shaped payloads: every `stride`-th chunk of
     * `chunkBytes` becomes a "frame" row. Pure plumbing (posexplode over a
     * computed chunk index) — the chunk boundaries are where a real

@@ -535,6 +535,54 @@ object PipelineQueries {
              |SELECT doc_id, max_overlap, max_overlap >= 8 AS contaminated
              |FROM m WHERE max_overlap >= 2 ORDER BY doc_id""".stripMargin)),
 
+    // --------------------------------------------- multimodal resize
+    // The resize stub's uniform index subsampling (out[i] = in[(i*n) div
+    // 64]) is pure integer arithmetic, so DuckDB replays the resized
+    // payload byte-for-byte from code points (ASCII corpus: byte == code
+    // point) and the 8-bucket histogram of the RESIZED bytes pins every
+    // sampled index.
+    Q("px28_multimodal_resize",
+      (s, d) => {
+        val media = docs(s, d).select(
+          col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("media"))
+        // the composed pipeline: resize -> batch decode; the histogram
+        // counts are exact because 64 = 2^6 makes count/64 dyadic
+        val resized = Multimodal.resize(media, outLen = 64)
+          .withColumn("meta", struct(lit("txt").as("format"),
+            lit(null).cast("int").as("width"),
+            lit(null).cast("int").as("height")))
+        val decoded = Multimodal.decodeFeatures(resized)
+        val counts = (0 until 8).map(j =>
+          round(element_at(col("feature"), j + 1) * col("n_bytes"))
+            .cast("bigint").as(s"c$j"))
+        decoded
+          .select(col("media_id") +: col("n_bytes").as("n_out") +: counts: _*)
+          .orderBy("media_id")
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id, encode(text) AS b,
+             |         octet_length(encode(text)) AS n
+             |  FROM documents
+             |), ch AS (
+             |  SELECT doc_id,
+             |    unicode(text[CAST((j * n) // 64 AS BIGINT) + 1]) // 32 AS bk
+             |  FROM src JOIN documents USING (doc_id), range(64) t(j)
+             |  WHERE n > 0
+             |)
+             |SELECT s.doc_id AS media_id,
+             |  CAST(CASE WHEN s.n > 0 THEN 64 ELSE 0 END AS BIGINT) AS n_out,
+             |  CAST(COALESCE(SUM(CASE WHEN bk = 0 THEN 1 END), 0) AS BIGINT) AS c0,
+             |  CAST(COALESCE(SUM(CASE WHEN bk = 1 THEN 1 END), 0) AS BIGINT) AS c1,
+             |  CAST(COALESCE(SUM(CASE WHEN bk = 2 THEN 1 END), 0) AS BIGINT) AS c2,
+             |  CAST(COALESCE(SUM(CASE WHEN bk = 3 THEN 1 END), 0) AS BIGINT) AS c3,
+             |  CAST(COALESCE(SUM(CASE WHEN bk = 4 THEN 1 END), 0) AS BIGINT) AS c4,
+             |  CAST(COALESCE(SUM(CASE WHEN bk = 5 THEN 1 END), 0) AS BIGINT) AS c5,
+             |  CAST(COALESCE(SUM(CASE WHEN bk = 6 THEN 1 END), 0) AS BIGINT) AS c6,
+             |  CAST(COALESCE(SUM(CASE WHEN bk = 7 THEN 1 END), 0) AS BIGINT) AS c7
+             |FROM src s LEFT JOIN ch ON ch.doc_id = s.doc_id
+             |GROUP BY 1, 2 ORDER BY media_id""".stripMargin)),
+
     // --------------------------------------- BPE-ish regex tokenization
     // The GPT-style pre-tokenizer over the JSON-structured props column
     // (letters / digit runs / symbol runs), where whitespace splitting

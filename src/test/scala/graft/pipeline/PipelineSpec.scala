@@ -323,6 +323,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2).getSeq[Double](3).sum === 0.0)
   }
 
+  test("resize subsamples uniformly; null and empty rows preserved") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array.tabulate(16)(_.toByte)),       // 16 -> 4: indices 0,4,8,12
+      (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, Array.empty[Byte]),
+      (4L, Array[Byte](7)))                     // 1 -> 4: all index 0
+    val out = Multimodal.resize(rows.toDF("media_id", "media"), outLen = 4)
+      .orderBy("media_id").collect()
+    assert(out(0).getAs[Array[Byte]]("media").toSeq === Seq[Byte](0, 4, 8, 12))
+    assert(out(1).isNullAt(1), "null media row preserved as null")
+    assert(out(2).getAs[Array[Byte]]("media").isEmpty, "empty stays empty")
+    assert(out(3).getAs[Array[Byte]]("media").toSeq === Seq[Byte](7, 7, 7, 7),
+      "upsampling repeats source bytes (nearest neighbor)")
+  }
+
   test("frame sampling chunks binary payloads deterministically") {
     import spark.implicits._
     val media = Seq((1L, Array.tabulate[Byte](10)(_.toByte)))
