@@ -54,6 +54,13 @@ final class GraphStore[V] private (
   private[store] def sparkOf: SparkSession = spark
   private[store] def modelOf: GraphModel[V] = model
 
+  /** Set when a shipped txn failed after its first session mutation
+    * (RemoteWrite fail-stop): the session may hold a partial txn, so
+    * further write-shipping polls must refuse until the store is reopened.
+    * The serving analog of the WAL worker's fail-stop `walFailure`.
+    */
+  private[store] var remoteApplyPoisoned: Boolean = false
+
   private val opSchema = GraphStore.opSchema(model)
 
   // ---------------------------------------------------- async WAL buffering

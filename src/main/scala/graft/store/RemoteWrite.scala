@@ -239,6 +239,12 @@ object RemoteWrite {
     * scheduler) to serve continuously; [[serveWhile]] wraps exactly that.
     */
   def applyPending[V](store: GraphStore[V], inboxDir: String): Seq[TxnAck] = {
+    // the fail-stop is mechanical, not advisory: after a mid-txn failure
+    // the session may hold a partial txn, and polling again would apply
+    // that txn's ops a SECOND time — refuse until the store is reopened
+    if (store.remoteApplyPoisoned) throw new IllegalStateException(
+      "a previous shipped txn failed mid-apply; reopen the store " +
+        "(WAL-prefix recovery) before serving again")
     val inbox = Paths.get(inboxDir)
     val acksDir = inbox.resolve("acks")
     val appliedDir = inbox.resolve("applied")
@@ -350,8 +356,14 @@ object RemoteWrite {
           case GraphOp.RemoveNode(id) => session.remove(resolve(id))
         }
         store.commit() // one WAL batch per txn — the per-txn log append
+        // a BUFFERED store acknowledges commit() at enqueue; the ack's
+        // durable-after-WAL promise requires the drain barrier (no-op on
+        // an unbuffered store) — otherwise a crash could lose a txn the
+        // client was told was applied
+        store.drain()
       } catch {
         case scala.util.control.NonFatal(e) =>
+          store.remoteApplyPoisoned = true
           throw new ApplyFailedException(txnId, e)
       }
       TxnAck(txnId, applied = true, mapping.toMap, None)

@@ -175,7 +175,35 @@ class RemoteWriteSpec extends AnyFunSuite {
       "a refusal ack here would lie — the mutated ops are in the op log")
     assert(Files.exists(Paths.get(inbox).resolve(s"$t.txn")),
       "txn stays shipped for the post-recovery retry")
+    // the fail-stop is mechanical: polling the SAME store again must be
+    // refused (re-applying would duplicate the partial txn's ops), the
+    // same discipline as the buffered WAL worker's poisoned queue
+    val e2 = intercept[IllegalStateException] {
+      RemoteWrite.applyPending(store, inbox)
+    }
+    assert(e2.getMessage.contains("reopen the store"))
     store.abandon() // owner dies; recovery = reopen (WAL-prefix discipline)
+  }
+
+  test("buffered store: an acked txn survives a crash (drain before ack)") {
+    val dir = Files.createTempDirectory("graft-rw-buf-").toString
+    val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir,
+      buffered = true)
+    val inbox = freshInbox()
+    val client = new Client(spark, CatalogueModel, inbox, "buf")
+    var ref = 0L
+    val t = client.submit { txn =>
+      ref = txn.newNode(Song("durable")); txn.addTarget(0L, ref)
+    }
+    RemoteWrite.applyPending(store, inbox)
+    val gid = client.await(t).assigned(ref)
+    // crash WITHOUT close/checkpoint: buffered commit() acks at enqueue,
+    // so without the drain barrier before the ack this txn would die in
+    // the queue after the client was told "applied"
+    store.abandon()
+    val reopened = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    assert(reopened.session.getValue(gid) === Song("durable"))
+    reopened.close()
   }
 
   test("two concurrent clients: both applied, ids disjoint, acks separate") {
