@@ -36,7 +36,8 @@ object Decontaminate {
     * brushing many eval docs lightly is not over-flagged).
     */
   def overlap(corpus: DataFrame, bench: DataFrame, idCol: String,
-      textCol: String, n: Int = 3, maxBenchDF: Option[Int] = None): DataFrame = {
+      textCol: String, n: Int = 3, maxBenchDF: Option[Int] = None,
+      maxBroadcastDocs: Long = 1000000L): DataFrame = {
     val benchSh0 = bench.select(col(idCol).as("bench_id"),
       explode(TextAnalysis.shingles(col(textCol), n)).as("g"))
     val benchSh = maxBenchDF.fold(benchSh0) { cap =>
@@ -46,8 +47,15 @@ object Decontaminate {
     }
     val corpusSh = corpus.select(col(idCol),
       explode(TextAnalysis.shingles(col(textCol), n)).as("g"))
+    // guarded broadcast, same pattern as Reachability's frontier joins: an
+    // eval set is small BY NATURE, but an unconditional broadcast() hint
+    // overrides Spark's own size protection, so a caller passing a huge
+    // "bench" would OOM every executor — count the small side (one cheap
+    // job) and fall back to a plain shuffle join above the threshold
+    val benchSide =
+      if (bench.count() <= maxBroadcastDocs) broadcast(benchSh) else benchSh
     corpusSh
-      .join(broadcast(benchSh), Seq("g"))
+      .join(benchSide, Seq("g"))
       .groupBy(col(idCol), col("bench_id"))
       .agg(count(lit(1)).as("overlap"))
       .groupBy(col(idCol))

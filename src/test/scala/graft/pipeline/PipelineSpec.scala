@@ -477,6 +477,16 @@ class PipelineSpec extends AnyFunSuite {
     val uncapped = Decontaminate.overlap(probe, hotBench, "doc_id", "text", n = 3)
       .collect()
     assert(uncapped.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((10L, 1L)))
+
+    // guarded broadcast: above the threshold the FORCED broadcast hint is
+    // dropped — Spark's own statistics-based (and size-protected) join
+    // choice takes over — with identical answers. (On this tiny fixture
+    // Spark still auto-broadcasts; the point is the hint no longer
+    // overrides its size protection.)
+    val big = Decontaminate.overlap(probe, hotBench, "doc_id", "text", n = 3,
+      maxBroadcastDocs = 0L)
+    assert(big.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((10L, 1L)))
   }
 
   test("token/quality/langid edge cases: empty and whitespace-only text") {
