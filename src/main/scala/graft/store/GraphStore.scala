@@ -94,11 +94,12 @@ final class GraphStore[V] private (
         })
     }
 
-  private def enqueueWal(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+  private def enqueueWal(name: String, df: org.apache.spark.sql.DataFrame,
+      txnTag: Option[String] = None): Unit = {
     rethrowWalFailure()
     walExec.execute { () =>
       if (walFailure.get() == null) {
-        try writeWalBatch(name, df)
+        try writeWalBatch(name, df, txnTag)
         catch { case e: Throwable => walFailure.compareAndSet(null, e) }
       }
     }
@@ -133,7 +134,19 @@ final class GraphStore[V] private (
     * parquet batch — the WAL append (Persistent.hs:108-117 analog; our
     * "buffering" is the batch itself).
     */
-  def commit(): Unit = {
+  def commit(): Unit = commitTagged(None)
+
+  /** [[commit]] with an optional transaction tag durably co-published with
+    * the WAL batch (written inside the staged dir before the atomic rename,
+    * so batch-durable ⟺ tag-durable). The write-shipping server
+    * (RemoteWrite) tags each shipped txn's batch with its ack so a crash
+    * between WAL drain and ack write can be recovered by REPLAYING THE ACK
+    * instead of re-applying the txn — re-application would mint fresh
+    * global ids for the same newNodes and leave the first application's
+    * subgraph durable but unreferenced by any ack (duplicated data, the
+    * strong form of at-least-once this closes).
+    */
+  private[store] def commitTagged(txnTag: Option[String]): Unit = {
     require(!closed, "store is closed")
     // peek-validate-write-clear: the op log is only cleared after the WAL
     // batch is durably on disk, so a failed validation (seq-range overflow)
@@ -164,12 +177,49 @@ final class GraphStore[V] private (
       // reference's PersistenceBuffering trade): the log is cleared at
       // enqueue, and a crash loses at most the buffered suffix — see the
       // async-WAL block above. Synchronous mode keeps write-then-clear.
-      if (buffered) enqueueWal(f"batch-$batchSeq%06d", df)
-      else writeWalBatch(f"batch-$batchSeq%06d", df)
+      if (buffered) enqueueWal(f"batch-$batchSeq%06d", df, txnTag)
+      else writeWalBatch(f"batch-$batchSeq%06d", df, txnTag)
       session.clearLog()
       batchSeq += 1
     }
   }
+
+  // -------------------------------------------------- shipped-txn tag index
+  // Lazily-built index of `_txnmeta.json` tags found in this store's WAL
+  // batch dirs (live + archive). Consulted by RemoteWrite recovery: an
+  // un-acked inbox txn whose tag is on disk was already applied and must
+  // get its recorded ack, never a second application.
+  private var txnTagCache: collection.Map[String, String] = null
+
+  /** The durable tag recorded for `txnId`'s WAL batch, if any. */
+  private[store] def txnTag(txnId: String): Option[String] = {
+    if (txnTagCache == null) {
+      val found = scala.collection.mutable.Map[String, String]()
+      def scanEvents(base: Path): Unit =
+        if (Files.isDirectory(base))
+          GraphStore.listDirs(base, _.endsWith(".events")).foreach { ev =>
+            GraphStore.listDirs(ev, _.startsWith("batch-")).foreach { b =>
+              val m = b.resolve("_txnmeta.json")
+              if (Files.exists(m)) {
+                val json = Files.readString(m)
+                """"txnId":\s*"([^"]*)"""".r.findFirstMatchIn(json)
+                  .foreach(mt => found(mt.group(1)) = json)
+              }
+            }
+          }
+      scanEvents(path)
+      scanEvents(path.resolve("archive"))
+      txnTagCache = found
+    }
+    txnTagCache.get(txnId)
+  }
+
+  /** Register a tag just committed by THIS instance (keeps the lazy cache
+    * coherent without a rescan; a null cache will find it on disk anyway).
+    */
+  private[store] def recordTxnTag(txnId: String, json: String): Unit =
+    if (txnTagCache != null)
+      txnTagCache = txnTagCache.toMap.updated(txnId, json)
 
   /** Test-only fault injection: the next [[writeWalBatch]] throws AFTER the
     * staging write, exercising the failure-cleanup path.
@@ -192,7 +242,8 @@ final class GraphStore[V] private (
     *    renames and the _SUCCESS marker where a follower can apply ops the
     *    writer then loses in crash recovery (phantom ops).
     */
-  private def writeWalBatch(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+  private def writeWalBatch(name: String, df: org.apache.spark.sql.DataFrame,
+      txnTag: Option[String] = None): Unit = {
     val staging = path.resolve("_staging").resolve(name)
     val target = path.resolve(s"$eventsIndex.events").resolve(name)
     GraphStore.deleteRecursively(staging)
@@ -202,6 +253,9 @@ final class GraphStore[V] private (
       GraphStore.deleteRecursively(target)
     try {
       df.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+      // `_`-prefixed so every parquet reader (replay, followers) ignores it;
+      // inside the staged dir so the atomic publish covers batch AND tag
+      txnTag.foreach(j => Files.writeString(staging.resolve("_txnmeta.json"), j))
       if (failNextWalPublish) {
         failNextWalPublish = false
         throw new RuntimeException("injected WAL publish failure (test hook)")
@@ -545,6 +599,10 @@ object GraphStore {
       if (e <= index) move(path.resolve(s"$e.events"), archive)
     }
   }
+
+  private[store] def listDirs(base: Path, nameFilter: String => Boolean): Seq[Path] =
+    Files.list(base).iterator().asScala.toSeq
+      .filter(p => Files.isDirectory(p) && nameFilter(p.getFileName.toString))
 
   private def list(path: Path, suffix: String): Seq[Long] =
     Files.list(path).iterator().asScala.toSeq

@@ -2,7 +2,8 @@ package graft.store
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
 
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
@@ -233,10 +234,32 @@ object RemoteWrite {
 
   // ------------------------------------------------------------- server side
 
+  /** A deterministic poison pill (a txn that fail-stops the serve loop
+    * every time it is retried) gets this many apply attempts before it is
+    * QUARANTINED: moved aside with a refused ack so the serve loop stays
+    * live — the reference server refuses bad client txns with
+    * `ClientFailure` without dying (Server.hs:17-69); fail-stopping forever
+    * on one bad txn would be a liveness DoS the reference doesn't have.
+    * 2 = one retry after the first recovery (transient faults get a second
+    * chance; deterministic ones don't loop).
+    */
+  val MaxApplyAttempts: Int = 2
+
+  /** Per-poll txn-dir load jobs — 1 when the batched read served the whole
+    * poll, N on the per-dir fallback. Observability hook for the spec that
+    * pins the batched-read claim.
+    */
+  private[store] var lastPollTxnLoadJobs: Int = 0
+
   /** Apply every committed, un-acked transaction in `inboxDir` to the open
     * store — the server's worker loop body (Server.hs:17-69). Returns the
     * acks written this poll, in apply order. Call in a loop (or from a
     * scheduler) to serve continuously; [[serveWhile]] wraps exactly that.
+    *
+    * Poll cost: all txn dirs are loaded in ONE parquet read (split back
+    * per-txn by `input_file_name`), and all global refs across the poll are
+    * existence-checked in ONE job — per-txn Spark work is the apply+commit
+    * itself, so a poll finding N txns runs ~2+N jobs, not 2N.
     */
   def applyPending[V](store: GraphStore[V], inboxDir: String): Seq[TxnAck] = {
     // the fail-stop is mechanical, not advisory: after a mid-txn failure
@@ -262,19 +285,95 @@ object RemoteWrite {
       .sortBy(_.getFileName.toString)
 
     val acks = mutable.ArrayBuffer[TxnAck]()
+
+    // phase 1 — driver-side triage, no Spark jobs: already-acked dirs
+    // archive; tagged dirs (applied, ack lost in the crash window) replay
+    // their RECORDED ack; repeat poison pills quarantine; version
+    // mismatches refuse. Everything else proceeds to the batched load.
+    val todo = mutable.ArrayBuffer[(Path, String)]()
     committed.foreach { dir =>
       val txnId = dir.getFileName.toString.stripSuffix(".txn")
       val ackFile = acksDir.resolve(s"$txnId.json")
       if (Files.exists(ackFile)) {
-        // crash-window recovery: acked means applied (ack is written after
-        // commit) — archive without re-applying
+        // crash-window recovery leg 1: acked means applied (ack is written
+        // after commit) — archive without re-applying
         archive(dir, appliedDir)
-      } else {
-        val ack = applyOne(store, dir, txnId)
-        writeJsonAtomic(ackFile, ackJson(ack))
-        archive(dir, appliedDir)
-        acks += ack
+      } else store.txnTag(txnId) match {
+        case Some(recorded) =>
+          // crash-window recovery leg 2: the txn's WAL batch is durable and
+          // carries its ack as the batch tag (GraphStore.commitTagged), but
+          // the crash hit between drain and ack write. Re-applying would
+          // mint FRESH global ids for the same newNodes — a duplicated
+          // subgraph reachable from root — so replay the recorded ack:
+          // the client sees the mapping of the application that is
+          // actually durable. Exactly-once restored across the window.
+          writeJsonAtomic(ackFile, recorded)
+          archive(dir, appliedDir)
+          acks += parseAck(recorded)
+        case None if failCount(inbox, txnId) >= MaxApplyAttempts =>
+          val n = failCount(inbox, txnId)
+          val ack = TxnAck(txnId, applied = false, Map.empty, Some(
+            s"quarantined after $n mid-apply failures; txn moved to " +
+              "quarantined/ for inspection — a deterministic apply failure " +
+              "must not wedge the serve loop"))
+          writeJsonAtomic(ackFile, ackJson(ack))
+          val qDir = inbox.resolve("quarantined")
+          Files.createDirectories(qDir)
+          Files.move(dir, qDir.resolve(dir.getFileName),
+            StandardCopyOption.REPLACE_EXISTING)
+          Files.deleteIfExists(inbox.resolve(FailedDirName).resolve(txnId))
+          acks += ack
+        case None =>
+          val meta = Try(Files.readString(dir.resolve(MetaName))).getOrElse("")
+          val version = """"formatVersion":\s*(\d+)""".r.findFirstMatchIn(meta)
+            .map(_.group(1).toInt).getOrElse(-1)
+          if (version != GraphStore.FormatVersion) {
+            val ack = TxnAck(txnId, applied = false, Map.empty, Some(
+              s"incompatible format version $version; server speaks " +
+                s"${GraphStore.FormatVersion} — the ClientFailure handshake refusal"))
+            writeJsonAtomic(ackFile, ackJson(ack))
+            archive(dir, appliedDir)
+            acks += ack
+          } else todo += ((dir, txnId))
       }
+    }
+    if (todo.isEmpty) return acks.toSeq
+
+    // phase 2 — ONE parquet load over every todo dir (fallback: per-dir)
+    val loaded = loadTxns(store, todo.toSeq)
+
+    // phase 3 — one existence-check job for ALL global refs in the poll;
+    // ids created/removed by earlier txns IN this poll are tracked
+    // driver-side (the server itself assigns/resolves them), so per-txn
+    // validation needs no further jobs
+    val allGlobals = loaded.valuesIterator
+      .collect { case Right(ops) => ops }.flatten
+      .flatMap(refsOf).filter(_ >= 0).toSeq.distinct
+    val existsAtStart: Set[Long] =
+      if (allGlobals.isEmpty) Set.empty
+      else {
+        val nodes = store.session.applied().nodes
+        val wanted =
+          if (allGlobals.size <= 10000) nodes.where(col("id").isin(allGlobals: _*))
+          else {
+            // a giant in-list stresses codegen; past ~10k ids a broadcast
+            // semi-join is the plan that scales (same cutover as
+            // GraphReplica.getValues)
+            val spark = store.sparkOf
+            import spark.implicits._
+            nodes.join(broadcast(allGlobals.toDF("id")), Seq("id"), "left_semi")
+          }
+        wanted.select("id").collect().map(_.getLong(0)).toSet
+      }
+    val createdThisPoll = mutable.Set[Long]()
+    val removedThisPoll = mutable.Set[Long]()
+
+    todo.foreach { case (dir, txnId) =>
+      val ack = applyOne(store, inbox, txnId, loaded(txnId),
+        existsAtStart, createdThisPoll, removedThisPoll)
+      writeJsonAtomic(acksDir.resolve(s"$txnId.json"), ackJson(ack))
+      archive(dir, appliedDir)
+      acks += ack
     }
     acks.toSeq
   }
@@ -290,87 +389,177 @@ object RemoteWrite {
       Thread.sleep(pollMs)
     }
 
-  private def applyOne[V](store: GraphStore[V], dir: Path, txnId: String): TxnAck = {
-    def refused(msg: String) = TxnAck(txnId, applied = false, Map.empty, Some(msg))
-    try {
-      val meta = Files.readString(dir.resolve(MetaName))
-      val version = """"formatVersion":\s*(\d+)""".r.findFirstMatchIn(meta)
-        .map(_.group(1).toInt).getOrElse(-1)
-      if (version != GraphStore.FormatVersion)
-        return refused(s"incompatible format version $version; server speaks " +
-          s"${GraphStore.FormatVersion} — the ClientFailure handshake refusal")
+  private val FailedDirName = "_failed"
 
-      val bound = GraphStore.maxReplayBatchRows
-      val rows = store.sparkOf.read.parquet(dir.toString)
-        .select("seq", "op", "id", "src", "dst", "kind", "value") // positional decode
-        .orderBy("seq").limit(bound + 1).collect()
+  /** Mid-apply failure count for a txn — durable across store reopens
+    * (markers live in the inbox, not the store), feeding the quarantine
+    * threshold [[MaxApplyAttempts]].
+    */
+  private def failCount(inbox: Path, txnId: String): Int =
+    Try(Files.readString(inbox.resolve(FailedDirName).resolve(txnId)).trim.toInt)
+      .getOrElse(0)
+
+  private def recordFailure(inbox: Path, txnId: String): Unit = {
+    val d = inbox.resolve(FailedDirName)
+    Files.createDirectories(d)
+    Files.writeString(d.resolve(txnId), (failCount(inbox, txnId) + 1).toString)
+  }
+
+  /** Node ids an op REFERENCES (newNode defines, it doesn't reference). */
+  private def refsOf[V](op: GraphOp[V]): Seq[Long] = op match {
+    case GraphOp.NewNode(_, _) => Seq.empty
+    case GraphOp.SetValue(id, _) => Seq(id)
+    case GraphOp.AddTarget(s, d) => Seq(s, d)
+    case GraphOp.RemoveTarget(s, d) => Seq(s, d)
+    case GraphOp.RemoveNode(id) => Seq(id)
+  }
+
+  /** Load + decode every todo txn dir: ONE parquet read over all dirs on
+    * the fast path (rows split back per-txn by file name, re-ordered by
+    * seq driver-side), falling back to per-dir reads when the batched load
+    * fails (foreign schema in one dir must not poison its neighbors) or
+    * the poll's total rows exceed the driver bound (so a single oversized
+    * txn gets its typed per-txn refusal, not a whole-poll error).
+    * `Left` = refusal message; `Right` = decoded ops in seq order.
+    */
+  private def loadTxns[V](store: GraphStore[V], todo: Seq[(Path, String)])
+      : Map[String, Either[String, Seq[GraphOp[V]]]] = {
+    val bound = GraphStore.maxReplayBatchRows
+    def decode(rows: Seq[Row], txnId: String): Either[String, Seq[GraphOp[V]]] =
       if (rows.length > bound)
-        return refused(s"txn exceeds $bound ops; shipped txns are " +
-          "driver-sized by contract — use commitBulk for bulk ingest")
+        Left(s"txn exceeds $bound ops; shipped txns are driver-sized by " +
+          "contract — use commitBulk for bulk ingest")
+      else Try(rows.map(r => GraphStore.rowToOp(store.modelOf, r))).toEither
+        .left.map(e => s"undecodable txn: ${e.getClass.getSimpleName}: " +
+          s"${Option(e.getMessage).getOrElse("")}")
+    def perDir(): Map[String, Either[String, Seq[GraphOp[V]]]] = {
+      lastPollTxnLoadJobs = todo.size
+      todo.map { case (dir, txnId) =>
+        txnId -> (Try {
+          store.sparkOf.read.parquet(dir.toString)
+            .select("seq", "op", "id", "src", "dst", "kind", "value")
+            .orderBy("seq").limit(bound + 1).collect().toSeq
+        }.toEither.left.map(e => s"undecodable txn: ${e.getClass.getSimpleName}: " +
+          s"${Option(e.getMessage).getOrElse("")}")
+          .flatMap(rows => decode(rows, txnId)))
+      }.toMap
+    }
+    val batched = Try {
+      val TxnOf = """.*/([^/]+)\.txn/[^/]*$""".r
+      val rows = store.sparkOf.read.parquet(todo.map(_._1.toString): _*)
+        .select(col("seq"), col("op"), col("id"), col("src"), col("dst"),
+          col("kind"), col("value"), input_file_name().as("_file"))
+        .limit(bound + 1).collect()
+      if (rows.length > bound) None // poll exceeds the driver bound: attribute per-dir
+      else Some(rows.toSeq.groupBy(r => r.getString(7) match {
+        case TxnOf(id) => id
+        case other => other
+      }))
+    }.toOption.flatten
+    batched match {
+      case Some(byTxn) =>
+        lastPollTxnLoadJobs = 1
+        todo.map { case (_, txnId) =>
+          val rows = byTxn.getOrElse(txnId, Seq.empty)
+            .sortBy(_.getLong(0)).map(r => Row(r.toSeq.dropRight(1): _*))
+          txnId -> decode(rows, txnId)
+        }.toMap
+      case None => perDir()
+    }
+  }
 
-      val ops = rows.map(r => GraphStore.rowToOp(store.modelOf, r)).toSeq
-
-      // structural validation BEFORE any state change (txn atomicity):
-      // every negative ref must be defined by a prior newNode in this txn
-      val defined = mutable.Set[Long]()
-      var invalid: Option[String] = None
-      val it = ops.iterator
-      while (invalid.isEmpty && it.hasNext) it.next() match {
-        case GraphOp.NewNode(id, _) =>
-          if (id >= 0)
-            invalid = Some(s"shipped newNode must use a negative tx-local ref, got $id")
-          else if (defined(id)) invalid = Some(s"duplicate tx-local ref $id")
-          else defined += id
-        case op =>
-          val refs = op match {
-            case GraphOp.SetValue(id, _) => Seq(id)
-            case GraphOp.AddTarget(s, d) => Seq(s, d)
-            case GraphOp.RemoveTarget(s, d) => Seq(s, d)
-            case GraphOp.RemoveNode(id) => Seq(id)
-            case _ => Seq.empty
-          }
-          refs.find(r => r < 0 && !defined(r)).foreach(r =>
-            invalid = Some(s"op references undefined tx-local ref $r"))
-      }
-      if (invalid.isDefined) return refused(invalid.get)
-
-      // apply as one local txn (the reference worker's interpret loop),
-      // resolving ordinals to fresh global ids as newNode executes.
-      // IMPORTANT: from the first session mutation on, failures are
-      // FAIL-STOP, not refusals — a refused ack after mutation would lie
-      // (the mutated ops sit in the session op log and a LATER txn's
-      // commit would persist them while the client was told "refused").
-      // A throw here leaves the txn un-acked in the inbox; the owner must
-      // reopen the store (WAL-prefix recovery), after which the next poll
-      // re-applies the txn from scratch — the same fail-stop discipline
-      // as the buffered WAL worker (GraphStore walFailure).
-      val session = store.session
-      val mapping = mutable.Map[Long, Long]()
-      def resolve(x: Long): Long = if (x < 0) mapping(x) else x
-      try {
-        ops.foreach {
-          case GraphOp.NewNode(ref, v) => mapping(ref) = session.newNode(v)
-          case GraphOp.SetValue(id, v) => session.setValue(resolve(id), v)
-          case GraphOp.AddTarget(s, d) => session.addTarget(resolve(s), resolve(d))
-          case GraphOp.RemoveTarget(s, d) => session.removeTarget(resolve(s), resolve(d))
-          case GraphOp.RemoveNode(id) => session.remove(resolve(id))
+  private def applyOne[V](store: GraphStore[V], inbox: Path, txnId: String,
+      loaded: Either[String, Seq[GraphOp[V]]],
+      existsAtStart: Set[Long],
+      createdThisPoll: mutable.Set[Long],
+      removedThisPoll: mutable.Set[Long]): TxnAck = {
+    def refused(msg: String) = TxnAck(txnId, applied = false, Map.empty, Some(msg))
+    loaded match {
+      case Left(msg) => refused(msg)
+      case Right(ops) if ops.isEmpty => refused("empty shipped txn")
+      case Right(ops) =>
+        // structural validation BEFORE any state change (txn atomicity):
+        // every negative ref must be defined by a prior newNode in this
+        // txn, no ref may point at a node this txn already removed, and —
+        // the reference server's ClientFailure posture, Server.hs:17-69 —
+        // every GLOBAL ref must exist in the store: a bad global id must
+        // be a typed refusal up front, because discovering it mid-apply
+        // (the session's unknown-id guard) would fail-stop the serve loop
+        // on a purely client-side mistake, and on retry fail-stop it
+        // again — a deterministic liveness DoS
+        val defined = mutable.Set[Long]()
+        val removedHere = mutable.Set[Long]()
+        var invalid: Option[String] = None
+        val it = ops.iterator
+        while (invalid.isEmpty && it.hasNext) it.next() match {
+          case GraphOp.NewNode(id, _) =>
+            if (id >= 0)
+              invalid = Some(s"shipped newNode must use a negative tx-local ref, got $id")
+            else if (defined(id)) invalid = Some(s"duplicate tx-local ref $id")
+            else defined += id
+          case op =>
+            val refs = refsOf(op)
+            refs.find(r => r < 0 && !defined(r)).foreach(r =>
+              invalid = Some(s"op references undefined tx-local ref $r"))
+            if (invalid.isEmpty)
+              refs.find(removedHere).foreach(r =>
+                invalid = Some(s"op references node $r removed earlier in this txn"))
+            if (invalid.isEmpty) op match {
+              case GraphOp.RemoveNode(id) => removedHere += id
+              case _ => ()
+            }
         }
-        store.commit() // one WAL batch per txn — the per-txn log append
-        // a BUFFERED store acknowledges commit() at enqueue; the ack's
-        // durable-after-WAL promise requires the drain barrier (no-op on
-        // an unbuffered store) — otherwise a crash could lose a txn the
-        // client was told was applied
-        store.drain()
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          store.remoteApplyPoisoned = true
-          throw new ApplyFailedException(txnId, e)
-      }
-      TxnAck(txnId, applied = true, mapping.toMap, None)
-    } catch {
-      case e: ApplyFailedException => throw e
-      case scala.util.control.NonFatal(e) =>
-        refused(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+        if (invalid.isDefined) return refused(invalid.get)
+        val missing = ops.flatMap(refsOf).filter(_ >= 0).distinct.filterNot(r =>
+          (existsAtStart(r) || createdThisPoll(r)) && !removedThisPoll(r))
+        if (missing.nonEmpty)
+          return refused(s"ops reference unknown or removed global ids: " +
+            missing.take(8).mkString(", "))
+
+        // apply as one local txn (the reference worker's interpret loop),
+        // resolving ordinals to fresh global ids as newNode executes.
+        // IMPORTANT: from the first session mutation on, failures are
+        // FAIL-STOP, not refusals — a refused ack after mutation would lie
+        // (the mutated ops sit in the session op log and a LATER txn's
+        // commit would persist them while the client was told "refused").
+        // A throw here leaves the txn un-acked in the inbox; the owner must
+        // reopen the store (WAL-prefix recovery), after which the next poll
+        // re-applies the txn from scratch — the same fail-stop discipline
+        // as the buffered WAL worker (GraphStore walFailure). The failure
+        // marker feeds the quarantine threshold: a txn that fail-stops
+        // [[MaxApplyAttempts]] times is moved aside on the next poll.
+        val session = store.session
+        val mapping = mutable.Map[Long, Long]()
+        def resolve(x: Long): Long = if (x < 0) mapping(x) else x
+        try {
+          ops.foreach {
+            case GraphOp.NewNode(ref, v) => mapping(ref) = session.newNode(v)
+            case GraphOp.SetValue(id, v) => session.setValue(resolve(id), v)
+            case GraphOp.AddTarget(s, d) => session.addTarget(resolve(s), resolve(d))
+            case GraphOp.RemoveTarget(s, d) => session.removeTarget(resolve(s), resolve(d))
+            case GraphOp.RemoveNode(id) => session.remove(resolve(id))
+          }
+          val ack = TxnAck(txnId, applied = true, mapping.toMap, None)
+          // one WAL batch per txn, TAGGED with its ack: batch-durable ⟺
+          // ack-recoverable, closing the duplicate-apply window (a crash
+          // between drain and ack write replays the recorded ack instead
+          // of re-applying — see applyPending's recovery leg 2)
+          store.commitTagged(Some(ackJson(ack)))
+          // a BUFFERED store acknowledges commit() at enqueue; the ack's
+          // durable-after-WAL promise requires the drain barrier (no-op on
+          // an unbuffered store) — otherwise a crash could lose a txn the
+          // client was told was applied
+          store.drain()
+          store.recordTxnTag(txnId, ackJson(ack))
+          createdThisPoll ++= mapping.values
+          removedThisPoll ++= ops.collect { case GraphOp.RemoveNode(id) => resolve(id) }
+          ack
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            recordFailure(inbox, txnId)
+            store.remoteApplyPoisoned = true
+            throw new ApplyFailedException(txnId, e)
+        }
     }
   }
 

@@ -249,6 +249,248 @@ class RemoteWriteSpec extends AnyFunSuite {
     store.close()
   }
 
+  test("unknown global id is refused up front: typed ack, no poison, serve continues") {
+    val (store, _) = freshStore()
+    val inbox = freshInbox()
+    val client = new Client(spark, CatalogueModel, inbox, "gref")
+    val before = store.session.getStats()
+    val bad = client.submit { txn => txn.addTarget(0L, 424242L) }
+    val good = client.submit { txn => txn.addTarget(0L, txn.newNode(Song("fine"))) }
+    // the bad-global txn used to pass structural validation, throw inside
+    // commit, poison the loop, and wedge it forever on re-poll — now it is
+    // a refusal BEFORE any mutation, and later txns still apply
+    val acks = RemoteWrite.applyPending(store, inbox)
+    assert(acks.size === 2)
+    val ackBad = client.await(bad)
+    assert(!ackBad.applied)
+    assert(ackBad.error.exists(_.contains("unknown or removed global ids")))
+    assert(client.await(good).applied,
+      "one bad client txn must not block the serve loop")
+    assert(store.session.getStats()._1 === before._1 + 1)
+    store.close()
+  }
+
+  test("setValue after remove of a tx-local node is refused atomically") {
+    val (store, _) = freshStore()
+    val inbox = freshInbox()
+    val client = new Client(spark, CatalogueModel, inbox, "zomb")
+    // deterministic pill: passes the tx-local-defined check, but the
+    // session's unknown-id guard would fail it mid-apply — must refuse
+    val t = client.submit { txn =>
+      val n = txn.newNode(Song("doomed"))
+      txn.addTarget(0L, n)
+      txn.remove(n)
+      txn.setValue(n, Song("zombie"))
+    }
+    val before = store.session.getStats()
+    RemoteWrite.applyPending(store, inbox)
+    val ack = client.await(t)
+    assert(!ack.applied)
+    assert(ack.error.exists(_.contains("removed earlier in this txn")))
+    assert(store.session.getStats() === before, "refused txn must change nothing")
+    store.close()
+  }
+
+  test("a global id removed by an earlier txn in the same poll is refused") {
+    val (store, _) = freshStore()
+    val inbox = freshInbox()
+    val client = new Client(spark, CatalogueModel, inbox, "xtxn")
+    var ref = 0L
+    val t1 = client.submit { txn =>
+      ref = txn.newNode(Genre("ephemeral")); txn.addTarget(0L, ref)
+    }
+    RemoteWrite.applyPending(store, inbox)
+    val gid = client.await(t1).assigned(ref)
+    // one poll, two txns: the first removes gid, the second references it —
+    // the driver-side created/removed tracking must catch this without a
+    // second existence-check job
+    client.submit(txn => txn.remove(gid))
+    val t3 = client.submit(txn => txn.setValue(gid, Genre("too-late")))
+    val acks = RemoteWrite.applyPending(store, inbox)
+    assert(acks.map(_.applied) === Seq(true, false))
+    assert(client.await(t3).error.exists(_.contains("unknown or removed global ids")))
+    store.close()
+  }
+
+  test("deterministic poison pill is quarantined after MaxApplyAttempts; loop stays live") {
+    val dir = Files.createTempDirectory("graft-rw-quar-").toString
+    val inbox = freshInbox()
+    val client = new Client(spark, CatalogueModel, inbox, "pill")
+    val t = client.submit { txn => txn.addTarget(0L, txn.newNode(Song("pill"))) }
+
+    // attempt 1: fail-stop mid-apply, owner recovers by reopening
+    var store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    store.failNextWalPublish = true
+    intercept[ApplyFailedException](RemoteWrite.applyPending(store, inbox))
+    store.abandon()
+    // attempt 2 (the one retry a transient fault would have earned)
+    store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    store.failNextWalPublish = true
+    intercept[ApplyFailedException](RemoteWrite.applyPending(store, inbox))
+    store.abandon()
+    // third poll: quarantined with a refused ack — the serve loop must NOT
+    // wedge forever re-applying a deterministic pill (liveness; the
+    // reference refuses bad txns with ClientFailure without dying)
+    store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val acks = RemoteWrite.applyPending(store, inbox)
+    assert(acks.size === 1 && !acks.head.applied)
+    assert(acks.head.error.exists(_.contains("quarantined")))
+    assert(client.await(t).error.exists(_.contains("quarantined")))
+    assert(Files.exists(Paths.get(inbox).resolve("quarantined").resolve(s"$t.txn")),
+      "quarantined txn is moved aside for inspection, not deleted")
+    val t2 = client.submit { txn => txn.addTarget(0L, txn.newNode(Song("after"))) }
+    RemoteWrite.applyPending(store, inbox)
+    assert(client.await(t2).applied, "the loop serves normally after quarantine")
+    store.close()
+  }
+
+  test("crash between drain and ack replays the RECORDED ack — no duplicate apply") {
+    val dir = Files.createTempDirectory("graft-rw-ackloss-").toString
+    val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val inbox = freshInbox()
+    val client = new Client(spark, CatalogueModel, inbox, "ackloss")
+    var ref = 0L
+    val t = client.submit { txn =>
+      ref = txn.newNode(Song("once")); txn.addTarget(0L, ref)
+    }
+    RemoteWrite.applyPending(store, inbox)
+    val ack1 = client.await(t)
+    val gid = ack1.assigned(ref)
+    val statsAfter = store.session.getStats()
+    // simulate the crash window: the txn's WAL batch (tagged with its ack)
+    // is durable, but the crash hit before the ack/archive writes landed —
+    // the txn dir is back in the inbox, un-acked
+    Files.delete(Paths.get(inbox).resolve("acks").resolve(s"$t.json"))
+    Files.move(Paths.get(inbox).resolve("applied").resolve(s"$t.txn"),
+      Paths.get(inbox).resolve(s"$t.txn"))
+    store.abandon()
+    val reopened = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val acks = RemoteWrite.applyPending(reopened, inbox)
+    // re-applying would mint a SECOND Song("once") with a fresh id — a
+    // duplicated subgraph reachable from root that no ack ever names; the
+    // recovery must instead replay the recorded ack with the ORIGINAL ids
+    assert(acks.map(a => (a.txnId, a.applied, a.assigned))
+      === Seq((t, true, ack1.assigned)))
+    assert(client.await(t).assigned === ack1.assigned)
+    assert(reopened.session.getStats() === statsAfter,
+      "recovered poll must not duplicate the already-durable subgraph")
+    assert(reopened.session.getValue(gid) === Song("once"))
+    reopened.close()
+  }
+
+  test("a poll serving N txns loads them in ONE parquet read") {
+    val (store, _) = freshStore()
+    val inbox = freshInbox()
+    val ca = new Client(spark, CatalogueModel, inbox, "batch-a")
+    val cb = new Client(spark, CatalogueModel, inbox, "batch-b")
+    ca.submit { txn => txn.addTarget(0L, txn.newNode(Song("s1"))) }
+    ca.submit { txn => txn.addTarget(0L, txn.newNode(Song("s2"))) }
+    cb.submit { txn => txn.addTarget(0L, txn.newNode(Genre("g1"))) }
+    val acks = RemoteWrite.applyPending(store, inbox)
+    assert(acks.size === 3 && acks.forall(_.applied))
+    assert(RemoteWrite.lastPollTxnLoadJobs === 1,
+      "3 shipped txns must cost ONE load job (split by input_file_name), not 3")
+    assert(store.session.getStats()._1 === 4L)
+    store.close()
+  }
+
+  test("property: interleaved clients == serial application in server apply order") {
+    // the reference's serializability claim (APITests.hs:52-68 runs random
+    // client programs against the server and checks the final catalogue):
+    // K clients ship random op mixes before any poll; the server applies
+    // them in its deterministic apply order; re-running the SAME logical
+    // txns serially through a fresh in-memory session in ack order — with
+    // refused txns skipped — must produce identical observable state AND
+    // identical id mappings.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+
+    sealed trait TOp
+    case class TNew(v: Cat) extends TOp
+    case class TLink(si: Int, di: Int) extends TOp
+    case class TUnlink(si: Int, di: Int) extends TOp
+    case class TSet(i: Int, v: Cat) extends TOp
+    case class TRemove(i: Int) extends TOp
+    case object TBadGlobal extends TOp
+
+    val genValue: Gen[Cat] = Gen.oneOf(
+      Gen.chooseNum(1, 9).flatMap(u => Gen.identifier.map(n => Artist(u, n.take(6)))),
+      Gen.identifier.map(n => Genre(n.take(6))),
+      Gen.identifier.map(n => Song(n.take(6))))
+    val genTxn: Gen[List[TOp]] = Gen.listOfN(4, Gen.frequency(
+      4 -> genValue.map(TNew),
+      3 -> Gen.zip(Gen.chooseNum(0, 9), Gen.chooseNum(0, 9)).map((TLink.apply _).tupled),
+      1 -> Gen.zip(Gen.chooseNum(0, 9), Gen.chooseNum(0, 9)).map((TUnlink.apply _).tupled),
+      1 -> Gen.zip(Gen.chooseNum(0, 9), genValue).map((TSet.apply _).tupled),
+      1 -> Gen.chooseNum(0, 9).map(TRemove),
+      1 -> Gen.const(TBadGlobal)))
+
+    // one interpreter for both sides: handle 0 is the root; TNew grows the
+    // handle list via the supplied allocator, every other op resolves
+    // handle indices modulo the current list — identical streams of calls
+    // on the client builder and on the serial session by construction
+    def interpret(ops: List[TOp], newNode: Cat => Long, setValue: (Long, Cat) => Unit,
+        addTarget: (Long, Long) => Unit, removeTarget: (Long, Long) => Unit,
+        remove: Long => Unit): Unit = {
+      val handles = scala.collection.mutable.ArrayBuffer(0L)
+      def h(i: Int): Long = handles(i % handles.size)
+      ops.foreach {
+        case TNew(v) => handles += newNode(v)
+        case TLink(si, di) => addTarget(h(si), h(di))
+        case TUnlink(si, di) => removeTarget(h(si), h(di))
+        case TSet(i, v) => setValue(h(i), v)
+        case TRemove(i) => remove(h(i))
+        case TBadGlobal => addTarget(0L, 999999L)
+      }
+    }
+
+    (1 to 2).foreach { round =>
+      val txnsPerClient = (0 until 3).map { c =>
+        (0 until 2).map { k =>
+          genTxn(Gen.Parameters.default, Seed(1000L * round + 10L * c + k))
+            .getOrElse(sys.error("gen failed"))
+        }
+      }
+      val (store, _) = freshStore()
+      val inbox = freshInbox()
+      val shipped = scala.collection.mutable.Map[String, List[TOp]]()
+      txnsPerClient.zipWithIndex.foreach { case (txns, c) =>
+        val client = new Client(spark, CatalogueModel, inbox, s"p$round-c$c")
+        txns.foreach { ops =>
+          val id = client.submit { txn =>
+            interpret(ops, txn.newNode, txn.setValue, txn.addTarget,
+              txn.removeTarget, txn.remove)
+          }
+          shipped(id) = ops
+        }
+      }
+      val acks = RemoteWrite.applyPending(store, inbox)
+      assert(acks.size === 6)
+
+      // serial re-application in the server's apply order, refusals skipped
+      val serial = GraphSession.inMemory(spark, CatalogueModel, CatRoot: Cat)
+      acks.filter(_.applied).foreach { ack =>
+        val mapping = scala.collection.mutable.Map[Long, Long]()
+        var local = 0L
+        interpret(shipped(ack.txnId),
+          v => { local -= 1; mapping(local) = serial.newNode(v); local },
+          (n, v) => serial.setValue(if (n < 0) mapping(n) else n, v),
+          (s, d) => serial.addTarget(if (s < 0) mapping(s) else s, if (d < 0) mapping(d) else d),
+          (s, d) => serial.removeTarget(if (s < 0) mapping(s) else s, if (d < 0) mapping(d) else d),
+          n => serial.remove(if (n < 0) mapping(n) else n))
+        assert(mapping.toMap === ack.assigned,
+          s"round $round: serial ids must equal the server's assigned ids for ${ack.txnId}")
+      }
+      def dump(st: graft.graph.GraphState[Cat]) = (
+        st.nodes.select("id", "kind", "value").collect().map(_.toString).toSet,
+        st.edges.select("src", "dst").collect().map(_.toString).toSet,
+        st.index.select("src", "kkind", "key", "dst").collect().map(_.toString).toSet)
+      assert(dump(store.session.applied()) === dump(serial.applied()),
+        s"round $round: interleaved apply must equal serial apply in ack order")
+      store.close()
+    }
+  }
+
   test("restarted client resumes its seq; serve loop answers a live client") {
     val (store, _) = freshStore()
     val inbox = freshInbox()
