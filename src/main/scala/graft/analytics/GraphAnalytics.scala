@@ -317,8 +317,12 @@ object GraphAnalytics {
         greatest(col("src"), col("dst")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
+    // LAZY checkpoints (connectedComponentsDF pattern): the final count()
+    // is the plan's ONLY job and materializes both cuts on the way — the
+    // eager form cost 2 extra scheduler floors (~0.3-0.8 s each) at small
+    // scale for identical lineage truncation
     val canonical = maxDegree.fold(e0)(cap => dropHubs(e0, cap))
-      .localCheckpoint(true) // referenced by the degree agg + orientation
+      .localCheckpoint(false) // referenced by the degree agg + orientation
     // simple-graph degrees (map-side partial agg; a hub is one group)
     val deg = canonical.select(col("u").as("id"))
       .unionAll(canonical.select(col("v").as("id")))
@@ -337,7 +341,7 @@ object GraphAnalytics {
         when(lowFirst, col("u")).otherwise(col("v")).as("a"),
         when(lowFirst, col("v")).otherwise(col("u")).as("b"),
         when(lowFirst, col("dv")).otherwise(col("du")).as("bd"))
-      .localCheckpoint(true) // referenced 3× by the wedge joins
+      .localCheckpoint(false) // referenced 3× by the wedge joins
     // wedge (a→b1, a→b2) with (db1,b1) < (db2,b2) closes iff b1→b2 exists
     // (the closing edge is oriented that way BY construction of the order)
     oriented.as("e1")

@@ -37,7 +37,7 @@ object Decontaminate {
     */
   def overlap(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int = 3, maxBenchDF: Option[Int] = None,
-      maxBroadcastDocs: Long = 1000000L): DataFrame = {
+      maxBroadcastShingleRows: Long = 4000000L): DataFrame = {
     val benchSh0 = bench.select(col(idCol).as("bench_id"),
       explode(TextAnalysis.shingles(col(textCol), n)).as("g"))
     val benchSh = maxBenchDF.fold(benchSh0) { cap =>
@@ -50,10 +50,23 @@ object Decontaminate {
     // guarded broadcast, same pattern as Reachability's frontier joins: an
     // eval set is small BY NATURE, but an unconditional broadcast() hint
     // overrides Spark's own size protection, so a caller passing a huge
-    // "bench" would OOM every executor — count the small side (one cheap
-    // job) and fall back to a plain shuffle join above the threshold
+    // "bench" would OOM every executor. The guard counts what is actually
+    // broadcast — the exploded (and cap-surviving) SHINGLE rows, which can
+    // be thousands per document, not the document count — in ONE job:
+    // with a cap, sum the per-shingle df of the surviving shingles off the
+    // same aggregation the cap itself needs; without one, count the rows.
+    // 4M rows ≈ low hundreds of MB broadcast — a deliberate executor-memory
+    // bound, not a correctness knob (above it the plain shuffle join gives
+    // identical answers).
+    val broadcastRows = maxBenchDF match {
+      case Some(cap) =>
+        benchSh0.groupBy("g").agg(count(lit(1)).as("df"))
+          .agg(coalesce(sum(when(col("df") <= cap, col("df"))), lit(0L)))
+          .head().getLong(0)
+      case None => benchSh.count()
+    }
     val benchSide =
-      if (bench.count() <= maxBroadcastDocs) broadcast(benchSh) else benchSh
+      if (broadcastRows <= maxBroadcastShingleRows) broadcast(benchSh) else benchSh
     corpusSh
       .join(benchSide, Seq("g"))
       .groupBy(col(idCol), col("bench_id"))

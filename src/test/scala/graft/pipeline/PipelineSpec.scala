@@ -484,7 +484,7 @@ class PipelineSpec extends AnyFunSuite {
     // Spark still auto-broadcasts; the point is the hint no longer
     // overrides its size protection.)
     val big = Decontaminate.overlap(probe, hotBench, "doc_id", "text", n = 3,
-      maxBroadcastDocs = 0L)
+      maxBroadcastShingleRows = 0L)
     assert(big.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
       Seq((10L, 1L)))
   }
