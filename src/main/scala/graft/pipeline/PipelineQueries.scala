@@ -535,6 +535,88 @@ object PipelineQueries {
              |SELECT doc_id, max_overlap, max_overlap >= 8 AS contaminated
              |FROM m WHERE max_overlap >= 2 ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------------ composed pipeline (end-to-end)
+    // The north-star composition: decontaminate → near-dup representatives
+    // → deterministic hash split, emitting per-(lang, split) surviving-doc
+    // counts — the three stages chain as ONE lazy Catalyst plan with no
+    // materialization seams (each stage is individually oracled as
+    // px24/px18/px21; this query proves they compose). The oracle is the
+    // corresponding WITH-chain of those queries' SQL fragments, with the
+    // split replayed from the px21 bucket export (DuckDB has no xxhash64).
+    Q("px29_composed",
+      (s, d) => {
+        val doc = docs(s, d)
+        val corpus = doc.where(col("doc_id") % 50 =!= 0)
+        val bench = doc.where(col("doc_id") % 50 === 0)
+        val contaminated =
+          Decontaminate.overlap(corpus, bench, "doc_id", "text", n = 3)
+            .where(col("max_overlap") >= 8)
+            .select("doc_id")
+        val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+        val pairs = Dedup.minhashPairs(clean, "doc_id", "text",
+          n = 3, threshold = 0.6, numHashes = 64, bands = 16)
+        val reps = Dedup.keepRepresentatives(clean, "doc_id", pairs)
+        Sampling.hashSplit(reps, "doc_id", Seq("val" -> 0.05, "test" -> 0.15))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("lang", "split")
+      },
+      Some(s"""WITH RECURSIVE sh AS (
+             |  SELECT doc_id,
+             |    unnest(list_distinct(list_transform(
+             |      range(1, len(t) - 1),
+             |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+             |  FROM (SELECT doc_id,
+             |          list_filter(string_split_regex(trim(text), '\\s+'),
+             |                      x -> x <> '') AS t
+             |        FROM documents)
+             |  WHERE len(t) >= 3
+             |), bsh AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % 50 = 0),
+             |   csh0 AS (SELECT doc_id, g FROM sh WHERE doc_id % 50 <> 0),
+             |   contam AS (
+             |  SELECT doc_id FROM (
+             |    SELECT csh0.doc_id, bsh.bench_id, COUNT(*) AS ov
+             |    FROM csh0 JOIN bsh USING (g) GROUP BY 1, 2)
+             |  GROUP BY doc_id HAVING MAX(ov) >= 8
+             |), clean AS (
+             |  SELECT d.doc_id, d.lang FROM documents d
+             |  WHERE d.doc_id % 50 <> 0
+             |    AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+             |), csh AS (
+             |  SELECT csh0.doc_id, csh0.g FROM csh0
+             |  JOIN clean ON clean.doc_id = csh0.doc_id
+             |), sizes AS (
+             |  SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY doc_id
+             |), shared AS (
+             |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+             |  FROM csh a JOIN csh b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |), p AS (
+             |  SELECT id1, id2 FROM shared
+             |  JOIN sizes sa ON sa.doc_id = id1
+             |  JOIN sizes sb ON sb.doc_id = id2
+             |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
+             |), und AS (
+             |  SELECT id1 AS a, id2 AS b FROM p
+             |  UNION SELECT id2, id1 FROM p
+             |), reach(id, r) AS (
+             |  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+             |  UNION
+             |  SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.id
+             |), comp AS (
+             |  SELECT id, MIN(r) AS root FROM reach GROUP BY id
+             |), reps AS (
+             |  SELECT doc_id, lang FROM clean
+             |  WHERE doc_id NOT IN (SELECT id FROM comp WHERE root <> id)
+             |), bk AS (SELECT * FROM '$AuxToken/px21_buckets/*.parquet')
+             |SELECT reps.lang,
+             |  CASE WHEN bk.bucket >= 0    AND bk.bucket < 500  THEN 'val'
+             |       WHEN bk.bucket >= 500  AND bk.bucket < 2000 THEN 'test'
+             |       ELSE 'train' END AS split,
+             |  COUNT(*) AS cnt
+             |FROM reps JOIN bk ON bk.doc_id = reps.doc_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // --------------------------------------------- multimodal resize
     // The resize stub's uniform index subsampling (out[i] = in[(i*n) div
     // 64]) is pure integer arithmetic, so DuckDB replays the resized

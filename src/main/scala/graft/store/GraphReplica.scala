@@ -147,6 +147,39 @@ final class GraphReplica[V] private (
     */
   private var pendingDirs: Map[String, (DataFrame, Set[String])] = Map.empty
 
+  /** Per-trigger batch checkpoints still referenced by [[pendingDirs]]
+    * slices. A split dir keeps its source triggers' checkpoints alive
+    * until the dir completes and applies; the moment the pending buffer
+    * drains they are unpersisted DETERMINISTICALLY — state transitions are
+    * eagerly checkpointed and op batches collected before apply, so
+    * nothing references them, and relying on GC-driven cleanup would hold
+    * a bulk ingest's blocks indefinitely on an idle driver. This is the
+    * mechanical form of the "bounded by one in-flight publish unit" claim.
+    */
+  private var retainedCkpts: List[DataFrame] = Nil
+
+  // spec instrumentation (ReplicaSpec pending-bound case): row counting
+  // costs one job per trigger, so it is flag-gated; dir/ckpt counters are
+  // free and always maintained
+  private[graft] var trackPendingStats = false
+  private[graft] var maxPendingRowsObserved = 0L
+  private[graft] var maxPendingDirsObserved = 0
+  private[graft] var releasedRddIds: Seq[Int] = Nil
+  private[graft] def pendingDirCount: Int = pendingDirs.size
+  private[graft] def retainedCkptCount: Int = retainedCkpts.size
+
+  private def releaseCkpts(): Unit = if (retainedCkpts.nonEmpty) {
+    val rdds = retainedCkpts.flatMap { df =>
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+        case _ => None
+      }
+    }
+    rdds.foreach(_.unpersist(blocking = false))
+    releasedRddIds = releasedRddIds ++ rdds.map(_.id)
+    retainedCkpts = Nil
+  }
+
   /** High-watermark of applied batch dirs — (eventsIndex, batchSeq) of the
     * newest applied dir. The file source orders files by mtime, and two
     * dirs published within the same mtime granularity can cross a trigger
@@ -179,6 +212,7 @@ final class GraphReplica[V] private (
       .where(col("_eidx") > bootstrapIndex)
       // rows must outlive this micro-batch: a split dir's rows sit in
       // pendingDirs until a later trigger delivers the rest of the dir
+      // (retained below; freed via releaseCkpts when the buffer drains)
       .localCheckpoint(true)
     // (dir → data files delivered this trigger) — driver-sized, bounded by
     // maxFilesPerTrigger
@@ -199,6 +233,12 @@ final class GraphReplica[V] private (
         case Some((prev, seen)) => Some((prev.unionByName(rows), seen ++ files))
         case None => Some((rows, files))
       }
+    }
+    retainedCkpts ::= withDir
+    if (trackPendingStats) { // peak of the buffer: arrivals in, nothing applied yet
+      maxPendingDirsObserved = math.max(maxPendingDirsObserved, pendingDirs.size)
+      maxPendingRowsObserved = math.max(maxPendingRowsObserved,
+        pendingDirs.valuesIterator.map(_._1.count()).sum)
     }
     // a dir carrying _SUCCESS is final on disk: complete ⟺ every data
     // file physically in the dir has been delivered to this replica
@@ -235,6 +275,7 @@ final class GraphReplica[V] private (
         appliedMark = k
         pendingDirs -= dir
       }
+    if (pendingDirs.isEmpty) releaseCkpts()
   }
 }
 

@@ -156,6 +156,7 @@ class ReplicaSpec extends AnyFunSuite {
     // only ever observe commit-boundary prefixes — 0 or all 40 bulk edges,
     // never a torn subset (the scaladoc's prefix guarantee).
     val replica = GraphReplica.bootstrap(spark, CatalogueModel, dir)
+    replica.trackPendingStats = true
     val q = replica.follow(
       org.apache.spark.sql.streaming.Trigger.AvailableNow(),
       maxFilesPerTrigger = 1)
@@ -165,6 +166,24 @@ class ReplicaSpec extends AnyFunSuite {
     seen += replica.targets(a).size
     assert(seen.subsetOf(Set(0, 40)), s"observed torn bulk edge counts: $seen")
     assert(replica.targets(a).sorted === (100L to 139L))
+
+    // memory bound (the scaladoc's "one in-flight publish unit" claim,
+    // asserted rather than prose): while the split dir dribbled in one
+    // file per trigger, the pending buffer never held more than that ONE
+    // dir, never more than ITS rows checkpointed...
+    assert(replica.maxPendingDirsObserved === 1,
+      s"pending buffer held ${replica.maxPendingDirsObserved} dirs")
+    assert(replica.maxPendingRowsObserved <= 40L,
+      s"pending buffer held ${replica.maxPendingRowsObserved} rows — " +
+        "more than the split dir's own 40")
+    // ...and once the dir applied, the buffer drained and every retained
+    // trigger checkpoint was unpersisted deterministically (not left for
+    // GC): the released RDDs must be gone from block storage
+    assert(replica.pendingDirCount === 0 && replica.retainedCkptCount === 0)
+    assert(replica.releasedRddIds.nonEmpty)
+    val live = spark.sparkContext.getPersistentRDDs.keySet
+    assert(replica.releasedRddIds.forall(id => !live.contains(id)),
+      "released trigger checkpoints must leave block storage")
     s1.close()
   }
 
