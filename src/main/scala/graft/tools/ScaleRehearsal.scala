@@ -7,11 +7,17 @@ import org.apache.spark.sql.functions._
 
 /** Scale rehearsal: synthesize a K× blowup of sf0.1 (TPC-H-style — facts
   * and the big dimensions replicate with shifted keys, region/nation stay
-  * fixed; K = 10 → sf1, K = 30 → sf3), then run the most expensive queries
-  * at both scales and report per-query blowup ratios. A query whose ratio
-  * is far above K has super-linear behavior a 1000-executor run would hit
-  * as a straggler or an OOM; ~K or below means the plan scales with the
-  * data. Usage: runMain graft.tools.ScaleRehearsal [dstDir] [K]
+  * fixed; K = 10 → sf1, K = 30 → sf3, K = 100 → sf10), then run the most
+  * expensive queries at both scales and report per-query blowup ratios. A
+  * query whose ratio is far above K has super-linear behavior a
+  * 1000-executor run would hit as a straggler or an OOM; ~K or below means
+  * the plan scales with the data.
+  * Usage: runMain graft.tools.ScaleRehearsal [dstDir] [K] [targetsCsv]
+  *
+  * `targetsCsv` restricts the run to a subset of [[Targets]] (the 100×
+  * stretch uses the 4 hottest); only the tables that subset reads are
+  * synthesized, and K ≥ 64 is allowed when the subset needs no embeddings
+  * (the rotation trick needs K < dim = 64).
   *
   * Text copies suffix every token with the copy index and embedding copies
   * rotate the vector, so each copy is a DISJOINT shard with the original's
@@ -38,13 +44,37 @@ object ScaleRehearsal {
     "px18_dedup_representatives", "px24_decontaminate",
     "r10_multiway_join_agg", "r12_rollup")
 
+  /** Tables each target's plan reads — drives subset synthesis. */
+  private val TablesOf: Map[String, Set[String]] = Map(
+    "ga1_pregel_bfs_depths" -> Set("region", "nation", "customer", "orders"),
+    "ga2_connected_components" -> Set("region", "nation", "customer", "orders"),
+    "ga4_triangle_count" -> Set("lineitem", "part"),
+    "gq3_graph_stats" -> Set("region", "nation", "customer", "orders"),
+    "px2_dedup_ngram" -> Set("documents"),
+    "px3_dedup_minhash" -> Set("documents"),
+    "px10_sim_lsh" -> Set("embeddings"),
+    "px11_embed_neardup" -> Set("embeddings"),
+    "px15_vocab_topk" -> Set("documents"),
+    "px18_dedup_representatives" -> Set("documents"),
+    "px24_decontaminate" -> Set("documents"),
+    "r10_multiway_join_agg" ->
+      Set("region", "nation", "customer", "supplier", "part", "orders", "lineitem"),
+    "r12_rollup" -> Set("region", "nation", "customer", "orders"))
+
   private var K = 10 // blowup factor (arg 2)
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val dst = args.headOption.getOrElse("/tmp/graft_sf1")
     K = if (args.length > 1) args(1).toInt else 10
-    require(K >= 2 && K < 64, s"blowup $K out of range (embedding rotation needs K < dim)")
+    val targets =
+      if (args.length > 2) args(2).split(",").toSeq.filter(_.nonEmpty)
+      else Targets
+    require(targets.forall(TablesOf.contains),
+      s"unknown targets: ${targets.filterNot(TablesOf.contains).mkString(",")}")
+    val tables = targets.flatMap(TablesOf).toSet ++ Set("region", "nation")
+    require(K >= 2 && (K < 64 || !tables("embeddings")),
+      s"blowup $K out of range (embedding rotation needs K < dim = 64)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -55,7 +85,7 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    synthesize(spark, src, dst)
+    synthesize(spark, src, dst, tables)
 
     def run(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -71,7 +101,7 @@ object ScaleRehearsal {
     // code+data. The min of two runs is the plan's cost; ratios computed
     // from one-shot numbers mis-rank which queries actually scale badly.
     def timeAll(dir: String): Seq[(String, Double)] =
-      Targets.map { name =>
+      targets.map { name =>
         // release the previous query's plan-owned localCheckpoint blocks:
         // they are freed by the ContextCleaner only after their RDDs are
         // garbage-collected, and a measurement harness running 2×13 heavy
@@ -112,8 +142,15 @@ object ScaleRehearsal {
     * keep every foreign key consistent within a copy; region/nation are
     * fixed dimensions exactly as TPC-H scaling treats them.
     */
-  private def synthesize(spark: SparkSession, src: String, dst: String): Unit = {
-    if (Files.exists(Paths.get(dst, "_DONE"))) return
+  private def synthesize(spark: SparkSession, src: String, dst: String,
+      tables: Set[String]): Unit = {
+    // the marker records (K, tables): a dst dir synthesized for a different
+    // blowup or table subset must be rebuilt, not silently reused
+    val stamp = s"ok K=$K tables=${tables.toSeq.sorted.mkString(",")}"
+    val done = Paths.get(dst, "_DONE")
+    if (Files.exists(done) &&
+      Files.readString(done).split("\n").head.startsWith(stamp)) return
+    Files.deleteIfExists(done)
     Files.createDirectories(Paths.get(dst))
 
     def copies(df: DataFrame, shifts: (String, Long)*): DataFrame =
@@ -122,8 +159,8 @@ object ScaleRehearsal {
           d.withColumn(c, col(c) + lit(i * off))
         }
       }.reduce(_ unionByName _)
-    def write(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    def write(df: => DataFrame, name: String): Unit =
+      if (tables(name)) df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
 
     val rd = (t: String) => spark.read.parquet(s"$src/$t.parquet")
     write(rd("region"), "region")
@@ -138,9 +175,11 @@ object ScaleRehearsal {
     // events.ts is TIMESTAMP(NANOS) in the source; read it as a raw LONG
     // and write the LONG back so Tables.events' nanos conversion still
     // applies to the synthesized dir
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    write(copies(rd("events"),
-      "event_id" -> 10000000L, "user_id" -> 1000000L), "events")
+    if (tables("events")) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      write(copies(rd("events"),
+        "event_id" -> 10000000L, "user_id" -> 1000000L), "events")
+    }
     // documents: copy i > 0 suffixes every token with the copy index —
     // intra-copy structure (and its near-dup pairs) preserved exactly,
     // cross-copy shingle overlap zero, df distribution per copy identical
@@ -161,6 +200,6 @@ object ScaleRehearsal {
       else d.withColumn("embedding",
         expr(s"concat(slice(embedding, ${i + 1}, ${64 - i}), slice(embedding, 1, $i))"))
     }.reduce(_ unionByName _), "embeddings")
-    Files.writeString(Paths.get(dst, "_DONE"), "ok")
+    Files.writeString(done, stamp)
   }
 }
