@@ -473,6 +473,32 @@ object PipelineQueries {
              |UNION ALL SELECT lang, mode, cnt FROM bc
              |ORDER BY lang, mode""".stripMargin)),
 
+    // -------------------------------------- budget-bounded subsample
+    // A reproducible ~120k-char slice of the corpus in content-hash order
+    // (two-phase bucket prefix sum — no global sort window; see
+    // Sampling.budgetedSample). The oracle replays the selection from the
+    // px21 hash export: same xxhash64(doc_id, 42), bucket = pmod(h, 256)
+    // recomputed in SQL, one global window cumsum — pinning every
+    // document's membership and proving two-phase == global-order.
+    Q("px30_char_budget",
+      (s, d) => Sampling.budgetedSample(docs(s, d), "doc_id", "n_chars",
+        budget = 120000L, buckets = 256)
+        .select(col("doc_id"), col("n_chars").cast("bigint").as("n_chars"))
+        .orderBy("doc_id"),
+      Some(s"""WITH bk AS (
+             |  SELECT doc_id, h FROM '$AuxToken/px21_buckets/*.parquet'),
+             |j AS (
+             |  SELECT d.doc_id, d.n_chars, bk.h,
+             |    ((bk.h % 256) + 256) % 256 AS b
+             |  FROM documents d JOIN bk ON bk.doc_id = d.doc_id),
+             |c AS (
+             |  SELECT doc_id, n_chars,
+             |    SUM(n_chars) OVER (ORDER BY b, h, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM j)
+             |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+             |FROM c WHERE cum <= 120000 ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------------- repetition quality gate
     // Gopher-style duplicate-word / duplicate-2gram signals. The query
     // hash-checks the INTEGER counts and the integer-arithmetic flag only

@@ -73,6 +73,55 @@ object Sampling {
       pmod(score(col(idCol), seed), lit(10000L)).as("bucket"),
       score(col(idCol), seed).as("h"))
 
+  /** Deterministic budget-bounded subsample — "a reproducible ~N-token
+    * (or N-char/N-byte) slice of the corpus": rows are taken in
+    * content-hash order until the cumulative `weightCol` reaches `budget`
+    * (a row is kept iff its INCLUSIVE cumulative weight fits). Membership
+    * depends only on row identity and weights — stable across runs,
+    * partitionings, and layouts, like [[hashSplit]]/[[bernoulli]], and
+    * growth-stable in the prefix sense: adding new rows only displaces
+    * rows at the budget boundary.
+    *
+    * Scale design — NO global sort window (a single-partition running sum
+    * over the corpus is the classic 100 TB killer): selection order is
+    * (bucket, hash, id) with bucket = pmod(hash, `buckets`). Phase 1
+    * aggregates per-bucket weight totals (`buckets` rows to the driver);
+    * phase 2 prefix-sums them driver-side into per-bucket OFFSETS and
+    * prunes every bucket whose offset already exceeds the budget (the
+    * sort below then touches only the selected prefix plus the one
+    * straddling bucket); phase 3 is a window cumsum PARTITIONED BY bucket
+    * — each bucket an independent ~1/`buckets` stream — plus the bucket's
+    * offset. Raise `buckets` with the corpus so each stream fits a task,
+    * the same sharding reasoning as Packing / the px15 two-phase top-k.
+    * Exactly equal to the global-order cumsum by integer arithmetic.
+    */
+  def budgetedSample(df: DataFrame, idCol: String, weightCol: String,
+      budget: Long, seed: Long = 42L, buckets: Int = 1024): DataFrame = {
+    require(budget >= 0 && buckets >= 1)
+    val h = score(col(idCol), seed)
+    val withB = df
+      .withColumn("_h", h)
+      .withColumn("_b", pmod(col("_h"), lit(buckets.toLong)))
+      .withColumn("_w", col(weightCol).cast("long"))
+    val totals = withB.groupBy("_b").agg(sum(col("_w")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val offsets = (0L until buckets.toLong).map { b =>
+      val o = b -> acc
+      acc += totals.getOrElse(b, 0L)
+      o
+    }.toMap
+    val live = offsets.collect { case (b, o) if o < budget && totals.contains(b) => b }.toSeq
+    if (live.isEmpty) return df.limit(0)
+    val offCol = element_at(typedLit(offsets), col("_b"))
+    val w = Window.partitionBy(col("_b")).orderBy(col("_h"), col(idCol))
+    withB
+      .where(col("_b").isin(live: _*))
+      .withColumn("_cum", sum(col("_w")).over(w) + offCol)
+      .where(col("_cum") <= budget)
+      .drop("_h", "_b", "_w", "_cum")
+  }
+
   /** Bernoulli sample at `rate` by hash threshold — content-deterministic
     * row-level sampling, no shuffle at all.
     *

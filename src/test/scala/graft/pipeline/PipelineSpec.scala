@@ -288,6 +288,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(k10.nonEmpty && k25.size > k10.size)
   }
 
+  test("budgeted sample: two-phase == global cumsum; layout-independent; prefix-stable") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val corpus = (1L to 300L).map(i => (i, 10L + i % 37)).toDF("id", "w")
+    val budget = 1800L
+
+    // naive single-window global cumsum in (bucket, hash, id) order — the
+    // semantics budgetedSample's two-phase bucket prefix sum must equal
+    def naive(df: org.apache.spark.sql.DataFrame, buckets: Int): Set[Long] = {
+      val h = xxhash64(col("id"), lit(42L))
+      val gw = Window.orderBy(pmod(h, lit(buckets.toLong)), h, col("id"))
+      df.withColumn("_cum", sum(col("w").cast("long")).over(gw))
+        .where(col("_cum") <= budget)
+        .select("id").collect().map(_.getLong(0)).toSet
+    }
+    def sampled(df: org.apache.spark.sql.DataFrame, buckets: Int): Set[Long] =
+      Sampling.budgetedSample(df, "id", "w", budget, buckets = buckets)
+        .select("id").collect().map(_.getLong(0)).toSet
+
+    for (buckets <- Seq(1, 16, 64)) {
+      val got = sampled(corpus, buckets)
+      assert(got === naive(corpus, buckets),
+        s"two-phase selection must equal the global-order cumsum (buckets=$buckets)")
+      assert(got.nonEmpty && got.size < 300,
+        "budget must cut the corpus, not keep or drop everything")
+    }
+    // membership depends only on identity + weights, never physical layout
+    assert(sampled(corpus.repartition(17), 16) === sampled(corpus, 16))
+    // weights actually bound the take: total selected weight ≤ budget, and
+    // the next row in selection order would overflow it (tight prefix)
+    val sel = Sampling.budgetedSample(corpus, "id", "w", budget, buckets = 16)
+      .agg(sum(col("w").cast("long"))).head().getLong(0)
+    assert(sel <= budget && sel > budget - 47L,
+      s"selected weight $sel must fill the budget up to one straddling row")
+    // degenerate budgets
+    assert(sampled(corpus, 16).nonEmpty)
+    assert(Sampling.budgetedSample(corpus, "id", "w", 0L).count() === 0L)
+  }
+
   test("reservoir sampling is content-deterministic and layout-independent") {
     val k = 7
     val s1 = Sampling.reservoirPerKey(docs, "lang", "doc_id", k)
