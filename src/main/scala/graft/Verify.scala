@@ -89,8 +89,8 @@ object Verify {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$auxDir/px8_shingle_hashes")
       }
-      auxExport("px21_hash_split", "px29_composed", "px30_char_budget")(
-        Seq("px21_buckets")) {
+      auxExport("px21_hash_split", "px29_composed", "px30_char_budget",
+        "px31_mix_shares")(Seq("px21_buckets")) {
         // per-doc (bucket, raw hash) rows — DuckDB replays hashSplit's
         // integer threshold CASE and bernoulli's normalized threshold
         // from these, pinning every document's split membership

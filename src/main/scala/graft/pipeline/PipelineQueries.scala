@@ -499,6 +499,35 @@ object PipelineQueries {
              |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
              |FROM c WHERE cum <= 120000 ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------------------ mixture-to-shares sampling
+    // The data-mix operator: the largest subsample whose lang proportions
+    // hit (en 1/2, de/es/fr/zh 1/8 each) in expectation — per-group
+    // hash-threshold bernoulli with rates s*T/n, T = min n/s. Exact binary
+    // fractions as shares + fixed IEEE evaluation order make membership
+    // replayable: the oracle recomputes T and every rate from its own
+    // GROUP BY counts and applies the same threshold to the exported
+    // hashes, pinning every selected document.
+    Q("px31_mix_shares",
+      (s, d) => Sampling.mixToShares(docs(s, d), "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.125, "es" -> 0.125,
+          "fr" -> 0.125, "zh" -> 0.125))
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some(s"""WITH bk AS (
+             |  SELECT doc_id, h FROM '$AuxToken/px21_buckets/*.parquet'),
+             |sh(lang, s) AS (VALUES ('en', 0.5), ('de', 0.125),
+             |  ('es', 0.125), ('fr', 0.125), ('zh', 0.125)),
+             |n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+             |t AS (SELECT MIN(n / CAST(s AS DOUBLE)) AS t
+             |      FROM n JOIN sh USING (lang)),
+             |r AS (SELECT lang, CAST(s AS DOUBLE) * t.t / n.n AS rate
+             |      FROM n JOIN sh USING (lang), t)
+             |SELECT d.doc_id, d.lang FROM documents d
+             |JOIN r ON r.lang = d.lang
+             |JOIN bk ON bk.doc_id = d.doc_id
+             |WHERE (bk.h / 9223372036854775807.0 + 1.0) / 2.0 < r.rate
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // ------------------------------------------- repetition quality gate
     // Gopher-style duplicate-word / duplicate-2gram signals. The query
     // hash-checks the INTEGER counts and the integer-arithmetic flag only

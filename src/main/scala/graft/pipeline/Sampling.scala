@@ -122,6 +122,39 @@ object Sampling {
       .drop("_h", "_b", "_w", "_cum")
   }
 
+  /** Deterministic mixture sampling to target group shares — the data-mix
+    * operator of large-scale corpus curation ("mix languages/sources at
+    * fixed proportions"): returns the LARGEST subsample whose group
+    * proportions equal `shares` in expectation, by per-group
+    * hash-threshold bernoulli. The binding group (smallest n_g/s_g) keeps
+    * (nearly) everything; every other group downsamples to match.
+    * Membership is content-deterministic like [[bernoulli]] — stable
+    * across runs and layouts — and groups absent from `shares` are
+    * dropped.
+    *
+    * Scale: one count aggregation (|groups| rows to the driver) + a pure
+    * per-row filter — no shuffle of the data itself. The rate arithmetic
+    * is plain IEEE double in a fixed evaluation order (`s * T / n_g`,
+    * `T = min_g n_g / s_g`), so an independent SQL engine replays
+    * membership exactly from the same hashes (the px31 oracle does).
+    */
+  def mixToShares(df: DataFrame, groupCol: String, idCol: String,
+      shares: Map[String, Double], seed: Long = 42L): DataFrame = {
+    require(shares.nonEmpty && shares.values.forall(s => s > 0 && s <= 1),
+      "shares must be in (0, 1]")
+    require(math.abs(shares.values.sum - 1.0) < 1e-9, "shares must sum to 1")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = shares.keys.filterNot(counts.contains)
+    require(missing.isEmpty,
+      s"share groups absent from the data: ${missing.mkString(", ")}")
+    val t = shares.map { case (g, s) => counts(g) / s }.min
+    val rates = shares.map { case (g, s) => g -> (s * t / counts(g)) }
+    val u = (score(col(idCol), seed) / lit(Long.MaxValue.toDouble) + 1d) / 2d
+    val rate = element_at(typedLit(rates), col(groupCol))
+    df.where(rate.isNotNull && u < rate)
+  }
+
   /** Bernoulli sample at `rate` by hash threshold — content-deterministic
     * row-level sampling, no shuffle at all.
     *

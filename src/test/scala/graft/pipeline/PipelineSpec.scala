@@ -327,6 +327,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(Sampling.budgetedSample(corpus, "id", "w", 0L).count() === 0L)
   }
 
+  test("mixToShares: binding group kept, proportions hit targets, deterministic") {
+    import spark.implicits._
+    // 400 a / 100 b / 300 c; targets (a 1/2, b 1/4, c 1/4) → binding group
+    // is b (100 / 0.25 = 400 < a's 800, c's 1200): T = 400, rates
+    // a = 200/400, b = 1, c = 100/300
+    val corpus = ((1L to 400L).map(i => (i, "a")) ++
+      (401L to 500L).map(i => (i, "b")) ++
+      (501L to 800L).map(i => (i, "c"))).toDF("id", "grp")
+    val shares = Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)
+    val out = Sampling.mixToShares(corpus, "grp", "id", shares)
+      .select("id", "grp").collect().map(r => (r.getLong(0), r.getString(1)))
+    val byGrp = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // the binding group keeps everything (rate exactly 1 only drops a row
+    // hashing to u == 1.0, which cannot occur: u < 1 by construction)
+    assert(byGrp("b") === 100, s"binding group must survive whole, got $byGrp")
+    // expected output ~400 rows at (1/2, 1/4, 1/4): hash-bernoulli keeps
+    // each non-binding group within binomial noise of its target
+    assert(math.abs(byGrp("a") - 200) <= 45, s"a off target: $byGrp")
+    assert(math.abs(byGrp("c") - 100) <= 35, s"c off target: $byGrp")
+    // content-determinism: layout never changes membership
+    val again = Sampling.mixToShares(corpus.repartition(13), "grp", "id", shares)
+      .select("id", "grp").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(again.toSet === out.toSet)
+    // groups without a share are dropped entirely
+    val extra = corpus.union(Seq((900L, "junk")).toDF("id", "grp"))
+    assert(Sampling.mixToShares(extra, "grp", "id", shares)
+      .where(col("grp") === "junk").count() === 0L)
+    // a share group absent from the data is a typed error, not a silent 0
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixToShares(corpus, "grp", "id",
+        Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.125, "ghost" -> 0.125))
+    }
+    assert(e.getMessage.contains("ghost"))
+  }
+
   test("reservoir sampling is content-deterministic and layout-independent") {
     val k = 7
     val s1 = Sampling.reservoirPerKey(docs, "lang", "doc_id", k)
@@ -526,6 +561,35 @@ class PipelineSpec extends AnyFunSuite {
       maxBroadcastShingleRows = 0L)
     assert(big.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
       Seq((10L, 1L)))
+
+    // the guard costs exactly ONE job per overlap() call, cap or no cap
+    // (with a cap, the broadcast-row count folds into the cap aggregation)
+    val actions = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { actions.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    def settledCount(): Int = {
+      var prev = -1; var cur = actions.get(); var spins = 0
+      while (cur != prev || spins < 3) {
+        prev = cur; Thread.sleep(200); cur = actions.get(); spins += 1
+      }
+      cur
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Decontaminate.overlap(probe, hotBench, "doc_id", "text", n = 3,
+        maxBenchDF = Some(2)) // plan construction only — no collect
+      assert(settledCount() === 1,
+        "capped guard must fold the broadcast-row count into ONE aggregation job")
+      actions.set(0)
+      Decontaminate.overlap(probe, hotBench, "doc_id", "text", n = 3)
+      assert(settledCount() === 1, "uncapped guard must cost ONE count job")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("token/quality/langid edge cases: empty and whitespace-only text") {
