@@ -139,13 +139,20 @@ object Sampling {
     * membership exactly from the same hashes (the px31 oracle does).
     */
   def mixToShares(df: DataFrame, groupCol: String, idCol: String,
-      shares: Map[String, Double], seed: Long = 42L): DataFrame = {
+      shares: Map[String, Double], seed: Long = 42L,
+      weightCol: Option[String] = None): DataFrame = {
     require(shares.nonEmpty && shares.values.forall(s => s > 0 && s <= 1),
       "shares must be in (0, 1]")
     require(math.abs(shares.values.sum - 1.0) < 1e-9, "shares must sum to 1")
-    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val missing = shares.keys.filterNot(counts.contains)
+    // production mixes are usually TOKEN-share targets, not document-share:
+    // with a weightCol the group mass W_g is its weight sum and the same
+    // per-row keep probability s·T/W_g yields the target WEIGHT proportions
+    // in expectation (each kept row carries its weight)
+    val mass = weightCol.fold(count(lit(1)).cast("double"))(w =>
+      sum(col(w).cast("double")))
+    val counts = df.groupBy(groupCol).agg(mass.as("n"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val missing = shares.keys.filterNot(g => counts.get(g).exists(_ > 0))
     require(missing.isEmpty,
       s"share groups absent from the data: ${missing.mkString(", ")}")
     val t = shares.map { case (g, s) => counts(g) / s }.min

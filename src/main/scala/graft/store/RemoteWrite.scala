@@ -381,6 +381,13 @@ object RemoteWrite {
   /** Serve loop: poll-and-apply every `pollMs` until `keepGoing` turns
     * false. The minimal continuous server — a caller owning the store runs
     * this on a side thread, exactly the reference's accept-loop shape.
+    *
+    * Thread discipline: while this loop runs, the serving thread IS the
+    * store's writer — the owner must not mutate the session from another
+    * thread concurrently (GraphSession is single-writer by design, the
+    * same exclusive write lock the reference takes per txn,
+    * Nonpersistent.hs:51-56). Pause the loop (keepGoing → false, rejoin)
+    * around owner-side writes, or route them through a [[Client]].
     */
   def serveWhile[V](store: GraphStore[V], inboxDir: String, pollMs: Long = 50L)(
       keepGoing: () => Boolean): Unit =

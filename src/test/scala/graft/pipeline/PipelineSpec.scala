@@ -360,6 +360,22 @@ class PipelineSpec extends AnyFunSuite {
         Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.125, "ghost" -> 0.125))
     }
     assert(e.getMessage.contains("ghost"))
+
+    // weighted mixing: targets are TOKEN shares — group a has 10x heavier
+    // rows, so hitting a 50% token share needs ~10x fewer a-DOCS than the
+    // doc-share mix would keep
+    val weighted = corpus.withColumn("tok",
+      when(col("grp") === "a", 100L).otherwise(10L))
+    val wOut = Sampling.mixToShares(weighted, "grp", "id", shares,
+      weightCol = Some("tok"))
+      .groupBy("grp").agg(sum("tok").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // binding group by MASS: a = 40000/0.5 = 80000, b = 1000/0.25 = 4000,
+    // c = 3000/0.25 = 12000 → b binds, T = 4000 tokens: targets
+    // a 2000, b 1000 (whole), c 1000 tokens
+    assert(wOut("b") === 1000L, s"binding group must survive whole: $wOut")
+    assert(math.abs(wOut("a") - 2000L) <= 900L, s"a token mass off: $wOut")
+    assert(math.abs(wOut("c") - 1000L) <= 450L, s"c token mass off: $wOut")
   }
 
   test("reservoir sampling is content-deterministic and layout-independent") {
