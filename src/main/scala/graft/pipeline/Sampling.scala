@@ -111,7 +111,12 @@ object Sampling {
       acc += totals.getOrElse(b, 0L)
       o
     }.toMap
-    val live = offsets.collect { case (b, o) if o < budget && totals.contains(b) => b }.toSeq
+    // prune on o <= budget, NOT o < budget: a bucket whose offset equals
+    // the budget exactly can still contribute ZERO-weight rows (empty
+    // documents exist), whose inclusive cumsum == budget and which the
+    // global-order semantics keep — the _cum filter below decides; a
+    // bucket with o > budget can contribute nothing (every row's cum ≥ o)
+    val live = offsets.collect { case (b, o) if o <= budget && totals.contains(b) => b }.toSeq
     if (live.isEmpty) return df.limit(0)
     val offCol = element_at(typedLit(offsets), col("_b"))
     val w = Window.partitionBy(col("_b")).orderBy(col("_h"), col(idCol))

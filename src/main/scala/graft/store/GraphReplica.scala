@@ -148,15 +148,21 @@ final class GraphReplica[V] private (
   private var pendingDirs: Map[String, (DataFrame, Set[String])] = Map.empty
 
   /** Per-trigger batch checkpoints still referenced by [[pendingDirs]]
-    * slices. A split dir keeps its source triggers' checkpoints alive
-    * until the dir completes and applies; the moment the pending buffer
-    * drains they are unpersisted DETERMINISTICALLY — state transitions are
+    * slices, REFCOUNTED by the pending dirs they feed: a split dir keeps
+    * its source triggers' checkpoints alive until the dir completes and
+    * applies, and each checkpoint is unpersisted DETERMINISTICALLY the
+    * moment its last referencing dir applies — state transitions are
     * eagerly checkpointed and op batches collected before apply, so
-    * nothing references them, and relying on GC-driven cleanup would hold
-    * a bulk ingest's blocks indefinitely on an idle driver. This is the
-    * mechanical form of the "bounded by one in-flight publish unit" claim.
+    * nothing references it, and relying on GC-driven cleanup would hold a
+    * bulk ingest's blocks indefinitely on an idle driver. Refcounts (not
+    * a drain-all barrier) matter under sustained traffic where trigger
+    * boundaries straddle consecutive dirs: the pending buffer may never
+    * be globally empty, but every applied dir still frees its triggers.
+    * This is the mechanical form of the "bounded by one in-flight publish
+    * unit" claim.
     */
-  private var retainedCkpts: List[DataFrame] = Nil
+  private val ckptRefs = scala.collection.mutable.Map[DataFrame, Int]()
+  private var dirCkpts: Map[String, List[DataFrame]] = Map.empty
 
   // spec instrumentation (ReplicaSpec pending-bound case): row counting
   // costs one job per trigger, so it is flag-gated; dir/ckpt counters are
@@ -166,18 +172,25 @@ final class GraphReplica[V] private (
   private[graft] var maxPendingDirsObserved = 0
   private[graft] var releasedRddIds: Seq[Int] = Nil
   private[graft] def pendingDirCount: Int = pendingDirs.size
-  private[graft] def retainedCkptCount: Int = retainedCkpts.size
+  private[graft] def retainedCkptCount: Int = ckptRefs.size
 
-  private def releaseCkpts(): Unit = if (retainedCkpts.nonEmpty) {
-    val rdds = retainedCkpts.flatMap { df =>
-      df.queryExecution.analyzed match {
-        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
-        case _ => None
-      }
+  private def releaseCkpt(df: DataFrame): Unit = {
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+        releasedRddIds = releasedRddIds :+ l.rdd.id
+      case _ => ()
     }
-    rdds.foreach(_.unpersist(blocking = false))
-    releasedRddIds = releasedRddIds ++ rdds.map(_.id)
-    retainedCkpts = Nil
+  }
+
+  /** Drop one dir's hold on its source-trigger checkpoints. */
+  private def unref(dir: String): Unit = {
+    dirCkpts.getOrElse(dir, Nil).foreach { c =>
+      val left = ckptRefs.getOrElse(c, 1) - 1
+      if (left <= 0) { ckptRefs -= c; releaseCkpt(c) }
+      else ckptRefs(c) = left
+    }
+    dirCkpts -= dir
   }
 
   /** High-watermark of applied batch dirs — (eventsIndex, batchSeq) of the
@@ -234,7 +247,12 @@ final class GraphReplica[V] private (
         case None => Some((rows, files))
       }
     }
-    retainedCkpts ::= withDir
+    if (arrived.nonEmpty) {
+      ckptRefs(withDir) = arrived.size
+      arrived.keys.foreach { d =>
+        dirCkpts = dirCkpts.updatedWith(d)(l => Some(withDir :: l.getOrElse(Nil)))
+      }
+    } else releaseCkpt(withDir) // nothing pending references this trigger
     if (trackPendingStats) { // peak of the buffer: arrivals in, nothing applied yet
       maxPendingDirsObserved = math.max(maxPendingDirsObserved, pendingDirs.size)
       maxPendingRowsObserved = math.max(maxPendingRowsObserved,
@@ -274,8 +292,8 @@ final class GraphReplica[V] private (
           else OplogStream.applyOpBatch(model, state, rows)
         appliedMark = k
         pendingDirs -= dir
+        unref(dir)
       }
-    if (pendingDirs.isEmpty) releaseCkpts()
   }
 }
 

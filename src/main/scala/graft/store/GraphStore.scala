@@ -552,7 +552,7 @@ object GraphStore {
     val eventDirs = list(path, ".events").filter(_ > after).sorted
     eventDirs.foreach { idx =>
       val dir = path.resolve(s"$idx.events")
-      val allBatches = Files.list(dir).iterator().asScala.toSeq
+      val allBatches = listPaths(dir)
         .filter(p => p.getFileName.toString.startsWith("batch-"))
         .sortBy(_.getFileName.toString)
       // _SUCCESS is Spark's write-commit marker: a batch dir without it is
@@ -600,12 +600,21 @@ object GraphStore {
     }
   }
 
+  /** Drained directory listing with the stream CLOSED — `Files.list`
+    * holds an fd until closed (no cleaner), and the tag-cache scan walks
+    * thousands of batch dirs in one call.
+    */
+  private[store] def listPaths(base: Path): Seq[Path] = {
+    val s = Files.list(base)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   private[store] def listDirs(base: Path, nameFilter: String => Boolean): Seq[Path] =
-    Files.list(base).iterator().asScala.toSeq
+    listPaths(base)
       .filter(p => Files.isDirectory(p) && nameFilter(p.getFileName.toString))
 
   private def list(path: Path, suffix: String): Seq[Long] =
-    Files.list(path).iterator().asScala.toSeq
+    listPaths(path)
       .map(_.getFileName.toString)
       .filter(_.endsWith(suffix))
       .flatMap(n => Try(n.stripSuffix(suffix).toLong).toOption)
@@ -615,8 +624,7 @@ object GraphStore {
       StandardCopyOption.REPLACE_EXISTING)
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) listPaths(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 

@@ -74,7 +74,7 @@ object RemoteRead {
     private var seq: Long = {
       def seqsIn(p: Path): Seq[Long] =
         if (!Files.isDirectory(p)) Seq.empty
-        else Files.list(p).iterator().asScala.toSeq
+        else GraphStore.listPaths(p)
           .flatMap(f => mySeq.findFirstMatchIn(f.getFileName.toString)
             .flatMap(m => Try(m.group(1).toLong).toOption))
       (seqsIn(base) ++ seqsIn(base.resolve("acks"))).maxOption.fold(0L)(_ + 1L)
@@ -172,7 +172,7 @@ object RemoteRead {
     if (!Files.isDirectory(base)) return Seq.empty
     val acks = base.resolve("acks")
     Files.createDirectories(acks)
-    val pending = Files.list(base).iterator().asScala.toSeq
+    val pending = GraphStore.listPaths(base)
       .filter(_.getFileName.toString.endsWith(".req.json"))
       .sortBy(_.getFileName.toString)
       .filter { p =>
@@ -188,7 +188,11 @@ object RemoteRead {
           val r = ("\"" + java.util.regex.Pattern.quote(k) +
             "\":\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|[^,}\\s]+)").r
           r.findFirstMatchIn(req)
-            .map(_.group(1).stripPrefix("\"").stripSuffix("\""))
+            .map(_.group(1).stripPrefix("\"").stripSuffix("\"")
+              // inverse of the client's esc(): unescape quote then
+              // backslash, the parseAck order — a key containing quotes
+              // must match the index verbatim, not its escaped spelling
+              .replace("\\\"", "\"").replace("\\\\", "\\"))
         }
         val st = replica.currentState
         val answer: DataFrame = fld("op").getOrElse("?") match {
@@ -199,8 +203,18 @@ object RemoteRead {
             require(ids.size <= 100000, "getValues request exceeds 100k ids")
             if (ids.isEmpty)
               st.nodes.select(col("id"), col("kind"), col("value")).limit(0)
-            else st.nodes.where(col("id").isin(ids: _*))
-              .select(col("id"), col("kind"), col("value"))
+            else {
+              // same 10k cutover as GraphReplica.getValues: a giant
+              // in-list stresses codegen; a broadcast semi-join scales
+              val wanted =
+                if (ids.size <= 10000) st.nodes.where(col("id").isin(ids: _*))
+                else {
+                  val spark = st.nodes.sparkSession
+                  import spark.implicits._
+                  st.nodes.join(broadcast(ids.toDF("id")), Seq("id"), "left_semi")
+                }
+              wanted.select(col("id"), col("kind"), col("value"))
+            }
           case "getTargets" =>
             st.index.where(col("src") === fld("id").get.toLong &&
                 col("kkind") === fld("kkind").get && col("key") === fld("key").get)
@@ -258,8 +272,7 @@ object RemoteRead {
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) GraphStore.listPaths(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

@@ -168,7 +168,7 @@ object RemoteWrite {
     private var seq: Long = {
       def seqsIn(p: Path): Seq[Long] =
         if (!Files.isDirectory(p)) Seq.empty
-        else Files.list(p).iterator().asScala.toSeq
+        else GraphStore.listPaths(p)
           .flatMap(f => mySeq.findFirstMatchIn(f.getFileName.toString)
             .flatMap(m => Try(m.group(1).toLong).toOption))
       (seqsIn(inbox) ++ Seq("acks", "applied").flatMap(s => seqsIn(inbox.resolve(s))))
@@ -275,7 +275,7 @@ object RemoteWrite {
     Files.createDirectories(appliedDir)
     if (!Files.isDirectory(inbox)) return Seq.empty
 
-    val committed = Files.list(inbox).iterator().asScala.toSeq
+    val committed = GraphStore.listPaths(inbox)
       .filter(p => p.getFileName.toString.endsWith(".txn"))
       // _SUCCESS (Spark's commit marker) + _meta.json are both inside the
       // atomically-renamed dir: present ⇔ fully published; anything else is
@@ -575,8 +575,7 @@ object RemoteWrite {
       StandardCopyOption.REPLACE_EXISTING)
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) GraphStore.listPaths(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

@@ -92,9 +92,13 @@ object ScaleRehearsal {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
-    // warmup both directions
-    run(graft.Tables.load(spark, src, "lineitem").groupBy("l_returnflag").count())
-    run(graft.Tables.load(spark, dst, "lineitem").groupBy("l_returnflag").count())
+    // warmup both directions — on a table the chosen subset actually
+    // synthesized (a documents-only subset has no lineitem in dst)
+    val warmTable =
+      if (tables("lineitem")) "lineitem"
+      else tables.diff(Set("region", "nation")).headOption.getOrElse("nation")
+    run(graft.Tables.load(spark, src, warmTable).groupBy(lit(1)).count())
+    run(graft.Tables.load(spark, dst, warmTable).groupBy(lit(1)).count())
 
     // best-of-2: a single cold run conflates the query with JIT/codegen
     // warmup and one-off GC flukes — a measured 4× swing on identical

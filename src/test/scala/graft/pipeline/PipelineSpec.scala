@@ -325,6 +325,26 @@ class PipelineSpec extends AnyFunSuite {
     // degenerate budgets
     assert(sampled(corpus, 16).nonEmpty)
     assert(Sampling.budgetedSample(corpus, "id", "w", 0L).count() === 0L)
+
+    // zero-weight rows at the exact budget boundary: empty documents
+    // (n_chars = 0) whose inclusive cumsum EQUALS the budget are kept by
+    // the global-order semantics — a bucket holding only zero-weight rows
+    // sits at offset == budget and must not be pruned away
+    val withZeros = ((1L to 200L).map(i => (i, 5L)) ++
+      (201L to 260L).map(i => (i, 0L))).toDF("id", "w")
+    val full = 1000L // == total weight: EVERY row's inclusive cumsum fits
+    for (buckets <- Seq(8, 64)) {
+      val kept = Sampling.budgetedSample(withZeros, "id", "w", full,
+        buckets = buckets).count()
+      assert(kept === 260L,
+        s"budget == total weight must keep all rows incl. zero-weight ones " +
+          s"(buckets=$buckets, kept $kept)")
+    }
+    // the deterministic boundary form: all-zero weights, zero budget —
+    // every bucket offset == budget, every inclusive cumsum == budget
+    val allZero = (1L to 50L).map(i => (i, 0L)).toDF("id", "w")
+    assert(Sampling.budgetedSample(allZero, "id", "w", 0L).count() === 50L,
+      "offset-equals-budget buckets must not be pruned (zero-weight rows fit)")
   }
 
   test("mixToShares: binding group kept, proportions hit targets, deterministic") {
