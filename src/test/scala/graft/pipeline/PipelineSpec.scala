@@ -345,6 +345,29 @@ class PipelineSpec extends AnyFunSuite {
     val allZero = (1L to 50L).map(i => (i, 0L)).toDF("id", "w")
     assert(Sampling.budgetedSample(allZero, "id", "w", 0L).count() === 50L,
       "offset-equals-budget buckets must not be pruned (zero-weight rows fit)")
+
+    // property sweep: random weights (zeros included) × random budgets —
+    // the two-phase selection must equal the global cumsum on every seed
+    val rnd = new scala.util.Random(4242L)
+    (1 to 5).foreach { trial =>
+      val rows = (1L to 120L).map(i =>
+        (i * 7919L % 100003L, // non-contiguous ids: hash order ≠ id order
+          if (rnd.nextInt(5) == 0) 0L else rnd.nextInt(50).toLong + 1L))
+      val df = rows.toDF("id", "w")
+      val total = rows.map(_._2).sum
+      val b = (rnd.nextDouble() * total * 1.1).toLong // sometimes > total
+      def naiveB(buckets: Int): Set[Long] = {
+        val h = xxhash64(col("id"), lit(42L))
+        val gw = Window.orderBy(pmod(h, lit(buckets.toLong)), h, col("id"))
+        df.withColumn("_cum", sum(col("w").cast("long")).over(gw))
+          .where(col("_cum") <= b).select("id").collect().map(_.getLong(0)).toSet
+      }
+      val buckets = Seq(4, 32)(trial % 2)
+      val got = Sampling.budgetedSample(df, "id", "w", b, buckets = buckets)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got === naiveB(buckets),
+        s"trial $trial (budget $b, buckets $buckets): two-phase ≠ global order")
+    }
   }
 
   test("mixToShares: binding group kept, proportions hit targets, deterministic") {
