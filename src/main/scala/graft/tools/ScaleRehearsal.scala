@@ -57,6 +57,9 @@ object ScaleRehearsal {
     "px15_vocab_topk" -> Set("documents"),
     "px18_dedup_representatives" -> Set("documents"),
     "px24_decontaminate" -> Set("documents"),
+    "px29_composed" -> Set("documents"),
+    "px30_char_budget" -> Set("documents"),
+    "px31_mix_shares" -> Set("documents"),
     "r10_multiway_join_agg" ->
       Set("region", "nation", "customer", "supplier", "part", "orders", "lineitem"),
     "r12_rollup" -> Set("region", "nation", "customer", "orders"))
