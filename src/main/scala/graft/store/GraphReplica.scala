@@ -178,7 +178,9 @@ final class GraphReplica[V] private (
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
-        releasedRddIds = releasedRddIds :+ l.rdd.id
+        // diagnostics only — keep a bounded tail so a replica tailing for
+        // months doesn't accumulate an id per trigger forever
+        releasedRddIds = (releasedRddIds :+ l.rdd.id).takeRight(1024)
       case _ => ()
     }
   }

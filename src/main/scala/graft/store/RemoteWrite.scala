@@ -558,6 +558,10 @@ object RemoteWrite {
           // client was told was applied
           store.drain()
           store.recordTxnTag(txnId, ackJson(ack))
+          // a SUCCESSFUL apply clears any prior failure marker: a txn that
+          // fail-stopped once transiently and then succeeded must not
+          // carry that strike toward quarantine forever
+          Files.deleteIfExists(inbox.resolve(FailedDirName).resolve(txnId))
           createdThisPoll ++= mapping.values
           removedThisPoll ++= ops.collect { case GraphOp.RemoveNode(id) => resolve(id) }
           ack

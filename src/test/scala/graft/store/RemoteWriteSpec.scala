@@ -344,6 +344,31 @@ class RemoteWriteSpec extends AnyFunSuite {
     store.close()
   }
 
+  test("transient mid-apply failure: the retry succeeds and clears the strike") {
+    val dir = Files.createTempDirectory("graft-rw-transient-").toString
+    val inbox = freshInbox()
+    val client = new Client(spark, CatalogueModel, inbox, "flaky")
+    var ref = 0L
+    val t = client.submit { txn =>
+      ref = txn.newNode(Song("eventually")); txn.addTarget(0L, ref)
+    }
+    var store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    store.failNextWalPublish = true // one transient fault
+    intercept[ApplyFailedException](RemoteWrite.applyPending(store, inbox))
+    assert(Files.exists(Paths.get(inbox).resolve("_failed").resolve(t)))
+    store.abandon()
+    // recovery + retry: applies cleanly AND clears the failure marker, so
+    // an unrelated failure years later starts from strike zero instead of
+    // inheriting this one toward quarantine
+    store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val acks = RemoteWrite.applyPending(store, inbox)
+    assert(acks.size === 1 && acks.head.applied)
+    assert(store.session.getValue(acks.head.assigned(ref)) === Song("eventually"))
+    assert(!Files.exists(Paths.get(inbox).resolve("_failed").resolve(t)),
+      "a successful apply must clear the txn's failure marker")
+    store.close()
+  }
+
   test("crash between drain and ack replays the RECORDED ack — no duplicate apply") {
     val dir = Files.createTempDirectory("graft-rw-ackloss-").toString
     val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
