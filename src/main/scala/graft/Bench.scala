@@ -42,6 +42,12 @@ object Bench {
     // (no pointless retries of a broken plan).
     val Runs = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // release the previous query's plan-owned localCheckpoint blocks
+      // (CC loops, px29's lineage cut): the ContextCleaner frees them only
+      // after their RDDs are garbage-collected, and 71 queries × 3 runs in
+      // one JVM otherwise accumulate blocks toward eviction pressure — the
+      // same mitigation ScaleRehearsal applies, for the same reason
+      System.gc()
       val times = Iterator.continually(()).take(Runs).map { _ =>
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }

@@ -103,8 +103,21 @@ object Sampling {
       .withColumn("_h", h)
       .withColumn("_b", pmod(col("_h"), lit(buckets.toLong)))
       .withColumn("_w", col(weightCol).cast("long"))
-    val totals = withB.groupBy("_b").agg(sum(col("_w")).as("t"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // min(_w) rides in the SAME aggregation (zero extra jobs) to enforce
+    // the non-negativity precondition: with a negative weight the bucket
+    // prune below is unsound (a row's cumsum could dip back under the
+    // budget inside a pruned bucket) — refuse loudly instead of silently
+    // diverging from the global-order contract
+    val perBucket = withB.groupBy("_b")
+      .agg(sum(col("_w")).as("t"), min(col("_w")).as("mn"))
+      .collect()
+    perBucket.find(_.getLong(2) < 0L).foreach { r =>
+      throw new IllegalArgumentException(
+        s"budgetedSample requires non-negative weights; found ${r.getLong(2)} " +
+          s"in '$weightCol' — negative weights make prefix-budget selection " +
+          "ill-defined")
+    }
+    val totals = perBucket.map(r => r.getLong(0) -> r.getLong(1)).toMap
     var acc = 0L
     val offsets = (0L until buckets.toLong).map { b =>
       val o = b -> acc

@@ -227,7 +227,7 @@ final class GraphReplica[V] private (
       .where(col("_eidx") > bootstrapIndex)
       // rows must outlive this micro-batch: a split dir's rows sit in
       // pendingDirs until a later trigger delivers the rest of the dir
-      // (retained below; freed via releaseCkpts when the buffer drains)
+      // (refcounted below; freed when the last referencing dir applies)
       .localCheckpoint(true)
     // (dir → data files delivered this trigger) — driver-sized, bounded by
     // maxFilesPerTrigger
@@ -264,13 +264,9 @@ final class GraphReplica[V] private (
     // file physically in the dir has been delivered to this replica
     def complete(d: String): Boolean = {
       val seen = pendingDirs(d)._2
-      val ls = Files.list(uriToPath(d))
-      try {
-        import scala.jdk.CollectionConverters._
-        ls.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => !n.startsWith("_") && !n.startsWith("."))
-          .forall(seen.contains)
-      } finally ls.close()
+      GraphStore.listPaths(uriToPath(d)).map(_.getFileName.toString)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .forall(seen.contains)
     }
     val BatchDir = """.*/(\d+)\.events/batch-(\d+)(-bulk)?$""".r
     val keyed = pendingDirs.keys.flatMap {

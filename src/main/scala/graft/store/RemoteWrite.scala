@@ -309,6 +309,8 @@ object RemoteWrite {
           // actually durable. Exactly-once restored across the window.
           writeJsonAtomic(ackFile, recorded)
           archive(dir, appliedDir)
+          // tagged means durably applied — any failure strike is stale
+          Files.deleteIfExists(inbox.resolve(FailedDirName).resolve(txnId))
           acks += parseAck(recorded)
         case None if failCount(inbox, txnId) >= MaxApplyAttempts =>
           val n = failCount(inbox, txnId)
@@ -560,8 +562,11 @@ object RemoteWrite {
           store.recordTxnTag(txnId, ackJson(ack))
           // a SUCCESSFUL apply clears any prior failure marker: a txn that
           // fail-stopped once transiently and then succeeded must not
-          // carry that strike toward quarantine forever
-          Files.deleteIfExists(inbox.resolve(FailedDirName).resolve(txnId))
+          // carry that strike toward quarantine forever. Best-effort and
+          // NON-throwing: the txn is durably committed at this point, so a
+          // transient FS error here must not be recorded as a NEW strike
+          // (recovery leg 2 clears stale markers on the tag hit anyway)
+          Try(Files.deleteIfExists(inbox.resolve(FailedDirName).resolve(txnId)))
           createdThisPoll ++= mapping.values
           removedThisPoll ++= ops.collect { case GraphOp.RemoveNode(id) => resolve(id) }
           ack

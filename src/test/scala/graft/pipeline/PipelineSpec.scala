@@ -340,6 +340,14 @@ class PipelineSpec extends AnyFunSuite {
         s"budget == total weight must keep all rows incl. zero-weight ones " +
           s"(buckets=$buckets, kept $kept)")
     }
+    // negative weights make prefix-budget selection ill-defined (the
+    // bucket prune becomes unsound) — typed refusal, not silent divergence
+    val eNeg = intercept[IllegalArgumentException] {
+      Sampling.budgetedSample(
+        corpus.withColumn("w", col("w") - 20L), "id", "w", budget)
+    }
+    assert(eNeg.getMessage.contains("non-negative"))
+
     // the deterministic boundary form: all-zero weights, zero budget —
     // every bucket offset == budget, every inclusive cumsum == budget
     val allZero = (1L to 50L).map(i => (i, 0L)).toDF("id", "w")
