@@ -296,8 +296,12 @@ object RemoteWrite {
       val ackFile = acksDir.resolve(s"$txnId.json")
       if (Files.exists(ackFile)) {
         // crash-window recovery leg 1: acked means applied (ack is written
-        // after commit) — archive without re-applying
+        // after commit) — archive without re-applying. Clear any stale
+        // failure strike too (best-effort, non-throwing: the txn is done;
+        // this leg is also the backstop for a swallowed delete failure on
+        // the apply path, since an acked txn never reaches leg 2)
         archive(dir, appliedDir)
+        Try(Files.deleteIfExists(inbox.resolve(FailedDirName).resolve(txnId)))
       } else store.txnTag(txnId) match {
         case Some(recorded) =>
           // crash-window recovery leg 2: the txn's WAL batch is durable and
@@ -309,8 +313,10 @@ object RemoteWrite {
           // actually durable. Exactly-once restored across the window.
           writeJsonAtomic(ackFile, recorded)
           archive(dir, appliedDir)
-          // tagged means durably applied — any failure strike is stale
-          Files.deleteIfExists(inbox.resolve(FailedDirName).resolve(txnId))
+          // tagged means durably applied — any failure strike is stale;
+          // non-throwing like every marker cleanup (a transient FS error
+          // on best-effort cleanup must never kill the serve loop)
+          Try(Files.deleteIfExists(inbox.resolve(FailedDirName).resolve(txnId)))
           acks += parseAck(recorded)
         case None if failCount(inbox, txnId) >= MaxApplyAttempts =>
           val n = failCount(inbox, txnId)
@@ -565,7 +571,11 @@ object RemoteWrite {
           // carry that strike toward quarantine forever. Best-effort and
           // NON-throwing: the txn is durably committed at this point, so a
           // transient FS error here must not be recorded as a NEW strike
-          // (recovery leg 2 clears stale markers on the tag hit anyway)
+          // (the acked-txn triage leg also clears markers whenever a crash
+          // leaves the dir in the inbox; a marker that survives a swallowed
+          // delete AND a completed archive merely costs one earlier
+          // quarantine strike if its txnId is ever reused after an
+          // operator purge — bounded, and strictly better than poisoning)
           Try(Files.deleteIfExists(inbox.resolve(FailedDirName).resolve(txnId)))
           createdThisPoll ++= mapping.values
           removedThisPoll ++= ops.collect { case GraphOp.RemoveNode(id) => resolve(id) }
