@@ -118,34 +118,50 @@ final class GraphSession[V] private (
         if (runs.nonEmpty && runs.last.last.getClass == op.getClass) runs.last += op
         else runs += ArrayBuffer(op)
       }
-      runs.foreach { run =>
-        // localCheckpoint after EVERY run: index derivation references the
-        // nodes plan twice, so without truncation the logical plan doubles
-        // per run (2^runs blowup in the analyzer)
-        state = try (run.head match {
-          case _: NewNode[_] =>
-            state.withNewNodes(run.collect { case NewNode(id, v) => (id, v) }.toSeq)
-          case _: SetValue[_] =>
-            // later SetValue on the same id wins within a run
-            state.withValues(GraphOp.keepLastById(
-              run.collect { case SetValue(id, v) => (id, v) }.toSeq))
-          case _: AddTarget[_] =>
-            state.withTargets(run.collect { case AddTarget(s, d) => (s, d) }.toSeq)
-          case _: RemoveTarget[_] =>
-            state.withoutTargets(run.collect { case RemoveTarget(s, d) => (s, d) }.toSeq)
-          case _: RemoveNode[_] =>
-            state.withoutNodes(run.collect { case RemoveNode(id) => id }.toSeq)
-        }).checkpointed()
-        catch {
-          // the in-plan setValue guard (GraphState.withValues raise_error)
-          // fires during checkpointed()'s materialization as a wrapped
-          // SparkException — translate back to the session contract's
-          // typed error (the reference's invalid-ref failure)
-          case e: Throwable if GraphSession.unknownIdMessage(e).isDefined =>
-            throw new IllegalArgumentException(
-              GraphSession.unknownIdMessage(e).get, e)
+      // The whole pending batch applies ATOMICALLY against a local copy:
+      // `state` is only advanced after every run succeeded. On a mid-run
+      // failure (the in-plan unknown-id guards) the batch ABORTS — the
+      // reference's invalid-ref failure aborts the enclosing write txn —
+      // so partial runs are discarded with the local copy, nothing reaches
+      // the op log / WAL, state stays the pre-batch snapshot, and the
+      // session remains usable. (Without this, a retry after the throw
+      // would RE-apply the already-applied prefix runs: duplicate node
+      // rows, doubled index entries, state/WAL divergence.) Ids allocated
+      // by aborted newNodes are burned, never reused — gaps are fine, the
+      // reference's tx-local ordinals burn the same way.
+      var st = state
+      try {
+        runs.foreach { run =>
+          // localCheckpoint after EVERY run: index derivation references the
+          // nodes plan twice, so without truncation the logical plan doubles
+          // per run (2^runs blowup in the analyzer)
+          st = (run.head match {
+            case _: NewNode[_] =>
+              st.withNewNodes(run.collect { case NewNode(id, v) => (id, v) }.toSeq)
+            case _: SetValue[_] =>
+              // later SetValue on the same id wins within a run
+              st.withValues(GraphOp.keepLastById(
+                run.collect { case SetValue(id, v) => (id, v) }.toSeq))
+            case _: AddTarget[_] =>
+              st.withTargets(run.collect { case AddTarget(s, d) => (s, d) }.toSeq)
+            case _: RemoveTarget[_] =>
+              st.withoutTargets(run.collect { case RemoveTarget(s, d) => (s, d) }.toSeq)
+            case _: RemoveNode[_] =>
+              st.withoutNodes(run.collect { case RemoveNode(id) => id }.toSeq)
+          }).checkpointed()
         }
+      } catch {
+        case e: Throwable =>
+          pending.clear() // abort the batch: discard ITS ops, not the session
+          // the in-plan guards (GraphState raise_error) fire during
+          // checkpointed()'s materialization as a wrapped SparkException —
+          // translate back to the session contract's typed error
+          GraphSession.unknownIdMessage(e) match {
+            case Some(msg) => throw new IllegalArgumentException(msg, e)
+            case None => throw e
+          }
       }
+      state = st
       opLog ++= pending
       pending.clear()
     }
@@ -210,6 +226,12 @@ object GraphSession {
     val s = new GraphSession(spark, model, GraphState.empty(spark, model), 0L)
     val id = s.allocate(rootValue)
     require(id == 0L)
+    // establish the root EAGERLY: the reference's runSession provides the
+    // root before any user txn, and our batch-abort semantics must never
+    // be able to discard it (a failing first batch would otherwise roll
+    // the pending root back with it). The op stays in the drainable log,
+    // so persistent wrappers still WAL it on first commit.
+    s.applied()
     s
   }
 

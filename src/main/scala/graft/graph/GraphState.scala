@@ -125,10 +125,46 @@ final case class GraphState[V](
 
   /** addTarget (op #6, Graph.hs:57-61): idempotent edge insert + index key
     * emission for the new edges only.
+    *
+    * Endpoint ids are validated IN-PLAN like [[withValues]]' guard: the
+    * reference errors on an invalid node ref, and without the check a
+    * typo'd id would silently create a phantom edge — counted by
+    * stats/reachability but invisible to getTargets (deriveIndex's inner
+    * join emits no keys for it), WAL-logged and replayed into every
+    * follower, and persisted dangling by the checkpoint. NodeId is a plain
+    * Long, so the typed API cannot make bad refs unrepresentable the way
+    * the reference's model typeclass does — the plan must.
+    *
+    * `validate = false` is for FOLLOWER replay (OplogStream): a follower
+    * bootstrapped mid-history legitimately lacks nodes its WAL suffix
+    * references (e.g. a checkpoint-less replica of an events-only store) —
+    * tolerance there is the documented eventual-consistency posture, while
+    * the WRITER session path always validates (the reference server is
+    * what refuses invalid refs).
     */
-  def withTargets(pairs: Seq[(Long, Long)]): GraphState[V] = {
-    val delta = rowsDF(pairs.distinct.map(p => Row(p._1, p._2)), edgesSchema)
+  def withTargets(pairs: Seq[(Long, Long)],
+      validate: Boolean = true): GraphState[V] = {
+    val delta0 = rowsDF(pairs.distinct.map(p => Row(p._1, p._2)), edgesSchema)
       .join(edges, Seq("src", "dst"), "left_anti")
+    def guard(side: String) = {
+      val known = nodes.select(col("id").as(side), lit(true).as("_k" + side))
+      (known, when(col("_k" + side).isNull,
+        raise_error(concat(
+          lit(s"addTarget $side references unknown node id "),
+          col(side).cast("string"),
+          lit(" — nodes must be created first"))).cast(LongType))
+        .otherwise(col(side)).as(side))
+    }
+    val delta =
+      if (!validate) delta0
+      else {
+        val (kSrc, srcCol) = guard("src")
+        val (kDst, dstCol) = guard("dst")
+        delta0
+          .join(kSrc, Seq("src"), "left")
+          .join(kDst, Seq("dst"), "left")
+          .select(srcCol, dstCol)
+      }
     val newIndex = deriveIndex(model, nodes, delta)
     copy(edges = edges.unionByName(delta), index = index.unionByName(newIndex))
   }
@@ -136,9 +172,10 @@ final case class GraphState[V](
   /** addTarget in bulk from a DataFrame delta — the distributed form of
     * [[withTargets]] for ingest volumes that must never touch the driver.
     * Same semantics: idempotent (anti-join pre-filter), index keys derived
-    * for the new edges only. Edges referencing unknown node ids get no
-    * index rows (the typed session API cannot produce such edges; a bulk
-    * caller owns that contract).
+    * for the new edges only. UNLIKE the driver-op path, endpoint ids are
+    * NOT validated here — a 10^9-edge ingest pays for no per-edge guard;
+    * the bulk caller owns referential integrity (documented contract), and
+    * edges referencing unknown ids simply emit no index rows.
     */
   def withTargetsDF(delta: DataFrame): GraphState[V] = {
     val d = delta

@@ -240,8 +240,14 @@ final class GraphReplica[V] private (
         // _SUCCESS gate, same decode as OplogStream.admitCommitted (the
         // regex keeps `_dir` a valid URI prefix): an unmarked dir in a
         // current-format store cannot appear (atomic publish), but a
-        // legacy/tampered store must not feed the replica torn batches
-        .filter { case (d, _) => Files.exists(uriToPath(d).resolve("_SUCCESS")) }
+        // legacy/tampered store must not feed the replica torn batches.
+        // ARCHIVE-AWARE: the writer's close() moves whole events dirs to
+        // archive/ — a batch committed in either location is admitted,
+        // else a replica tailing through a close would permanently drop
+        // acknowledged commits as "torn"
+        .filter { case (d, _) =>
+          OplogStream.committedBatchDir(uriToPath(d)).isDefined
+        }
     arrived.foreach { case (d, files) =>
       val rows = withDir.where(col("_dir") === d).drop("_path", "_eidx", "_dir")
       pendingDirs = pendingDirs.updatedWith(d) {
@@ -262,12 +268,14 @@ final class GraphReplica[V] private (
     }
     // a dir carrying _SUCCESS is final on disk: complete ⟺ every data
     // file physically in the dir has been delivered to this replica
-    def complete(d: String): Boolean = {
-      val seen = pendingDirs(d)._2
-      GraphStore.listPaths(uriToPath(d)).map(_.getFileName.toString)
-        .filter(n => !n.startsWith("_") && !n.startsWith("."))
-        .forall(seen.contains)
-    }
+    // (listed wherever the dir lives NOW — close() may have archived it)
+    def complete(d: String): Boolean =
+      OplogStream.committedBatchDir(uriToPath(d)).exists { p =>
+        val seen = pendingDirs(d)._2
+        GraphStore.listPaths(p).map(_.getFileName.toString)
+          .filter(n => !n.startsWith("_") && !n.startsWith("."))
+          .forall(seen.contains)
+      }
     val BatchDir = """.*/(\d+)\.events/batch-(\d+)(-bulk)?$""".r
     val keyed = pendingDirs.keys.flatMap {
       case d @ BatchDir(eidx, bseq, bulk) =>

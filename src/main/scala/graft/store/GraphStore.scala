@@ -475,11 +475,14 @@ object GraphStore {
     }
     // drop replayed ops from the log: they are already on disk
     session.drainLog()
-    // brand-new store: create the root; it stays pending and is persisted
-    // by the first commit
+    // brand-new store: create the root — applied EAGERLY (the batch-abort
+    // semantics must never roll the root back with a failing first batch;
+    // see GraphSession.inMemory) and persisted by the first commit (the
+    // applied op stays in the drainable log)
     if (session.idWatermark == 0L) {
       val id = session.newNode(rootValue)
       require(id == 0L)
+      session.applied()
     }
     new GraphStore(spark, model, path, session,
       eventsIndex = math.max(replayedThrough, latest.getOrElse(0L)) + 1, lock,

@@ -31,23 +31,53 @@ object OplogStream {
     *
     * `trigger` defaults to AvailableNow (catch-up-and-stop — the test and
     * bootstrap shape); pass `Trigger.ProcessingTime(...)` to TAIL a live
-    * writer continuously. Follower state lives in this process, so a
-    * restart re-tails from the WAL start regardless of `checkpointDir`
-    * (which only makes source offsets durable) — long-lived followers
-    * should bootstrap from the writer's latest checkpoint instead.
+    * writer continuously.
+    *
+    * `checkpointDir` CAUTION: follower state lives in this process while
+    * source offsets are what the checkpoint makes durable — so a RESTART
+    * of follow() against a reused checkpointDir starts from an EMPTY
+    * in-process state but the source never re-delivers the already-seen
+    * files: every pre-restart op would be silently absent. Reuse a
+    * checkpointDir only when the caller restores matching state itself;
+    * that pairing is exactly what [[graft.store.GraphReplica]] implements
+    * (checkpoint bootstrap + durable offsets) — long-lived followers
+    * should use it.
+    *
+    * Ordering: ops are applied in `seq` order within a micro-batch, and a
+    * cross-trigger watermark REFUSES out-of-order delivery of op batches
+    * (two dirs published within one mtime granularity can cross a trigger
+    * boundary inverted; silently applying `rmt` before its `add` would
+    * leave the follower permanently divergent). Bulk `-bulk` dirs are
+    * exempt — their rows are commutative set unions and a multi-file bulk
+    * dir may legitimately arrive split across triggers in any file order
+    * (a bulk-ingesting store's follower should bootstrap from a
+    * checkpoint, per [[applyOpBatch]]'s note).
     */
   def follow[V](spark: SparkSession, model: GraphModel[V], storeDir: String,
       onBatch: GraphState[V] => Unit,
       trigger: Trigger = Trigger.AvailableNow(),
       checkpointDir: Option[String] = None): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
     var state = GraphState.empty(spark, model)
+    var maxSeq = Long.MinValue
     val writer = readOps(spark, model, storeDir).writeStream
       .trigger(trigger)
       .outputMode("append")
     checkpointDir.foreach(c => writer.option("checkpointLocation", c))
     writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        state = applyOpBatch(model, state, admitCommitted(batch))
+        val admitted = admitCommitted(batch)
+          .withColumn("_bulk", input_file_name().rlike("/batch-\\d+-bulk/"))
+        val (next, lo, hi) = applyOpBatchBounds(model, state, admitted)
+        if (lo != Long.MinValue) { // bounds cover non-bulk rows only
+          if (lo <= maxSeq) throw new IllegalStateException(
+            s"WAL op batch arrived out of order (seq $lo after $maxSeq was " +
+              "applied) — mtime-tie inversion across trigger boundaries; " +
+              "bootstrap a fresh follower (GraphReplica applies dirs whole " +
+              "and ordered)")
+          maxSeq = hi
+        }
+        state = next
         onBatch(state)
       }
       .start()
@@ -69,10 +99,33 @@ object OplogStream {
     // distinct file paths are bounded by maxFilesPerTrigger — driver-sized
     val torn = withPath.select("_path").distinct().collect()
       .map(_.getString(0))
-      .filter(p => !java.nio.file.Files.exists(
-        uriToPath(p).getParent.resolve("_SUCCESS")))
+      .filter(p => committedBatchDir(uriToPath(p).getParent).isEmpty)
     if (torn.isEmpty) batch
     else withPath.where(!col("_path").isin(torn.toIndexedSeq: _*)).drop("_path")
+  }
+
+  /** Resolve a batch dir to wherever its `_SUCCESS` marker lives NOW —
+    * live location or the writer's `archive/` — or None for a genuinely
+    * torn dir. The writer's close() MOVES whole events dirs into archive
+    * (GraphStore.cleanUp), and a follower tailing through that close used
+    * to find the live path gone, classify every row of the committed
+    * batch as torn, and drop it PERMANENTLY (the file source had marked
+    * the files seen). A batch that was committed anywhere must be
+    * admitted; only a dir with a marker in NEITHER location was never
+    * acknowledged.
+    */
+  private[graft] def committedBatchDir(batchDir: java.nio.file.Path)
+      : Option[java.nio.file.Path] = {
+    import java.nio.file.Files
+    if (Files.exists(batchDir.resolve("_SUCCESS"))) Some(batchDir)
+    else
+      for {
+        events <- Option(batchDir.getParent)
+        root <- Option(events.getParent)
+        archived = root.resolve("archive").resolve(events.getFileName.toString)
+          .resolve(batchDir.getFileName.toString)
+        if Files.exists(archived.resolve("_SUCCESS"))
+      } yield archived
   }
 
   /** Decode a file-source URI (`input_file_name()` output — percent-
@@ -97,19 +150,42 @@ object OplogStream {
     * writer's checkpoint — the WAL follower is for incremental tailing.
     */
   def applyOpBatch[V](model: GraphModel[V], state: GraphState[V],
-      batch: DataFrame, maxOpsPerApply: Int = 1 << 22): GraphState[V] = {
+      batch: DataFrame, maxOpsPerApply: Int = 1 << 22): GraphState[V] =
+    applyOpBatchBounds(model, state, batch, maxOpsPerApply)._1
+
+  /** [[applyOpBatch]] plus the (min, max) seq of the applied NON-bulk rows
+    * (Long.MinValue sentinels when none) — the cross-trigger ordering
+    * watermark [[follow]] maintains. Rows flagged by a `_bulk` column
+    * (bulk-ingest WAL batches) are exempt from the bounds AND applied
+    * through the unguarded set-wise path: bulk edges may legitimately
+    * reference node-less ids (commitBulk's documented contract), so the
+    * driver-op path's unknown-id guard must not fire on them; they still
+    * apply at their seq position relative to neighboring op runs.
+    */
+  private[graft] def applyOpBatchBounds[V](model: GraphModel[V],
+      state: GraphState[V], batch: DataFrame,
+      maxOpsPerApply: Int = 1 << 22): (GraphState[V], Long, Long) = {
     import org.apache.spark.sql.functions._
+    val bulkIdx = batch.columns.indexOf("_bulk")
+    def isBulk(r: org.apache.spark.sql.Row): Boolean =
+      bulkIdx >= 0 && !r.isNullAt(bulkIdx) && r.getBoolean(bulkIdx)
     val rows = batch.orderBy("seq").limit(maxOpsPerApply + 1).collect()
     require(rows.length <= maxOpsPerApply,
       s"op batch exceeds $maxOpsPerApply rows; lower maxFilesPerTrigger or " +
         "bootstrap the follower from a checkpoint instead")
     // batches are small per-commit; group consecutive same-op runs exactly
-    // like GraphSession.applied()
+    // like GraphSession.applied() (bulkness is part of the run boundary so
+    // a bulk add-run never mixes into a guarded session add-run)
     var st = state
     var run = List.empty[org.apache.spark.sql.Row]
     def flush(): Unit = if (run.nonEmpty) {
       val rs = run.reverse
       rs.head.getString(1) match {
+        case "add" if isBulk(rs.head) =>
+          st = st.withTargetsDF(st.spark.createDataFrame(
+            st.spark.sparkContext.parallelize(
+              rs.map(r => org.apache.spark.sql.Row(r.getLong(3), r.getLong(4))), 1),
+            graft.graph.GraphState.edgesSchema))
         case "new" => st = st.withNewNodes(rs.map(r =>
           (r.getLong(2), model.fromValueRow(r.getString(5), r.getStruct(6)))))
         case "set" =>
@@ -120,7 +196,12 @@ object OplogStream {
           st = st.withValues(graft.graph.GraphOp.keepLastById(
             rs.map(r => (r.getLong(2),
               model.fromValueRow(r.getString(5), r.getStruct(6))))))
-        case "add" => st = st.withTargets(rs.map(r => (r.getLong(3), r.getLong(4))))
+        case "add" =>
+          // validate = false: a follower bootstrapped mid-history may lack
+          // nodes its WAL suffix references — tolerance is the follower
+          // posture; the WRITER session path is where invalid refs refuse
+          st = st.withTargets(rs.map(r => (r.getLong(3), r.getLong(4))),
+            validate = false)
         case "rmt" => st = st.withoutTargets(rs.map(r => (r.getLong(3), r.getLong(4))))
         case "rm" => st = st.withoutNodes(rs.map(_.getLong(2)))
       }
@@ -128,10 +209,14 @@ object OplogStream {
       run = Nil
     }
     rows.foreach { r =>
-      if (run.nonEmpty && run.head.getString(1) != r.getString(1)) flush()
+      if (run.nonEmpty && (run.head.getString(1) != r.getString(1) ||
+          isBulk(run.head) != isBulk(r))) flush()
       run = r :: run
     }
     flush()
-    st
+    val nonBulk = rows.filterNot(isBulk)
+    (st,
+      nonBulk.headOption.fold(Long.MinValue)(_.getLong(0)),
+      nonBulk.lastOption.fold(Long.MinValue)(_.getLong(0)))
   }
 }

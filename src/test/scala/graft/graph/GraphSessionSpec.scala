@@ -104,6 +104,42 @@ class GraphSessionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown node id"))
   }
 
+  test("a failed batch ABORTS atomically: no partial runs, session survives") {
+    val g = GraphSession.inMemory(spark, CatalogueModel, CatRoot: Cat)
+    val a = g.newNode(Artist(1, "A"))
+    g.addTarget(g.root, a)
+    g.getStats() // flush: (2 nodes, 1 edge) is the committed pre-batch state
+    // one batch: a good newNode run FOLLOWED by a bad setValue — the
+    // reference's invalid-ref failure aborts the whole write txn, so the
+    // good run must not survive (and must not re-apply on the next read,
+    // which used to duplicate its node rows)
+    g.newNode(Song("doomed-with-the-batch"))
+    g.setValue(424242L, Artist(9, "Phantom"))
+    intercept[IllegalArgumentException](g.getStats())
+    // the session is USABLE and the state is exactly the pre-batch snapshot
+    assert(g.getStats() === ((2L, 1L, 2L)),
+      "aborted batch must leave the pre-batch state, not partial runs")
+    assert(g.getValue(a) === Artist(1, "A"))
+    // and new work proceeds normally after the abort
+    val b = g.newNode(Song("after-abort"))
+    g.addTarget(g.root, b)
+    assert(g.getStats()._1 === 3L)
+  }
+
+  test("addTarget with an unknown endpoint fails instead of a phantom edge") {
+    val g = GraphSession.inMemory(spark, CatalogueModel, CatRoot: Cat)
+    g.addTarget(g.root, 424242L)
+    val e = intercept[IllegalArgumentException] { g.getStats() }
+    assert(e.getMessage.contains("unknown node id"))
+    // no phantom edge: stats (counted by reachability) and getTargets
+    // (served from the index) agree again — the divergence the guard closes
+    assert(g.getStats() === ((1L, 0L, 0L)))
+    val unknownSrc = intercept[IllegalArgumentException] {
+      g.addTarget(424242L, g.root); g.getStats()
+    }
+    assert(unknownSrc.getMessage.contains("unknown node id"))
+  }
+
   test("setValue validation is in-plan: no extra job beyond the checkpoints") {
     val g = GraphSession.inMemory(spark, CatalogueModel, CatRoot: Cat)
     val a = g.newNode(Artist(1, "A"))

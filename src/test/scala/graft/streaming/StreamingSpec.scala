@@ -223,6 +223,54 @@ class StreamingSpec extends AnyFunSuite {
     store.close()
   }
 
+  test("follower applies bulk WAL batches set-wise (node-less edge ids allowed)") {
+    val dir = Files.createTempDirectory("graft-oplog-bulk-").toString
+    val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val g = store.session
+    val hub = g.newNode(Artist(1, "Hub"))
+    g.addTarget(g.root, hub)
+    store.commit()
+    import spark.implicits._
+    // bulk edges to ids WITHOUT node rows — commitBulk's documented
+    // contract; the follower must route them through the UNGUARDED
+    // set-wise path (the session-op guard would raise on 100/101/102)
+    store.commitBulk(Seq((hub, 100L), (hub, 101L), (hub, 102L)).toDF("src", "dst"))
+    g.setValue(hub, Artist(1, "Hub2")) // an op batch AFTER the bulk batch
+    store.commit()
+
+    var last: Option[GraphState[Cat]] = None
+    val q = OplogStream.follow[Cat](spark, CatalogueModel, dir,
+      st => last = Some(st))
+    q.awaitTermination(120000)
+    val st = last.get
+    assert(st.edges.count() === g.applied().edges.count())
+    assert(st.edges.where(col("src") === hub).count() === 3L)
+    assert(st.nodes.count() === g.applied().nodes.count())
+    store.close()
+  }
+
+  test("committed batch dirs resolve through the writer's archive (close race)") {
+    // the writer's close() MOVES events dirs into archive/ while a
+    // follower may still be checking their _SUCCESS markers — a committed
+    // batch must resolve in EITHER location, only marker-in-neither is torn
+    val base = Files.createTempDirectory("graft-oplog-arch-")
+    val live = base.resolve("1.events").resolve("batch-000000")
+    Files.createDirectories(live)
+    Files.writeString(live.resolve("_SUCCESS"), "")
+    assert(OplogStream.committedBatchDir(live) === Some(live))
+    // writer archives the whole events dir (GraphStore.cleanUp shape)
+    val archived = base.resolve("archive").resolve("1.events")
+    Files.createDirectories(archived.getParent)
+    Files.move(base.resolve("1.events"), archived)
+    assert(OplogStream.committedBatchDir(live)
+      === Some(archived.resolve("batch-000000")),
+      "a batch moved to archive/ is still committed")
+    // marker in neither location: genuinely torn
+    val torn = base.resolve("2.events").resolve("batch-000001")
+    Files.createDirectories(torn)
+    assert(OplogStream.committedBatchDir(torn).isEmpty)
+  }
+
   test("follower live-tails a committing writer (ProcessingTime trigger)") {
     val dir = Files.createTempDirectory("graft-oplog-tail-").toString
     val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
