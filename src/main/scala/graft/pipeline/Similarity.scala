@@ -35,20 +35,50 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSim(a, b)
 
+  /** Two-phase top-k per query over scored candidates (`qid, nbr, sim`) —
+    * the px15 vocabulary pattern: rank within (qid, PHYSICAL partition)
+    * first and keep ≤ k per bucket, so no single task ever sorts one
+    * query's full candidate set; only ≤ k×partitions survivors reach the
+    * qid-partitioned global rank. Without this the global window put a
+    * CORPUS-sized candidate list for each query on one task — the exact
+    * straggler/OOM shape a 10^9-row corpus hits at 20 queries. Results
+    * are identical (top-k of the per-bucket top-ks IS the global top-k
+    * under the same deterministic (sim desc, nbr) order).
+    *
+    * Rounding note: `sim` is rounded to 6 digits BEFORE ranking so
+    * last-ulp accumulation differences between engines collapse to the
+    * same order key (the DuckDB oracles rerank independently); the
+    * residual is a value within one ulp of a rounding boundary — never
+    * observed on the driver corpora, and pinned by the per-round oracle
+    * gate rather than assumed.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val wLocal = Window.partitionBy(col("qid"), col("_part"))
+      .orderBy(col("sim").desc, col("nbr"))
+    val wGlobal = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))
+    scored
+      .withColumn("_part", spark_partition_id())
+      .withColumn("_lr", row_number().over(wLocal))
+      .where(col("_lr") <= k)
+      .withColumn("rank", row_number().over(wGlobal).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nbr"), col("rank"), col("sim"))
+  }
+
   /** Exact top-k neighbors per query vector. `corpus` and `queries` carry
-    * (idCol, vecCol); self-matches are excluded when ids collide.
+    * (idCol, vecCol); self-matches are excluded when ids collide. The
+    * query side broadcasts (queries ≪ corpus is the normal shape), so the
+    * corpus is scanned once with no shuffle; ranking is the two-phase
+    * [[topKPerQuery]] — corpus-sized candidate sets never sort on one task.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("nbr"), col(vecCol).as("cv"))
-    val scored = c.join(broadcast(q), col("qid") =!= col("nbr"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("nbr"), col("rank"), col("sim"))
+    topKPerQuery(
+      c.join(broadcast(q), col("qid") =!= col("nbr"))
+        .withColumn("sim", round(cosine(col("qv"), col("cv")), 6)),
+      k)
   }
 
   /** Deterministic random hyperplanes (seeded) as literal arrays — shipped
@@ -78,12 +108,8 @@ object Similarity {
       c.join(q, Seq("_b")).where(col("qid") =!= col("nbr"))
         .select(col("qid"), col("nbr"), col("qv"), col("cv"))
     }.reduce(_ unionByName _).dropDuplicates("qid", "nbr")
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))
-    buckets
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("nbr"), col("rank"), col("sim"))
+    topKPerQuery(
+      buckets.withColumn("sim", round(cosine(col("qv"), col("cv")), 6)), k)
   }
 
   /** Per-table LSH bucket signatures as rows (id, t, b) — the audit export
@@ -117,12 +143,10 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val (cells, probes) = ivfModel(corpus, queries, idCol, vecCol, nlist, nprobe)
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))
-    cells.join(probes, Seq("_cell")).where(col("qid") =!= col("nbr"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("nbr"), col("rank"), col("sim"))
+    topKPerQuery(
+      cells.join(probes, Seq("_cell")).where(col("qid") =!= col("nbr"))
+        .withColumn("sim", round(cosine(col("qv"), col("cv")), 6)),
+      k)
   }
 
   /** The IVF index + probe assignment underlying [[ivfTopK]]: corpus rows

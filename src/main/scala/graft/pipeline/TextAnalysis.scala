@@ -19,6 +19,13 @@ object TextAnalysis {
     * rather than a filter() lambda: lambdas are CodegenFallback and are
     * excluded from subexpression elimination, which pulled every consumer
     * of tokens out of codegen and re-tokenized per reference.
+    *
+    * Cross-engine contract: the whitespace class is Java's `\s`
+    * = [ \t\n\x0B\f\r], while the DuckDB oracles' RE2 `\s` omits \x0B
+    * (vertical tab) — a text containing \x0B would tokenize differently
+    * across engines. The driver corpora are printable-ASCII (verified), so
+    * this is a documented input boundary, not a live divergence; a caller
+    * feeding arbitrary bytes should normalize control characters first.
     */
   def tokens(text: Column): Column =
     graft.functions.DropEmpty(split(trim(text), "\\s+"))
