@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -22,7 +22,12 @@ object Tables {
   /** `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark has no
     * native type for. Read it as nanos-since-epoch LONG and convert with
     * integer division (exact — a double intermediate would lose precision
-    * above 2^53 ns). The test data is µs-granular, so this is lossless.
+    * above 2^53 ns). The µs `ts` TRUNCATES sub-microsecond digits (the
+    * data IS ns-granular), so the raw long rides along as `ts_ns` for
+    * consumers whose ORDERING must match an engine that sees full ns
+    * precision — DuckDB reads the same parquet at ns, and two events of
+    * one user inside the same microsecond would order differently by the
+    * truncated ts (r7 orders by ts_ns for exactly this reason).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -34,5 +39,6 @@ object Tables {
     * the two can never drift.
     */
   private[graft] def nanosToTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    df.withColumn("ts_ns", col("ts"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 }

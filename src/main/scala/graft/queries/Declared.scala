@@ -189,13 +189,19 @@ object Declared {
     // with a nullable FK (TPC-H's non-null o_custkey merely masks it).
     Q("r5_anti_join",
       (s, d) =>
+        // isNotNull on BOTH sides: left_anti keeps a NULL-keyed left row
+        // (no match possible) while SQL's NOT IN drops it (NULL NOT IN
+        // set = UNKNOWN) — filtering both engines to known keys makes the
+        // pair equivalent by construction, not by the data's non-null luck
         t(s, d, "customer")
+          .where(col("c_custkey").isNotNull)
           .join(t(s, d, "orders").select("o_custkey")
             .where(col("o_custkey").isNotNull),
             col("c_custkey") === col("o_custkey"), "left_anti")
           .select("c_custkey")
           .orderBy("c_custkey"),
-      Some("""SELECT c_custkey FROM customer WHERE c_custkey NOT IN
+      Some("""SELECT c_custkey FROM customer
+             |WHERE c_custkey IS NOT NULL AND c_custkey NOT IN
              |(SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
              |ORDER BY c_custkey""".stripMargin)),
 
@@ -212,7 +218,11 @@ object Declared {
     // Window ranking. rnk cast to BIGINT to match DuckDB's ROW_NUMBER type.
     Q("r7_window_rank",
       (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        // order by the RAW ns long, not the µs-truncated ts: DuckDB's side
+        // orders by its ns-precision timestamp, and two events of one user
+        // within the same microsecond would otherwise tie here (falling to
+        // event_id) while the oracle separates them — rank divergence
+        val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
         t(s, d, "events")
           .withColumn("rnk", row_number().over(w).cast("bigint"))
           .filter(col("rnk") <= 3)

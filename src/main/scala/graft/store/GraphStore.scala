@@ -319,10 +319,15 @@ final class GraphStore[V] private (
     if (closed) return
     commit()
     drain() // final batch (and any buffered ones) durable before checkpoint
-    if (buffered) walExec.shutdown()
     val st = session.applied()
     val reach = Reachability.reachable(st.edges, Seq(session.root))
     val ckptDir = path.resolve(s"$eventsIndex.checkpoint")
+    // RETRYABLE like writeWalBatch: a failed earlier close() attempt (one
+    // table written, then a transient error) leaves a partial checkpoint
+    // dir whose ErrorIfExists rewrite would otherwise fail forever with
+    // the lock still held — a meta-less dir was never acknowledged, clear it
+    if (Files.exists(ckptDir) && !Files.exists(ckptDir.resolve("_meta.json")))
+      GraphStore.deleteRecursively(ckptDir)
     val keepNodes = st.nodes.join(reach, Seq("id"), "left_semi")
     val reachSrc = reach.select(col("id").as("src"))
     keepNodes.write.parquet(ckptDir.resolve("nodes").toString)
@@ -332,9 +337,20 @@ final class GraphStore[V] private (
     st.index.join(reachSrc, Seq("src"), "left_semi")
       .repartition(col("src"))
       .write.parquet(ckptDir.resolve("index").toString)
-    Files.writeString(ckptDir.resolve("_meta.json"),
+    // the meta is the checkpoint's COMMIT MARKER — written atomically
+    // (tmp + rename): a torn marker would otherwise read as a committed
+    // checkpoint whose lenient parse silently resets the id watermark to
+    // 0, minting a duplicate root and colliding every subsequent id
+    val metaTmp = ckptDir.resolve("_meta.json.tmp")
+    Files.writeString(metaTmp,
       s"""{"formatVersion": ${GraphStore.FormatVersion}, "nextId": ${session.idWatermark}}""")
+    Files.move(metaTmp, ckptDir.resolve("_meta.json"),
+      StandardCopyOption.ATOMIC_MOVE)
     GraphStore.cleanUp(path, eventsIndex)
+    // shutdown LAST: a retried close() after a mid-checkpoint failure must
+    // still be able to drain() — shutting the worker down before the
+    // checkpoint succeeded made every retry die in the drain barrier
+    if (buffered) walExec.shutdown()
     lock.release()
     closed = true
   }
@@ -373,6 +389,23 @@ object GraphStore {
       .map(_.group(1).toInt).getOrElse(1) // pre-gate stores are version 1
     if (found != FormatVersion)
       throw new IncompatibleStoreFormatException(found, where)
+  }
+
+  /** A checkpoint is COMMITTED iff its `_meta.json` exists AND carries both
+    * fields — existence alone is not enough now that close() writes the
+    * marker atomically, but stores from before that fix (or a tampered
+    * marker) could hold a torn file whose lenient parse would default
+    * `nextId` to 0 and silently mint colliding ids; a half-parseable meta
+    * means a half-committed checkpoint, which must fall back like any
+    * other partial.
+    */
+  private def metaComplete(ckpt: Path): Boolean = {
+    val m = ckpt.resolve("_meta.json")
+    Files.exists(m) && {
+      val s = Try(Files.readString(m)).getOrElse("")
+      """"formatVersion":\s*\d+""".r.findFirstIn(s).isDefined &&
+        """"nextId":\s*\d+""".r.findFirstIn(s).isDefined
+    }
   }
 
   /** Open (or create) a persistent session at `path` — the analog of
@@ -448,8 +481,16 @@ object GraphStore {
     // same index; surviving events dirs still replay below.
     val (committed, partial) =
       list(path, ".checkpoint").partition(c =>
-        Files.exists(path.resolve(s"$c.checkpoint").resolve("_meta.json")))
-    partial.foreach(c => deleteRecursively(path.resolve(s"$c.checkpoint")))
+        metaComplete(path.resolve(s"$c.checkpoint")))
+    // delete only TRUE debris — a dir with no marker at all (crash before
+    // the atomic meta publish). A PRESENT-but-malformed meta is excluded
+    // from selection (loading it would default nextId to 0: duplicate
+    // root, colliding ids) but preserved on disk: it may be a tampered or
+    // legacy store's only copy, and recovery falls back to the previous
+    // committed checkpoint + live events either way
+    partial
+      .filter(c => !Files.exists(path.resolve(s"$c.checkpoint").resolve("_meta.json")))
+      .foreach(c => deleteRecursively(path.resolve(s"$c.checkpoint")))
     val latest = committed.sorted(Ordering[Long].reverse).headOption
 
     val (session, replayedThrough) = latest match {
@@ -497,7 +538,7 @@ object GraphStore {
   def snapshots(dir: String): Seq[Long] = {
     val path = Paths.get(dir)
     val committed = (cp: Path) => (c: Long) =>
-      Files.exists(cp.resolve(s"$c.checkpoint").resolve("_meta.json"))
+      metaComplete(cp.resolve(s"$c.checkpoint"))
     val live = list(path, ".checkpoint").filter(committed(path))
     val archived =
       if (Files.isDirectory(path.resolve("archive")))
@@ -517,9 +558,16 @@ object GraphStore {
   def snapshot[V](spark: SparkSession, model: GraphModel[V], dir: String,
       index: Long): GraphState[V] = {
     val path = Paths.get(dir)
-    val ckpt = Seq(path.resolve(s"$index.checkpoint"),
-      path.resolve("archive").resolve(s"$index.checkpoint"))
-      .find(p => Files.exists(p.resolve("_meta.json")))
+    // ARCHIVE FIRST: an archived checkpoint never moves again, so binding
+    // the lazy parquet reads there is race-free; the live copy of `index`
+    // can be moved to archive by a concurrent writer's close() between
+    // this bind and a later action (lock-free reads are the contract).
+    // Residual: only the NEWEST checkpoint can be hit mid-move — a
+    // transient FileNotFound on action resolves by re-calling snapshot(),
+    // which then binds to the archived copy.
+    val ckpt = Seq(path.resolve("archive").resolve(s"$index.checkpoint"),
+      path.resolve(s"$index.checkpoint"))
+      .find(metaComplete)
       .getOrElse(throw new NoSuchElementException(
         s"no committed checkpoint $index at $dir (have: ${snapshots(dir).mkString(",")})"))
     checkFormat(Files.readString(ckpt.resolve("_meta.json")), ckpt.toString)

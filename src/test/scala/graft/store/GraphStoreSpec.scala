@@ -200,6 +200,56 @@ class GraphStoreSpec extends AnyFunSuite {
     s2.close()
   }
 
+  test("torn _meta.json (truncated marker) is a PARTIAL checkpoint, not id reset") {
+    val dir = tmpDir()
+    val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    val a = s1.session.newNode(Artist(3, "Kept"))
+    s1.session.addTarget(s1.session.root, a)
+    s1.close() // committed 1.checkpoint
+    val s2 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    val b = s2.session.newNode(Song("Later"))
+    s2.session.addTarget(s2.session.root, b)
+    s2.commit() // 2.events durable
+    s2.abandon() // crash DURING a close that got as far as...
+    // ...a checkpoint dir whose marker flushed TRUNCATED — it exists but
+    // the nextId field is gone (the legacy non-atomic-write crash shape;
+    // close() now publishes the marker atomically, but an old or tampered
+    // store can still present this). Treating it as committed would
+    // default the id watermark to 0: a DUPLICATE root row and every later
+    // newNode colliding with existing ids (silent corruption).
+    val torn = dir.resolve("2.checkpoint")
+    Files.createDirectories(torn)
+    Files.writeString(torn.resolve("_meta.json"), """{"formatVersion": 1, "nex""")
+    val s3 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    // fell back to checkpoint 1 + replay of the live 2.events — intact
+    assert(s3.session.getValue(a) === Artist(3, "Kept"))
+    assert(s3.session.getValue(b) === Song("Later"))
+    // the id watermark survived: a fresh node gets a FRESH id
+    val c = s3.session.newNode(Genre("fresh"))
+    assert(c > b, s"watermark must not reset (got id $c after $b)")
+    assert(s3.session.applied().nodes
+      .where(org.apache.spark.sql.functions.col("id") === 0L).count() === 1L,
+      "exactly one root row — no duplicate from a watermark reset")
+    s3.close()
+  }
+
+  test("close() is retryable over debris from a failed prior attempt") {
+    val dir = tmpDir()
+    val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    val a = store.session.newNode(Artist(7, "Persist"))
+    store.session.addTarget(store.session.root, a)
+    // simulate an earlier close() that died mid-checkpoint: the dir holds a
+    // partial table and NO _meta.json; without clearing, close()'s
+    // ErrorIfExists write would fail on every retry with the lock held
+    val debris = dir.resolve("1.checkpoint")
+    Files.createDirectories(debris.resolve("nodes"))
+    Files.writeString(debris.resolve("nodes").resolve("part-00000"), "junk")
+    store.close() // must clear the meta-less debris and commit cleanly
+    val reopened = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    assert(reopened.session.getValue(a) === Artist(7, "Persist"))
+    reopened.close()
+  }
+
   test("second concurrent open is rejected by the dir lock") {
     val dir = tmpDir().toString
     val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
