@@ -65,7 +65,27 @@ object Bench {
     def obj(f: ((String, Double, Double)) => Double): String =
       results.map(r => "\"" + r._1 + "\":" + fmt(f(r))).mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"queries":${obj(_._2)},"spread":${obj(_._3)},"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"queries":${obj(_._2)},"spread":${obj(_._3)},"sf":"$sfDir"}"""
+    println(fullLine)
+    // Durable per-query record: the stdout line above exceeds the driver's
+    // ~4 KB tail window (r7 and r8 both lost the per-query map to it),
+    // making round-over-round per-query adjudication impossible from the
+    // round record alone. A file survives truncation; written atomically
+    // so a crashed bench never leaves a half-record behind. Best-effort:
+    // a read-only cwd must not fail the bench itself.
+    try {
+      val detail = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json"))
+      val tmp = detail.resolveSibling(detail.getFileName.toString + ".tmp")
+      java.nio.file.Files.writeString(tmp, fullLine + "\n")
+      java.nio.file.Files.move(tmp, detail,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      System.err.println(s"[bench] per-query detail -> $detail")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] detail file write failed (non-fatal): $e")
+    }
     // tail-truncation insurance: the full line above exceeds the driver's
     // ~4 KB tail window once per-query maps grow, and round 6 lost its
     // headline number exactly that way ("parsed": null). This compact

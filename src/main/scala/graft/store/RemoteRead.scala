@@ -77,7 +77,10 @@ object RemoteRead {
         else GraphStore.listPaths(p)
           .flatMap(f => mySeq.findFirstMatchIn(f.getFileName.toString)
             .flatMap(m => Try(m.group(1).toLong).toOption))
-      (seqsIn(base) ++ seqsIn(base.resolve("acks"))).maxOption.fold(0L)(_ + 1L)
+      // answered/ holds archived request files — a restarted client must
+      // not reuse a seq whose request the server already consumed
+      (seqsIn(base) ++ seqsIn(base.resolve("acks")) ++
+        seqsIn(base.resolve("answered"))).maxOption.fold(0L)(_ + 1L)
     }
 
     private def submit(body: String): String = {
@@ -138,10 +141,18 @@ object RemoteRead {
         s"read ${ack.reqId} refused: $err")
     }
 
-    /** Block until the server answers `reqId`. */
+    /** Block until the server answers `reqId`. Three answer forms: a typed
+      * refusal (`.err.json`), a dedicated parquet dir (per-request path),
+      * or a pointer (`.ptr.json`) into a shared batch dir — the server
+      * answers same-op requests of one poll in a single Spark job and
+      * splits per-request by the `_reqId` column, so a pointer answer is
+      * the batch filtered to this request (schema-exact even when the
+      * filter matches zero rows).
+      */
     def await(reqId: String, timeoutMs: Long = 30000L): ReadAck = {
       val ansDir = base.resolve("acks").resolve(reqId)
       val errFile = base.resolve("acks").resolve(s"$reqId.err.json")
+      val ptrFile = base.resolve("acks").resolve(s"$reqId.ptr.json")
       val deadline = System.nanoTime() + timeoutMs * 1000000L
       while (System.nanoTime() < deadline) {
         if (Files.exists(errFile)) {
@@ -149,6 +160,16 @@ object RemoteRead {
             .findFirstMatchIn(Files.readString(errFile))
             .map(_.group(1)).getOrElse("unknown error")
           return ReadAck(reqId, Left(msg))
+        }
+        if (Files.exists(ptrFile)) {
+          val rel = """"batch":\s*"((?:[^"\\]|\\.)*)"""".r
+            .findFirstMatchIn(Files.readString(ptrFile)).map(_.group(1))
+            .getOrElse(throw new IllegalStateException(
+              s"malformed pointer answer for $reqId"))
+          val batch = base.resolve("acks").resolve(rel)
+          return ReadAck(reqId, Right(
+            spark.read.parquet(batch.toString)
+              .where(col("_reqId") === reqId).drop("_reqId")))
         }
         if (Files.exists(ansDir.resolve("_SUCCESS")))
           return ReadAck(reqId, Right(spark.read.parquet(ansDir.toString)))
@@ -161,11 +182,41 @@ object RemoteRead {
 
   // ------------------------------------------------------------- server side
 
+  /** Field extractor over the flat request JSON (inverse of the client's
+    * esc(): unescape quote then backslash — a key containing quotes must
+    * match the index verbatim, not its escaped spelling).
+    */
+  private def fld(req: String, k: String): Option[String] = {
+    val r = ("\"" + java.util.regex.Pattern.quote(k) +
+      "\":\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|[^,}\\s]+)").r
+    r.findFirstMatchIn(req)
+      .map(_.group(1).stripPrefix("\"").stripSuffix("\"")
+        .replace("\\\"", "\"").replace("\\\\", "\\"))
+  }
+
+  /** Total (_reqId, id) pairs one poll may answer in a single batched job:
+    * the pairs side is broadcast, so it is driver-bounded by the same
+    * contract as RemoteWrite's replay bound — beyond it the poll falls
+    * back to per-request answers (each with its own 100k cap).
+    */
+  private val MaxBatchPairs = 1000000
+
   /** Answer every unanswered request in `dir` from the replica's current
     * state — the read-dispatch loop body (Server.hs:17-69 for reads).
     * Returns the request ids answered this poll. The caller owns freshness:
     * interleave `replica.catchUp()` in its serve loop at the staleness
     * budget it wants.
+    *
+    * Same-op requests are answered in ONE Spark job per op group (the
+    * RemoteWrite single-load-poll discipline, one file over): the parsed
+    * id lists become a broadcast (_reqId, key) DataFrame, one equi-join
+    * against the replica state writes one batch parquet, and each request
+    * gets an atomic `.ptr.json` pointer into it — so a burst of N point
+    * reads costs O(op kinds) jobs, not N. `getStats` (driver-computed),
+    * unknown ops, oversized requests, and any batch-level failure take the
+    * per-request path, so one bad request never poisons its neighbors.
+    * Answered request files are archived to `answered/` so the poll's
+    * inbox listing stays O(pending), not O(all requests ever shipped).
     */
   def answerPending[V](replica: GraphReplica[V], dir: String): Seq[String] = {
     val base = Paths.get(dir)
@@ -178,83 +229,191 @@ object RemoteRead {
       .filter { p =>
         val reqId = p.getFileName.toString.stripSuffix(".req.json")
         !Files.exists(acks.resolve(reqId).resolve("_SUCCESS")) &&
-          !Files.exists(acks.resolve(s"$reqId.err.json"))
+          !Files.exists(acks.resolve(s"$reqId.err.json")) &&
+          !Files.exists(acks.resolve(s"$reqId.ptr.json"))
       }
-    pending.map { p =>
-      val reqId = p.getFileName.toString.stripSuffix(".req.json")
-      try {
-        val req = Files.readString(p)
-        def fld(k: String): Option[String] = {
-          val r = ("\"" + java.util.regex.Pattern.quote(k) +
-            "\":\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|[^,}\\s]+)").r
-          r.findFirstMatchIn(req)
-            .map(_.group(1).stripPrefix("\"").stripSuffix("\"")
-              // inverse of the client's esc(): unescape quote then
-              // backslash, the parseAck order — a key containing quotes
-              // must match the index verbatim, not its escaped spelling
-              .replace("\\\"", "\"").replace("\\\\", "\\"))
-        }
-        val st = replica.currentState
-        val answer: DataFrame = fld("op").getOrElse("?") match {
-          case "getValues" =>
-            val ids = """"ids":\s*\[([^\]]*)\]""".r.findFirstMatchIn(req)
-              .map(m => """-?\d+""".r.findAllIn(m.group(1)).map(_.toLong).toSeq)
-              .getOrElse(Seq.empty)
-            require(ids.size <= 100000, "getValues request exceeds 100k ids")
-            if (ids.isEmpty)
-              st.nodes.select(col("id"), col("kind"), col("value")).limit(0)
-            else {
-              // same 10k cutover as GraphReplica.getValues: a giant
-              // in-list stresses codegen; a broadcast semi-join scales
-              val wanted =
-                if (ids.size <= 10000) st.nodes.where(col("id").isin(ids: _*))
-                else {
-                  val spark = st.nodes.sparkSession
-                  import spark.implicits._
-                  st.nodes.join(broadcast(ids.toDF("id")), Seq("id"), "left_semi")
-                }
-              wanted.select(col("id"), col("kind"), col("value"))
-            }
-          case "getTargets" =>
-            st.index.where(col("src") === fld("id").get.toLong &&
-                col("kkind") === fld("kkind").get && col("key") === fld("key").get)
-              .select(col("dst").as("id")).distinct()
-          case "targets" =>
-            st.edges.where(col("src") === fld("id").get.toLong)
-              .select(col("dst").as("id")).distinct()
-          case "sources" =>
-            st.edges.where(col("dst") === fld("id").get.toLong)
-              .select(col("src").as("id")).distinct()
-          case "getStats" =>
-            val (n, e, i) = replica.getStats(fld("id").fold(0L)(_.toLong))
-            val spark = st.nodes.sparkSession
-            import spark.implicits._
-            Seq((n, e, i)).toDF("nodes", "edges", "index")
-          case other =>
-            throw new IllegalArgumentException(s"unknown read op '$other'")
-        }
-        // staged atomic publish, same rule as every other inbox artifact:
-        // the client sees a complete answer dir or nothing. A target dir
-        // without _SUCCESS is debris from a dead server — clear it so the
-        // retry succeeds instead of refusing on a name collision.
-        val staging = base.resolve("_staging").resolve(reqId)
-        val target = acks.resolve(reqId)
-        deleteRecursively(staging)
-        if (Files.exists(target) && !Files.exists(target.resolve("_SUCCESS")))
-          deleteRecursively(target)
-        answer.coalesce(1).write
-          .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
-          .parquet(staging.toString)
-        Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          writeJsonAtomic(acks.resolve(s"$reqId.err.json"),
-            s"""{"reqId": "$reqId", "error": "${esc(
-              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")}"}""")
-      }
-      reqId
+    if (pending.isEmpty) return Seq.empty
+    val st = replica.currentState
+    val spark = st.nodes.sparkSession
+
+    def refuse(reqId: String, e: Throwable): Unit =
+      writeJsonAtomic(acks.resolve(s"$reqId.err.json"),
+        s"""{"reqId": "$reqId", "error": "${esc(
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")}"}""")
+
+    // non-throwing by the marker-cleanup discipline: losing the archive
+    // move must not wedge the serve loop; the pending filter above keeps
+    // correctness either way (an un-archived answered request is skipped)
+    def archive(p: Path): Unit = Try {
+      val dst = base.resolve("answered")
+      Files.createDirectories(dst)
+      Files.move(p, dst.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING)
     }
+
+    /** Per-request answer path (fallback + getStats + unknown ops). */
+    def answerOne(reqId: String, req: String): Unit = try {
+      val answer: DataFrame = fld(req, "op").getOrElse("?") match {
+        case "getValues" =>
+          val ids = parseIds(req)
+          require(ids.size <= 100000, "getValues request exceeds 100k ids")
+          if (ids.isEmpty)
+            st.nodes.select(col("id"), col("kind"), col("value")).limit(0)
+          else {
+            // same 10k cutover as GraphReplica.getValues: a giant
+            // in-list stresses codegen; a broadcast semi-join scales
+            val wanted =
+              if (ids.size <= 10000) st.nodes.where(col("id").isin(ids: _*))
+              else {
+                import spark.implicits._
+                st.nodes.join(broadcast(ids.toDF("id")), Seq("id"), "left_semi")
+              }
+            wanted.select(col("id"), col("kind"), col("value"))
+          }
+        case "getTargets" =>
+          st.index.where(col("src") === fld(req, "id").get.toLong &&
+              col("kkind") === fld(req, "kkind").get &&
+              col("key") === fld(req, "key").get)
+            .select(col("dst").as("id")).distinct()
+        case "targets" =>
+          st.edges.where(col("src") === fld(req, "id").get.toLong)
+            .select(col("dst").as("id")).distinct()
+        case "sources" =>
+          st.edges.where(col("dst") === fld(req, "id").get.toLong)
+            .select(col("src").as("id")).distinct()
+        case "getStats" =>
+          val (n, e, i) = replica.getStats(fld(req, "id").fold(0L)(_.toLong))
+          import spark.implicits._
+          Seq((n, e, i)).toDF("nodes", "edges", "index")
+        case other =>
+          throw new IllegalArgumentException(s"unknown read op '$other'")
+      }
+      // staged atomic publish, same rule as every other inbox artifact:
+      // the client sees a complete answer dir or nothing. A target dir
+      // without _SUCCESS is debris from a dead server — clear it so the
+      // retry succeeds instead of refusing on a name collision.
+      val staging = base.resolve("_staging").resolve(reqId)
+      val target = acks.resolve(reqId)
+      deleteRecursively(staging)
+      if (Files.exists(target) && !Files.exists(target.resolve("_SUCCESS")))
+        deleteRecursively(target)
+      answer.coalesce(1).write
+        .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+        .parquet(staging.toString)
+      Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case scala.util.control.NonFatal(e) => refuse(reqId, e)
+    }
+
+    /** Publish one batch answer dir + per-request pointers. Crash-safety
+      * of the name: the dir is named after the group's FIRST pending
+      * reqId and that request's pointer is written FIRST — so a same-name
+      * dir found here is provably an orphan of a poll that died before
+      * writing ANY pointer (had any pointer been written, the first
+      * request would not be pending now), and deleting it is safe.
+      */
+    def publishBatch(ans: DataFrame, reqIds: Seq[String]): Unit = {
+      val name = reqIds.head
+      val batches = acks.resolve("batches")
+      Files.createDirectories(batches)
+      val staging = base.resolve("_staging").resolve(s"batch-$name")
+      val target = batches.resolve(name)
+      deleteRecursively(staging)
+      deleteRecursively(target)
+      ans.coalesce(1).write
+        .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+        .parquet(staging.toString)
+      Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+      reqIds.foreach { r =>
+        writeJsonAtomic(acks.resolve(s"$r.ptr.json"),
+          s"""{"reqId": "$r", "batch": "batches/$name"}""")
+      }
+    }
+
+    /** One op group → one join job, or the per-request fallback when the
+      * group is oversized or the batch job itself fails.
+      */
+    def answerGroup(op: String, group: Seq[(String, String)]): Unit = {
+      import spark.implicits._
+      // per-request parse/validate first: an oversized or malformed
+      // request is its OWN typed refusal, never a group-wide error
+      val parsed = group.map { case (reqId, req) =>
+        (reqId, req, Try {
+          op match {
+            case "getValues" =>
+              val ids = parseIds(req).distinct
+              require(ids.size <= 100000, "getValues request exceeds 100k ids")
+              ids.map(id => (reqId, id, "", ""))
+            case "getTargets" =>
+              Seq((reqId, fld(req, "id").get.toLong,
+                fld(req, "kkind").get, fld(req, "key").get))
+            case _ => // targets | sources
+              Seq((reqId, fld(req, "id").get.toLong, "", ""))
+          }
+        })
+      }
+      parsed.foreach {
+        case (reqId, _, scala.util.Failure(e)) => refuse(reqId, e)
+        case _ => ()
+      }
+      val ok = parsed.collect { case (reqId, req, scala.util.Success(rows)) =>
+        (reqId, req, rows) }
+      if (ok.isEmpty) return
+      if (ok.iterator.map(_._3.size).sum > MaxBatchPairs) {
+        ok.foreach { case (reqId, req, _) => answerOne(reqId, req) }
+        return
+      }
+      val attempt = Try {
+        val pairs = ok.flatMap(_._3)
+        val ans: DataFrame = op match {
+          case "getValues" =>
+            val wanted = broadcast(pairs.map(p => (p._1, p._2))
+              .toDF("_reqId", "id"))
+            st.nodes.join(wanted, Seq("id"), "inner")
+              .select(col("_reqId"), col("id"), col("kind"), col("value"))
+          case "getTargets" =>
+            val keys = broadcast(pairs.toDF("_reqId", "src", "kkind", "key"))
+            st.index.join(keys, Seq("src", "kkind", "key"), "inner")
+              .select(col("_reqId"), col("dst").as("id")).distinct()
+          case "targets" =>
+            val keys = broadcast(pairs.map(p => (p._1, p._2)).toDF("_reqId", "src"))
+            st.edges.join(keys, Seq("src"), "inner")
+              .select(col("_reqId"), col("dst").as("id")).distinct()
+          case _ => // sources
+            val keys = broadcast(pairs.map(p => (p._1, p._2)).toDF("_reqId", "dst"))
+            st.edges.join(keys, Seq("dst"), "inner")
+              .select(col("_reqId"), col("src").as("id")).distinct()
+        }
+        publishBatch(ans, ok.map(_._1))
+      }
+      // batch-level failure (not attributable to one request): fall back
+      // to per-request answers so the failure lands on the culprit only
+      if (attempt.isFailure)
+        ok.foreach { case (reqId, req, _) =>
+          if (!Files.exists(acks.resolve(s"$reqId.ptr.json")))
+            answerOne(reqId, req)
+        }
+    }
+
+    val BatchableOps = Set("getValues", "getTargets", "targets", "sources")
+    val reqs: Seq[(Path, String, String)] = pending.map { p =>
+      val reqId = p.getFileName.toString.stripSuffix(".req.json")
+      (p, reqId, Try(Files.readString(p)).getOrElse(""))
+    }
+    val (batchable, individual) = reqs.partition(r =>
+      BatchableOps(fld(r._3, "op").getOrElse("?")))
+    batchable.groupBy(r => fld(r._3, "op").get).toSeq.sortBy(_._1)
+      .foreach { case (op, group) =>
+        answerGroup(op, group.map(r => (r._2, r._3)))
+      }
+    individual.foreach { case (_, reqId, req) => answerOne(reqId, req) }
+    reqs.foreach { case (p, _, _) => archive(p) }
+    reqs.map(_._2)
   }
+
+  private def parseIds(req: String): Seq[Long] =
+    """"ids":\s*\[([^\]]*)\]""".r.findFirstMatchIn(req)
+      .map(m => """-?\d+""".r.findAllIn(m.group(1)).map(_.toLong).toSeq)
+      .getOrElse(Seq.empty)
 
   /** Serve loop: catch the replica up, answer, repeat — the read-side
     * accept loop. `catchUpEvery` bounds staleness (0 = every poll).

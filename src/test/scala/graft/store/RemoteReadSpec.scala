@@ -117,10 +117,89 @@ class RemoteReadSpec extends AnyFunSuite {
     answerer2.start()
     assert(c2.getStats() === store.session.getStats())
     answerer2.join(10000)
-    val reqs = Files.list(java.nio.file.Paths.get(inbox)).iterator()
-    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(reqs)
-      .asScala.map(_.getFileName.toString).filter(_.endsWith(".req.json")).toSet
-    assert(names === Set("re-000000.req.json", "re-000001.req.json"))
+    // answered requests are ARCHIVED out of the inbox (poll cost stays
+    // O(pending)); the archive is what the restarted client's seq scan saw
+    val answered = GraphStore.listPaths(
+      java.nio.file.Paths.get(inbox).resolve("answered"))
+      .map(_.getFileName.toString).filter(_.endsWith(".req.json")).toSet
+    assert(answered === Set("re-000000.req.json", "re-000001.req.json"))
+    assert(GraphStore.listPaths(java.nio.file.Paths.get(inbox))
+      .forall(!_.getFileName.toString.endsWith(".req.json")),
+      "no answered request may linger in the inbox listing")
+    store.close()
+  }
+
+  test("N same-op requests answer with O(1) Spark jobs (batched poll)") {
+    val (store, dir, mj, bj) = storeWithData()
+    val replica = GraphReplica.bootstrap(spark, CatalogueModel, dir)
+    replica.catchUp()
+    val inbox = java.nio.file.Paths.get(
+      Files.createTempDirectory("graft-rr-batch-").toString)
+    val client = new RemoteRead.Client(spark, CatalogueModel, inbox.toString, "jb")
+    // 6 getValues (one of them all-unknown ids → empty answer) + 2 targets,
+    // written directly so ONE poll sees them all
+    (0 until 6).foreach { i =>
+      val ids = if (i == 5) "424242" else s"$mj, $bj"
+      Files.writeString(inbox.resolve(f"jb-$i%06d.req.json"),
+        s"""{"reqId": "jb-00000$i", "op": "getValues", "ids": [$ids]}""")
+    }
+    Files.writeString(inbox.resolve("jb-000006.req.json"),
+      s"""{"reqId": "jb-000006", "op": "targets", "id": $bj}""")
+    Files.writeString(inbox.resolve("jb-000007.req.json"),
+      s"""{"reqId": "jb-000007", "op": "targets", "id": $mj}""")
+
+    spark.sparkContext.setJobGroup("rr-batched-poll", "batched read poll")
+    val answered =
+      try RemoteRead.answerPending(replica, inbox.toString)
+      finally spark.sparkContext.clearJobGroup()
+    assert(answered.size === 8)
+
+    // structural proof of batching: every answer is a POINTER into a
+    // shared batch dir — no per-request parquet dir was written at all
+    val acks = inbox.resolve("acks")
+    val ptrs = GraphStore.listPaths(acks)
+      .map(_.getFileName.toString).filter(_.endsWith(".ptr.json"))
+    assert(ptrs.size === 8, s"expected 8 pointer answers, got $ptrs")
+    val batches = GraphStore.listPaths(acks.resolve("batches"))
+      .map(_.getFileName.toString)
+    assert(batches.toSet === Set("jb-000000", "jb-000006"),
+      "one batch dir per op group, named after the group's first request")
+
+    // job-count proof: 8 requests, ≤ 6 jobs — O(op groups), not O(N).
+    // Each group is ONE logical write; AQE materializes its shuffle
+    // stages as extra "jobs" (the targets group's distinct costs ~3),
+    // where the per-request path would pay that PER REQUEST (≥ 8 writes
+    // plus per-request AQE stages). The status tracker is fed
+    // asynchronously — poll until the count is stable.
+    def jobs() = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("rr-batched-poll").length
+    var last = -1
+    var stableSince = System.nanoTime()
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (System.nanoTime() < deadline &&
+        (jobs() != last || System.nanoTime() - stableSince < 1000000000L)) {
+      if (jobs() != last) { last = jobs(); stableSince = System.nanoTime() }
+      Thread.sleep(50L)
+    }
+    assert(last >= 1 && last <= 6, s"batched poll used $last jobs for 8 requests")
+
+    // pointer answers round-trip with full value fidelity, including the
+    // all-unknown request (empty result, schema intact)
+    (0 until 5).foreach { i =>
+      val ack = client.await(f"jb-$i%06d", timeoutMs = 5000L)
+      val got = ack.result.toOption.get.collect()
+        .map(r => r.getLong(0) -> CatalogueModel.fromValueRow(
+          r.getString(1), r.getStruct(2))).toMap
+      assert(got === Map(mj -> Artist(1, "Michael Jackson"),
+        bj -> Song("Billie Jean")))
+    }
+    assert(client.await("jb-000005", 5000L).result.toOption.get.count() === 0L,
+      "all-unknown getValues answers empty WITH schema, not an error")
+    assert(client.await("jb-000006", 5000L).result.toOption.get.collect()
+      .map(_.getLong(0)).toSeq === Seq(mj))
+    assert(client.await("jb-000007", 5000L).result.toOption.get.count() === 0L)
+    // re-poll: pointer answers count as answered
+    assert(RemoteRead.answerPending(replica, inbox.toString).isEmpty)
     store.close()
   }
 }
