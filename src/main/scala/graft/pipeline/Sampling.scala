@@ -103,14 +103,25 @@ object Sampling {
       .withColumn("_h", h)
       .withColumn("_b", pmod(col("_h"), lit(buckets.toLong)))
       .withColumn("_w", col(weightCol).cast("long"))
-    // min(_w) rides in the SAME aggregation (zero extra jobs) to enforce
-    // the non-negativity precondition: with a negative weight the bucket
-    // prune below is unsound (a row's cumsum could dip back under the
-    // budget inside a pruned bucket) — refuse loudly instead of silently
-    // diverging from the global-order contract
+    // min(_w) and the NULL count ride in the SAME aggregation (zero extra
+    // jobs) to enforce the preconditions: with a negative weight the
+    // bucket prune below is unsound (a row's cumsum could dip back under
+    // the budget inside a pruned bucket), and a NULL — or non-long-castable,
+    // which the cast turns into NULL — weight would silently act as zero
+    // in the window cumsum (SUM skips NULLs) while an all-NULL bucket
+    // breaks the driver-side getLong on its total. Refuse loudly instead
+    // of silently diverging from the global-order contract.
     val perBucket = withB.groupBy("_b")
-      .agg(sum(col("_w")).as("t"), min(col("_w")).as("mn"))
+      .agg(sum(col("_w")).as("t"), min(col("_w")).as("mn"),
+        (count(lit(1)) - count(col("_w"))).as("nulls"))
       .collect()
+    val nullRows = perBucket.map(_.getLong(3)).sum
+    if (nullRows > 0L)
+      throw new IllegalArgumentException(
+        s"budgetedSample requires non-null, long-castable weights; found " +
+          s"$nullRows NULL or non-castable rows in '$weightCol' — a NULL " +
+          "weight has no place in a prefix-budget cumsum; filter or " +
+          "default them first")
     perBucket.find(_.getLong(2) < 0L).foreach { r =>
       throw new IllegalArgumentException(
         s"budgetedSample requires non-negative weights; found ${r.getLong(2)} " +
@@ -168,8 +179,28 @@ object Sampling {
     // in expectation (each kept row carries its weight)
     val mass = weightCol.fold(count(lit(1)).cast("double"))(w =>
       sum(col(w).cast("double")))
-    val counts = df.groupBy(groupCol).agg(mass.as("n"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val grouped = df.groupBy(groupCol).agg(mass.as("n")).collect()
+    // a null-keyed row has no share target: before this guard it silently
+    // dropped through `rate.isNotNull` below (and a non-string group col
+    // ClassCastExceptions on getString) — refuse loudly instead, the same
+    // posture as budgetedSample's weight preconditions. Zero extra jobs:
+    // the null key surfaces in the one aggregation this operator runs.
+    if (grouped.exists(_.isNullAt(0)))
+      throw new IllegalArgumentException(
+        s"mixToShares requires non-null group keys in '$groupCol' — a " +
+          "null-keyed row belongs to no share group; filter or label " +
+          "nulls first")
+    val counts = grouped.map { r =>
+      (r.get(0) match {
+        case s: String => s
+        case other => throw new IllegalArgumentException(
+          s"mixToShares requires a STRING group column; '$groupCol' holds " +
+            s"${other.getClass.getSimpleName}")
+      }) -> (if (r.isNullAt(1)) throw new IllegalArgumentException(
+        s"mixToShares: group '${r.get(0)}' has no non-null castable " +
+          s"'${weightCol.getOrElse("")}' weight — its mass is undefined")
+      else r.getDouble(1))
+    }.toMap
     val missing = shares.keys.filterNot(g => counts.get(g).exists(_ > 0))
     require(missing.isEmpty,
       s"share groups absent from the data: ${missing.mkString(", ")}")

@@ -148,6 +148,7 @@ final class GraphStore[V] private (
     */
   private[store] def commitTagged(txnTag: Option[String]): Unit = {
     require(!closed, "store is closed")
+    requireNotSealed()
     // peek-validate-write-clear: the op log is only cleared after the WAL
     // batch is durably on disk, so a failed validation (seq-range overflow)
     // or write error leaves the ops drainable by a corrected retry instead
@@ -195,15 +196,28 @@ final class GraphStore[V] private (
   private[store] def txnTag(txnId: String): Option[String] = {
     if (txnTagCache == null) {
       val found = scala.collection.mutable.Map[String, String]()
+      val TxnId = """"txnId":\s*"([^"]*)"""".r
       def scanEvents(base: Path): Unit =
         if (Files.isDirectory(base))
           GraphStore.listDirs(base, _.endsWith(".events")).foreach { ev =>
-            GraphStore.listDirs(ev, _.startsWith("batch-")).foreach { b =>
-              val m = b.resolve("_txnmeta.json")
-              if (Files.exists(m)) {
-                val json = Files.readString(m)
-                """"txnId":\s*"([^"]*)"""".r.findFirstMatchIn(json)
-                  .foreach(mt => found(mt.group(1)) = json)
+            val sidecar = ev.resolve(GraphStore.TxnTagIndexName)
+            if (Files.exists(sidecar)) {
+              // archived dirs carry a one-file tag index (written at
+              // archival time, see cleanUp) — O(dirs) recovery instead of
+              // a walk over every batch dir ever committed. An EMPTY
+              // sidecar still counts: "indexed, no tags".
+              Files.readString(sidecar).linesIterator.foreach { line =>
+                TxnId.findFirstMatchIn(line).foreach(mt => found(mt.group(1)) = line)
+              }
+            } else {
+              // live dirs (bounded: the current session's batches) and
+              // pre-index archives fall back to the per-batch walk
+              GraphStore.listDirs(ev, _.startsWith("batch-")).foreach { b =>
+                val m = b.resolve("_txnmeta.json")
+                if (Files.exists(m)) {
+                  val json = Files.readString(m)
+                  TxnId.findFirstMatchIn(json).foreach(mt => found(mt.group(1)) = json)
+                }
               }
             }
           }
@@ -225,6 +239,29 @@ final class GraphStore[V] private (
     * staging write, exercising the failure-cleanup path.
     */
   private[graft] var failNextWalPublish: Boolean = false
+
+  /** Test-only fault injection: the next [[close]] throws AFTER the atomic
+    * `_meta.json` publish but BEFORE cleanUp — the committed-checkpoint
+    * retry window.
+    */
+  private[graft] var failNextCleanUp: Boolean = false
+
+  // Set the instant close() publishes its checkpoint's _meta.json. From
+  // that point the committed checkpoint at `eventsIndex` IS the session's
+  // durable record and SHADOWS this index's events on reopen (replay takes
+  // only dirs STRICTLY AFTER the checkpoint index) — so a commit landing
+  // after it would be silently lost on the next open. Sealing turns that
+  // silent loss into a typed refusal, and makes a retried close() after a
+  // post-publish failure (e.g. transient cleanUp error) skip the rewrite —
+  // whose ErrorIfExists writes would otherwise fail forever with the dir
+  // lock still held — and proceed straight to archival + release.
+  private var ckptCommitted: Boolean = false
+
+  private def requireNotSealed(): Unit =
+    require(!ckptCommitted,
+      "close() already committed this session's checkpoint; the store is " +
+        "sealed — a commit now would be shadowed by it on reopen. Retry " +
+        "close(), then reopen the store to write more")
 
   /** Durably append one WAL batch: write to `_staging/<name>`, then publish
     * with an ATOMIC directory rename into the events dir. Two failure modes
@@ -282,6 +319,7 @@ final class GraphStore[V] private (
     */
   def commitBulk(adds: org.apache.spark.sql.DataFrame): Unit = {
     require(!closed, "store is closed")
+    requireNotSealed()
     commit()
     val delta = adds
       .select(col("src").cast("long"), col("dst").cast("long"))
@@ -317,35 +355,47 @@ final class GraphStore[V] private (
     */
   def close(): Unit = {
     if (closed) return
-    commit()
-    drain() // final batch (and any buffered ones) durable before checkpoint
-    val st = session.applied()
-    val reach = Reachability.reachable(st.edges, Seq(session.root))
     val ckptDir = path.resolve(s"$eventsIndex.checkpoint")
-    // RETRYABLE like writeWalBatch: a failed earlier close() attempt (one
-    // table written, then a transient error) leaves a partial checkpoint
-    // dir whose ErrorIfExists rewrite would otherwise fail forever with
-    // the lock still held — a meta-less dir was never acknowledged, clear it
-    if (Files.exists(ckptDir) && !Files.exists(ckptDir.resolve("_meta.json")))
-      GraphStore.deleteRecursively(ckptDir)
-    val keepNodes = st.nodes.join(reach, Seq("id"), "left_semi")
-    val reachSrc = reach.select(col("id").as("src"))
-    keepNodes.write.parquet(ckptDir.resolve("nodes").toString)
-    st.edges.join(reachSrc, Seq("src"), "left_semi")
-      .repartition(col("src"))
-      .write.parquet(ckptDir.resolve("edges").toString)
-    st.index.join(reachSrc, Seq("src"), "left_semi")
-      .repartition(col("src"))
-      .write.parquet(ckptDir.resolve("index").toString)
-    // the meta is the checkpoint's COMMIT MARKER — written atomically
-    // (tmp + rename): a torn marker would otherwise read as a committed
-    // checkpoint whose lenient parse silently resets the id watermark to
-    // 0, minting a duplicate root and colliding every subsequent id
-    val metaTmp = ckptDir.resolve("_meta.json.tmp")
-    Files.writeString(metaTmp,
-      s"""{"formatVersion": ${GraphStore.FormatVersion}, "nextId": ${session.idWatermark}}""")
-    Files.move(metaTmp, ckptDir.resolve("_meta.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    // RETRYABLE in both failure shapes of a prior close() attempt:
+    //  - died BEFORE the _meta.json publish → a meta-less partial dir was
+    //    never acknowledged; clear it and rewrite (below);
+    //  - died AFTER the publish (transient cleanUp error) → the committed
+    //    checkpoint is EXACT (the seal refused any commit since), so skip
+    //    the rewrite — its ErrorIfExists writes would fail forever with
+    //    the dir lock held — and go straight to archival + release.
+    if (!(ckptCommitted && GraphStore.metaComplete(ckptDir))) {
+      commit()
+      drain() // final batch (and any buffered ones) durable before checkpoint
+      val st = session.applied()
+      val reach = Reachability.reachable(st.edges, Seq(session.root))
+      // a meta-less dir was never acknowledged to anyone — clear it so the
+      // retry starts clean (the writeWalBatch staging discipline)
+      if (Files.exists(ckptDir) && !Files.exists(ckptDir.resolve("_meta.json")))
+        GraphStore.deleteRecursively(ckptDir)
+      val keepNodes = st.nodes.join(reach, Seq("id"), "left_semi")
+      val reachSrc = reach.select(col("id").as("src"))
+      keepNodes.write.parquet(ckptDir.resolve("nodes").toString)
+      st.edges.join(reachSrc, Seq("src"), "left_semi")
+        .repartition(col("src"))
+        .write.parquet(ckptDir.resolve("edges").toString)
+      st.index.join(reachSrc, Seq("src"), "left_semi")
+        .repartition(col("src"))
+        .write.parquet(ckptDir.resolve("index").toString)
+      // the meta is the checkpoint's COMMIT MARKER — written atomically
+      // (tmp + rename): a torn marker would otherwise read as a committed
+      // checkpoint whose lenient parse silently resets the id watermark to
+      // 0, minting a duplicate root and colliding every subsequent id
+      val metaTmp = ckptDir.resolve("_meta.json.tmp")
+      Files.writeString(metaTmp,
+        s"""{"formatVersion": ${GraphStore.FormatVersion}, "nextId": ${session.idWatermark}}""")
+      Files.move(metaTmp, ckptDir.resolve("_meta.json"),
+        StandardCopyOption.ATOMIC_MOVE)
+      ckptCommitted = true // seal: from here the checkpoint is the record
+    }
+    if (failNextCleanUp) {
+      failNextCleanUp = false
+      throw new RuntimeException("injected post-publish close failure (test hook)")
+    }
     GraphStore.cleanUp(path, eventsIndex)
     // shutdown LAST: a retried close() after a mid-checkpoint failure must
     // still be able to drain() — shutting the worker down before the
@@ -639,6 +689,8 @@ object GraphStore {
 
   /** Archive events ≤ index and checkpoints < index; delete checkpoints >
     * index (corrupt) — Storage.hs:179-205 / StorageTests.hs:130-144 rules.
+    * Archived events dirs get their shipped-txn tags indexed first, so the
+    * recovery scan reads one file per dir instead of walking every batch.
     */
   private def cleanUp(path: Path, index: Long): Unit = {
     val archive = path.resolve("archive")
@@ -647,8 +699,31 @@ object GraphStore {
       else if (c > index) deleteRecursively(path.resolve(s"$c.checkpoint"))
     }
     list(path, ".events").foreach { e =>
-      if (e <= index) move(path.resolve(s"$e.events"), archive)
+      val dir = path.resolve(s"$e.events")
+      if (e <= index) { writeTxnTagIndex(dir); move(dir, archive) }
     }
+  }
+
+  /** One-file-per-dir shipped-txn tag index, written at archival time: the
+    * tag jsons of every committed batch in `dir`, one per line (tags are
+    * single-line by construction; any embedded newline is flattened so a
+    * foreign tag cannot corrupt its neighbors' lines). Best-effort — a
+    * failed sidecar write must not fail close(); the txnTag scan falls
+    * back to the per-batch walk wherever the sidecar is absent.
+    */
+  private[store] val TxnTagIndexName = "_txnmeta-index.json"
+  private def writeTxnTagIndex(dir: Path): Unit = Try {
+    val tags = listDirs(dir, _.startsWith("batch-")).sortBy(_.getFileName.toString)
+      .flatMap { b =>
+        val m = b.resolve("_txnmeta.json")
+        if (Files.exists(m))
+          Some(Files.readString(m).replaceAll("[\r\n]+", " ").trim)
+        else None
+      }
+    val tmp = dir.resolve(TxnTagIndexName + ".tmp")
+    Files.writeString(tmp, tags.mkString("", "\n", if (tags.isEmpty) "" else "\n"))
+    Files.move(tmp, dir.resolve(TxnTagIndexName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Drained directory listing with the stream CLOSED — `Files.list`

@@ -325,11 +325,10 @@ object RemoteWrite {
               "quarantined/ for inspection — a deterministic apply failure " +
               "must not wedge the serve loop"))
           writeJsonAtomic(ackFile, ackJson(ack))
-          val qDir = inbox.resolve("quarantined")
-          Files.createDirectories(qDir)
-          Files.move(dir, qDir.resolve(dir.getFileName),
-            StandardCopyOption.REPLACE_EXISTING)
-          Files.deleteIfExists(inbox.resolve(FailedDirName).resolve(txnId))
+          // same non-throwing replace-aware move as archive(): a stale
+          // same-named dir in quarantined/ must not wedge the loop
+          archive(dir, inbox.resolve("quarantined"))
+          Try(Files.deleteIfExists(inbox.resolve(FailedDirName).resolve(txnId)))
           acks += ack
         case None =>
           val meta = Try(Files.readString(dir.resolve(MetaName))).getOrElse("")
@@ -589,9 +588,31 @@ object RemoteWrite {
     }
   }
 
-  private def archive(dir: Path, appliedDir: Path): Unit =
-    Files.move(dir, appliedDir.resolve(dir.getFileName),
-      StandardCopyOption.REPLACE_EXISTING)
+  /** Archive a txn dir, NON-THROWING (the marker-cleanup discipline):
+    * `Files.move(REPLACE_EXISTING)` cannot replace a non-empty directory
+    * (DirectoryNotEmptyException), so a same-named dir already present in
+    * the target (operator restore, purged-then-reused clientId) would
+    * otherwise throw out of every poll's triage and wedge the serve loop.
+    * The stale target is deleted first — it is superseded by construction
+    * (txn dirs are identified by txnId; the occurrence being archived is
+    * the one the inbox just processed) — and if the move STILL fails the
+    * dir moves to a uniquified sibling, or stays in the inbox for the next
+    * poll's triage (which re-classifies it correctly from its ack/tag).
+    */
+  private def archive(dir: Path, appliedDir: Path): Unit = {
+    val moved = Try {
+      Files.createDirectories(appliedDir)
+      val target = appliedDir.resolve(dir.getFileName)
+      if (Files.exists(target)) deleteRecursively(target)
+      Files.move(dir, target, StandardCopyOption.REPLACE_EXISTING)
+    }
+    if (moved.isFailure)
+      (1 to 3).iterator
+        .map(i => Try(Files.move(dir,
+          appliedDir.resolve(s"${dir.getFileName}-dup$i"))))
+        .find(_.isSuccess)
+    ()
+  }
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) GraphStore.listPaths(p).foreach(deleteRecursively)

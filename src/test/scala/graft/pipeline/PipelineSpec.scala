@@ -347,6 +347,20 @@ class PipelineSpec extends AnyFunSuite {
         corpus.withColumn("w", col("w") - 20L), "id", "w", budget)
     }
     assert(eNeg.getMessage.contains("non-negative"))
+    // NULL (or non-long-castable) weights would silently act as zero in
+    // the cumsum — typed refusal, same posture as negative weights
+    val eNull = intercept[IllegalArgumentException] {
+      Sampling.budgetedSample(
+        corpus.withColumn("w", when(col("id") % 50 === 0, lit(null)).otherwise(col("w"))),
+        "id", "w", budget)
+    }
+    assert(eNull.getMessage.contains("NULL"))
+    val eCast = intercept[IllegalArgumentException] {
+      Sampling.budgetedSample(
+        corpus.withColumn("w", lit("not a number")), "id", "w", budget)
+    }
+    assert(eCast.getMessage.contains("NULL"),
+      "a non-castable weight column is the same refusal as NULL")
 
     // the deterministic boundary form: all-zero weights, zero budget —
     // every bucket offset == budget, every inclusive cumsum == budget
@@ -411,6 +425,19 @@ class PipelineSpec extends AnyFunSuite {
         Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.125, "ghost" -> 0.125))
     }
     assert(e.getMessage.contains("ghost"))
+    // a null-keyed row belongs to no share group — typed refusal, not the
+    // silent drop it used to be (and never an NPE)
+    val withNull = corpus.union(Seq((901L, null: String)).toDF("id", "grp"))
+    val eNullKey = intercept[IllegalArgumentException] {
+      Sampling.mixToShares(withNull, "grp", "id", shares)
+    }
+    assert(eNullKey.getMessage.contains("non-null group keys"))
+    // a non-string group column is a typed refusal too, not a ClassCast
+    val eType = intercept[IllegalArgumentException] {
+      Sampling.mixToShares(corpus.withColumn("grp2", col("id") % 3), "grp2",
+        "id", Map("0" -> 1.0))
+    }
+    assert(eType.getMessage.contains("STRING group column"))
 
     // weighted mixing: targets are TOKEN shares — group a has 10x heavier
     // rows, so hitting a 50% token share needs ~10x fewer a-DOCS than the

@@ -250,6 +250,76 @@ class GraphStoreSpec extends AnyFunSuite {
     reopened.close()
   }
 
+  test("close() retry after a POST-publish failure skips the rewrite; store is sealed") {
+    val dir = tmpDir().toString
+    val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val a = store.session.newNode(Artist(8, "Sealed"))
+    store.session.addTarget(store.session.root, a)
+    val stats = store.session.getStats()
+    // prior failure shape #2: the atomic _meta.json publish SUCCEEDED,
+    // then close() died (transient cleanUp error). Before the fix, every
+    // retried close() failed forever on the ErrorIfExists checkpoint
+    // writes with the dir lock still held.
+    store.failNextCleanUp = true
+    intercept[RuntimeException](store.close())
+    // the committed checkpoint shadows this index's events on reopen, so
+    // a commit after it would be silently lost — sealed: typed refusal
+    store.session.newNode(Song("Too Late"))
+    val eSeal = intercept[IllegalArgumentException](store.commit())
+    assert(eSeal.getMessage.contains("sealed"))
+    store.close() // retry: skips the rewrite, archives, releases the lock
+    val reopened = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    assert(reopened.session.getValue(a) === Artist(8, "Sealed"))
+    assert(reopened.session.getStats() === stats,
+      "the post-seal op must NOT have leaked into the durable state")
+    reopened.close()
+  }
+
+  test("shipped-txn tags: archived dirs are read via the one-file index, pre-index via walk") {
+    val dir = tmpDir()
+    val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    val a = s1.session.newNode(Artist(9, "Tagged"))
+    s1.session.addTarget(s1.session.root, a)
+    val tag = """{"txnId": "cli-000001", "applied": true, "mapping": {"-1": 5}}"""
+    s1.commitTagged(Some(tag))
+    s1.session.newNode(Song("Untagged"))
+    s1.commitTagged(None)
+    s1.close() // archives 1.events WITH its tag index sidecar
+
+    val sidecar = dir.resolve("archive").resolve("1.events")
+      .resolve(GraphStore.TxnTagIndexName)
+    assert(Files.exists(sidecar), "archival must write the tag index sidecar")
+    assert(Files.readString(sidecar).contains("cli-000001"))
+
+    // recovery reads the SIDECAR, not the batch dirs: poison every
+    // per-batch _txnmeta.json under the archive — the tag must still load
+    GraphStore.listPaths(dir.resolve("archive").resolve("1.events"))
+      .filter(p => p.getFileName.toString.startsWith("batch-"))
+      .foreach { b =>
+        val m = b.resolve("_txnmeta.json")
+        if (Files.exists(m)) Files.writeString(m, """{"txnId": "WRONG"}""")
+      }
+    val s2 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    assert(s2.txnTag("cli-000001") === Some(tag),
+      "archived tags must resolve via the one-file index")
+    assert(s2.txnTag("WRONG").isEmpty)
+    s2.close()
+
+    // a PRE-INDEX store (no sidecar anywhere) still recovers via the walk
+    Files.delete(sidecar)
+    // undo the poison so the walk finds the original tag
+    GraphStore.listPaths(dir.resolve("archive").resolve("1.events"))
+      .filter(p => p.getFileName.toString.startsWith("batch-"))
+      .foreach { b =>
+        val m = b.resolve("_txnmeta.json")
+        if (Files.exists(m)) Files.writeString(m, tag)
+      }
+    val s3 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    assert(s3.txnTag("cli-000001") === Some(tag),
+      "a store from before the sidecar existed must recover via the batch walk")
+    s3.close()
+  }
+
   test("second concurrent open is rejected by the dir lock") {
     val dir = tmpDir().toString
     val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)

@@ -67,6 +67,31 @@ class RemoteWriteSpec extends AnyFunSuite {
     reopened.close()
   }
 
+  test("stale same-named dirs in applied/ and quarantined/ cannot wedge triage") {
+    val (store, _) = freshStore()
+    val inbox = freshInbox()
+    val client = new Client(spark, CatalogueModel, inbox, "restore")
+    val t1 = client.submit { txn =>
+      txn.addTarget(0L, txn.newNode(Artist(2, "Prince")))
+    }
+    // operator-restore scenario: a NON-EMPTY dir with the txn's archive
+    // name already sits in applied/ — Files.move(REPLACE_EXISTING) cannot
+    // replace a non-empty directory, so before the fix this threw
+    // DirectoryNotEmptyException out of triage on every poll
+    val stale = Paths.get(inbox).resolve("applied").resolve(s"$t1.txn")
+    Files.createDirectories(stale)
+    Files.writeString(stale.resolve("junk.txt"), "restored from backup")
+    val acks = RemoteWrite.applyPending(store, inbox)
+    assert(acks.map(_.txnId) === Seq(t1) && acks.head.applied)
+    // the stale target was superseded by the processed txn's archive
+    val archived = Paths.get(inbox).resolve("applied").resolve(s"$t1.txn")
+    assert(Files.exists(archived) && !Files.exists(archived.resolve("junk.txt")),
+      "archive must replace the stale non-empty target")
+    // idempotent: the inbox is clear, nothing re-applies
+    assert(RemoteWrite.applyPending(store, inbox).isEmpty)
+    store.close()
+  }
+
   test("per-client FIFO: later txn's write wins on the same node") {
     val (store, _) = freshStore()
     val inbox = freshInbox()
