@@ -147,12 +147,18 @@ class RemoteReadSpec extends AnyFunSuite {
       s"""{"reqId": "jb-000006", "op": "targets", "id": $bj}""")
     Files.writeString(inbox.resolve("jb-000007.req.json"),
       s"""{"reqId": "jb-000007", "op": "targets", "id": $mj}""")
+    // malformed member of a batchable group: missing its id field — must
+    // get its OWN typed refusal without poisoning the group's batch
+    Files.writeString(inbox.resolve("jb-000008.req.json"),
+      """{"reqId": "jb-000008", "op": "getTargets", "kkind": "K"}""")
 
     spark.sparkContext.setJobGroup("rr-batched-poll", "batched read poll")
     val answered =
       try RemoteRead.answerPending(replica, inbox.toString)
       finally spark.sparkContext.clearJobGroup()
-    assert(answered.size === 8)
+    assert(answered.size === 9)
+    assert(client.await("jb-000008", 5000L).result.isLeft,
+      "a malformed batchable request is an individual refusal")
 
     // structural proof of batching: every answer is a POINTER into a
     // shared batch dir — no per-request parquet dir was written at all
