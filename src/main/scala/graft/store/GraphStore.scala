@@ -745,9 +745,15 @@ object GraphStore {
       .filter(_.endsWith(suffix))
       .flatMap(n => Try(n.stripSuffix(suffix).toLong).toOption)
 
-  private def move(from: Path, archive: Path): Unit =
-    Files.move(from, archive.resolve(from.getFileName),
-      StandardCopyOption.REPLACE_EXISTING)
+  private def move(from: Path, archive: Path): Unit = {
+    val target = archive.resolve(from.getFileName)
+    // REPLACE_EXISTING cannot replace a NON-EMPTY directory — a same-named
+    // dir already in archive/ (operator restore) would otherwise throw out
+    // of every close()'s cleanUp with the dir lock held. The live dir is
+    // the authoritative newer copy; the stale archived one is superseded.
+    if (Files.exists(target)) deleteRecursively(target)
+    Files.move(from, target, StandardCopyOption.REPLACE_EXISTING)
+  }
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) listPaths(p).foreach(deleteRecursively)
