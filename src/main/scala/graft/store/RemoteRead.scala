@@ -205,7 +205,8 @@ object RemoteRead {
     * state — the read-dispatch loop body (Server.hs:17-69 for reads).
     * Returns the request ids answered this poll. The caller owns freshness:
     * interleave `replica.catchUp()` in its serve loop at the staleness
-    * budget it wants.
+    * budget it wants. ONE server per inbox, like RemoteWrite's owner-only
+    * applyPending: concurrent servers would race the batch publish below.
     *
     * Same-op requests are answered in ONE Spark job per op group (the
     * RemoteWrite single-load-poll discipline, one file over): the parsed
@@ -218,7 +219,14 @@ object RemoteRead {
     * Answered request files are archived to `answered/` so the poll's
     * inbox listing stays O(pending), not O(all requests ever shipped).
     */
-  def answerPending[V](replica: GraphReplica[V], dir: String): Seq[String] = {
+  def answerPending[V](replica: GraphReplica[V], dir: String): Seq[String] =
+    answerPendingBounded(replica, dir, MaxBatchPairs)
+
+  /** [[answerPending]] with an explicit batch-pair cap — test seam for the
+    * oversized-group fallback (the production cap is driver-memory-sized).
+    */
+  private[store] def answerPendingBounded[V](replica: GraphReplica[V],
+      dir: String, maxBatchPairs: Int): Seq[String] = {
     val base = Paths.get(dir)
     if (!Files.isDirectory(base)) return Seq.empty
     val acks = base.resolve("acks")
@@ -358,7 +366,7 @@ object RemoteRead {
       val ok = parsed.collect { case (reqId, req, scala.util.Success(rows)) =>
         (reqId, req, rows) }
       if (ok.isEmpty) return
-      if (ok.iterator.map(_._3.size).sum > MaxBatchPairs) {
+      if (ok.iterator.map(_._3.size).sum > maxBatchPairs) {
         ok.foreach { case (reqId, req, _) => answerOne(reqId, req) }
         return
       }

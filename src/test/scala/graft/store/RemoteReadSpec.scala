@@ -208,4 +208,36 @@ class RemoteReadSpec extends AnyFunSuite {
     assert(RemoteRead.answerPending(replica, inbox.toString).isEmpty)
     store.close()
   }
+
+  test("oversized group falls back to per-request answers with identical results") {
+    val (store, dir, mj, bj) = storeWithData()
+    val replica = GraphReplica.bootstrap(spark, CatalogueModel, dir)
+    replica.catchUp()
+    val inbox = java.nio.file.Paths.get(
+      Files.createTempDirectory("graft-rr-fb-").toString)
+    val client = new RemoteRead.Client(spark, CatalogueModel, inbox.toString, "fb")
+    (0 until 3).foreach { i =>
+      Files.writeString(inbox.resolve(f"fb-$i%06d.req.json"),
+        s"""{"reqId": "fb-00000$i", "op": "getValues", "ids": [$mj, $bj]}""")
+    }
+    // cap of 1 pair: the 6-pair group exceeds it → every request answered
+    // on the per-request path, with the group's results unchanged
+    val answered = RemoteRead.answerPendingBounded(replica, inbox.toString, 1)
+    assert(answered.size === 3)
+    val acks = inbox.resolve("acks")
+    assert(GraphStore.listPaths(acks)
+      .forall(!_.getFileName.toString.endsWith(".ptr.json")),
+      "fallback must not publish pointer answers")
+    (0 until 3).foreach { i =>
+      val ack = client.await(f"fb-$i%06d", timeoutMs = 5000L)
+      val got = ack.result.toOption.get.collect()
+        .map(r => r.getLong(0) -> CatalogueModel.fromValueRow(
+          r.getString(1), r.getStruct(2))).toMap
+      assert(got === Map(mj -> Artist(1, "Michael Jackson"),
+        bj -> Song("Billie Jean")),
+        "per-request fallback answers must equal the batched form's")
+    }
+    assert(RemoteRead.answerPending(replica, inbox.toString).isEmpty)
+    store.close()
+  }
 }
