@@ -215,7 +215,11 @@ final class GraphStore[V] private (
               GraphStore.listDirs(ev, _.startsWith("batch-")).foreach { b =>
                 val m = b.resolve("_txnmeta.json")
                 if (Files.exists(m)) {
-                  val json = Files.readString(m)
+                  // normalize EXACTLY as the archival sidecar does
+                  // (writeTxnTagIndex): a tag with embedded newlines or
+                  // surrounding whitespace must resolve to the same string
+                  // before and after archival
+                  val json = Files.readString(m).replaceAll("[\r\n]+", " ").trim
                   TxnId.findFirstMatchIn(json).foreach(mt => found(mt.group(1)) = json)
                 }
               }
@@ -233,7 +237,8 @@ final class GraphStore[V] private (
     */
   private[store] def recordTxnTag(txnId: String, json: String): Unit =
     if (txnTagCache != null)
-      txnTagCache = txnTagCache.toMap.updated(txnId, json)
+      txnTagCache = txnTagCache.toMap
+        .updated(txnId, json.replaceAll("[\r\n]+", " ").trim)
 
   /** Test-only fault injection: the next [[writeWalBatch]] throws AFTER the
     * staging write, exercising the failure-cleanup path.
@@ -364,6 +369,12 @@ final class GraphStore[V] private (
     //    the rewrite — its ErrorIfExists writes would fail forever with
     //    the dir lock held — and go straight to archival + release.
     if (!(ckptCommitted && GraphStore.metaComplete(ckptDir))) {
+      // a sealed store whose marker later vanished (external delete, torn
+      // tamper) re-enters this rewrite branch — UNSEAL first, or the
+      // commit() below dies in requireNotSealed on every retry with the
+      // dir lock held, the exact wedge the seal was built to remove. Safe:
+      // the marker being gone means no reopen can have been shadowed by it
+      ckptCommitted = false
       commit()
       drain() // final batch (and any buffered ones) durable before checkpoint
       val st = session.applied()

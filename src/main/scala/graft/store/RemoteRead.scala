@@ -201,6 +201,12 @@ object RemoteRead {
     */
   private val MaxBatchPairs = 1000000
 
+  /** Test-only fault injection: the next [[answerPendingBounded]] batch
+    * publish throws AFTER the atomic batch-dir move but BEFORE any pointer
+    * write — the orphaned-batch-dir window the fallback must reclaim.
+    */
+  private[store] var failNextBatchPublish: Boolean = false
+
   /** Answer every unanswered request in `dir` from the replica's current
     * state — the read-dispatch loop body (Server.hs:17-69 for reads).
     * Returns the request ids answered this poll. The caller owns freshness:
@@ -262,7 +268,11 @@ object RemoteRead {
     def answerOne(reqId: String, req: String): Unit = try {
       val answer: DataFrame = fld(req, "op").getOrElse("?") match {
         case "getValues" =>
-          val ids = parseIds(req)
+          // SAME parse + cap as the batch path (answerGroup): the fallback
+          // contract is "identical results through either path", so a
+          // request with >100k raw but ≤100k distinct ids must be accepted
+          // (or refused) identically by both
+          val ids = parseIds(req).distinct
           require(ids.size <= 100000, "getValues request exceeds 100k ids")
           if (ids.isEmpty)
             st.nodes.select(col("id"), col("kind"), col("value")).limit(0)
@@ -331,6 +341,10 @@ object RemoteRead {
         .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
         .parquet(staging.toString)
       Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+      if (failNextBatchPublish) {
+        failNextBatchPublish = false
+        throw new RuntimeException("injected batch publish failure (test hook)")
+      }
       reqIds.foreach { r =>
         writeJsonAtomic(acks.resolve(s"$r.ptr.json"),
           s"""{"reqId": "$r", "batch": "batches/$name"}""")
@@ -395,17 +409,30 @@ object RemoteRead {
       }
       // batch-level failure (not attributable to one request): fall back
       // to per-request answers so the failure lands on the culprit only
-      if (attempt.isFailure)
+      if (attempt.isFailure) {
+        // a failure AFTER the atomic batch-dir move but BEFORE the first
+        // pointer write would leak the published dir forever (no pointer
+        // will ever reference it, and the fallback answers supersede it).
+        // Pointers are written head-first, so head's pointer missing ⟺ no
+        // pointer of this group exists — then the dir is provably
+        // unreferenced and safe to sweep. Best-effort: a failed delete
+        // leaves an orphan for the retention sweep, never a wrong answer.
+        if (!Files.exists(acks.resolve(s"${ok.head._1}.ptr.json")))
+          Try(deleteRecursively(acks.resolve("batches").resolve(ok.head._1)))
         ok.foreach { case (reqId, req, _) =>
           if (!Files.exists(acks.resolve(s"$reqId.ptr.json")))
             answerOne(reqId, req)
         }
+      }
     }
 
     val BatchableOps = Set("getValues", "getTargets", "targets", "sources")
-    val reqs: Seq[(Path, String, String)] = pending.map { p =>
+    // a TRANSIENT read failure on a request file must not become a
+    // permanent typed refusal ('unknown read op ?') + archival: skip the
+    // request this poll — it stays in the inbox and the next poll retries
+    val reqs: Seq[(Path, String, String)] = pending.flatMap { p =>
       val reqId = p.getFileName.toString.stripSuffix(".req.json")
-      (p, reqId, Try(Files.readString(p)).getOrElse(""))
+      Try(Files.readString(p)).toOption.map(req => (p, reqId, req))
     }
     val (batchable, individual) = reqs.partition(r =>
       BatchableOps(fld(r._3, "op").getOrElse("?")))

@@ -275,6 +275,42 @@ class GraphStoreSpec extends AnyFunSuite {
     reopened.close()
   }
 
+  test("a sealed store whose marker later vanished re-enters the rewrite on retry") {
+    val dir = tmpDir().toString
+    val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val a = store.session.newNode(Artist(10, "Unsealed"))
+    store.session.addTarget(store.session.root, a)
+    store.failNextCleanUp = true
+    intercept[RuntimeException](store.close()) // marker published → sealed
+    // external delete of the marker (tamper, torn disk): the committed
+    // checkpoint no longer exists as a record — retry must UNSEAL and
+    // rewrite, not die in requireNotSealed forever with the lock held
+    Files.delete(java.nio.file.Paths.get(dir)
+      .resolve("1.checkpoint").resolve("_meta.json"))
+    store.close()
+    val reopened = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    assert(reopened.session.getValue(a) === Artist(10, "Unsealed"))
+    reopened.close()
+  }
+
+  test("txn tags with embedded newlines resolve identically before and after archival") {
+    val dir = tmpDir()
+    val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    val a = s1.session.newNode(Artist(11, "Newline"))
+    s1.session.addTarget(s1.session.root, a)
+    val rawTag = "{\"txnId\": \"nl-000001\",\n  \"applied\": true}"
+    val norm = rawTag.replaceAll("[\r\n]+", " ").trim
+    s1.commitTagged(Some(rawTag))
+    // force the lazy cache through the LIVE-dir walk branch
+    assert(s1.txnTag("nl-000001") === Some(norm),
+      "live walk must flatten/trim exactly as the archival sidecar will")
+    s1.close() // archives with the sidecar index
+    val s2 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+    assert(s2.txnTag("nl-000001") === Some(norm),
+      "the tag a client reads must be stable across archival")
+    s2.close()
+  }
+
   test("shipped-txn tags: archived dirs are read via the one-file index, pre-index via walk") {
     val dir = tmpDir()
     val s1 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)

@@ -209,6 +209,41 @@ class RemoteReadSpec extends AnyFunSuite {
     store.close()
   }
 
+  test("batch publish failure after the dir move sweeps the orphan and falls back") {
+    val (store, dir, mj, bj) = storeWithData()
+    val replica = GraphReplica.bootstrap(spark, CatalogueModel, dir)
+    replica.catchUp()
+    val inbox = java.nio.file.Paths.get(
+      Files.createTempDirectory("graft-rr-orph-").toString)
+    val client = new RemoteRead.Client(spark, CatalogueModel, inbox.toString, "or")
+    (0 until 2).foreach { i =>
+      Files.writeString(inbox.resolve(f"or-$i%06d.req.json"),
+        s"""{"reqId": "or-00000$i", "op": "getValues", "ids": [$mj, $bj]}""")
+    }
+    // die AFTER the atomic batch-dir move, BEFORE any pointer write: the
+    // published dir is unreferenced — it must be swept, not leaked forever
+    RemoteRead.failNextBatchPublish = true
+    val answered = RemoteRead.answerPending(replica, inbox.toString)
+    assert(answered.size === 2)
+    val acks = inbox.resolve("acks")
+    assert(GraphStore.listPaths(acks)
+      .forall(!_.getFileName.toString.endsWith(".ptr.json")),
+      "no pointer may reference the failed batch")
+    assert(!Files.exists(acks.resolve("batches").resolve("or-000000")),
+      "the unreferenced published batch dir must be swept on fallback")
+    (0 until 2).foreach { i =>
+      val got = client.await(f"or-$i%06d", timeoutMs = 5000L)
+        .result.toOption.get.collect()
+        .map(r => r.getLong(0) -> CatalogueModel.fromValueRow(
+          r.getString(1), r.getStruct(2))).toMap
+      assert(got === Map(mj -> Artist(1, "Michael Jackson"),
+        bj -> Song("Billie Jean")),
+        "fallback answers must be identical to the batched form's")
+    }
+    assert(RemoteRead.answerPending(replica, inbox.toString).isEmpty)
+    store.close()
+  }
+
   test("oversized group falls back to per-request answers with identical results") {
     val (store, dir, mj, bj) = storeWithData()
     val replica = GraphReplica.bootstrap(spark, CatalogueModel, dir)
