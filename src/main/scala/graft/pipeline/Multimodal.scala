@@ -6,15 +6,17 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns with typed metadata, plus batch-shaped decode/feature-extract
-  * plumbing.
+  * plumbing (the binary value payloads of the reference's node values —
+  * graph-db library/GraphDb/Graph.hs:15-16, any serializable value).
   *
   * The Spark-side design is real and tested: schema, partition-size
   * control, and per-partition batch processing (one decoder init per
   * partition, not per row — the same shape a Pandas-UDF/`mapInPandas`
-  * pipeline has in PySpark). The actual byte→pixels/samples decode is a
-  * deterministic STUB (`fakeDecode`) because no media codec libraries ship
-  * in this environment; swap `fakeDecode` for a real codec call and
-  * nothing else changes.
+  * pipeline has in PySpark). Image decode is REAL: BMP/PNG payloads go
+  * through JDK `javax.imageio` ([[decodeImages]], and [[decodeFeatures]]
+  * dispatches to it on a strict header sniff). `fakeDecode` remains only
+  * as the fallback for formats ImageIO does not ship a reader for
+  * (JPEG2000, video, audio — no codec libraries in this environment).
   */
 object Multimodal {
 
@@ -32,10 +34,11 @@ object Multimodal {
     StructField("format", StringType, nullable = true),
     StructField("feature", ArrayType(DoubleType), nullable = true)))
 
-  /** STUB decoder — deterministic fake standing in for a codec call.
-    * Returns an 8-bucket byte histogram as the "feature". Real
-    * implementation would be `??? /* jpeg/opus/h264 decode */`; the fake
-    * keeps the pipeline testable end-to-end.
+  /** Fallback decoder for formats `javax.imageio` has no reader for
+    * (video/audio/exotic images — no codec libraries in this
+    * environment): a deterministic 8-bucket byte histogram as the
+    * "feature". BMP/PNG payloads never reach this — [[decodeFeatures]]
+    * dispatches them to the real ImageIO path.
     */
   private[pipeline] def fakeDecode(bytes: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](8)
@@ -48,9 +51,105 @@ object Multimodal {
     hist
   }
 
-  /** Batch decode: one "decoder" per partition, rows processed in a tight
-    * loop — the mapInPandas batch shape. Null media → null feature,
-    * row preserved (pipelines must not drop rows on decode failure).
+  /** Build a real, uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up
+    * rows, 4-byte row padding) whose grayscale pixel at image coordinate
+    * (x, y-from-top) is `payload(y*width + x)` — pixels past the payload
+    * are 0. Pure integer arithmetic, so an oracle can replay every pixel
+    * from the payload bytes. Empty payload → one all-zero row of pixels
+    * (BMP requires height ≥ 1).
+    */
+  def encodeBmp(payload: Array[Byte], width: Int): Array[Byte] = {
+    require(width > 0, "width must be positive")
+    val n = payload.length
+    val h = math.max(1, (n + width - 1) / width)
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val imgSize = rowSize * h
+    val out = java.nio.ByteBuffer.allocate(54 + imgSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + imgSize)
+      .putInt(0).putInt(54)                               // file header
+    out.putInt(40).putInt(width).putInt(h)                // info header
+      .putShort(1).putShort(24).putInt(0).putInt(imgSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1                                         // bottom-up
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val idx = y * width + x
+        val v: Byte = if (idx < n) payload(idx) else 0
+        out.put(v).put(v).put(v)                          // B, G, R
+        x += 1
+      }
+      var p = width * 3
+      while (p < rowSize) { out.put(0: Byte); p += 1 }
+      y -= 1
+    }
+    out.array()
+  }
+
+  /** Transcode any ImageIO-readable payload to PNG — a real codec
+    * round-trip (PNG deflate). Lossless, so pixel-level oracles replay
+    * across it unchanged.
+    */
+  def transcodePng(bytes: Array[Byte]): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "transcodePng: payload not ImageIO-decodable")
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Strict header sniff for the two formats the real decode path owns.
+    * BMP must carry a consistent BITMAPINFOHEADER (magic + exact file size
+    * + pixel offset 54 + header size 40), so arbitrary text/binary that
+    * merely starts with "BM" cannot false-positive; PNG by its fixed
+    * 8-byte signature.
+    */
+  private[pipeline] def sniffImage(bytes: Array[Byte]): Option[String] = {
+    def le32(o: Int): Long =
+      (bytes(o) & 0xffL) | (bytes(o + 1) & 0xffL) << 8 |
+        (bytes(o + 2) & 0xffL) << 16 | (bytes(o + 3) & 0xffL) << 24
+    if (bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M' &&
+      le32(2) == bytes.length.toLong && le32(10) == 54L && le32(14) == 40L)
+      Some("bmp")
+    else if (bytes.length >= 8 &&
+      bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' &&
+      bytes(3) == 'G' && bytes(4) == 0x0d && bytes(5) == 0x0a &&
+      bytes(6) == 0x1a && bytes(7) == 0x0a)
+      Some("png")
+    else None
+  }
+
+  /** REAL image decode via JDK ImageIO: width, height, and the 8-bucket
+    * luminance histogram (bucket = blue channel >> 5 — for the grayscale
+    * BMPs [[encodeBmp]] builds, blue == luminance). Throws on an
+    * undecodable payload — callers that must not fail fall back to
+    * [[fakeDecode]].
+    */
+  private[pipeline] def decodeImagePixels(bytes: Array[Byte]): (Int, Int, Array[Long]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "decodeImagePixels: payload not ImageIO-decodable")
+    val w = img.getWidth
+    val h = img.getHeight
+    val hist = new Array[Long](8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        hist((img.getRGB(x, y) & 0xff) >>> 5) += 1
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, hist)
+  }
+
+  /** Batch decode: one decoder per partition, rows processed in a tight
+    * loop — the mapInPandas batch shape. BMP/PNG payloads (strict sniff)
+    * decode through REAL ImageIO and the feature is the normalized
+    * luminance histogram; anything else falls back to the byte-histogram
+    * stand-in. Null media → null feature, row preserved (pipelines must
+    * not drop rows on decode failure).
     */
   def decodeFeatures(media: DataFrame): DataFrame = {
     media.select("media_id", "media", "meta").mapPartitions { it =>
@@ -60,10 +159,74 @@ object Multimodal {
         val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
         val fmt = if (r.isNullAt(2)) null else r.getStruct(2).getString(0)
         if (bytes == null) Row(id, 0L, fmt, null)
-        else Row(id, bytes.length.toLong, fmt, fakeDecode(bytes).toSeq)
+        else {
+          val feature = sniffImage(bytes) match {
+            case Some(_) =>
+              val (w, h, hist) = decodeImagePixels(bytes)
+              val n = w.toLong * h
+              hist.map(_.toDouble / n)
+            case None => fakeDecode(bytes)
+          }
+          Row(id, bytes.length.toLong, fmt, feature.toSeq)
+        }
       }
     }(Encoders.row(decodedSchema))
   }
+
+  val imageSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media", BinaryType, nullable = true),
+    StructField("format", StringType, nullable = true)))
+
+  /** Synthesize real image payloads from raw bytes: every row becomes a
+    * grayscale BMP ([[encodeBmp]]); odd ids additionally round-trip
+    * through the PNG codec when `pngForOdd` — exercising a real
+    * compressed format on the same deterministic pixels. Null media keeps
+    * its row (null payload), the row-preservation invariant.
+    */
+  def toImages(media: DataFrame, width: Int, pngForOdd: Boolean = true): DataFrame =
+    media.select("media_id", "media").mapPartitions { it =>
+      // encoder init once per partition (the batch shape)
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (bytes == null) Row(id, null, null)
+        else {
+          val bmp = encodeBmp(bytes, width)
+          if (pngForOdd && id % 2 == 1) Row(id, transcodePng(bmp), "png")
+          else Row(id, bmp, "bmp")
+        }
+      }
+    }(Encoders.row(imageSchema))
+
+  val decodedImageSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = true),
+    StructField("img_w", IntegerType, nullable = true),
+    StructField("img_h", IntegerType, nullable = true),
+    StructField("lum_hist", ArrayType(LongType), nullable = true)))
+
+  /** REAL decode of image payloads via JDK ImageIO — no stub anywhere on
+    * this path. Format is re-sniffed from the bytes (not trusted from
+    * metadata); an unsniffable/undecodable payload is a typed error, a
+    * null payload keeps its row with null outputs.
+    */
+  def decodeImages(media: DataFrame): DataFrame =
+    media.select("media_id", "media").mapPartitions { it =>
+      // ImageIO reader init once per partition (the batch shape)
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (bytes == null) Row(id, null, null, null, null)
+        else {
+          val fmt = sniffImage(bytes).getOrElse(
+            throw new IllegalArgumentException(
+              s"decodeImages: media_id=$id payload is not a BMP/PNG image"))
+          val (w, h, hist) = decodeImagePixels(bytes)
+          Row(id, fmt, w, h, hist.toSeq)
+        }
+      }
+    }(Encoders.row(decodedImageSchema))
 
   val resizedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -1020,6 +1020,56 @@ object PipelineQueries {
              |  CAST(COALESCE(SUM(CASE WHEN b = 6 THEN 1 END), 0) AS BIGINT) AS c6,
              |  CAST(COALESCE(SUM(CASE WHEN b = 7 THEN 1 END), 0) AS BIGINT) AS c7
              |FROM documents d LEFT JOIN ch ON ch.doc_id = d.doc_id
-             |GROUP BY 1, 2 ORDER BY media_id""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY media_id""".stripMargin)),
+
+    // ----------------------------------------- REAL ImageIO image decode
+    // No stub anywhere on this path: each doc's text bytes become a real
+    // grayscale 24-bit BMP (width 64, bottom-up rows, zero padding); odd
+    // ids additionally round-trip through the PNG codec (deflate — a real
+    // compressed format); decode is JDK javax.imageio (Multimodal
+    // .decodeImages, mapPartitions batch shape, format re-sniffed from the
+    // bytes). Because encodeBmp's pixel mapping is pure integer
+    // arithmetic and PNG is lossless, DuckDB replays width, height, and
+    // every luminance-histogram count from the text's code points (ASCII
+    // corpus: byte == code point): pixel count = 64·h, the w·h − n padding
+    // pixels are zero (bucket 0), and text byte b lands in bucket b>>5.
+    Q("px32_imageio_decode",
+      (s, d) => {
+        val media = docs(s, d).select(
+          col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("media"))
+        val decoded = Multimodal.decodeImages(
+          Multimodal.toImages(media, width = 64, pngForOdd = true))
+        val counts = (0 until 8).map(j =>
+          element_at(col("lum_hist"), j + 1).as(s"c$j"))
+        decoded.select(
+          Seq(col("media_id"), col("format"),
+            col("img_w").cast("bigint").as("img_w"),
+            col("img_h").cast("bigint").as("img_h")) ++ counts: _*)
+          .orderBy("media_id")
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+             |), ch AS (
+             |  SELECT doc_id, unicode(c) // 32 AS b
+             |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+             |        FROM documents)
+             |  WHERE c <> ''
+             |)
+             |SELECT s.doc_id AS media_id,
+             |  CASE WHEN s.doc_id % 2 = 1 THEN 'png' ELSE 'bmp' END AS format,
+             |  CAST(64 AS BIGINT) AS img_w,
+             |  CAST(GREATEST(1, (s.n + 63) // 64) AS BIGINT) AS img_h,
+             |  CAST(64 * GREATEST(1, (s.n + 63) // 64) - s.n
+             |    + COALESCE(SUM(CASE WHEN b = 0 THEN 1 END), 0) AS BIGINT) AS c0,
+             |  CAST(COALESCE(SUM(CASE WHEN b = 1 THEN 1 END), 0) AS BIGINT) AS c1,
+             |  CAST(COALESCE(SUM(CASE WHEN b = 2 THEN 1 END), 0) AS BIGINT) AS c2,
+             |  CAST(COALESCE(SUM(CASE WHEN b = 3 THEN 1 END), 0) AS BIGINT) AS c3,
+             |  CAST(COALESCE(SUM(CASE WHEN b = 4 THEN 1 END), 0) AS BIGINT) AS c4,
+             |  CAST(COALESCE(SUM(CASE WHEN b = 5 THEN 1 END), 0) AS BIGINT) AS c5,
+             |  CAST(COALESCE(SUM(CASE WHEN b = 6 THEN 1 END), 0) AS BIGINT) AS c6,
+             |  CAST(COALESCE(SUM(CASE WHEN b = 7 THEN 1 END), 0) AS BIGINT) AS c7
+             |FROM src s LEFT JOIN ch ON ch.doc_id = s.doc_id
+             |GROUP BY 1, 2, 3, 4, s.n ORDER BY media_id""".stripMargin))
   )
 }

@@ -491,6 +491,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2).getSeq[Double](3).sum === 0.0)
   }
 
+  test("real ImageIO decode: BMP pixels round-trip exactly, PNG losslessly") {
+    import spark.implicits._
+    val payload = Array.tabulate[Byte](70)(i => (i * 3).toByte) // 70 bytes -> 64x2
+    val rows: Seq[(Long, Array[Byte])] =
+      Seq((2L, payload), (3L, payload), (4L, null))
+    val images = Multimodal.toImages(
+      rows.toDF("media_id", "media"), width = 64, pngForOdd = true)
+      .orderBy("media_id").collect()
+    // formats: even -> raw BMP, odd -> real PNG codec round-trip
+    assert(images(0).getString(2) === "bmp")
+    assert(images(1).getString(2) === "png")
+    assert(images(2).isNullAt(1) && images(2).isNullAt(2), "null row preserved")
+    val bmpBytes = images(0).getAs[Array[Byte]](1)
+    assert(bmpBytes(0) === 'B'.toByte && bmpBytes(1) === 'M'.toByte)
+
+    val decoded = Multimodal.decodeImages(
+      Multimodal.toImages(rows.toDF("media_id", "media"), 64))
+      .orderBy("media_id").collect()
+    // 70 payload bytes at width 64 -> 64x2 image, 128-70=58 zero pad pixels
+    val expected = new Array[Long](8)
+    payload.foreach(b => expected((b & 0xff) >>> 5) += 1)
+    expected(0) += 128 - 70
+    Seq(0, 1).foreach { i =>
+      assert(decoded(i).getInt(2) === 64 && decoded(i).getInt(3) === 2)
+      assert(decoded(i).getSeq[Long](4) === expected.toSeq,
+        s"${decoded(i).getString(1)} luminance histogram must replay the payload exactly")
+    }
+    assert(decoded(2).isNullAt(1) && decoded(2).isNullAt(4), "null row preserved")
+
+    // undecodable payload is a typed error on the strict path
+    val bad: Seq[(Long, Array[Byte])] = Seq((9L, "not an image".getBytes))
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImages(bad.toDF("media_id", "media")).collect()
+    }
+    assert(err.getMessage.contains("not a BMP/PNG") ||
+      Option(err.getCause).exists(_.getMessage.contains("not a BMP/PNG")))
+  }
+
+  test("strict sniff: text starting with BM cannot false-positive as an image") {
+    val trap = ("BM" + "x" * 100).getBytes // magic but inconsistent size fields
+    assert(Multimodal.sniffImage(trap) === None)
+    assert(Multimodal.sniffImage(Multimodal.encodeBmp(Array[Byte](1, 2, 3), 4))
+      === Some("bmp"))
+    assert(Multimodal.sniffImage(
+      Multimodal.transcodePng(Multimodal.encodeBmp(Array[Byte](1, 2, 3), 4)))
+      === Some("png"))
+    // dispatch: a real BMP through decodeFeatures uses ImageIO (histogram
+    // over PIXELS incl. padding), not the byte-histogram fallback
+    import spark.implicits._
+    val bmp = Multimodal.encodeBmp(Array.fill[Byte](8)(100), 8) // 8x1, all 100
+    val rows = Seq((1L, bmp, ("bmp", 8, 1)))
+      .toDF("media_id", "media", "m")
+      .select(col("media_id"), col("media"),
+        struct(col("m._1").as("format"), col("m._2").as("width"),
+          col("m._3").as("height")).as("meta"))
+    val feat = Multimodal.decodeFeatures(rows).collect()(0).getSeq[Double](3)
+    assert(feat(100 >>> 5) === 1.0,
+      "all-100 pixels must land the whole mass in luminance bucket 3")
+  }
+
   test("resize subsamples uniformly; null and empty rows preserved") {
     import spark.implicits._
     val rows = Seq(
