@@ -78,9 +78,20 @@ object RemoteRead {
           .flatMap(f => mySeq.findFirstMatchIn(f.getFileName.toString)
             .flatMap(m => Try(m.group(1).toLong).toOption))
       // answered/ holds archived request files — a restarted client must
-      // not reuse a seq whose request the server already consumed
+      // not reuse a seq whose request the server already consumed. Past
+      // the retention bound those files compact into the _seq.json
+      // high-water map (retention()), so this scan stays O(recent), not
+      // O(all requests ever shipped)
+      val compacted: Option[Long] = {
+        val f = base.resolve("answered").resolve("_seq.json")
+        if (!Files.exists(f)) None
+        else ("\"" + java.util.regex.Pattern.quote(clientId) + "\":\\s*(\\d+)").r
+          .findFirstMatchIn(Try(Files.readString(f)).getOrElse(""))
+          .flatMap(m => Try(m.group(1).toLong).toOption)
+      }
       (seqsIn(base) ++ seqsIn(base.resolve("acks")) ++
-        seqsIn(base.resolve("answered"))).maxOption.fold(0L)(_ + 1L)
+        seqsIn(base.resolve("answered")) ++ compacted)
+        .maxOption.fold(0L)(_ + 1L)
     }
 
     private def submit(body: String): String = {
@@ -450,15 +461,79 @@ object RemoteRead {
       .map(m => """-?\d+""".r.findAllIn(m.group(1)).map(_.toLong).toSeq)
       .getOrElse(Seq.empty)
 
+  /** Retention for answer artifacts — the read-inbox analog of
+    * GraphStore.cleanUp, run by the inbox OWNER between polls (never
+    * concurrently with answerPending; the one-server contract makes that
+    * free). Two reclaims:
+    *
+    *  1. Orphaned batch dirs. A batch dir is named after its group's head
+    *     reqId and the head's pointer is written FIRST (publishBatch), so
+    *     `batches/<name>` is referenced by SOME pointer iff
+    *     `<name>.ptr.json` exists and itself references `batches/<name>`.
+    *     A dir failing that check is debris of a poll that died between
+    *     the atomic move and the first pointer write (possibly since
+    *     re-answered under a different head) — unreferenced now and
+    *     forever, safe to sweep. A same-named PENDING request is left for
+    *     publishBatch's own target-clearing.
+    *
+    *  2. `answered/` compaction. Archived request files exist only so a
+    *     restarted client never reuses a consumed seq; past `maxAnswered`
+    *     files they compact into the `_seq.json` per-client high-water
+    *     map (written atomically BEFORE the files are deleted, so a crash
+    *     mid-compaction loses nothing and the re-run is idempotent). The
+    *     client restart scan and this sweep both stay O(recent).
+    */
+  def retention(dir: String, maxAnswered: Int = 512): Unit = {
+    val base = Paths.get(dir)
+    val acks = base.resolve("acks")
+    val batches = acks.resolve("batches")
+    if (Files.isDirectory(batches)) GraphStore.listPaths(batches).foreach { b =>
+      val name = b.getFileName.toString
+      val ptr = acks.resolve(s"$name.ptr.json")
+      val live = Files.exists(ptr) &&
+        Try(Files.readString(ptr)).toOption
+          .exists(_.contains(s""""batches/$name""""))
+      if (!live && !Files.exists(base.resolve(s"$name.req.json")))
+        Try(deleteRecursively(b))
+    }
+    val answered = base.resolve("answered")
+    if (Files.isDirectory(answered)) {
+      val files = GraphStore.listPaths(answered)
+        .filter(_.getFileName.toString.endsWith(".req.json"))
+      if (files.size > maxAnswered) {
+        val seqFile = answered.resolve("_seq.json")
+        val prev: Map[String, Long] =
+          if (!Files.exists(seqFile)) Map.empty
+          else """"([A-Za-z0-9_-]+)":\s*(\d+)""".r
+            .findAllMatchIn(Try(Files.readString(seqFile)).getOrElse(""))
+            .map(m => m.group(1) -> m.group(2).toLong).toMap
+        val ReqName = """^([A-Za-z0-9_-]+)-(\d+)\.req\.json$""".r
+        val highs = files.map(_.getFileName.toString).collect {
+          case ReqName(client, s) => client -> s.toLong
+        }.groupBy(_._1).map { case (c, ss) => c -> ss.map(_._2).max }
+        val merged = (prev.keySet ++ highs.keySet).toSeq.sorted.map { c =>
+          val hi = math.max(prev.getOrElse(c, -1L), highs.getOrElse(c, -1L))
+          s""""$c": $hi"""
+        }
+        writeJsonAtomic(seqFile, merged.mkString("{", ", ", "}"))
+        files.foreach(f => Try(Files.deleteIfExists(f)))
+      }
+    }
+  }
+
   /** Serve loop: catch the replica up, answer, repeat — the read-side
-    * accept loop. `catchUpEvery` bounds staleness (0 = every poll).
+    * accept loop. `catchUpEvery` bounds staleness (0 = every poll);
+    * [[retention]] runs at the same cadence so answer debris stays
+    * bounded over a long-lived inbox.
     */
   def serveWhile[V](replica: GraphReplica[V], dir: String, pollMs: Long = 50L,
       catchUpEvery: Int = 10)(keepGoing: () => Boolean): Unit = {
     var i = 0
     while (keepGoing()) {
-      if (catchUpEvery == 0 || i % math.max(1, catchUpEvery) == 0)
+      if (catchUpEvery == 0 || i % math.max(1, catchUpEvery) == 0) {
         replica.catchUp()
+        retention(dir)
+      }
       answerPending(replica, dir)
       Thread.sleep(pollMs)
       i += 1
@@ -469,4 +544,6 @@ object RemoteRead {
     if (Files.isDirectory(p)) GraphStore.listPaths(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
+
+  private[store] def deleteRecursivelyForTest(p: Path): Unit = deleteRecursively(p)
 }

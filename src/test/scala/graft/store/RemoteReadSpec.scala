@@ -209,6 +209,127 @@ class RemoteReadSpec extends AnyFunSuite {
     store.close()
   }
 
+  test("property: batched poll and per-request answers are row-identical") {
+    val (store, dir, mj, bj) = storeWithData()
+    val root = store.session.root
+    val replica = GraphReplica.bootstrap(spark, CatalogueModel, dir)
+    replica.catchUp()
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val ids = Seq(root, mj, bj, 424242L) // known AND unknown ids
+    val genReq: Gen[String] = Gen.frequency(
+      3 -> Gen.someOf(ids).map(s =>
+        s""""op": "getValues", "ids": [${s.mkString(", ")}]"""),
+      2 -> Gen.oneOf(ids).map(id => s""""op": "targets", "id": $id"""),
+      2 -> Gen.oneOf(ids).map(id => s""""op": "sources", "id": $id"""),
+      2 -> Gen.oneOf(ids).map(id => s""""op": "getTargets", "id": $id, """ +
+        s""""kkind": "Catalogue_Artist_Name", "key": "Michael Jackson""""),
+      1 -> Gen.const(""""op": "getStats", "id": 0"""))
+    val genSet: Gen[List[String]] =
+      Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, genReq))
+    // raw scalacheck Gen with fixed seeds (scalatestplus is not in the
+    // offline cache) — deterministic across runs, seeds printed on failure
+    (1 to 5).foreach { i =>
+      val bodies = genSet(Gen.Parameters.default, Seed(1000L + i))
+        .getOrElse(sys.error(s"gen failed for seed ${1000L + i}"))
+      // cap -1 forces EVERY group through the per-request fallback; the
+      // huge cap keeps every group on the batched join path
+      def runWith(cap: Int): Map[String, Either[String, Seq[String]]] = {
+        val inbox = java.nio.file.Paths.get(
+          Files.createTempDirectory("graft-rr-prop-").toString)
+        bodies.zipWithIndex.foreach { case (b, j) =>
+          Files.writeString(inbox.resolve(f"pp-$j%06d.req.json"),
+            s"""{"reqId": "pp-$j%06d", $b}""")
+        }
+        RemoteRead.answerPendingBounded(replica, inbox.toString, cap)
+        val reader = new RemoteRead.Client(spark, CatalogueModel, inbox.toString, "rd")
+        bodies.indices.map { j =>
+          val reqId = f"pp-$j%06d"
+          reqId -> reader.await(reqId, timeoutMs = 5000L).result
+            .map(df => df.collect().map(_.toString).sorted.toSeq)
+        }.toMap
+      }
+      assert(runWith(1000000) === runWith(-1),
+        s"batched != per-request for seed ${1000L + i}: $bodies")
+    }
+    store.close()
+  }
+
+  test("retention sweeps orphaned batch dirs and keeps referenced ones") {
+    val (store, dir, mj, bj) = storeWithData()
+    val replica = GraphReplica.bootstrap(spark, CatalogueModel, dir)
+    replica.catchUp()
+    val inbox = java.nio.file.Paths.get(
+      Files.createTempDirectory("graft-rr-ret-").toString)
+    val client = new RemoteRead.Client(spark, CatalogueModel, inbox.toString, "rt")
+    (0 until 2).foreach { i =>
+      Files.writeString(inbox.resolve(f"rt-$i%06d.req.json"),
+        s"""{"reqId": "rt-00000$i", "op": "getValues", "ids": [$mj, $bj]}""")
+    }
+    assert(RemoteRead.answerPending(replica, inbox.toString).size === 2)
+    val acks = inbox.resolve("acks")
+    val live = acks.resolve("batches").resolve("rt-000000")
+    assert(Files.exists(live))
+    // plant the crash shape: a batch dir a poll published, then died
+    // before writing ANY pointer — no pointer references it, ever
+    val orphan = acks.resolve("batches").resolve("zz-000000")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-00000.parquet"), "debris")
+    RemoteRead.retention(inbox.toString)
+    assert(!Files.exists(orphan), "unreferenced batch dir must be swept")
+    assert(Files.exists(live), "pointer-referenced batch dir must survive")
+    // pointer answers still resolve identically after the sweep
+    val got = client.await("rt-000001", timeoutMs = 5000L)
+      .result.toOption.get.collect()
+      .map(r => r.getLong(0) -> CatalogueModel.fromValueRow(
+        r.getString(1), r.getStruct(2))).toMap
+    assert(got === Map(mj -> Artist(1, "Michael Jackson"),
+      bj -> Song("Billie Jean")))
+    store.close()
+  }
+
+  test("answered/ compacts past the bound; seq resume survives compaction") {
+    val (store, dir, mj, _) = storeWithData()
+    val replica = GraphReplica.bootstrap(spark, CatalogueModel, dir)
+    replica.catchUp()
+    val inbox = java.nio.file.Paths.get(
+      Files.createTempDirectory("graft-rr-cpt-").toString)
+    (0 until 6).foreach { i =>
+      Files.writeString(inbox.resolve(f"cp-$i%06d.req.json"),
+        s"""{"reqId": "cp-00000$i", "op": "getValues", "ids": [$mj]}""")
+    }
+    assert(RemoteRead.answerPending(replica, inbox.toString).size === 6)
+    val answered = inbox.resolve("answered")
+    assert(GraphStore.listPaths(answered)
+      .count(_.getFileName.toString.endsWith(".req.json")) === 6)
+    RemoteRead.retention(inbox.toString, maxAnswered = 4)
+    assert(GraphStore.listPaths(answered)
+      .count(_.getFileName.toString.endsWith(".req.json")) === 0,
+      "past the bound, archived request files compact into _seq.json")
+    val seqJson = Files.readString(answered.resolve("_seq.json"))
+    assert(seqJson.contains("\"cp\": 5"))
+    // below the bound nothing compacts (the map is not rewritten for a
+    // handful of stragglers)
+    RemoteRead.retention(inbox.toString, maxAnswered = 4)
+    assert(seqJson === Files.readString(answered.resolve("_seq.json")))
+    // a restarted client must get its seq from the compacted map ALONE —
+    // even with every acks artifact consumed and cleared, seq 0..5 are
+    // burned and the next request must be cp-000006
+    RemoteRead.deleteRecursivelyForTest(inbox.resolve("acks"))
+    val c2 = new RemoteRead.Client(spark, CatalogueModel, inbox.toString, "cp")
+    val answerer = new Thread(() => {
+      Thread.sleep(100L); RemoteRead.answerPending(replica, inbox.toString); ()
+    })
+    answerer.start()
+    assert(c2.getValues(Seq(mj))(mj) === Artist(1, "Michael Jackson"))
+    answerer.join(10000)
+    val artifacts = (GraphStore.listPaths(inbox.resolve("acks")) ++
+      GraphStore.listPaths(answered)).map(_.getFileName.toString)
+    assert(artifacts.exists(_.startsWith("cp-000006")),
+      s"restarted client must resume at seq 6 from _seq.json, saw: $artifacts")
+    store.close()
+  }
+
   test("batch publish failure after the dir move sweeps the orphan and falls back") {
     val (store, dir, mj, bj) = storeWithData()
     val replica = GraphReplica.bootstrap(spark, CatalogueModel, dir)
