@@ -98,6 +98,21 @@ object Verify {
           Tables.load(spark, sfDir, "documents"), "doc_id")
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px21_buckets")
       }
+      auxExport("px16_approx_stats")(Seq("px16_estimates")) {
+        // the per-lang sketch ESTIMATES themselves (HLL++ distinct count,
+        // rank-sketch median) — DuckDB checks them against its OWN exact
+        // COUNT(DISTINCT) / quantiles, making the error-bound oracle fully
+        // cross-engine (the booleans are re-derived, not pinned)
+        Tables.load(spark, sfDir, "documents")
+          .groupBy(col("lang"))
+          .agg(
+            org.apache.spark.sql.functions
+              .approx_count_distinct(col("text"), rsd = 0.02).as("uniq_est"),
+            org.apache.spark.sql.functions
+              .expr("approx_percentile(n_chars, 0.5, 1000)").as("p50_est"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$auxDir/px16_estimates")
+      }
       auxExport("px17_corpus_minhash")(Seq("px17_sigs")) {
         // per-doc minhash signatures, one row per (source, slot) — DuckDB
         // recomputes the per-source elementwise-min merged signature as an

@@ -928,14 +928,25 @@ object PipelineQueries {
             (col("p50_est") >= col("p45") && col("p50_est") <= col("p55")))
             .as("p50_within_rank_bounds"))
         .orderBy("lang"),
-      Some("""-- Not a tautology: Spark computes the booleans by comparing its
-             |-- sketch estimates against exact aggregates IN-PLAN; a broken
-             |-- HLL/percentile sketch emits FALSE there and hash-mismatches
-             |-- these pinned TRUEs. DuckDB's side only asserts the expected
-             |-- outcome, it doesn't re-derive the sketch.
-             |SELECT lang, TRUE AS uniq_within_5pct,
-             |  TRUE AS p50_within_rank_bounds
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+      Some(s"""-- Fully cross-engine: Spark's sketch ESTIMATES are exported
+             |-- (Verify aux) and DuckDB re-derives both booleans against its
+             |-- OWN exact COUNT(DISTINCT) and quantiles — a broken HLL or
+             |-- rank sketch fails here on DuckDB's ground truth, not on a
+             |-- pinned expectation.
+             |WITH est AS (SELECT * FROM '$AuxToken/px16_estimates/*.parquet'),
+             |ex AS (
+             |  SELECT lang, COUNT(DISTINCT text) AS uniq_exact,
+             |    quantile_cont(n_chars, 0.45) AS p45,
+             |    quantile_cont(n_chars, 0.55) AS p55,
+             |    COUNT(*) AS n
+             |  FROM documents GROUP BY lang)
+             |SELECT ex.lang,
+             |  (ABS(est.uniq_est - ex.uniq_exact) <= 0.05 * ex.uniq_exact)
+             |    AS uniq_within_5pct,
+             |  (ex.n < 20 OR (est.p50_est >= ex.p45 AND est.p50_est <= ex.p55))
+             |    AS p50_within_rank_bounds
+             |FROM ex JOIN est ON est.lang = ex.lang
+             |ORDER BY ex.lang""".stripMargin)),
 
     // ------------------------------------- corpus-level minhash (typed UDAF)
     // One merged signature per source via the MinHashMerge Aggregator —
