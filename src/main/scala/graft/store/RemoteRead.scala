@@ -208,9 +208,12 @@ object RemoteRead {
   /** Total (_reqId, id) pairs one poll may answer in a single batched job:
     * the pairs side is broadcast, so it is driver-bounded by the same
     * contract as RemoteWrite's replay bound — beyond it the poll falls
-    * back to per-request answers (each with its own 100k cap).
+    * back to per-request answers (each with its own 100k cap). Deployments
+    * with bigger/smaller drivers tune it via -Dgraft.read.maxBatchPairs.
     */
-  private val MaxBatchPairs = 1000000
+  private val MaxBatchPairs: Int =
+    sys.props.get("graft.read.maxBatchPairs")
+      .flatMap(s => Try(s.toInt).toOption).getOrElse(1000000)
 
   /** Test-only fault injection: the next [[answerPendingBounded]] batch
     * publish throws AFTER the atomic batch-dir move but BEFORE any pointer
@@ -239,10 +242,11 @@ object RemoteRead {
   def answerPending[V](replica: GraphReplica[V], dir: String): Seq[String] =
     answerPendingBounded(replica, dir, MaxBatchPairs)
 
-  /** [[answerPending]] with an explicit batch-pair cap — test seam for the
-    * oversized-group fallback (the production cap is driver-memory-sized).
+  /** [[answerPending]] with an explicit batch-pair cap — seam for the
+    * oversized-group fallback spec and the ServeBench per-request-path
+    * measurement (the production cap is driver-memory-sized).
     */
-  private[store] def answerPendingBounded[V](replica: GraphReplica[V],
+  private[graft] def answerPendingBounded[V](replica: GraphReplica[V],
       dir: String, maxBatchPairs: Int): Seq[String] = {
     val base = Paths.get(dir)
     if (!Files.isDirectory(base)) return Seq.empty

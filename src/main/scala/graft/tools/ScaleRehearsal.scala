@@ -48,6 +48,7 @@ object ScaleRehearsal {
   private val TablesOf: Map[String, Set[String]] = Map(
     "ga1_pregel_bfs_depths" -> Set("region", "nation", "customer", "orders"),
     "ga2_connected_components" -> Set("region", "nation", "customer", "orders"),
+    "ga3_pagerank" -> Set("region", "nation", "customer", "orders"),
     "ga4_triangle_count" -> Set("lineitem", "part"),
     "gq3_graph_stats" -> Set("region", "nation", "customer", "orders"),
     "px2_dedup_ngram" -> Set("documents"),
@@ -57,6 +58,8 @@ object ScaleRehearsal {
     "px15_vocab_topk" -> Set("documents"),
     "px18_dedup_representatives" -> Set("documents"),
     "px24_decontaminate" -> Set("documents"),
+    "px25_shared_spans" -> Set("documents"),
+    "px16_approx_stats" -> Set("documents"),
     "px29_composed" -> Set("documents"),
     "px30_char_budget" -> Set("documents"),
     "px31_mix_shares" -> Set("documents"),
