@@ -118,6 +118,35 @@ final class GraphSession[V] private (
         if (runs.nonEmpty && runs.last.last.getClass == op.getClass) runs.last += op
         else runs += ArrayBuffer(op)
       }
+      // TWO-PHASE COLLAPSE: each run below costs a localCheckpoint (a Spark
+      // job), so an interleaved [new, add, new, add, …] batch — the shape a
+      // write-shipping poll or driver-side ingest loop produces — would pay
+      // O(batch) jobs. When the batch contains ONLY NewNode+AddTarget ops
+      // AND every add references only pre-existing ids or ids defined
+      // EARLIER in the batch, applying [all news][all adds] is
+      // order-equivalent: news only define (never reference), adds only
+      // reference (never define) and are idempotent set-inserts, and the
+      // dependency check keeps invalid programs invalid (an add naming a
+      // not-yet-created id still aborts via the in-plan guard). Two jobs
+      // instead of O(batch).
+      if (runs.size > 2 && pending.forall {
+            case _: NewNode[_] | _: AddTarget[_] => true
+            case _ => false
+          }) {
+        val newIds = pending.collect { case NewNode(id, _) => id }.toSet
+        val defined = scala.collection.mutable.Set[Long]()
+        val depsOk = pending.forall {
+          case NewNode(id, _) => defined += id; true
+          case AddTarget(s, d) => (!newIds(s) || defined(s)) && (!newIds(d) || defined(d))
+          case _ => true
+        }
+        if (depsOk) {
+          val news = pending.collect { case op @ NewNode(_, _) => op: GraphOp[V] }
+          val adds = pending.collect { case op @ AddTarget(_, _) => op: GraphOp[V] }
+          runs.clear()
+          Seq(news, adds).filter(_.nonEmpty).foreach(r => runs += r)
+        }
+      }
       // The whole pending batch applies ATOMICALLY against a local copy:
       // `state` is only advanced after every run succeeded. On a mid-run
       // failure (the in-plan unknown-id guards) the batch ABORTS — the

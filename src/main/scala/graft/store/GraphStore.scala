@@ -95,11 +95,11 @@ final class GraphStore[V] private (
     }
 
   private def enqueueWal(name: String, df: org.apache.spark.sql.DataFrame,
-      txnTag: Option[String] = None): Unit = {
+      txnTags: Seq[String] = Seq.empty): Unit = {
     rethrowWalFailure()
     walExec.execute { () =>
       if (walFailure.get() == null) {
-        try writeWalBatch(name, df, txnTag)
+        try writeWalBatch(name, df, txnTags)
         catch { case e: Throwable => walFailure.compareAndSet(null, e) }
       }
     }
@@ -146,7 +146,17 @@ final class GraphStore[V] private (
     * subgraph durable but unreferenced by any ack (duplicated data, the
     * strong form of at-least-once this closes).
     */
-  private[store] def commitTagged(txnTag: Option[String]): Unit = {
+  private[store] def commitTagged(txnTag: Option[String]): Unit =
+    commitTaggedAll(txnTag.toSeq)
+
+  /** Group-commit form: ONE WAL batch durably carrying MANY txn tags (one
+    * flattened tag per `_txnmeta.json` line — the shape both tag readers
+    * parse). This is what lets RemoteWrite ack a whole poll of shipped
+    * txns with a single parquet publish instead of one per txn: batch-
+    * durable ⟺ every member ack recoverable, the same crash-window
+    * contract as the single-tag form, paid once per group.
+    */
+  private[store] def commitTaggedAll(txnTags: Seq[String]): Unit = {
     require(!closed, "store is closed")
     requireNotSealed()
     // peek-validate-write-clear: the op log is only cleared after the WAL
@@ -178,8 +188,8 @@ final class GraphStore[V] private (
       // reference's PersistenceBuffering trade): the log is cleared at
       // enqueue, and a crash loses at most the buffered suffix — see the
       // async-WAL block above. Synchronous mode keeps write-then-clear.
-      if (buffered) enqueueWal(f"batch-$batchSeq%06d", df, txnTag)
-      else writeWalBatch(f"batch-$batchSeq%06d", df, txnTag)
+      if (buffered) enqueueWal(f"batch-$batchSeq%06d", df, txnTags)
+      else writeWalBatch(f"batch-$batchSeq%06d", df, txnTags)
       session.clearLog()
       batchSeq += 1
     }
@@ -215,12 +225,13 @@ final class GraphStore[V] private (
               GraphStore.listDirs(ev, _.startsWith("batch-")).foreach { b =>
                 val m = b.resolve("_txnmeta.json")
                 if (Files.exists(m)) {
-                  // normalize EXACTLY as the archival sidecar does
-                  // (writeTxnTagIndex): a tag with embedded newlines or
-                  // surrounding whitespace must resolve to the same string
-                  // before and after archival
-                  val json = Files.readString(m).replaceAll("[\r\n]+", " ").trim
-                  TxnId.findFirstMatchIn(json).foreach(mt => found(mt.group(1)) = json)
+                  // one tag per line (group-commit batches carry many);
+                  // tags were flattened+trimmed at write time, so per-line
+                  // trim resolves to the same string before/after archival
+                  Files.readString(m).linesIterator.map(_.trim)
+                    .filter(_.nonEmpty).foreach { json =>
+                      TxnId.findFirstMatchIn(json).foreach(mt => found(mt.group(1)) = json)
+                    }
                 }
               }
             }
@@ -285,7 +296,7 @@ final class GraphStore[V] private (
     *    writer then loses in crash recovery (phantom ops).
     */
   private def writeWalBatch(name: String, df: org.apache.spark.sql.DataFrame,
-      txnTag: Option[String] = None): Unit = {
+      txnTags: Seq[String] = Seq.empty): Unit = {
     val staging = path.resolve("_staging").resolve(name)
     val target = path.resolve(s"$eventsIndex.events").resolve(name)
     GraphStore.deleteRecursively(staging)
@@ -296,8 +307,13 @@ final class GraphStore[V] private (
     try {
       df.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
       // `_`-prefixed so every parquet reader (replay, followers) ignores it;
-      // inside the staged dir so the atomic publish covers batch AND tag
-      txnTag.foreach(j => Files.writeString(staging.resolve("_txnmeta.json"), j))
+      // inside the staged dir so the atomic publish covers batch AND tags.
+      // One flattened tag per line — normalized at WRITE time so the live
+      // walk, the archival sidecar, and recordTxnTag all see one string
+      if (txnTags.nonEmpty)
+        Files.writeString(staging.resolve("_txnmeta.json"),
+          txnTags.map(_.replaceAll("[\r\n]+", " ").trim)
+            .mkString("", "\n", "\n"))
       if (failNextWalPublish) {
         failNextWalPublish = false
         throw new RuntimeException("injected WAL publish failure (test hook)")
@@ -728,8 +744,11 @@ object GraphStore {
       .flatMap { b =>
         val m = b.resolve("_txnmeta.json")
         if (Files.exists(m))
-          Some(Files.readString(m).replaceAll("[\r\n]+", " ").trim)
-        else None
+          // preserve line structure: a group-commit batch's file carries one
+          // tag per line; each becomes its own index line (tags were
+          // flattened at write time, so lines cannot bleed into neighbors)
+          Files.readString(m).linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+        else Seq.empty
       }
     val tmp = dir.resolve(TxnTagIndexName + ".tmp")
     Files.writeString(tmp, tags.mkString("", "\n", if (tags.isEmpty) "" else "\n"))

@@ -257,9 +257,11 @@ object RemoteWrite {
     * scheduler) to serve continuously; [[serveWhile]] wraps exactly that.
     *
     * Poll cost: all txn dirs are loaded in ONE parquet read (split back
-    * per-txn by `input_file_name`), and all global refs across the poll are
-    * existence-checked in ONE job — per-txn Spark work is the apply+commit
-    * itself, so a poll finding N txns runs ~2+N jobs, not 2N.
+    * per-txn by `input_file_name`), all global refs across the poll are
+    * existence-checked in ONE job, and all applied txns are made durable by
+    * ONE group-committed WAL batch per [[GroupCommitMaxOps]] ops (tagged
+    * with every member's ack) — a poll finding N txns runs ~3 jobs +
+    * O(N/groupOps) publishes, not O(N).
     */
   def applyPending[V](store: GraphStore[V], inboxDir: String): Seq[TxnAck] = {
     // the fail-stop is mechanical, not advisory: after a mid-txn failure
@@ -275,6 +277,7 @@ object RemoteWrite {
     Files.createDirectories(appliedDir)
     if (!Files.isDirectory(inbox)) return Seq.empty
 
+    val tTriage0 = System.nanoTime()
     val committed = GraphStore.listPaths(inbox)
       .filter(p => p.getFileName.toString.endsWith(".txn"))
       // _SUCCESS (Spark's commit marker) + _meta.json are both inside the
@@ -345,9 +348,11 @@ object RemoteWrite {
       }
     }
     if (todo.isEmpty) return acks.toSeq
+    val tLoad0 = System.nanoTime()
 
     // phase 2 — ONE parquet load over every todo dir (fallback: per-dir)
     val loaded = loadTxns(store, todo.toSeq)
+    val tExists0 = System.nanoTime()
 
     // phase 3 — one existence-check job for ALL global refs in the poll;
     // ids created/removed by earlier txns IN this poll are tracked
@@ -374,16 +379,125 @@ object RemoteWrite {
       }
     val createdThisPoll = mutable.Set[Long]()
     val removedThisPoll = mutable.Set[Long]()
+    val tApply0 = System.nanoTime()
+    var flushNanos = 0L
+    var flushCommitNanos = 0L
+    var flushDrainNanos = 0L
 
+    // phase 4 — GROUP COMMIT: applied txns' ops accumulate uncommitted in
+    // the session op log; one commitTaggedAll per group publishes ONE WAL
+    // batch carrying every member's ack tag (batch-durable ⟺ every ack
+    // recoverable — recovery legs 1/2 are unchanged because the tag readers
+    // parse per line). Ack files and archival happen only AFTER the drain
+    // barrier, so no client is ever told "applied" before the WAL has it.
+    // This turns the write path's measured bottleneck (one parquet publish
+    // per txn, SERVE_r10.json) into one publish per poll; groups are capped
+    // at [[GroupCommitMaxOps]] session ops so a huge poll flushes in bounded
+    // driver-memory chunks. Refusals mutate nothing and are deterministic,
+    // so they ack+archive immediately, outside the group.
+    val group = mutable.ArrayBuffer[(Path, String, TxnAck)]()
+    var groupOps = 0
+    // a prior multi-member flush failure left the guilty txn unknown: this
+    // poll flushes per-txn (bound 0) so any deterministic pill fails alone
+    // and strikes toward quarantine while innocents commit normally
+    val perTxnMode = Files.exists(inbox.resolve(FailedDirName).resolve(FlushFailedMarker))
+    val flushBound = if (perTxnMode) 0 else GroupCommitMaxOps
+    def flushGroup(): Unit = if (group.nonEmpty) {
+      val tF0 = System.nanoTime()
+      try {
+        store.commitTaggedAll(group.map(g => ackJson(g._3)).toSeq)
+        flushCommitNanos += System.nanoTime() - tF0
+        // a BUFFERED store acknowledges commit() at enqueue; the acks'
+        // durable-after-WAL promise requires the drain barrier (no-op on an
+        // unbuffered store) — otherwise a crash could lose txns the clients
+        // were told were applied
+        val tD0 = System.nanoTime()
+        store.drain()
+        flushDrainNanos += System.nanoTime() - tD0
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // a failed group flush leaves COMPLETE txns' ops in the session
+          // log uncommitted — polling again would apply them a SECOND time
+          // on top of the first application's ops, so fail-stop exactly as
+          // a mid-apply throw does (reopen = WAL-prefix recovery = rollback,
+          // next poll re-applies; no ack was written, exactly-once holds).
+          // Strike attribution: a single-member flush IS attributable, so
+          // it records the member's strike toward quarantine. A multi-
+          // member flush is not — instead of striking innocents, drop a
+          // poll-level marker that forces the NEXT poll into per-txn
+          // flushes: a deterministic commit-time pill then fails ALONE,
+          // strikes individually, and quarantines after the usual
+          // [[MaxApplyAttempts]] while every innocent member commits —
+          // liveness without collateral refusals
+          if (group.size == 1) recordFailure(inbox, group.head._2)
+          else Try {
+            Files.createDirectories(inbox.resolve(FailedDirName))
+            Files.writeString(
+              inbox.resolve(FailedDirName).resolve(FlushFailedMarker), "1")
+          }
+          store.remoteApplyPoisoned = true
+          throw new ApplyFailedException(group.head._2, e)
+      }
+      group.foreach { case (dir, txnId, ack) =>
+        store.recordTxnTag(txnId, ackJson(ack))
+        writeJsonAtomic(acksDir.resolve(s"$txnId.json"), ackJson(ack))
+        // a SUCCESSFUL apply clears any prior failure marker: a txn that
+        // fail-stopped once transiently and then succeeded must not carry
+        // that strike toward quarantine forever. Best-effort and
+        // NON-throwing: the txn is durably committed at this point, so a
+        // transient FS error here must not be recorded as a NEW strike
+        // (the acked-txn triage leg also clears markers whenever a crash
+        // leaves the dir in the inbox; a marker that survives a swallowed
+        // delete AND a completed archive merely costs one earlier
+        // quarantine strike if its txnId is ever reused after an operator
+        // purge — bounded, and strictly better than poisoning)
+        Try(Files.deleteIfExists(inbox.resolve(FailedDirName).resolve(txnId)))
+        archive(dir, appliedDir)
+      }
+      group.clear()
+      groupOps = 0
+      flushNanos += System.nanoTime() - tF0
+    }
     todo.foreach { case (dir, txnId) =>
       val ack = applyOne(store, inbox, txnId, loaded(txnId),
         existsAtStart, createdThisPoll, removedThisPoll)
-      writeJsonAtomic(acksDir.resolve(s"$txnId.json"), ackJson(ack))
-      archive(dir, appliedDir)
+      if (ack.applied) {
+        group += ((dir, txnId, ack))
+        groupOps += loaded(txnId).toOption.map(_.size).getOrElse(0)
+        if (groupOps >= flushBound) flushGroup()
+      } else {
+        writeJsonAtomic(acksDir.resolve(s"$txnId.json"), ackJson(ack))
+        archive(dir, appliedDir)
+      }
       acks += ack
     }
+    flushGroup()
+    // every flush of this poll landed: the per-txn degradation (if any) did
+    // its job — the next poll group-commits again
+    if (perTxnMode)
+      Try(Files.deleteIfExists(inbox.resolve(FailedDirName).resolve(FlushFailedMarker)))
+    val tEnd = System.nanoTime()
+    lastPollPhaseNanos = Map(
+      "triage" -> (tLoad0 - tTriage0), "load" -> (tExists0 - tLoad0),
+      "exists" -> (tApply0 - tExists0), "flush" -> flushNanos,
+      "flushCommit" -> flushCommitNanos, "flushDrain" -> flushDrainNanos,
+      "apply" -> (tEnd - tApply0 - flushNanos))
     acks.toSeq
   }
+
+  /** Wall-clock breakdown of the last [[applyPending]] poll that reached
+    * phase 2 — diagnostic only (ServeBench, perf probes).
+    */
+  private[graft] var lastPollPhaseNanos: Map[String, Long] = Map.empty
+
+  /** Session-op cap per group-commit flush: bounds the size of the single
+    * WAL batch a poll publishes (driver-built, one partition — the same
+    * driver-memory contract as the replay bound). Tunable per deployment
+    * via -Dgraft.write.groupOps; a var only as a chunking test seam.
+    */
+  private[graft] var GroupCommitMaxOps: Int =
+    sys.props.get("graft.write.groupOps")
+      .flatMap(s => Try(s.toInt).toOption).getOrElse(100000)
 
   /** Serve loop: poll-and-apply every `pollMs` until `keepGoing` turns
     * false. The minimal continuous server — a caller owning the store runs
@@ -404,6 +518,13 @@ object RemoteWrite {
     }
 
   private val FailedDirName = "_failed"
+
+  /** Poll-level marker under [[FailedDirName]]: a multi-member group flush
+    * failed, guilty member unknown — the next poll flushes per-txn to
+    * attribute it. Cannot collide with a txn strike file: txnIds are
+    * `<clientId>-<seq>` and this name carries no `-<seq>` suffix.
+    */
+  private val FlushFailedMarker = "_flush"
 
   /** Mid-apply failure count for a txn — durable across store reopens
     * (markers live in the inbox, not the store), feeding the quarantine
@@ -524,6 +645,22 @@ object RemoteWrite {
             }
         }
         if (invalid.isDefined) return refused(invalid.get)
+        // encode probe: a value the store model cannot re-encode would
+        // otherwise throw at COMMIT time, where group commit cannot
+        // attribute the failure to a member (see flushGroup) — catching it
+        // here turns a deterministic poison pill into a typed refusal
+        // BEFORE any mutation. Values round-tripped through the client's
+        // parquet shipping normally re-encode fine; this guards asymmetric
+        // models. Cost: one extra encode of value-carrying ops, driver-side
+        ops.foreach {
+          case op @ (GraphOp.NewNode(_, _) | GraphOp.SetValue(_, _)) =>
+            Try(GraphStore.opToRow(store.modelOf, op, 0L)) match {
+              case scala.util.Failure(e) =>
+                return refused(s"op value not encodable by the store model: ${e.getMessage}")
+              case _ => ()
+            }
+          case _ => ()
+        }
         val missing = ops.flatMap(refsOf).filter(_ >= 0).distinct.filterNot(r =>
           (existsAtStart(r) || createdThisPoll(r)) && !removedThisPoll(r))
         if (missing.nonEmpty)
@@ -539,7 +676,11 @@ object RemoteWrite {
         // A throw here leaves the txn un-acked in the inbox; the owner must
         // reopen the store (WAL-prefix recovery), after which the next poll
         // re-applies the txn from scratch — the same fail-stop discipline
-        // as the buffered WAL worker (GraphStore walFailure). The failure
+        // as the buffered WAL worker (GraphStore walFailure). Under group
+        // commit, earlier applied-but-unflushed txns of the SAME group are
+        // equally un-acked and uncommitted, so the reopen rolls them back
+        // too and the next poll re-applies them — no ack was written, so
+        // exactly-once is preserved for every group member. The failure
         // marker feeds the quarantine threshold: a txn that fail-stops
         // [[MaxApplyAttempts]] times is moved aside on the next poll.
         val session = store.session
@@ -554,28 +695,11 @@ object RemoteWrite {
             case GraphOp.RemoveNode(id) => session.remove(resolve(id))
           }
           val ack = TxnAck(txnId, applied = true, mapping.toMap, None)
-          // one WAL batch per txn, TAGGED with its ack: batch-durable ⟺
-          // ack-recoverable, closing the duplicate-apply window (a crash
-          // between drain and ack write replays the recorded ack instead
-          // of re-applying — see applyPending's recovery leg 2)
-          store.commitTagged(Some(ackJson(ack)))
-          // a BUFFERED store acknowledges commit() at enqueue; the ack's
-          // durable-after-WAL promise requires the drain barrier (no-op on
-          // an unbuffered store) — otherwise a crash could lose a txn the
-          // client was told was applied
-          store.drain()
-          store.recordTxnTag(txnId, ackJson(ack))
-          // a SUCCESSFUL apply clears any prior failure marker: a txn that
-          // fail-stopped once transiently and then succeeded must not
-          // carry that strike toward quarantine forever. Best-effort and
-          // NON-throwing: the txn is durably committed at this point, so a
-          // transient FS error here must not be recorded as a NEW strike
-          // (the acked-txn triage leg also clears markers whenever a crash
-          // leaves the dir in the inbox; a marker that survives a swallowed
-          // delete AND a completed archive merely costs one earlier
-          // quarantine strike if its txnId is ever reused after an
-          // operator purge — bounded, and strictly better than poisoning)
-          Try(Files.deleteIfExists(inbox.resolve(FailedDirName).resolve(txnId)))
+          // the ops now sit in the session op log, UNCOMMITTED: durability
+          // (one WAL batch tagged with every member's ack — batch-durable
+          // ⟺ ack-recoverable, see applyPending's recovery leg 2) is the
+          // caller's GROUP flush, so a poll of N applied txns pays one
+          // parquet publish, not N
           createdThisPoll ++= mapping.values
           removedThisPoll ++= ops.collect { case GraphOp.RemoveNode(id) => resolve(id) }
           ack

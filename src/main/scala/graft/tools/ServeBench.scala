@@ -86,12 +86,17 @@ object ServeBench {
     }
     val t0 = System.nanoTime()
     var acked = 0
+    var polls = 0
     while (acked < writeTxns) {
       val got = RemoteWrite.applyPending(store, wInbox).size
       require(got > 0, s"stalled at $acked/$writeTxns acked")
       acked += got
+      polls += 1
     }
     val writeSec = (System.nanoTime() - t0) / 1e9
+    val phases = RemoteWrite.lastPollPhaseNanos.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"$k=${fmt(v / 1e9)}" }.mkString(" ")
+    System.err.println(s"[serve] write polls=$polls last-poll phases: $phases")
 
     println(
       s"""{"metric":"serve","read":{"requests":$nReqs,"ids_per_req":$idsPerReq,""" +

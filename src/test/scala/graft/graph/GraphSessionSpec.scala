@@ -176,6 +176,55 @@ class GraphSessionSpec extends AnyFunSuite {
     assert(g.getValue(a) === Artist(1, "B"))
   }
 
+  test("interleaved new/add batch two-phase collapses: O(1) checkpoints, same state") {
+    val g = GraphSession.inMemory(spark, CatalogueModel, CatRoot: Cat)
+    g.getStats() // flush the root so the measurement sees only the batch
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { actions.add(funcName); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // the write-shipping poll shape: 16 txns of newNode+addTarget each —
+      // 32 alternating runs before the collapse, TWO after it
+      val ids = (1 to 16).map { i =>
+        val n = g.newNode(Song(s"tp$i")); g.addTarget(g.root, n); n
+      }
+      g.applied()
+      var prev = -1; var cur = actions.size(); var spins = 0
+      while (cur != prev || spins < 3) {
+        prev = cur; Thread.sleep(200); cur = actions.size(); spins += 1
+      }
+      val names = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        actions.iterator()).asScala.toList
+      assert(names.size <= 8,
+        s"interleaved new/add must collapse to 2 runs (≤8 actions), saw ${names.size}: $names")
+      assert(g.getStats() === ((17L, 16L, 16L)))
+      ids.foreach(n => assert(g.sources(n) === Seq(g.root)))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("two-phase collapse keeps forward references invalid (defined-before-use)") {
+    val g = GraphSession.inMemory(spark, CatalogueModel, CatRoot: Cat)
+    g.getStats()
+    // reference an id BEFORE the newNode that creates it: a sequential
+    // apply refuses this batch, so the collapse must not quietly legalize
+    // it — the dependency check falls back to consecutive runs and the
+    // in-plan guard aborts the batch
+    val guess = g.idWatermark
+    g.addTarget(g.root, guess)
+    val n = g.newNode(Song("too-late"))
+    assert(n === guess, "fixture must hit the future id for the test to bite")
+    val e = intercept[IllegalArgumentException](g.getStats())
+    assert(e.getMessage.contains("unknown node id"))
+    assert(g.getStats() === ((1L, 0L, 0L)), "aborted batch leaves pre-batch state")
+  }
+
   test("unlinked nodes are invisible to stats (reachability scoping)") {
     val g = GraphSession.inMemory(spark, CatalogueModel, CatRoot: Cat)
     g.newNode(Artist(9, "Orphan"))

@@ -23,6 +23,16 @@ class RemoteWriteSpec extends AnyFunSuite {
   private def freshInbox() =
     Files.createTempDirectory("graft-rw-inbox-").toString
 
+  /** Every WAL batch dir under the store (live events dirs + archive). */
+  private def batchDirs(storeDir: String): Set[String] = {
+    def walk(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+      if (!Files.isDirectory(p)) Seq.empty
+      else GraphStore.listPaths(p).filter(Files.isDirectory(_)).flatMap { k =>
+        if (k.getFileName.toString.startsWith("batch-")) Seq(k) else walk(k)
+      }
+    walk(Paths.get(storeDir)).map(_.toString).toSet
+  }
+
   test("shipped txn applies atomically; ack maps tx-local refs to global ids") {
     val (store, storeDir) = freshStore()
     val inbox = freshInbox()
@@ -57,8 +67,8 @@ class RemoteWriteSpec extends AnyFunSuite {
     assert(store.session.getValue(mj) === Artist(1, "MJ"))
     assert(store.session.sources(mj).size === 2)
 
-    // each applied txn committed as its own WAL batch: a restart replays
-    // everything the acks acknowledged
+    // applied txns are group-committed to the WAL before their acks are
+    // written: a restart replays everything the acks acknowledged
     val statsBefore = store.session.getStats()
     store.close()
     val reopened = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, storeDir)
@@ -426,6 +436,137 @@ class RemoteWriteSpec extends AnyFunSuite {
       "recovered poll must not duplicate the already-durable subgraph")
     assert(reopened.session.getValue(gid) === Song("once"))
     reopened.close()
+  }
+
+  test("group commit: a poll of N applied txns publishes ONE WAL batch tagged with every ack") {
+    val (store, storeDir) = freshStore()
+    val inbox = freshInbox()
+    val ca = new Client(spark, CatalogueModel, inbox, "gc-a")
+    val cb = new Client(spark, CatalogueModel, inbox, "gc-b")
+    val t1 = ca.submit { txn => txn.addTarget(0L, txn.newNode(Song("gc1"))) }
+    val t2 = ca.submit { txn => txn.addTarget(0L, txn.newNode(Song("gc2"))) }
+    val t3 = cb.submit { txn => txn.addTarget(0L, txn.newNode(Genre("gc3"))) }
+    val before = batchDirs(storeDir)
+    val acks = RemoteWrite.applyPending(store, inbox)
+    assert(acks.size === 3 && acks.forall(_.applied))
+    val fresh = (batchDirs(storeDir) -- before).toSeq
+    assert(fresh.size === 1,
+      "3 applied txns must group-commit as ONE WAL publish, not 3")
+    val tagLines = Files.readString(Paths.get(fresh.head).resolve("_txnmeta.json"))
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    assert(tagLines.size === 3, "the group batch must carry every member's ack tag")
+    Seq(t1, t2, t3).foreach(t => assert(tagLines.exists(_.contains(s""""txnId": "$t"""")),
+      s"tag for $t missing from the group batch"))
+    assert(store.session.getStats()._1 === 4L)
+    store.close()
+  }
+
+  test("group crash window: every member's RECORDED ack replays — no duplicate apply") {
+    val dir = Files.createTempDirectory("graft-rw-gcloss-").toString
+    val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val inbox = freshInbox()
+    val client = new Client(spark, CatalogueModel, inbox, "gcloss")
+    var r1 = 0L; var r2 = 0L; var r3 = 0L
+    val t1 = client.submit { txn => r1 = txn.newNode(Song("m1")); txn.addTarget(0L, r1) }
+    val t2 = client.submit { txn => r2 = txn.newNode(Song("m2")); txn.addTarget(0L, r2) }
+    val t3 = client.submit { txn => r3 = txn.newNode(Genre("m3")); txn.addTarget(0L, r3) }
+    RemoteWrite.applyPending(store, inbox)
+    val first = Seq(t1, t2, t3).map(t => t -> client.await(t).assigned).toMap
+    val stats = store.session.getStats()
+    // the crash hit after the ONE group WAL publish but before any of the
+    // three ack/archive writes: all three dirs back in the inbox, un-acked
+    Seq(t1, t2, t3).foreach { t =>
+      Files.delete(Paths.get(inbox).resolve("acks").resolve(s"$t.json"))
+      Files.move(Paths.get(inbox).resolve("applied").resolve(s"$t.txn"),
+        Paths.get(inbox).resolve(s"$t.txn"))
+    }
+    store.abandon()
+    val reopened = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val acks = RemoteWrite.applyPending(reopened, inbox)
+    // the multi-tag batch file must resolve EVERY member through the live
+    // walk: each gets its ORIGINAL mapping back, nothing re-applies
+    assert(acks.map(a => (a.txnId, a.applied, a.assigned)).toSet
+      === Set((t1, true, first(t1)), (t2, true, first(t2)), (t3, true, first(t3))))
+    assert(reopened.session.getStats() === stats,
+      "recovered poll must not duplicate the already-durable subgraph")
+    reopened.close()
+  }
+
+  test("group crash window across close(): the archival sidecar resolves every member") {
+    val dir = Files.createTempDirectory("graft-rw-gcsidecar-").toString
+    val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val inbox = freshInbox()
+    val client = new Client(spark, CatalogueModel, inbox, "gcside")
+    val t1 = client.submit { txn => txn.addTarget(0L, txn.newNode(Song("s1"))) }
+    val t2 = client.submit { txn => txn.addTarget(0L, txn.newNode(Song("s2"))) }
+    RemoteWrite.applyPending(store, inbox)
+    val first = Seq(t1, t2).map(t => t -> client.await(t).assigned).toMap
+    val stats = store.session.getStats()
+    // clean close BETWEEN the poll and the crash simulation: the events dir
+    // archives and its multi-tag batch flattens into _txnmeta-index.json —
+    // recovery must resolve both members from the SIDECAR, not the walk
+    store.close()
+    Seq(t1, t2).foreach { t =>
+      Files.delete(Paths.get(inbox).resolve("acks").resolve(s"$t.json"))
+      Files.move(Paths.get(inbox).resolve("applied").resolve(s"$t.txn"),
+        Paths.get(inbox).resolve(s"$t.txn"))
+    }
+    val reopened = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val acks = RemoteWrite.applyPending(reopened, inbox)
+    assert(acks.map(a => (a.txnId, a.applied, a.assigned)).toSet
+      === Set((t1, true, first(t1)), (t2, true, first(t2))))
+    assert(reopened.session.getStats() === stats)
+    reopened.close()
+  }
+
+  test("multi-member flush failure: no innocent strikes; next poll degrades to per-txn and recovers") {
+    val dir = Files.createTempDirectory("graft-rw-gcfail-").toString
+    val inbox = freshInbox()
+    val client = new Client(spark, CatalogueModel, inbox, "gcfail")
+    val ts = (1 to 3).map(i =>
+      client.submit { txn => txn.addTarget(0L, txn.newNode(Song(s"gf$i"))) })
+    var store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    store.failNextWalPublish = true
+    intercept[ApplyFailedException](RemoteWrite.applyPending(store, inbox))
+    // the guilty member is unknown — nobody may inherit a quarantine
+    // strike; the poll-level marker records the failure instead
+    ts.foreach(t => assert(!Files.exists(Paths.get(inbox).resolve("_failed").resolve(t)),
+      s"innocent member $t must not be struck for an unattributable flush failure"))
+    assert(Files.exists(Paths.get(inbox).resolve("_failed").resolve("_flush")))
+    store.abandon()
+    // recovery poll runs per-txn (one WAL publish per member) so a
+    // deterministic pill would now fail ALONE; here all are innocent —
+    // everything applies and the marker clears
+    store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val before = batchDirs(dir)
+    val acks = RemoteWrite.applyPending(store, inbox)
+    assert(acks.size === 3 && acks.forall(_.applied))
+    assert((batchDirs(dir) -- before).size === 3,
+      "the degraded poll must flush per-txn to attribute any pill")
+    assert(!Files.exists(Paths.get(inbox).resolve("_failed").resolve("_flush")),
+      "a fully-landed poll clears the flush marker — the next poll groups again")
+    assert(store.session.getStats()._1 === 4L)
+    store.close()
+  }
+
+  test("group chunking: the op bound splits a big poll into bounded flushes") {
+    val prev = RemoteWrite.GroupCommitMaxOps
+    try {
+      RemoteWrite.GroupCommitMaxOps = 2
+      val (store, storeDir) = freshStore()
+      val inbox = freshInbox()
+      val c = new Client(spark, CatalogueModel, inbox, "gc-chunk")
+      (1 to 3).foreach(i =>
+        c.submit { txn => txn.addTarget(0L, txn.newNode(Song(s"ch$i"))) })
+      val before = batchDirs(storeDir)
+      val acks = RemoteWrite.applyPending(store, inbox)
+      assert(acks.size === 3 && acks.forall(_.applied))
+      // 2 ops per txn at a 2-op bound: every txn flushes its own batch —
+      // the bound keeps one poll's WAL batch driver-memory-sized
+      assert((batchDirs(storeDir) -- before).size === 3)
+      assert(store.session.getStats()._1 === 4L)
+      store.close()
+    } finally RemoteWrite.GroupCommitMaxOps = prev
   }
 
   test("a poll serving N txns loads them in ONE parquet read") {
