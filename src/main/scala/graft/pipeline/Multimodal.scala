@@ -87,15 +87,31 @@ object Multimodal {
     out.array()
   }
 
+  /** ImageIO decode through an explicitly MEMORY-cached stream. The
+    * `ImageIO.read(InputStream)` convenience wraps its input in a
+    * FILE-cached stream by default (`ImageIO.getUseCache` is true), i.e.
+    * one temp-file create+write+delete per image — for corpus-scale
+    * batches of small images that disk round-trip dominates the actual
+    * codec work. Handing `read` a MemoryCacheImageInputStream keeps the
+    * whole decode in memory without touching the process-global useCache
+    * flag (which other JVM tenants may rely on).
+    */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+
   /** Transcode any ImageIO-readable payload to PNG — a real codec
     * round-trip (PNG deflate). Lossless, so pixel-level oracles replay
     * across it unchanged.
     */
   def transcodePng(bytes: Array[Byte]): Array[Byte] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val img = readImage(bytes)
     require(img != null, "transcodePng: payload not ImageIO-decodable")
     val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", baos)
+    // same memory-cache rationale as [[readImage]]: ImageIO.write to an
+    // OutputStream would spool the encoded PNG through a temp FILE first
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
     baos.toByteArray
   }
 
@@ -127,16 +143,21 @@ object Multimodal {
     * [[fakeDecode]].
     */
   private[pipeline] def decodeImagePixels(bytes: Array[Byte]): (Int, Int, Array[Long]) = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val img = readImage(bytes)
     require(img != null, "decodeImagePixels: payload not ImageIO-decodable")
     val w = img.getWidth
     val h = img.getHeight
     val hist = new Array[Long](8)
+    // bulk getRGB per ROW: per-pixel getRGB pays a color-model conversion
+    // dispatch per call; the row variant converts w pixels per call into a
+    // reused buffer, keeping extra memory O(w) even for tall images
+    val row = new Array[Int](w)
     var y = 0
     while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
       var x = 0
       while (x < w) {
-        hist((img.getRGB(x, y) & 0xff) >>> 5) += 1
+        hist((row(x) & 0xff) >>> 5) += 1
         x += 1
       }
       y += 1

@@ -4,21 +4,24 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev probe: time one declared query at a given SF in a properly forked
   * JVM (sbt console lacks the JDK-17 add-opens flags GraphX needs).
-  * Usage: runMain graft.tools.Probe <queryName> [sfDir]
+  * Usage: runMain graft.tools.Probe <queryName> [sfDir] [repeat]
   */
 object Probe {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sf = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val repeat = if (args.length > 2) args(2).toInt else 1
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val t0 = System.nanoTime()
-    graft.SparkEntry.queries(name)(spark, sf)
-      .write.format("noop").mode("overwrite").save()
-    println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    for (i <- 1 to repeat) {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, sf)
+        .write.format("noop").mode("overwrite").save()
+      println(f"PROBE $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }
