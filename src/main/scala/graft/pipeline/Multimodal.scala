@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   * partition, not per row — the same shape a Pandas-UDF/`mapInPandas`
   * pipeline has in PySpark). Image decode is REAL: BMP/PNG payloads go
   * through JDK `javax.imageio` ([[decodeImages]], and [[decodeFeatures]]
-  * dispatches to it on a strict header sniff). `fakeDecode` remains only
-  * as the fallback for formats ImageIO does not ship a reader for
-  * (JPEG2000, video, audio — no codec libraries in this environment).
+  * dispatches to it on a strict header sniff). Audio decode is REAL too:
+  * RIFF/WAVE PCM payloads go through JDK `javax.sound.sampled`
+  * ([[decodeAudio]], also dispatched from [[decodeFeatures]]).
+  * `fakeDecode` remains only as the fallback for formats the JDK ships no
+  * codec for (JPEG2000, video, compressed audio).
   */
 object Multimodal {
 
@@ -34,11 +36,11 @@ object Multimodal {
     StructField("format", StringType, nullable = true),
     StructField("feature", ArrayType(DoubleType), nullable = true)))
 
-  /** Fallback decoder for formats `javax.imageio` has no reader for
-    * (video/audio/exotic images — no codec libraries in this
-    * environment): a deterministic 8-bucket byte histogram as the
-    * "feature". BMP/PNG payloads never reach this — [[decodeFeatures]]
-    * dispatches them to the real ImageIO path.
+  /** Fallback decoder for formats the JDK has no codec for (video /
+    * compressed audio / exotic images): a deterministic 8-bucket byte
+    * histogram as the "feature". BMP/PNG/WAV payloads never reach this —
+    * [[decodeFeatures]] dispatches them to the real ImageIO /
+    * javax.sound paths.
     */
   private[pipeline] def fakeDecode(bytes: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](8)
@@ -168,9 +170,11 @@ object Multimodal {
   /** Batch decode: one decoder per partition, rows processed in a tight
     * loop — the mapInPandas batch shape. BMP/PNG payloads (strict sniff)
     * decode through REAL ImageIO and the feature is the normalized
-    * luminance histogram; anything else falls back to the byte-histogram
-    * stand-in. Null media → null feature, row preserved (pipelines must
-    * not drop rows on decode failure).
+    * luminance histogram; RIFF/WAVE payloads decode through REAL
+    * javax.sound and the feature is the normalized amplitude histogram;
+    * anything else falls back to the byte-histogram stand-in. Null media
+    * → null feature, row preserved (pipelines must not drop rows on
+    * decode failure).
     */
   def decodeFeatures(media: DataFrame): DataFrame = {
     media.select("media_id", "media", "meta").mapPartitions { it =>
@@ -186,6 +190,10 @@ object Multimodal {
               val (w, h, hist) = decodeImagePixels(bytes)
               val n = w.toLong * h
               hist.map(_.toDouble / n)
+            case None if sniffWav(bytes).isDefined =>
+              val (_, _, n, hist) = decodeAudioSamples(bytes)
+              if (n == 0L) new Array[Double](8)
+              else hist.map(_.toDouble / n)
             case None => fakeDecode(bytes)
           }
           Row(id, bytes.length.toLong, fmt, feature.toSeq)
