@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -19,26 +20,34 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark has no
-    * native type for. Read it as nanos-since-epoch LONG and convert with
-    * integer division (exact — a double intermediate would lose precision
-    * above 2^53 ns). The µs `ts` TRUNCATES sub-microsecond digits (the
-    * data IS ns-granular), so the raw long rides along as `ts_ns` for
-    * consumers whose ORDERING must match an engine that sees full ns
-    * precision — DuckDB reads the same parquet at ns, and two events of
-    * one user inside the same microsecond would order differently by the
-    * truncated ts (r7 orders by ts_ns for exactly this reason).
+  /** The fixture has stored `events.ts` two ways across driver
+    * generations: parquet TIMESTAMP(NANOS) (no native Spark type — read
+    * as nanos-since-epoch LONG via `nanosAsLong`) and, currently,
+    * TIMESTAMP_MICROS (surfaced as TIMESTAMP_NTZ). [[nanosToTs]] adapts to
+    * whichever the file carries, so both generations normalize to the same
+    * two columns: `ts` TIMESTAMP (session tz is UTC everywhere, so the
+    * NTZ→TZ cast is lossless) and `ts_ns` nanos-since-epoch LONG, kept
+    * for consumers whose ORDERING must match an ns-precision engine (r7
+    * orders by ts_ns; under µs data it is exactly unix_micros(ts)·1000,
+    * so the ordering degrades gracefully to µs + event_id on both sides).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     nanosToTs(spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
-  /** The single nanos-LONG → timestamp conversion, shared by the batch
+  /** The single `ts` normalization (see [[events]]), shared by the batch
     * reader above and the streaming reader (EventStreams.readEvents) so
-    * the two can never drift.
+    * the two can never drift. Integer arithmetic only — a double
+    * intermediate would lose precision above 2^53 ns.
     */
   private[graft] def nanosToTs(df: DataFrame): DataFrame =
-    df.withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    df.schema("ts").dataType match {
+      case LongType =>                     // TIMESTAMP(NANOS) read as nanos LONG
+        df.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>                            // TIMESTAMP / TIMESTAMP_NTZ (µs)
+        df.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
 }

@@ -117,6 +117,92 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Build a real RIFF/WAVE file (canonical 44-byte header, PCM_SIGNED
+    * 16-bit mono little-endian) whose i-th sample is
+    * `((payload(i) & 0xff) - 128) * 256` — pure integer arithmetic, so an
+    * oracle can replay every sample (and any histogram over them) from the
+    * payload bytes. Empty payload → a valid zero-sample WAV.
+    */
+  def encodeWav(payload: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+    require(sampleRate > 0, "sampleRate must be positive")
+    val n = payload.length
+    val dataSize = n * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('R'.toByte).put('I'.toByte).put('F'.toByte).put('F'.toByte)
+      .putInt(36 + dataSize)
+      .put('W'.toByte).put('A'.toByte).put('V'.toByte).put('E'.toByte)
+    out.put('f'.toByte).put('m'.toByte).put('t'.toByte).put(' '.toByte)
+      .putInt(16)                                         // fmt chunk size
+      .putShort(1)                                        // PCM
+      .putShort(1)                                        // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)                             // byte rate
+      .putShort(2)                                        // block align
+      .putShort(16)                                       // bits/sample
+    out.put('d'.toByte).put('a'.toByte).put('t'.toByte).put('a'.toByte)
+      .putInt(dataSize)
+    var i = 0
+    while (i < n) {
+      out.putShort((((payload(i) & 0xff) - 128) * 256).toShort)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** Strict RIFF/WAVE sniff: magic, exact RIFF size (= file length − 8),
+    * WAVE form type, and a leading fmt chunk — arbitrary binary that
+    * merely starts with "RIFF" cannot false-positive.
+    */
+  private[pipeline] def sniffWav(bytes: Array[Byte]): Option[String] = {
+    def le32(o: Int): Long =
+      (bytes(o) & 0xffL) | (bytes(o + 1) & 0xffL) << 8 |
+        (bytes(o + 2) & 0xffL) << 16 | (bytes(o + 3) & 0xffL) << 24
+    if (bytes.length >= 44 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      le32(4) == bytes.length - 8L &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E' &&
+      bytes(12) == 'f' && bytes(13) == 'm' && bytes(14) == 't' && bytes(15) == ' ')
+      Some("wav")
+    else None
+  }
+
+  /** REAL audio decode via JDK `javax.sound.sampled`: sample rate,
+    * channel count, per-channel sample count, and an 8-bucket amplitude
+    * histogram (bucket = `(sample + 32768) >>> 13`, i.e. the 16-bit range
+    * split into 8 equal bands — for WAVs built by [[encodeWav]] this is
+    * exactly `payloadByte >> 5`, so oracles replay it from the payload).
+    * Only 16-bit signed PCM is accepted; throws on anything else — callers
+    * that must not fail fall back to [[fakeDecode]].
+    */
+  private[pipeline] def decodeAudioSamples(bytes: Array[Byte]): (Int, Int, Long, Array[Long]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        s"decodeAudioSamples: only PCM_SIGNED supported, got ${fmt.getEncoding}")
+      require(fmt.getSampleSizeInBits == 16,
+        s"decodeAudioSamples: only 16-bit samples supported, got ${fmt.getSampleSizeInBits}")
+      val big = fmt.isBigEndian
+      // whole-payload read mirrors the image path's memory profile: these
+      // are corpus-scale small payloads, one allocation per row
+      val data = ais.readAllBytes()
+      val hist = new Array[Long](8)
+      var nSamples = 0L
+      var i = 0
+      while (i + 1 < data.length) {
+        val s =
+          if (big) (data(i) << 8) | (data(i + 1) & 0xff)
+          else (data(i + 1) << 8) | (data(i) & 0xff)
+        hist((s + 32768) >>> 13) += 1
+        nSamples += 1
+        i += 2
+      }
+      (fmt.getSampleRate.toInt, fmt.getChannels, nSamples, hist)
+    } finally ais.close()
+  }
+
   /** Strict header sniff for the two formats the real decode path owns.
     * BMP must carry a consistent BITMAPINFOHEADER (magic + exact file size
     * + pixel offset 54 + header size 40), so arbitrary text/binary that
@@ -256,6 +342,51 @@ object Multimodal {
         }
       }
     }(Encoders.row(decodedImageSchema))
+
+  /** Synthesize real RIFF/WAVE payloads from raw bytes ([[encodeWav]]):
+    * every payload byte becomes one 16-bit PCM sample. Null media keeps
+    * its row (null payload) — the row-preservation invariant.
+    */
+  def toWavs(media: DataFrame, sampleRate: Int = 8000): DataFrame =
+    media.select("media_id", "media").mapPartitions { it =>
+      // encoder init once per partition (the batch shape)
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (bytes == null) Row(id, null, null)
+        else Row(id, encodeWav(bytes, sampleRate), "wav")
+      }
+    }(Encoders.row(imageSchema))
+
+  val decodedAudioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("amp_hist", ArrayType(LongType), nullable = true)))
+
+  /** REAL decode of audio payloads via JDK `javax.sound.sampled` — no stub
+    * anywhere on this path. Format is re-sniffed from the bytes (not
+    * trusted from metadata); an unsniffable/undecodable payload is a typed
+    * error, a null payload keeps its row with null outputs.
+    */
+  def decodeAudio(media: DataFrame): DataFrame =
+    media.select("media_id", "media").mapPartitions { it =>
+      // javax.sound reader init once per partition (the batch shape)
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (bytes == null) Row(id, null, null, null, null, null)
+        else {
+          val fmt = sniffWav(bytes).getOrElse(
+            throw new IllegalArgumentException(
+              s"decodeAudio: media_id=$id payload is not a RIFF/WAVE file"))
+          val (rate, chans, n, hist) = decodeAudioSamples(bytes)
+          Row(id, fmt, rate, chans, n, hist.toSeq)
+        }
+      }
+    }(Encoders.row(decodedAudioSchema))
 
   val resizedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

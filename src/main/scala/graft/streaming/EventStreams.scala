@@ -24,24 +24,23 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** The events parquet schema as stored (ts = TIMESTAMP(NANOS) read as
-    * nanos LONG; file streams need an explicit schema).
+  /** The events parquet schema as stored (ts = TIMESTAMP_MICROS with no
+    * tz → TIMESTAMP_NTZ; file streams need an explicit schema). Earlier
+    * fixture generations stored TIMESTAMP(NANOS) — batch reads adapt via
+    * Tables.nanosToTs, but a file stream pins the declared type, so this
+    * schema tracks the current fixture.
     */
   val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming read of an events directory with the nanos→timestamp
-    * conversion applied (mirrors graft.Tables.events for batch).
+  /** Streaming read of an events directory with the ts normalization
+    * applied (mirrors graft.Tables.events for batch — same shared helper,
+    * so batch and streaming can never drift).
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    // nanosAsLong is session-global (it changes how every TIMESTAMP(NANOS)
-    // parquet read in this session is typed) — set by both this and the
-    // batch reader, which share one conversion helper (Tables.nanosToTs)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.nanosToTs(spark.readStream.schema(rawSchema).parquet(dir))
-  }
 
   /** Tumbling 1-hour event-time windows with a watermark: counts + sums per
     * (window, event_type). Output mode append emits a window once the
