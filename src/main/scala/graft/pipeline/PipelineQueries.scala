@@ -1081,6 +1081,54 @@ object PipelineQueries {
              |  CAST(COALESCE(SUM(CASE WHEN b = 6 THEN 1 END), 0) AS BIGINT) AS c6,
              |  CAST(COALESCE(SUM(CASE WHEN b = 7 THEN 1 END), 0) AS BIGINT) AS c7
              |FROM src s LEFT JOIN ch ON ch.doc_id = s.doc_id
-             |GROUP BY 1, 2, 3, 4, s.n ORDER BY media_id""".stripMargin))
+             |GROUP BY 1, 2, 3, 4, s.n ORDER BY media_id""".stripMargin)),
+
+    // --------------------------------------- REAL javax.sound audio decode
+    // No stub anywhere on this path: each doc's text bytes become a real
+    // RIFF/WAVE file (PCM_SIGNED 16-bit mono, sample = (byte-128)·256 —
+    // Multimodal.encodeWav), decoded through JDK javax.sound.sampled
+    // (Multimodal.decodeAudio, mapPartitions batch shape, format
+    // re-sniffed from the bytes). Because the sample mapping is pure
+    // integer arithmetic, DuckDB replays sample count, rate, channels and
+    // every amplitude-histogram count from the text's code points (ASCII
+    // corpus: byte == code point): n_samples = octet_length, and byte b's
+    // sample lands in amplitude bucket (b·256 + 32768) >> 13 = b >> 5.
+    Q("px33_audio_decode",
+      (s, d) => {
+        val media = docs(s, d).select(
+          col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("media"))
+        val decoded = Multimodal.decodeAudio(Multimodal.toWavs(media, sampleRate = 8000))
+        val counts = (0 until 8).map(j =>
+          element_at(col("amp_hist"), j + 1).as(s"c$j"))
+        decoded.select(
+          Seq(col("media_id"), col("format"),
+            col("sample_rate").cast("bigint").as("sample_rate"),
+            col("channels").cast("bigint").as("channels"),
+            col("n_samples")) ++ counts: _*)
+          .orderBy("media_id")
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+             |), ch AS (
+             |  SELECT doc_id, unicode(c) // 32 AS b
+             |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+             |        FROM documents)
+             |  WHERE c <> ''
+             |)
+             |SELECT s.doc_id AS media_id, 'wav' AS format,
+             |  CAST(8000 AS BIGINT) AS sample_rate,
+             |  CAST(1 AS BIGINT) AS channels,
+             |  CAST(s.n AS BIGINT) AS n_samples,
+             |  CAST(COALESCE(SUM(CASE WHEN b = 0 THEN 1 END), 0) AS BIGINT) AS c0,
+             |  CAST(COALESCE(SUM(CASE WHEN b = 1 THEN 1 END), 0) AS BIGINT) AS c1,
+             |  CAST(COALESCE(SUM(CASE WHEN b = 2 THEN 1 END), 0) AS BIGINT) AS c2,
+             |  CAST(COALESCE(SUM(CASE WHEN b = 3 THEN 1 END), 0) AS BIGINT) AS c3,
+             |  CAST(COALESCE(SUM(CASE WHEN b = 4 THEN 1 END), 0) AS BIGINT) AS c4,
+             |  CAST(COALESCE(SUM(CASE WHEN b = 5 THEN 1 END), 0) AS BIGINT) AS c5,
+             |  CAST(COALESCE(SUM(CASE WHEN b = 6 THEN 1 END), 0) AS BIGINT) AS c6,
+             |  CAST(COALESCE(SUM(CASE WHEN b = 7 THEN 1 END), 0) AS BIGINT) AS c7
+             |FROM src s LEFT JOIN ch ON ch.doc_id = s.doc_id
+             |GROUP BY 1, 2, 3, 4, 5 ORDER BY media_id""".stripMargin))
   )
 }

@@ -59,6 +59,8 @@ object ScaleRehearsal {
     "px18_dedup_representatives" -> Set("documents"),
     "px24_decontaminate" -> Set("documents"),
     "px25_shared_spans" -> Set("documents"),
+    "px32_imageio_decode" -> Set("documents"),
+    "px33_audio_decode" -> Set("documents"),
     "px16_approx_stats" -> Set("documents"),
     "px29_composed" -> Set("documents"),
     "px30_char_budget" -> Set("documents"),

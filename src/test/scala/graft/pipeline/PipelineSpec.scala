@@ -529,6 +529,63 @@ class PipelineSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("not a BMP/PNG")))
   }
 
+  test("real javax.sound decode: WAV samples round-trip exactly") {
+    import spark.implicits._
+    val payload = Array.tabulate[Byte](100)(i => (i * 5).toByte)
+    val rows: Seq[(Long, Array[Byte])] =
+      Seq((1L, payload), (2L, Array.empty[Byte]), (3L, null))
+    val wavs = Multimodal.toWavs(rows.toDF("media_id", "media"), sampleRate = 8000)
+      .orderBy("media_id").collect()
+    assert(wavs(0).getString(2) === "wav")
+    assert(wavs(2).isNullAt(1) && wavs(2).isNullAt(2), "null row preserved")
+    val wavBytes = wavs(0).getAs[Array[Byte]](1)
+    assert(wavBytes.length === 44 + 200, "44-byte canonical header + 2 bytes/sample")
+
+    val decoded = Multimodal.decodeAudio(
+      Multimodal.toWavs(rows.toDF("media_id", "media"), 8000))
+      .orderBy("media_id").collect()
+    val expected = new Array[Long](8)
+    payload.foreach(b => expected((b & 0xff) >>> 5) += 1)
+    assert(decoded(0).getInt(2) === 8000 && decoded(0).getInt(3) === 1)
+    assert(decoded(0).getLong(4) === 100L)
+    assert(decoded(0).getSeq[Long](5) === expected.toSeq,
+      "amplitude histogram must replay the payload bytes exactly (bucket = b >> 5)")
+    // empty payload: a VALID zero-sample WAV, not an error
+    assert(decoded(1).getLong(4) === 0L)
+    assert(decoded(1).getSeq[Long](5).sum === 0L)
+    assert(decoded(2).isNullAt(1) && decoded(2).isNullAt(5), "null row preserved")
+
+    // undecodable payload is a typed error on the strict path
+    val bad: Seq[(Long, Array[Byte])] = Seq((9L, "not audio at all".getBytes))
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudio(bad.toDF("media_id", "media")).collect()
+    }
+    assert(err.getMessage.contains("not a RIFF/WAVE") ||
+      Option(err.getCause).exists(_.getMessage.contains("not a RIFF/WAVE")))
+  }
+
+  test("strict sniff: RIFF prefix alone cannot false-positive as WAV; dispatch is real") {
+    val trap = ("RIFF" + "x" * 100).getBytes // magic but inconsistent size field
+    assert(Multimodal.sniffWav(trap) === None)
+    val wav = Multimodal.encodeWav(Array[Byte](1, 2, 3), 8000)
+    assert(Multimodal.sniffWav(wav) === Some("wav"))
+    assert(Multimodal.sniffImage(wav) === None, "formats must not cross-sniff")
+    assert(Multimodal.sniffWav(Multimodal.encodeBmp(Array[Byte](1, 2, 3), 4)) === None)
+    // dispatch: a real WAV through decodeFeatures uses javax.sound
+    // (histogram over 16-bit SAMPLES), not the byte-histogram fallback —
+    // all-100 payload bytes land the whole mass in amplitude bucket 3,
+    // while the byte fallback would see the RIFF header bytes too
+    import spark.implicits._
+    val rows = Seq((1L, Multimodal.encodeWav(Array.fill[Byte](8)(100), 8000), ("wav", 0, 0)))
+      .toDF("media_id", "media", "m")
+      .select(col("media_id"), col("media"),
+        struct(col("m._1").as("format"), col("m._2").as("width"),
+          col("m._3").as("height")).as("meta"))
+    val feat = Multimodal.decodeFeatures(rows).collect()(0).getSeq[Double](3)
+    assert(feat(100 >>> 5) === 1.0,
+      "all-100 samples must land the whole mass in amplitude bucket 3")
+  }
+
   test("strict sniff: text starting with BM cannot false-positive as an image") {
     val trap = ("BM" + "x" * 100).getBytes // magic but inconsistent size fields
     assert(Multimodal.sniffImage(trap) === None)
