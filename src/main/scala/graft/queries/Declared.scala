@@ -218,10 +218,13 @@ object Declared {
     // Window ranking. rnk cast to BIGINT to match DuckDB's ROW_NUMBER type.
     Q("r7_window_rank",
       (s, d) => {
-        // order by the RAW ns long, not the µs-truncated ts: DuckDB's side
-        // orders by its ns-precision timestamp, and two events of one user
-        // within the same microsecond would otherwise tie here (falling to
-        // event_id) while the oracle separates them — rank divergence
+        // order by ts_ns, the finest time grain the loader exposes: under a
+        // TIMESTAMP(NANOS) fixture that is the raw ns long (DuckDB orders by
+        // its ns-precision timestamp, and two events of one user within the
+        // same microsecond would otherwise tie here while the oracle
+        // separates them); under the current µs fixture ts_ns is
+        // unix_micros·1000, so both engines tie at µs and fall to event_id
+        // identically either way
         val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
         t(s, d, "events")
           .withColumn("rnk", row_number().over(w).cast("bigint"))
