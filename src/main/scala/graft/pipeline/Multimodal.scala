@@ -36,6 +36,22 @@ object Multimodal {
     StructField("format", StringType, nullable = true),
     StructField("feature", ArrayType(DoubleType), nullable = true)))
 
+  /** Codec stages cost orders of magnitude more per BYTE than the scan
+    * that feeds them (WAV ~30 µs/row, PNG encode ~180 µs/row vs ~0.1 µs
+    * to scan a 300-byte document), so a corpus that fits in fewer parquet
+    * splits than the cluster has cores would run the decode nearly
+    * serially — maxPartitionBytes splits by input bytes, which is the
+    * wrong unit for compute-bound stages. Widen to the session's default
+    * parallelism when (and only when) the incoming partitioning is
+    * narrower: one narrow-payload shuffle here buys full-core decode. At
+    * real corpus scale the scan already yields splits ≫ cores and this
+    * is a structural no-op — no shuffle is added.
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Fallback decoder for formats the JDK has no codec for (video /
     * compressed audio / exotic images): a deterministic 8-bucket byte
     * histogram as the "feature". BMP/PNG/WAV payloads never reach this —
@@ -167,17 +183,74 @@ object Multimodal {
     else None
   }
 
+  /** The `javax.sound` SPI readers, loaded ONCE and then dispatched to
+    * directly. `AudioSystem.getAudioInputStream` re-runs synchronized
+    * ServiceLoader provider discovery on EVERY call (the JDK13Services
+    * provider cache was removed in JDK 9) — measured ~50 µs per call
+    * single-threaded, and the global lock serializes all executor
+    * threads (16-thread aggregate throughput measured BELOW
+    * single-thread). Loading the SPI list once per partition keeps the
+    * decode on the real JDK codec while removing the per-row registry
+    * walk; the actual WAV header-parse + sample read is ~5 µs and scales
+    * linearly.
+    */
+  private[pipeline] def loadAudioReaders(): Array[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val buf = scala.collection.mutable.ArrayBuffer[javax.sound.sampled.spi.AudioFileReader]()
+    while (it.hasNext) buf += it.next()
+    buf.toArray
+  }
+
+  /** Open an AudioInputStream over in-memory bytes via the cached SPI
+    * readers (first reader that accepts the format wins — the same
+    * dispatch AudioSystem performs, minus its per-call provider walk).
+    *
+    * The reader that succeeds is MOVED TO THE FRONT of the (partition-
+    * local, single-threaded) array: provider order puts
+    * SoftMidiAudioFileReader before WaveFileReader, and the MIDI
+    * reader's format sniff itself re-runs the synchronized MidiSystem
+    * provider walk on every call — jstack-sampled as ~95% of px33's
+    * executor time at 100×. After the first row, a homogeneous batch
+    * goes straight to its working codec.
+    */
+  private def openAudioStream(readers: Array[javax.sound.sampled.spi.AudioFileReader],
+      bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    var i = 0
+    while (i < readers.length) {
+      try {
+        val ais = readers(i).getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        if (i > 0) {                       // move-to-front for the next row
+          val hit = readers(i)
+          System.arraycopy(readers, 0, readers, 1, i)
+          readers(0) = hit
+        }
+        return ais
+      } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+      i += 1
+    }
+    // no SPI provider accepted it (or none registered) — the slow but
+    // complete path, also the source of the canonical error message
+    javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
   /** REAL audio decode via JDK `javax.sound.sampled`: sample rate,
     * channel count, per-channel sample count, and an 8-bucket amplitude
     * histogram (bucket = `(sample + 32768) >>> 13`, i.e. the 16-bit range
     * split into 8 equal bands — for WAVs built by [[encodeWav]] this is
     * exactly `payloadByte >> 5`, so oracles replay it from the payload).
     * Only 16-bit signed PCM is accepted; throws on anything else — callers
-    * that must not fail fall back to [[fakeDecode]].
+    * that must not fail fall back to [[fakeDecode]]. Pass the partition's
+    * cached [[loadAudioReaders]] result; the no-arg overload (tests,
+    * one-off use) loads them per call.
     */
-  private[pipeline] def decodeAudioSamples(bytes: Array[Byte]): (Int, Int, Long, Array[Long]) = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+  private[pipeline] def decodeAudioSamples(bytes: Array[Byte]): (Int, Int, Long, Array[Long]) =
+    decodeAudioSamples(bytes, loadAudioReaders())
+
+  private[pipeline] def decodeAudioSamples(bytes: Array[Byte],
+      readers: Array[javax.sound.sampled.spi.AudioFileReader]): (Int, Int, Long, Array[Long]) = {
+    val ais = openAudioStream(readers, bytes)
     try {
       val fmt = ais.getFormat
       require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
@@ -263,8 +336,10 @@ object Multimodal {
     * decode failure).
     */
   def decodeFeatures(media: DataFrame): DataFrame = {
-    media.select("media_id", "media", "meta").mapPartitions { it =>
-      // decoder init would happen HERE, once per partition
+    widen(media.select("media_id", "media", "meta")).mapPartitions { it =>
+      // decoder init ONCE per partition: the audio SPI readers (lazy —
+      // partitions with no WAV payloads never load them)
+      lazy val audioReaders = loadAudioReaders()
       it.map { r =>
         val id = r.getLong(0)
         val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
@@ -277,7 +352,7 @@ object Multimodal {
               val n = w.toLong * h
               hist.map(_.toDouble / n)
             case None if sniffWav(bytes).isDefined =>
-              val (_, _, n, hist) = decodeAudioSamples(bytes)
+              val (_, _, n, hist) = decodeAudioSamples(bytes, audioReaders)
               if (n == 0L) new Array[Double](8)
               else hist.map(_.toDouble / n)
             case None => fakeDecode(bytes)
@@ -300,7 +375,7 @@ object Multimodal {
     * its row (null payload), the row-preservation invariant.
     */
   def toImages(media: DataFrame, width: Int, pngForOdd: Boolean = true): DataFrame =
-    media.select("media_id", "media").mapPartitions { it =>
+    widen(media.select("media_id", "media")).mapPartitions { it =>
       // encoder init once per partition (the batch shape)
       it.map { r =>
         val id = r.getLong(0)
@@ -327,7 +402,7 @@ object Multimodal {
     * null payload keeps its row with null outputs.
     */
   def decodeImages(media: DataFrame): DataFrame =
-    media.select("media_id", "media").mapPartitions { it =>
+    widen(media.select("media_id", "media")).mapPartitions { it =>
       // ImageIO reader init once per partition (the batch shape)
       it.map { r =>
         val id = r.getLong(0)
@@ -348,7 +423,7 @@ object Multimodal {
     * its row (null payload) — the row-preservation invariant.
     */
   def toWavs(media: DataFrame, sampleRate: Int = 8000): DataFrame =
-    media.select("media_id", "media").mapPartitions { it =>
+    widen(media.select("media_id", "media")).mapPartitions { it =>
       // encoder init once per partition (the batch shape)
       it.map { r =>
         val id = r.getLong(0)
@@ -372,8 +447,11 @@ object Multimodal {
     * error, a null payload keeps its row with null outputs.
     */
   def decodeAudio(media: DataFrame): DataFrame =
-    media.select("media_id", "media").mapPartitions { it =>
-      // javax.sound reader init once per partition (the batch shape)
+    widen(media.select("media_id", "media")).mapPartitions { it =>
+      // javax.sound SPI reader init ONCE per partition (the batch shape —
+      // see loadAudioReaders for why per-row AudioSystem dispatch is a
+      // scale-killer: synchronized per-call provider discovery)
+      val audioReaders = loadAudioReaders()
       it.map { r =>
         val id = r.getLong(0)
         val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
@@ -382,7 +460,7 @@ object Multimodal {
           val fmt = sniffWav(bytes).getOrElse(
             throw new IllegalArgumentException(
               s"decodeAudio: media_id=$id payload is not a RIFF/WAVE file"))
-          val (rate, chans, n, hist) = decodeAudioSamples(bytes)
+          val (rate, chans, n, hist) = decodeAudioSamples(bytes, audioReaders)
           Row(id, fmt, rate, chans, n, hist.toSeq)
         }
       }
