@@ -46,6 +46,15 @@ object Multimodal {
     * narrower: one narrow-payload shuffle here buys full-core decode. At
     * real corpus scale the scan already yields splits ≫ cores and this
     * is a structural no-op — no shuffle is added.
+    *
+    * Applied only to the guaranteed-codec ops (toImages / toWavs /
+    * decodeImages / decodeAudio). NOT applied to [[decodeFeatures]] /
+    * [[resize]]: their dominant path on non-codec payloads is the ~1 µs
+    * byte-histogram / subsample, i.e. scan-cost work where the extra
+    * stage is pure overhead — and when they do meet real codec payloads,
+    * those arrived either from toImages/toWavs (already widened, and the
+    * chain between is narrow) or from a stored corpus whose scan splits
+    * exceed cores at any real size.
     */
   private def widen(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
@@ -336,7 +345,7 @@ object Multimodal {
     * decode failure).
     */
   def decodeFeatures(media: DataFrame): DataFrame = {
-    widen(media.select("media_id", "media", "meta")).mapPartitions { it =>
+    media.select("media_id", "media", "meta").mapPartitions { it =>
       // decoder init ONCE per partition: the audio SPI readers (lazy —
       // partitions with no WAV payloads never load them)
       lazy val audioReaders = loadAudioReaders()
