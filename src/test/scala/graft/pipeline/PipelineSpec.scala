@@ -564,6 +564,27 @@ class PipelineSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("not a RIFF/WAVE")))
   }
 
+  test("codec stages widen a narrow scan; cheap stages and wide inputs stay put") {
+    import spark.implicits._
+    val rows: Seq[(Long, Array[Byte])] =
+      (0L until 64L).map(i => (i, Array.tabulate[Byte](40)(j => (i + j).toByte)))
+    val p = spark.sparkContext.defaultParallelism
+    // a single-split source (the one-59MB-file shape that ran the 100x
+    // decode on one task) must fan out to the session's parallelism
+    val narrow = rows.toDF("media_id", "media").coalesce(1)
+    assert(Multimodal.toWavs(narrow).rdd.getNumPartitions === p,
+      "codec synthesis on a narrow scan must widen to defaultParallelism")
+    assert(Multimodal.decodeAudio(Multimodal.toWavs(narrow)).rdd.getNumPartitions === p,
+      "the downstream decode must inherit the widened partitioning, not re-shuffle")
+    // an input already wider than the session keeps its partitioning
+    val wide = rows.toDF("media_id", "media").repartition(p + 3)
+    assert(Multimodal.toImages(wide, width = 8).rdd.getNumPartitions === p + 3,
+      "widen must be a no-op when splits >= cores (no shuffle added at corpus scale)")
+    // scan-cost stages take no widen stage at all
+    assert(Multimodal.resize(narrow, outLen = 4).rdd.getNumPartitions === 1,
+      "resize is scan-cost work and must not pay a widen shuffle")
+  }
+
   test("strict sniff: RIFF prefix alone cannot false-positive as WAV; dispatch is real") {
     val trap = ("RIFF" + "x" * 100).getBytes // magic but inconsistent size field
     assert(Multimodal.sniffWav(trap) === None)
