@@ -1129,6 +1129,42 @@ object PipelineQueries {
              |  CAST(COALESCE(SUM(CASE WHEN b = 6 THEN 1 END), 0) AS BIGINT) AS c6,
              |  CAST(COALESCE(SUM(CASE WHEN b = 7 THEN 1 END), 0) AS BIGINT) AS c7
              |FROM src s LEFT JOIN ch ON ch.doc_id = s.doc_id
-             |GROUP BY 1, 2, 3, 4, 5 ORDER BY media_id""".stripMargin))
+             |GROUP BY 1, 2, 3, 4, 5 ORDER BY media_id""".stripMargin)),
+
+    // ------------------------------------------- video-shaped frame sampling
+    // sampleFrames chunking as a declared query: every 2nd 32-byte chunk
+    // of each doc's payload becomes a frame row (posexplode over a
+    // computed chunk index — where a real demuxer's keyframe offsets
+    // would go). Pure integer arithmetic + substring, so DuckDB replays
+    // every frame's index, length, and content from the text itself
+    // (ASCII corpus: byte == char). Empty payloads keep their row with
+    // null frame columns (the row-preservation invariant, explode_outer).
+    Q("px34_frame_sample",
+      (s, d) => {
+        val media = docs(s, d).select(
+          col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("media"))
+        Multimodal.sampleFrames(media, chunkBytes = 32, stride = 2)
+          .select(col("media_id"),
+            col("frame_idx").cast("bigint").as("frame_idx"),
+            octet_length(col("frame")).cast("bigint").as("frame_len"),
+            decode(col("frame"), "UTF-8").as("frame_text"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id, text,
+             |    CAST(CEIL(octet_length(encode(text)) / 32.0) AS BIGINT) AS n_chunks
+             |  FROM documents
+             |), idx AS (
+             |  SELECT doc_id, UNNEST(range(0, n_chunks, 2)) AS fi
+             |  FROM src WHERE n_chunks > 0
+             |)
+             |SELECT s.doc_id AS media_id,
+             |  CAST(i.fi AS BIGINT) AS frame_idx,
+             |  CAST(octet_length(encode(substring(s.text, i.fi * 32 + 1, 32)))
+             |    AS BIGINT) AS frame_len,
+             |  substring(s.text, i.fi * 32 + 1, 32) AS frame_text
+             |FROM src s LEFT JOIN idx i ON i.doc_id = s.doc_id
+             |ORDER BY media_id, frame_idx""".stripMargin))
   )
 }

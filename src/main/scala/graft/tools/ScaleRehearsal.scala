@@ -61,6 +61,7 @@ object ScaleRehearsal {
     "px25_shared_spans" -> Set("documents"),
     "px32_imageio_decode" -> Set("documents"),
     "px33_audio_decode" -> Set("documents"),
+    "px34_frame_sample" -> Set("documents"),
     "px16_approx_stats" -> Set("documents"),
     "px29_composed" -> Set("documents"),
     "px30_char_budget" -> Set("documents"),
