@@ -1165,6 +1165,87 @@ object PipelineQueries {
              |    AS BIGINT) AS frame_len,
              |  substring(s.text, i.fi * 32 + 1, 32) AS frame_text
              |FROM src s LEFT JOIN idx i ON i.doc_id = s.doc_id
-             |ORDER BY media_id, frame_idx""".stripMargin))
+             |ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // ------------------------------------------------------ PII redaction
+    // The corpus is synthetic word-salad with no natural PII, so the query
+    // plants deterministic PII derived from doc_id (same pattern as the
+    // px32/px33 codec payloads) and both engines scrub the identical dirty
+    // text: counts from the pre-redaction text, then email→ip→phone masks
+    // applied in sequence. Hash-checks the full redacted output via md5.
+    Q("px35_pii_redact",
+      (s, d) => {
+        val dirty = concat(col("text"),
+          lit(" reach user"), col("doc_id").cast("string"),
+          lit("@mail"), (col("doc_id") % 7).cast("string"),
+          lit(".org via 10."), (col("doc_id") % 200).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 250).cast("string"),
+          lit(".9 tel 555-"),
+          lpad(((col("doc_id") * 31) % 10000).cast("string"), 4, "0"))
+        TextAnalysis.redactPii(
+          docs(s, d).select(col("doc_id"), dirty.as("text")), "text", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH dirty AS (
+             |  SELECT doc_id,
+             |    text || ' reach user' || doc_id || '@mail' || (doc_id % 7)
+             |      || '.org via 10.' || (doc_id % 200) || '.'
+             |      || ((doc_id * 7) % 250) || '.9 tel 555-'
+             |      || lpad(CAST((doc_id * 31) % 10000 AS VARCHAR), 4, '0')
+             |      AS t
+             |  FROM documents
+             |), red AS (
+             |  SELECT doc_id, t,
+             |    regexp_replace(
+             |      regexp_replace(
+             |        regexp_replace(t,
+             |          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             |        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+             |      '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS r
+             |  FROM dirty)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(t,
+             |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+             |  CAST(len(regexp_extract_all(t,
+             |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+             |  CAST(len(regexp_extract_all(t, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phone,
+             |  length(r) AS redacted_len,
+             |  md5(r) AS redacted_hash
+             |FROM red ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------- RAG chunking/overlap
+    Q("px36_chunk_overlap",
+      (s, d) => TextAnalysis.chunk(docs(s, d), "text", "doc_id",
+          chunkChars = 200, stride = 150)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH e AS (
+             |  SELECT doc_id, text,
+             |    unnest(range(0,
+             |      1 + (greatest(length(text) - 200, 0) + 149) // 150))
+             |      AS chunk_idx
+             |  FROM documents)
+             |SELECT doc_id, chunk_idx,
+             |  length(substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200))
+             |    AS chunk_chars,
+             |  md5(substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200))
+             |    AS chunk_hash
+             |FROM e ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ------------------------------------------------- bigram LM counts
+    Q("px37_bigram_topk",
+      (s, d) => TextAnalysis.bigramCounts(docs(s, d), "text")
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(20),
+      Some("""WITH t AS (
+             |  SELECT list_filter(
+             |    string_split_regex(trim(lower(text)), '\s+'),
+             |    x -> x <> '') AS toks
+             |  FROM documents
+             |), b AS (
+             |  SELECT unnest(list_transform(range(1, len(toks)),
+             |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+             |  FROM t WHERE len(toks) >= 2)
+             |SELECT bigram, count(*) AS cnt FROM b
+             |GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin))
   )
 }

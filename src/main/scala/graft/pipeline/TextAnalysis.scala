@@ -173,6 +173,88 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("dfreq"), col("rnk"))
   }
 
+  /** PII redaction — the scrubbing pass a training corpus runs before
+    * anything else sees the text: count and mask emails, IPv4 addresses,
+    * and NANP-style phone numbers. Patterns are deliberately restricted to
+    * syntax shared verbatim by Java regex (Spark) and RE2 (DuckDB):
+    * character classes, `{m,}` intervals, and ASCII `\b` word boundaries —
+    * no backrefs or lookaround, so the px35 oracle is exact.
+    *
+    * Redaction is sequential (email → ip → phone) over the SAME dirty
+    * text the counts were taken from, so a masked email can never hide an
+    * IP that was present in the input. Counts via regexp_count and
+    * replacement via regexp_replace are both codegen'd per-row
+    * expressions: no shuffle, scales with input splits — at 100 TB this
+    * is a pure map stage fused into the scan.
+    */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Pattern  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\b555-[0-9]{4}\\b"
+
+  def redactPii(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+        PhonePattern, "<PHONE>")
+    df.select(
+      col(idCol),
+      regexp_count(t, lit(EmailPattern)).cast("bigint").as("n_email"),
+      regexp_count(t, lit(Ipv4Pattern)).cast("bigint").as("n_ipv4"),
+      regexp_count(t, lit(PhonePattern)).cast("bigint").as("n_phone"),
+      length(redacted).cast("bigint").as("redacted_len"),
+      md5(redacted).as("redacted_hash"))
+  }
+
+  /** Fixed-size character chunking with overlap — the RAG/embedding prep
+    * step: split each document into windows of `chunkChars` starting every
+    * `stride` characters (stride < chunkChars ⇒ overlapping windows; the
+    * final window may be shorter). A document always yields ≥ 1 chunk
+    * (empty text → one empty chunk), and the chunk count is
+    * `1 + ceil(max(len - chunkChars, 0) / stride)` — integer arithmetic
+    * only, so Spark and DuckDB agree exactly.
+    *
+    * Scale: sequence+explode is a per-row generator — no shuffle, and the
+    * ~chunkChars/stride× row blowup happens AFTER the scan inside the same
+    * stage, so the 100 TB cost is the write, not a shuffle. Chunks are
+    * emitted as (offset, length, md5) — the caller re-slices the text
+    * lazily rather than materializing every overlapping copy.
+    */
+  def chunk(df: DataFrame, textCol: String, idCol: String,
+      chunkChars: Int = 200, stride: Int = 150): DataFrame = {
+    require(chunkChars > 0 && stride > 0, "chunkChars and stride must be > 0")
+    val len = length(col(textCol)).cast("bigint")
+    val nChunks = lit(1L) +
+      (greatest(len - chunkChars, lit(0L)) + (stride - 1)) / lit(stride.toLong)
+    val piece = col(textCol).substr(
+      (col("chunk_idx") * stride + 1).cast("int"), lit(chunkChars))
+    df.select(col(idCol), col(textCol),
+      explode(sequence(lit(0L), nChunks.cast("long") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        length(piece).cast("bigint").as("chunk_chars"),
+        md5(piece).as("chunk_hash"))
+  }
+
+  /** Corpus bigram counts — the n-gram language-model statistic (and the
+    * usual first look at corpus composition). Bigrams are generated
+    * per-row with a guarded sequence (Spark's sequence() auto-reverses
+    * when start > stop, so docs with < 2 tokens must short-circuit to an
+    * empty array, not sequence(0,-1)); the only shuffle is the final
+    * count aggregation, which map-side combines — at 100 TB the shuffled
+    * payload is the distinct-bigram set per partition, not the corpus.
+    */
+  def bigramCounts(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    df.select(explode(bigrams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Rolling document fingerprint: min/max/count sketch of xxhash64 over
     * the 3-gram shingle set — a 1-permutation MinHash. Identical documents
     * (post-tokenization) get identical fingerprints; any changed word flips

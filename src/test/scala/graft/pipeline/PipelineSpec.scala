@@ -840,4 +840,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(q(0).getAs[Long]("n_tokens") === 0L)
     assert(q(2).getAs[Double]("stop_ratio") === 0.3333)
   }
+
+  test("redactPii masks email/ip/phone and counts match hand-count") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b@x.co and c@y.org then 10.0.0.1 call 555-0199"),
+      (2L, "no pii here"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_email") === 2L)
+    assert(out(0).getAs[Long]("n_ipv4") === 1L)
+    assert(out(0).getAs[Long]("n_phone") === 1L)
+    // masks really replaced the matches: redacted length = template length
+    val expected = "mail <EMAIL> and <EMAIL> then <IP> call <PHONE>".length.toLong
+    assert(out(0).getAs[Long]("redacted_len") === expected)
+    assert(out(1).getAs[Long]("n_email") === 0L)
+    assert(out(2).getAs[Long]("redacted_len") === 0L)
+  }
+
+  test("chunk covers every char, overlaps by chunk-stride, and is exact on boundaries") {
+    import spark.implicits._
+    // len 350 = 200 + exactly one stride → 2 chunks, second is full-width
+    // len 120 < chunk → 1 chunk; empty text → 1 empty chunk
+    val df = Seq(
+      (1L, "a" * 350), (2L, "b" * 120), (3L, ""), (4L, "c" * 351))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(df, "text", "doc_id", 200, 150)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "chunk_chars")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 0L, 200L), (1L, 1L, 200L),
+      (2L, 0L, 120L),
+      (3L, 0L, 0L),
+      (4L, 0L, 200L), (4L, 1L, 200L), (4L, 2L, 51L)))
+  }
+
+  test("bigramCounts: bag semantics, lowercase, <2-token docs contribute nothing") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The cat sat"), (2L, "the cat"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCounts(df, "text")
+      .orderBy(col("cnt").desc, col("bigram"))
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("the cat", 2L), ("cat sat", 1L)))
+  }
 }
