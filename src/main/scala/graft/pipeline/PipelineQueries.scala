@@ -1246,6 +1246,34 @@ object PipelineQueries {
              |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
              |  FROM t WHERE len(toks) >= 2)
              |SELECT bigram, count(*) AS cnt FROM b
-             |GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin))
+             |GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin)),
+
+    // -------------------------------------------- int8 embedding quantize
+    // Codes are bit-exact across engines because the scale arithmetic is
+    // written with one operand order ((x*127.0)/maxAbs + 0.5, floored) —
+    // IEEE ops on identical doubles are correctly rounded, so no rounding
+    // fudge is needed: the oracle compares raw integer code sums/extremes.
+    Q("px38_embed_quantize",
+      (s, d) => Similarity.quantizeInt8(embs(s, d), "vec_id", "embedding")
+        .orderBy("vec_id"),
+      Some("""WITH v AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             |), m AS (
+             |  SELECT vec_id, e,
+             |    list_max(list_transform(e, x -> abs(x))) AS ma
+             |  FROM v
+             |), c AS (
+             |  SELECT vec_id,
+             |    CASE WHEN ma > 0 THEN list_transform(e,
+             |           x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT))
+             |         ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END
+             |      AS codes
+             |  FROM m)
+             |SELECT vec_id,
+             |  CAST(len(codes) AS BIGINT) AS n_dims,
+             |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+             |  CAST(list_min(codes) AS BIGINT) AS code_min,
+             |  CAST(list_max(codes) AS BIGINT) AS code_max
+             |FROM c ORDER BY vec_id""".stripMargin))
   )
 }

