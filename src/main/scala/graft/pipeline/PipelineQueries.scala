@@ -1274,6 +1274,22 @@ object PipelineQueries {
              |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
              |  CAST(list_min(codes) AS BIGINT) AS code_min,
              |  CAST(list_max(codes) AS BIGINT) AS code_max
-             |FROM c ORDER BY vec_id""".stripMargin))
+             |FROM c ORDER BY vec_id""".stripMargin)),
+
+    // -------------------------------------------- robust length outliers
+    Q("px39_length_outliers",
+      (s, d) => TextAnalysis.lengthOutliers(docs(s, d), "n_chars", "source")
+        .orderBy("source"),
+      Some("""WITH m AS (
+             |  SELECT source, CAST(median(n_chars) * 2 AS BIGINT) AS m2
+             |  FROM documents GROUP BY source)
+             |SELECT d.source,
+             |  count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN d.n_chars * 4 > m.m2 * 3 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_high,
+             |  CAST(sum(CASE WHEN d.n_chars * 4 < m.m2 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_low
+             |FROM documents d JOIN m ON d.source = m.source
+             |GROUP BY d.source ORDER BY d.source""".stripMargin))
   )
 }

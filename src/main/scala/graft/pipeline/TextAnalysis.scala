@@ -255,6 +255,32 @@ object TextAnalysis {
       .groupBy("bigram").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Robust length-outlier detection — the curation screen for truncated
+    * and runaway documents: flag docs shorter than half or longer than 1.5×
+    * their group's median length. The median of integer lengths is exact
+    * on both engines (interpolation of two integers at g=0.5 is an exact
+    * double either way it's written), and the flags compare only integers
+    * (`4·len > 3·(2·median)` ⟺ len > 1.5·median), so the px39 oracle has
+    * no floating tie class at all.
+    *
+    * Scale: one partial-agg shuffle for the per-group medians (exact
+    * percentile here; at 100 TB swap in approx_percentile — the flag
+    * arithmetic is unchanged), then the tiny median table broadcasts back
+    * onto the scan for the per-doc flags and a second map-side-combined
+    * count. No per-doc sort, no window.
+    */
+  def lengthOutliers(df: DataFrame, lenCol: String, groupCol: String): DataFrame = {
+    val med2 = df.groupBy(groupCol)
+      .agg((expr(s"percentile($lenCol, 0.5)") * 2).cast("bigint").as("_m2"))
+    df.select(col(groupCol), col(lenCol).cast("bigint").as("_len"))
+      .join(broadcast(med2), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("_len") * 4 > col("_m2") * 3, 1L).otherwise(0L)).as("n_high"),
+        sum(when(col("_len") * 4 < col("_m2"), 1L).otherwise(0L)).as("n_low"))
+  }
+
   /** Rolling document fingerprint: min/max/count sketch of xxhash64 over
     * the 3-gram shingle set — a 1-permutation MinHash. Identical documents
     * (post-tokenization) get identical fingerprints; any changed word flips

@@ -62,6 +62,10 @@ object ScaleRehearsal {
     "px32_imageio_decode" -> Set("documents"),
     "px33_audio_decode" -> Set("documents"),
     "px34_frame_sample" -> Set("documents"),
+    "px35_pii_redact" -> Set("documents"),
+    "px36_chunk_overlap" -> Set("documents"),
+    "px37_bigram_topk" -> Set("documents"),
+    "px38_embed_quantize" -> Set("embeddings"),
     "px16_approx_stats" -> Set("documents"),
     "px29_composed" -> Set("documents"),
     "px30_char_budget" -> Set("documents"),

@@ -896,6 +896,20 @@ class PipelineSpec extends AnyFunSuite {
       (3L, 1L, -127L, -127L, -127L)))
   }
 
+  test("lengthOutliers: integer flags around an exact group median") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 10L), ("a", 20L), ("a", 30L), ("a", 100L), // median 25 → m2 50
+      ("b", 5L), ("b", 7L), ("b", 9L))                 // median 7  → m2 14
+      .toDF("source", "n_chars")
+    val out = TextAnalysis.lengthOutliers(df, "n_chars", "source")
+      .orderBy("source")
+      .select("source", "n_docs", "n_high", "n_low")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // a: high ⟺ len > 37.5 (only 100); low ⟺ len < 12.5 (only 10)
+    assert(out === Seq(("a", 4L, 1L, 1L), ("b", 3L, 0L, 0L)))
+  }
+
   test("bigramCounts: bag semantics, lowercase, <2-token docs contribute nothing") {
     import spark.implicits._
     val df = Seq(
