@@ -38,6 +38,57 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Bag (duplicate-preserving) n-gram shingles — the counting form the
+  * bigram language-model statistic needs (px37): same tight loop as
+  * [[Shingles]] but emitting every occurrence in order. The
+  * `transform(sequence(0, size-2), i -> concat(...))` column form this
+  * replaces is an interpreted lambda (CodegenFallback) and was the
+  * slowest per-row cost in the bench (px37: 5.5 s → sub-second at sf0.1).
+  */
+case class ShinglesBag(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles_bag"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingles_bag requires array<string>, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShinglesBag.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShinglesBag.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesBag =
+    copy(child = newChild)
+}
+
+object ShinglesBag {
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Static helper invoked from generated code — must stay public. */
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val count = tokens.numElements() - n + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(SPACE, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(col: Column, n: Int): Column =
+    GraftShim.column(ShinglesBag(GraftShim.expression(col), n))
+}
+
 object Shingles {
   private val SPACE = UTF8String.fromString(" ")
 

@@ -99,6 +99,10 @@ object GraftExtensions {
       new ExpressionInfo("graft.functions.Shingles", "shingles"),
       (children: Seq[Expression]) =>
         Shingles(children.head, intArg(children(1), "shingles"))),
+    (new FunctionIdentifier("shingles_bag"),
+      new ExpressionInfo("graft.functions.ShinglesBag", "shingles_bag"),
+      (children: Seq[Expression]) =>
+        ShinglesBag(children.head, intArg(children(1), "shingles_bag"))),
     (new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo("graft.functions.CosineSim", "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children.head, children(1))),

@@ -238,22 +238,19 @@ object TextAnalysis {
   }
 
   /** Corpus bigram counts — the n-gram language-model statistic (and the
-    * usual first look at corpus composition). Bigrams are generated
-    * per-row with a guarded sequence (Spark's sequence() auto-reverses
-    * when start > stop, so docs with < 2 tokens must short-circuit to an
-    * empty array, not sequence(0,-1)); the only shuffle is the final
-    * count aggregation, which map-side combines — at 100 TB the shuffled
-    * payload is the distinct-bigram set per partition, not the corpus.
+    * usual first look at corpus composition). Bigrams come from the native
+    * ShinglesBag expression (one codegen'd pass per row; the
+    * transform(sequence(...)) column form it replaced is an interpreted
+    * lambda and was the slowest per-row cost in the bench — 5.5 s → <1 s
+    * at sf0.1); docs with < 2 tokens yield an empty bag. The only shuffle
+    * is the final count aggregation, which map-side combines — at 100 TB
+    * the shuffled payload is the distinct-bigram set per partition, not
+    * the corpus.
     */
-  def bigramCounts(df: DataFrame, textCol: String): DataFrame = {
-    val toks = tokens(lower(col(textCol)))
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2))))
-      .otherwise(array().cast("array<string>"))
-    df.select(explode(bigrams).as("bigram"))
+  def bigramCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(
+      graft.functions.ShinglesBag(tokens(lower(col(textCol))), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cnt"))
-  }
 
   /** Robust length-outlier detection — the curation screen for truncated
     * and runaway documents: flag docs shorter than half or longer than 1.5×

@@ -54,6 +54,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(hs.isNullAt(0) && hs.isNullAt(1) && hs.getLong(2) === 0L)
   }
 
+  test("shingles_bag preserves duplicates in order; shingles is its distinct form") {
+    import spark.implicits._
+    val df = Seq((1L, Seq("a", "b", "a", "b", "a")), (2L, Seq("x")), (3L, Seq.empty[String]))
+      .toDF("id", "toks")
+    val rows = df.select(col("id"),
+      ShinglesBag(col("toks"), 2).as("bag"),
+      Shingles(col("toks"), 2).as("set"))
+      .orderBy("id")
+      .as[(Long, Seq[String], Seq[String])].collect().toSeq
+    assert(rows(0)._2 === Seq("a b", "b a", "a b", "b a"))
+    assert(rows(0)._3 === Seq("a b", "b a"))
+    assert(rows(1)._2 === Nil && rows(2)._2 === Nil)
+    // SQL surface agrees with the Column API
+    df.createOrReplaceTempView("fx_bag")
+    val viaSql = spark.sql(
+      "SELECT shingles_bag(toks, 2) AS bag FROM fx_bag ORDER BY id").collect()
+    assert(viaSql(0).getSeq[String](0) === Seq("a b", "b a", "a b", "b a"))
+  }
+
   test("minhash_bands matches the transform/slice/concat_ws composition it replaced") {
     import spark.implicits._
     val df = Seq(Seq("a b c", "b c d", "c d e"), Seq("x y z"))
