@@ -99,6 +99,38 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one get_json_object in:\n$p")
   }
 
+  test("px37 bigrams: native bag expression, partial agg, pruned 1-column scan, top-k") {
+    val p = plan("px37_bigram_topk")
+    assert(!p.contains("lambdafunction"),
+      s"interpreted lambda crept back into the bigram path:\n$p")
+    assert(p.contains("shingles_bag"), s"native bag expression missing:\n$p")
+    assert(p.contains("partial_count"),
+      s"bigram counts must combine map-side before the shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must not globally sort:\n$p")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read == "text:string", s"scan must read only text, got: $read")
+  }
+
+  test("px38 quantize / px35 redact: pure map stages — no shuffle except output order") {
+    for (name <- Seq("px38_embed_quantize", "px35_pii_redact")) {
+      val p = plan(name)
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges <= 1,
+        s"$name must have at most the presentation-sort exchange, got $exchanges:\n$p")
+      assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+        s"$name must not join:\n$p")
+    }
+  }
+
+  test("px39 outliers: exact medians broadcast back, counts combine map-side") {
+    val p = plan("px39_length_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the tiny median table must broadcast onto the scan:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"flag counts must combine map-side:\n$p")
+  }
+
   test("r17 range join: band dimension broadcast (fact side never shuffles)") {
     val p = plan("r17_range_join")
     assert(p.contains("BroadcastNestedLoopJoin"),
