@@ -1290,6 +1290,35 @@ object PipelineQueries {
              |  CAST(sum(CASE WHEN d.n_chars * 4 < m.m2 THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_low
              |FROM documents d JOIN m ON d.source = m.source
-             |GROUP BY d.source ORDER BY d.source""".stripMargin))
+             |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
+    // --------------------------------------------- OOV-bigram surprisal
+    Q("px40_oov_bigrams",
+      (s, d) => TextAnalysis.oovBigrams(docs(s, d), "text", "doc_id", k = 200)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(trim(lower(text)), '\s+'),
+             |    x -> x <> '') AS toks
+             |  FROM documents
+             |), b AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+             |  FROM t WHERE len(toks) >= 2
+             |), top AS (
+             |  SELECT bigram FROM (
+             |    SELECT bigram, count(*) AS c FROM b
+             |    GROUP BY 1 ORDER BY c DESC, bigram LIMIT 200)
+             |), oov AS (
+             |  SELECT doc_id, count(*) AS n_oov FROM b
+             |  WHERE bigram NOT IN (SELECT bigram FROM top)
+             |  GROUP BY doc_id
+             |), n AS (
+             |  SELECT doc_id, greatest(len(toks) - 1, 0) AS n_bigrams FROM t)
+             |SELECT n.doc_id, n.n_bigrams,
+             |  COALESCE(oov.n_oov, 0) AS n_oov,
+             |  (COALESCE(oov.n_oov, 0) * 2 > n.n_bigrams) AS mostly_oov
+             |FROM n LEFT JOIN oov ON n.doc_id = oov.doc_id
+             |ORDER BY n.doc_id""".stripMargin))
   )
 }

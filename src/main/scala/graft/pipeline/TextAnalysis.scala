@@ -252,6 +252,37 @@ object TextAnalysis {
       graft.functions.ShinglesBag(tokens(lower(col(textCol))), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cnt"))
 
+  /** Out-of-vocabulary bigram scoring — the cheap LM-free surprisal proxy:
+    * fit a top-k bigram vocabulary over the corpus (count desc, bigram asc
+    * tie-break — fully deterministic), broadcast it back, and score each
+    * document by how many of its bigrams fall outside it. Degenerate or
+    * off-domain text scores high. Output is integers plus a
+    * `2·n_oov > n_bigrams` majority flag, so the px40 oracle is exact.
+    *
+    * Scale: the fit is one vocabulary-bounded aggregation (map-side
+    * combine) + TakeOrderedAndProject; the score side re-explodes the
+    * corpus against the BROADCAST top-k (left_anti) — no corpus-side
+    * shuffle join. At 100 TB you'd persist the fitted vocabulary and run
+    * only the score pass per batch; the shapes here are exactly those two
+    * passes.
+    */
+  def oovBigrams(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 200): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val base = df.select(col(idCol),
+      graft.functions.ShinglesBag(toks, 2).as("_bag"),
+      greatest(size(toks) - 1, lit(0)).cast("bigint").as("n_bigrams"))
+    val ex = base.select(col(idCol), explode(col("_bag")).as("_bigram"))
+    val top = ex.groupBy("_bigram").agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("_bigram")).limit(k).select("_bigram")
+    val oov = ex.join(broadcast(top), Seq("_bigram"), "left_anti")
+      .groupBy(idCol).agg(count(lit(1)).as("n_oov"))
+    base.select(col(idCol), col("n_bigrams"))
+      .join(oov, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_oov"))
+      .withColumn("mostly_oov", col("n_oov") * 2 > col("n_bigrams"))
+  }
+
   /** Robust length-outlier detection — the curation screen for truncated
     * and runaway documents: flag docs shorter than half or longer than 1.5×
     * their group's median length. The median of integer lengths is exact

@@ -896,6 +896,26 @@ class PipelineSpec extends AnyFunSuite {
       (3L, 1L, -127L, -127L, -127L)))
   }
 
+  test("oovBigrams: top-k membership, zero-bigram docs, majority flag") {
+    import spark.implicits._
+    // "a b" appears 3x (in-vocab at k=1); everything else is OOV
+    val df = Seq(
+      (1L, "a b a b"),   // bigrams: a b, b a, a b → 1 OOV of 3
+      (2L, "a b"),       // 1 bigram, in vocab → 0 OOV
+      (3L, "x y z"),     // 2 bigrams, both OOV → mostly_oov
+      (4L, "solo"))      // 0 bigrams
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.oovBigrams(df, "text", "doc_id", k = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "n_oov", "mostly_oov")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, 3L, 1L, false),
+      (2L, 1L, 0L, false),
+      (3L, 2L, 2L, true),
+      (4L, 0L, 0L, false)))
+  }
+
   test("lengthOutliers: integer flags around an exact group median") {
     import spark.implicits._
     val df = Seq(
