@@ -66,6 +66,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === expected, "stateless gate: stream must equal batch")
   }
 
+  test("PII scrub and chunking run unchanged on a stream (== batch)") {
+    // px35/px36 are stateless per-row transforms (chunking is a per-row
+    // generator), so the exact operator code must serve a readStream
+    // ingest path verbatim — scrub-then-chunk at ingest is the standard
+    // corpus ETL shape.
+    val srcDir = Files.createTempDirectory("graft-stream-px3536-")
+    Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      srcDir.resolve("documents.parquet"))
+    val batch = graft.Tables.load(spark, sf, "documents")
+    val stream = spark.readStream.schema(batch.schema)
+      .parquet(srcDir.toString)
+    val q1 = graft.pipeline.TextAnalysis.redactPii(stream, "text", "doc_id")
+      .writeStream.format("memory").queryName("scrub_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val q2 = graft.pipeline.TextAnalysis.chunk(stream, "text", "doc_id", 200, 150)
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(120000); q2.awaitTermination(120000)
+    def scrubKey(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))
+    def chunkKey(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))
+    val scrubStreamed = spark.table("scrub_stream").collect().map(scrubKey).toMap
+    val scrubExpected = graft.pipeline.TextAnalysis.redactPii(batch, "text", "doc_id")
+      .collect().map(scrubKey).toMap
+    assert(scrubStreamed === scrubExpected, "stateless scrub: stream must equal batch")
+    val chunkStreamed = spark.table("chunk_stream").collect().map(chunkKey).toMap
+    val chunkExpected = graft.pipeline.TextAnalysis.chunk(batch, "text", "doc_id", 200, 150)
+      .collect().map(chunkKey).toMap
+    assert(chunkStreamed === chunkExpected, "per-row chunk generator: stream must equal batch")
+    assert(chunkExpected.nonEmpty && scrubExpected.nonEmpty)
+  }
+
   test("sessionization via flatMapGroupsWithState") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
