@@ -588,6 +588,50 @@ object Declared {
              |  COUNT(*) AS events
              |FROM sx GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // --------------------------------------------------------------- R25
+    // Ordered-funnel analysis: per user, the earliest view, the earliest
+    // click strictly after it, and the earliest purchase strictly after
+    // that — the classic conversion-funnel shape. Expressed as three
+    // user-keyed min-aggregations chained by joins (every shuffle is on
+    // user_id, the natural key; no per-user sort, no window over the whole
+    // event stream), which is the form that survives a 10^9-user corpus.
+    // Timestamps are exported as epoch-micros BIGINT so the oracle compare
+    // is integer-exact.
+    Q("r25_funnel",
+      (s, d) => {
+        val ev = graft.Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("_us"))
+        val v = ev.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("_us")).as("t_view"))
+        val c = ev.where(col("event_type") === "click")
+          .join(v, "user_id").where(col("_us") > col("t_view"))
+          .groupBy("user_id").agg(min(col("_us")).as("t_click"))
+        val p = ev.where(col("event_type") === "purchase")
+          .join(c, "user_id").where(col("_us") > col("t_click"))
+          .groupBy("user_id").agg(min(col("_us")).as("t_purchase"))
+        v.join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"))
+          .orderBy("user_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, MIN(epoch_us(ts)) AS t_view
+             |  FROM events WHERE event_type = 'view' GROUP BY user_id
+             |), c AS (
+             |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+             |  FROM events e JOIN v ON e.user_id = v.user_id
+             |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+             |  GROUP BY e.user_id
+             |), p AS (
+             |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+             |  FROM events e JOIN c ON e.user_id = c.user_id
+             |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+             |  GROUP BY e.user_id)
+             |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+             |FROM v LEFT JOIN c ON v.user_id = c.user_id
+             |       LEFT JOIN p ON v.user_id = p.user_id
+             |ORDER BY v.user_id""".stripMargin)),
+
     // ---------------------------------------------------------------- X1
     Q("x1_dedup_counts",
       (s, d) =>
