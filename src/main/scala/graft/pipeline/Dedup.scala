@@ -30,6 +30,50 @@ object Dedup {
   def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
     df.groupBy(keyCols.map(col): _*).agg(min(col(idCol)).as(idCol))
 
+  /** Incremental dedup of a NEW batch against an EXISTING corpus — the
+    * continuous-ingest shape: keep only batch documents whose key does not
+    * already exist. A Bloom filter over the existing keys (Spark's own
+    * BloomFilterAggregate / BloomFilterMightContain — the machinery behind
+    * its runtime row-group filtering) prefilters the batch:
+    * bloom-NEGATIVE rows are definitively new (no false negatives) and
+    * bypass the join entirely; only bloom-positive candidates (true dups +
+    * the fpp sliver) reach the exact anti-join. At 100 TB that join
+    * shuffles ~dup-rate·batch instead of the whole batch, and the existing
+    * corpus ships as one bounded bitmap (numBits/8 bytes through the
+    * driver — same bounded-collect class as Decontaminate's broadcast
+    * guard), never as a shuffled side.
+    *
+    * Exactness does not depend on the bloom (candidates are anti-joined
+    * against the real keys), so the result equals a plain anti-join —
+    * which is the px41 oracle and a spec property.
+    */
+  def incrementalNew(existing: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val h = xxhash64(col(textCol))
+    val bloomAgg = GraftShim.column(
+      new BloomFilterAggregate(GraftShim.expression(h),
+        Literal(expectedItems), Literal(math.max(expectedItems * 8L, 64L)))
+        .toAggregateExpression())
+    val bloomBytes = existing.select(bloomAgg.as("_bf")).head().getAs[Array[Byte]]("_bf")
+    if (bloomBytes == null) {
+      // empty existing corpus → aggregate yields NULL → everything is new
+      batch.select(col(idCol))
+    } else {
+      val might = GraftShim.column(BloomFilterMightContain(
+        Literal.create(bloomBytes, BinaryType), GraftShim.expression(h)))
+      val definiteNew = batch.where(not(might)).select(col(idCol))
+      val survivors = batch.where(might)
+        .join(existing.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
+        .select(col(idCol))
+      definiteNew.unionByName(survivors)
+    }
+  }
+
   /** Default document-frequency cap for [[ngramJaccardPairs]]: a shingle in
     * more than this many documents is a stop-shingle (boilerplate) carrying
     * no near-dup signal, and every document pair inside its bucket is a

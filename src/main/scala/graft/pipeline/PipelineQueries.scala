@@ -1319,6 +1319,27 @@ object PipelineQueries {
              |  COALESCE(oov.n_oov, 0) AS n_oov,
              |  (COALESCE(oov.n_oov, 0) * 2 > n.n_bigrams) AS mostly_oov
              |FROM n LEFT JOIN oov ON n.doc_id = oov.doc_id
-             |ORDER BY n.doc_id""".stripMargin))
+             |ORDER BY n.doc_id""".stripMargin)),
+
+    // --------------------------------------------- incremental ingest dedup
+    // Split the corpus by id parity (scale-factor-independent): evens are
+    // the EXISTING corpus, odds the NEW batch. The bloom prefilter is an
+    // implementation detail exactness never depends on, so the oracle is
+    // the plain NOT IN form.
+    Q("px41_incremental_dedup",
+      (s, d) => {
+        val all = docs(s, d)
+        Dedup.incrementalNew(
+          existing = all.where(col("doc_id") % 2 === 0),
+          batch = all.where(col("doc_id") % 2 === 1),
+          idCol = "doc_id", textCol = "text",
+          expectedItems = 100000L)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id FROM documents
+             |WHERE doc_id % 2 = 1
+             |  AND text NOT IN
+             |    (SELECT text FROM documents WHERE doc_id % 2 = 0)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

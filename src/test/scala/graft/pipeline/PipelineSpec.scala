@@ -896,6 +896,25 @@ class PipelineSpec extends AnyFunSuite {
       (3L, 1L, -127L, -127L, -127L)))
   }
 
+  test("incrementalNew == plain anti-join; empty corpus keeps everything") {
+    import spark.implicits._
+    val existing = Seq((0L, "alpha"), (2L, "beta"), (4L, "gamma"))
+      .toDF("doc_id", "text")
+    val batch = Seq((1L, "alpha"), (3L, "delta"), (5L, "beta"), (7L, "epsilon"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalNew(existing, batch, "doc_id", "text",
+      expectedItems = 100L)
+      .as[Long].collect().sorted.toSeq
+    assert(kept === Seq(3L, 7L), "dups vs existing must be dropped")
+    val plain = batch.join(existing.select("text"), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === plain, "bloom prefilter must not change the result")
+    val all = Dedup.incrementalNew(existing.limit(0), batch, "doc_id", "text",
+      expectedItems = 100L)
+      .as[Long].collect().sorted.toSeq
+    assert(all === Seq(1L, 3L, 5L, 7L), "empty corpus → whole batch is new")
+  }
+
   test("oovBigrams: top-k membership, zero-bigram docs, majority flag") {
     import spark.implicits._
     // "a b" appears 3x (in-vocab at k=1); everything else is OOV
