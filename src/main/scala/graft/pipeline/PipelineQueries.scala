@@ -1340,6 +1340,50 @@ object PipelineQueries {
              |WHERE doc_id % 2 = 1
              |  AND text NOT IN
              |    (SELECT text FROM documents WHERE doc_id % 2 = 0)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------- BPE merge training
+    // The oracle REPLAYS the training loop: 5 chained stages, each picking
+    // the argmax pair from the current word table and re-merging via plain
+    // leftmost-non-overlapping replace() — semantics shared exactly by
+    // both engines (see TextAnalysis.bpeTrain).
+    Q("px42_bpe_train",
+      (s, d) => TextAnalysis.bpeTrain(docs(s, d), "text", merges = 5),
+      Some {
+        val base =
+          """WITH wc AS (
+            |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+            |    SELECT unnest(list_filter(
+            |      string_split_regex(trim(lower(text)), '\s+'),
+            |      x -> x <> '')) AS w
+            |    FROM documents) GROUP BY w
+            |), w0 AS (
+            |  SELECT '#' || array_to_string(
+            |      list_filter(string_split_regex(w, ''), x -> x <> ''), '##')
+            |    || '#' AS repr, cnt
+            |  FROM wc
+            |)""".stripMargin
+        def stage(k: Int) =
+          s""", p$k AS (
+             |  SELECT syms[gi] AS pl, syms[gi + 1] AS pr,
+             |    CAST(SUM(cnt) AS BIGINT) AS c
+             |  FROM (
+             |    SELECT syms, cnt, unnest(range(1, len(syms))) AS gi FROM (
+             |      SELECT string_split(trim(repr, '#'), '##') AS syms, cnt
+             |      FROM w${k - 1} WHERE len(repr) > 0))
+             |  GROUP BY pl, pr ORDER BY c DESC, pl, pr LIMIT 1
+             |), w$k AS (
+             |  SELECT replace(repr,
+             |    '#' || (SELECT pl FROM p$k) || '##' || (SELECT pr FROM p$k) || '#',
+             |    '#' || (SELECT pl FROM p$k) || (SELECT pr FROM p$k) || '#') AS repr,
+             |    cnt
+             |  FROM w${k - 1}
+             |)""".stripMargin
+        val stages = (1 to 5).map(stage).mkString
+        val out = (1 to 5).map(k =>
+          s"SELECT CAST($k AS BIGINT) AS step, pl, pr, c AS pair_count FROM p$k")
+          .mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
+        base + stages + out
+      })
   )
 }

@@ -283,6 +283,64 @@ object TextAnalysis {
       .withColumn("mostly_oov", col("n_oov") * 2 > col("n_bigrams"))
   }
 
+  /** BPE merge-rule training — the real tokenizer-fitting loop: start from
+    * characters, repeatedly count adjacent symbol pairs (weighted by word
+    * frequency), merge the most frequent pair everywhere, emit the rule.
+    * Ties break (count desc, left asc, right asc) so the learned table is
+    * fully deterministic, and every step is replayable in SQL: the symbol
+    * sequence is encoded as `#a##b##c#` (# never appears in a token) and a
+    * merge is a plain leftmost non-overlapping `replace()` — the exact
+    * greedy pairing BPE uses, with identical semantics in Spark and
+    * DuckDB, which is what makes the px42 oracle an actual cross-engine
+    * replay of the training loop.
+    *
+    * Scale: each step is one distributed pair-count aggregation over the
+    * DISTINCT-WORD table (vocabulary-sized, not corpus-sized — the corpus
+    * is scanned once to build word counts) plus a 1-row argmax collect;
+    * the re-merge is a stacked per-row `replace` projection, lazily
+    * composed so K steps stay one job chain. The driver holds only the
+    * K-row rule table — the model.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = df.sparkSession
+    require(!df.isStreaming, "bpeTrain is a batch model-fitting operator")
+    val wc = df.select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    var words = wc.select(
+      concat(lit("#"),
+        concat_ws("##", graft.functions.DropEmpty(split(col("w"), ""))),
+        lit("#")).as("repr"),
+      col("cnt"))
+    // K is small (a model has tens of thousands of rules; the declared
+    // query fits 5) but each loop appends a projection — checkpoint the
+    // lineage if callers push K high.
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var done = false
+    for (k <- 1 to merges if !done) {
+      val syms = split(expr("trim(BOTH '#' FROM repr)"), "##")
+      val top = words
+        .select(col("cnt"), syms.as("_s"))
+        .where(size(col("_s")) >= 2)
+        .select(col("cnt"), explode(sequence(lit(1), size(col("_s")) - 1)).as("_i"),
+          col("_s"))
+        .select(element_at(col("_s"), col("_i")).as("pl"),
+          element_at(col("_s"), col("_i") + 1).as("pr"), col("cnt"))
+        .groupBy("pl", "pr").agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("pl"), col("pr"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        rules += ((k.toLong, l, r, c))
+        words = words.select(
+          replace(col("repr"), lit(s"#$l##$r#"), lit(s"#$l$r#")).as("repr"),
+          col("cnt"))
+      }
+    }
+    import spark.implicits._
+    rules.toSeq.toDF("step", "pl", "pr", "pair_count").orderBy("step")
+  }
+
   /** Robust length-outlier detection — the curation screen for truncated
     * and runaway documents: flag docs shorter than half or longer than 1.5×
     * their group's median length. The median of integer lengths is exact

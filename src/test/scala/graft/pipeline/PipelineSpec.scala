@@ -896,6 +896,23 @@ class PipelineSpec extends AnyFunSuite {
       (3L, 1L, -127L, -127L, -127L)))
   }
 
+  test("bpeTrain learns hand-computed merges and stops when no pairs remain") {
+    import spark.implicits._
+    // corpus: "aaab" x3, "ab" x2
+    // step 1: (a,a) appears twice per aaab -> 6  > (a,b) 3+2=5    -> merge aa
+    // step 2: syms aaab=[aa,a,b]: (aa,a)=3, (a,b)=3+2=5           -> merge ab
+    // step 3: [aa,ab]: (aa,ab)=3                                  -> merge aaab
+    // step 4: no adjacent pairs left anywhere -> early stop at 3 rules
+    val df = Seq((1L, "aaab aaab"), (2L, "aaab ab ab"))
+      .toDF("doc_id", "text")
+    val rules = TextAnalysis.bpeTrain(df, "text", merges = 5)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(rules === Seq(
+      (1L, "a", "a", 6L),
+      (2L, "a", "b", 5L),
+      (3L, "aa", "ab", 3L)))
+  }
+
   test("incrementalNew == plain anti-join; empty corpus keeps everything") {
     import spark.implicits._
     val existing = Seq((0L, "alpha"), (2L, "beta"), (4L, "gamma"))
