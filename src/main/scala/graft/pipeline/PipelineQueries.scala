@@ -1384,6 +1384,63 @@ object PipelineQueries {
           s"SELECT CAST($k AS BIGINT) AS step, pl, pr, c AS pair_count FROM p$k")
           .mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
         base + stages + out
+      }),
+
+    // --------------------------------------------------- BPE encode/apply
+    // Tokenize the corpus with the px42-fitted merges: per document,
+    // word/symbol/char counts through the final vocabulary. The oracle
+    // re-runs the same 5-stage replay (carrying the word column) and joins
+    // it back onto the exploded corpus.
+    Q("px43_bpe_encode",
+      (s, d) => TextAnalysis.bpeEncode(docs(s, d), "text", "doc_id", merges = 5)
+        .orderBy("doc_id"),
+      Some {
+        val base =
+          """WITH wc AS (
+            |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+            |    SELECT unnest(list_filter(
+            |      string_split_regex(trim(lower(text)), '\s+'),
+            |      x -> x <> '')) AS w
+            |    FROM documents) GROUP BY w
+            |), w0 AS (
+            |  SELECT w, '#' || array_to_string(
+            |      list_filter(string_split_regex(w, ''), x -> x <> ''), '##')
+            |    || '#' AS repr, cnt
+            |  FROM wc
+            |)""".stripMargin
+        def stage(k: Int) =
+          s""", p$k AS (
+             |  SELECT syms[gi] AS pl, syms[gi + 1] AS pr, SUM(cnt) AS c
+             |  FROM (
+             |    SELECT syms, cnt, unnest(range(1, len(syms))) AS gi FROM (
+             |      SELECT string_split(trim(repr, '#'), '##') AS syms, cnt
+             |      FROM w${k - 1}))
+             |  GROUP BY pl, pr ORDER BY c DESC, pl, pr LIMIT 1
+             |), w$k AS (
+             |  SELECT w, replace(repr,
+             |    '#' || (SELECT pl FROM p$k) || '##' || (SELECT pr FROM p$k) || '#',
+             |    '#' || (SELECT pl FROM p$k) || (SELECT pr FROM p$k) || '#') AS repr,
+             |    cnt
+             |  FROM w${k - 1}
+             |)""".stripMargin
+        val stages = (1 to 5).map(stage).mkString
+        val tail =
+          """, vocab AS (
+            |  SELECT w, CAST(len(string_split(trim(repr, '#'), '##')) AS BIGINT)
+            |    AS syms
+            |  FROM w5
+            |), tok AS (
+            |  SELECT doc_id, unnest(list_filter(
+            |    string_split_regex(trim(lower(text)), '\s+'),
+            |    x -> x <> '')) AS w
+            |  FROM documents)
+            |SELECT t.doc_id,
+            |  COUNT(*) AS n_words,
+            |  CAST(SUM(v.syms) AS BIGINT) AS n_symbols,
+            |  CAST(SUM(length(t.w)) AS BIGINT) AS n_chars
+            |FROM tok t JOIN vocab v ON t.w = v.w
+            |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+        base + stages + tail
       })
   )
 }

@@ -301,12 +301,20 @@ object TextAnalysis {
     * composed so K steps stay one job chain. The driver holds only the
     * K-row rule table — the model.
     */
-  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame =
+    bpeFit(df, textCol, merges)._1
+
+  /** The shared fit: returns (rule table, final word→repr vocabulary).
+    * The vocabulary DataFrame is what [[bpeEncode]] broadcasts to
+    * tokenize the corpus — the model artifact a production run persists.
+    */
+  private[pipeline] def bpeFit(df: DataFrame, textCol: String,
+      merges: Int): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     require(!df.isStreaming, "bpeTrain is a batch model-fitting operator")
     val wc = df.select(explode(tokens(lower(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-    var words = wc.select(
+    var words = wc.select(col("w"),
       concat(lit("#"),
         concat_ws("##", graft.functions.DropEmpty(split(col("w"), ""))),
         lit("#")).as("repr"),
@@ -332,13 +340,34 @@ object TextAnalysis {
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         rules += ((k.toLong, l, r, c))
-        words = words.select(
+        words = words.select(col("w"),
           replace(col("repr"), lit(s"#$l##$r#"), lit(s"#$l$r#")).as("repr"),
           col("cnt"))
       }
     }
     import spark.implicits._
-    rules.toSeq.toDF("step", "pl", "pr", "pair_count").orderBy("step")
+    (rules.toSeq.toDF("step", "pl", "pr", "pair_count").orderBy("step"), words)
+  }
+
+  /** BPE encode — apply the learned merge table to the corpus: each word
+    * maps to its merged symbol sequence through the fitted vocabulary
+    * (broadcast onto the token explode — the corpus never shuffles on a
+    * per-row key), and each document reports its word/symbol/char counts.
+    * `n_symbols < n_chars` is the whole point of the tokenizer; all three
+    * outputs are integers, so the px43 oracle is exact.
+    */
+  def bpeEncode(df: DataFrame, textCol: String, idCol: String,
+      merges: Int): DataFrame = {
+    val vocab = bpeFit(df, textCol, merges)._2
+      .select(col("w"),
+        size(split(expr("trim(BOTH '#' FROM repr)"), "##")).cast("bigint")
+          .as("_syms"))
+    df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("w"))
+      .join(broadcast(vocab), Seq("w"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("_syms")).as("n_symbols"),
+        sum(length(col("w"))).cast("bigint").as("n_chars"))
   }
 
   /** Robust length-outlier detection — the curation screen for truncated

@@ -69,6 +69,7 @@ object ScaleRehearsal {
     "px40_oov_bigrams" -> Set("documents"),
     "px41_incremental_dedup" -> Set("documents"),
     "px42_bpe_train" -> Set("documents"),
+    "px43_bpe_encode" -> Set("documents"),
     "px16_approx_stats" -> Set("documents"),
     "px29_composed" -> Set("documents"),
     "px30_char_budget" -> Set("documents"),

@@ -913,6 +913,21 @@ class PipelineSpec extends AnyFunSuite {
       (3L, "aa", "ab", 3L)))
   }
 
+  test("bpeEncode compresses: symbols shrink by exactly the merged pairs") {
+    import spark.implicits._
+    val df = Seq((1L, "aaab aaab"), (2L, "aaab ab ab"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(df, "text", "doc_id", merges = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_words", "n_symbols", "n_chars")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // after 3 merges (aa, ab, aa+ab) every "aaab" is ONE symbol and every
+    // "ab" is one symbol
+    assert(out === Seq(
+      (1L, 2L, 2L, 8L),
+      (2L, 3L, 3L, 8L)))
+  }
+
   test("incrementalNew == plain anti-join; empty corpus keeps everything") {
     import spark.implicits._
     val existing = Seq((0L, "alpha"), (2L, "beta"), (4L, "gamma"))
