@@ -312,8 +312,14 @@ object TextAnalysis {
       merges: Int): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     require(!df.isStreaming, "bpeTrain is a batch model-fitting operator")
+    // Cache the vocabulary-sized word table: every merge step's argmax —
+    // and the final vocabulary consumer — would otherwise re-run the
+    // corpus scan through the stacked lineage (K+1 corpus scans for K
+    // merges). Cache keys on the analyzed plan, so repeated fits over the
+    // same corpus share the entry rather than accumulating copies.
     val wc = df.select(explode(tokens(lower(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .persist()
     var words = wc.select(col("w"),
       concat(lit("#"),
         concat_ws("##", graft.functions.DropEmpty(split(col("w"), ""))),
