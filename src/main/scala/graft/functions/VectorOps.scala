@@ -205,6 +205,62 @@ object CosineSim {
     GraftShim.column(CosineSim(GraftShim.expression(a), GraftShim.expression(b)))
 }
 
+/** Integer dot product of two array<bigint> columns (NULL on ragged
+  * pairs, like [[CosineSim]]) — the scoring kernel for quantized (int8)
+  * similarity search, where exactness matters: every input and output is
+  * an integer, so rankings carry no floating rounding class at all.
+  */
+case class DotI64(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_i64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.LongType, _),
+            ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot_i64 requires (array<bigint>, array<bigint>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotI64.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Long ${ev.value}_r = graft.functions.DotI64.compute($a, $b);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotI64 =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotI64 {
+
+  /** Static helper invoked from generated code — must stay public. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val x = a.toLongArray()
+    val y = b.toLongArray()
+    if (x.length != y.length) return null
+    var dot = 0L
+    var i = 0
+    while (i < x.length) { dot += x(i) * y(i); i += 1 }
+    java.lang.Long.valueOf(dot)
+  }
+
+  def apply(a: Column, b: Column): Column =
+    GraftShim.column(DotI64(GraftShim.expression(a), GraftShim.expression(b)))
+}
+
 /** Random-hyperplane LSH signature: bit i of the result is set iff
   * vec · planes(i) > 0. One fused pass per row — the column composition
   * (a fold of `aggregate(zip_with(...))` per bit) evaluated `bits`

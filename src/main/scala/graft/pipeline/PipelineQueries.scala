@@ -1386,6 +1386,45 @@ object PipelineQueries {
         base + stages + out
       }),
 
+    // ------------------------------------------ quantized similarity search
+    // All-integer search over px38's int8 codes: quantization and ranking
+    // replay exactly in SQL (codes are deterministic, dots are integer,
+    // ties break on nbr) — no rounding fudge anywhere in the oracle.
+    Q("px44_sim_quantized",
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.quantizedTopK(
+          corpus = e.select(col("vec_id"), col("embedding")),
+          queries = e.where(col("vec_id") < 20)
+            .select(col("vec_id"), col("embedding")),
+          idCol = "vec_id", vecCol = "embedding", k = 5)
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             |), m AS (
+             |  SELECT vec_id, e,
+             |    list_max(list_transform(e, x -> abs(x))) AS ma
+             |  FROM v
+             |), c AS (
+             |  SELECT vec_id,
+             |    CASE WHEN ma > 0 THEN list_transform(e,
+             |           x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT))
+             |         ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END
+             |      AS codes
+             |  FROM m
+             |), scored AS (
+             |  SELECT q.vec_id AS qid, t.vec_id AS nbr,
+             |    CAST(list_dot_product(q.codes, t.codes) AS BIGINT) AS dot
+             |  FROM c q JOIN c t ON q.vec_id < 20 AND q.vec_id <> t.vec_id
+             |), ranked AS (
+             |  SELECT qid, nbr, dot,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY dot DESC, nbr) AS rank
+             |  FROM scored)
+             |SELECT qid, nbr, dot, rank FROM ranked WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin)),
+
     // --------------------------------------------------- BPE encode/apply
     // Tokenize the corpus with the px42-fitted merges: per document,
     // word/symbol/char counts through the final vocabulary. The oracle

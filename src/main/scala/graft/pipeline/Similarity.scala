@@ -255,7 +255,19 @@ object Similarity {
     * stage fused into the scan, and the 4×-smaller codes column is the
     * point: it's what ships to the ANN index.
     */
-  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    withCodes(df, idCol, vecCol)
+      .select(col(idCol),
+        size(col("codes")).cast("bigint").as("n_dims"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"))
+
+  /** (id, codes: array<bigint>) — the quantized form both [[quantizeInt8]]
+    * and [[quantizedTopK]] build on.
+    */
+  private[pipeline] def withCodes(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
     df.select(col(idCol), v.as("_v"),
       array_max(transform(v, x => abs(x))).as("_ma"))
@@ -263,10 +275,35 @@ object Similarity {
         when(col("_ma") > 0d,
           transform(col("_v"), x => floor(x * lit(127.0d) / col("_ma") + lit(0.5d))))
           .otherwise(transform(col("_v"), _ => lit(0L))).as("codes"))
-      .select(col(idCol),
-        size(col("codes")).cast("bigint").as("n_dims"),
-        aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
-        array_min(col("codes")).as("code_min"),
-        array_max(col("codes")).as("code_max"))
+  }
+
+  /** Quantized similarity search — brute-force top-k by INTEGER dot
+    * product over int8 codes: the serving-side shape once px38 has
+    * compressed the store. Scores, ranks, and therefore the whole result
+    * are integers (native DotI64 kernel — one codegen'd pass per pair), so
+    * the px44 oracle replays quantization and ranking exactly, with no
+    * rounding class anywhere. Same two-phase top-k as the float path:
+    * per-partition rank caps candidates at k×partitions before the global
+    * per-query rank.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = withCodes(corpus, idCol, vecCol)
+      .select(col(idCol).as("nbr"), col("codes").as("_cc"))
+    val q = withCodes(queries, idCol, vecCol)
+      .select(col(idCol).as("qid"), col("codes").as("_qc"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nbr"))
+      .select(col("qid"), col("nbr"),
+        graft.functions.DotI64(col("_qc"), col("_cc")).as("dot"))
+    val part = Window.partitionBy(col("qid"), spark_partition_id())
+      .orderBy(col("dot").desc, col("nbr"))
+    val global = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("nbr"))
+    scored
+      .withColumn("_pr", row_number().over(part))
+      .where(col("_pr") <= k)
+      .withColumn("rank", row_number().over(global).cast("bigint"))
+      .where(col("rank") <= k)
+      .select("qid", "nbr", "dot", "rank")
   }
 }

@@ -877,6 +877,26 @@ class PipelineSpec extends AnyFunSuite {
       (4L, 0L, 200L), (4L, 1L, 200L), (4L, 2L, 51L)))
   }
 
+  test("quantizedTopK ranks by integer dot with deterministic ties") {
+    import spark.implicits._
+    // unit-ish vectors chosen so quantized dots have a known order;
+    // vec 1 queries the rest
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),    // codes (127, 0)
+      (2L, Array(1.0f, 1.0f)),    // codes (127, 127) → dot 16129
+      (3L, Array(0.5f, 0.0f)),    // codes (127, 0)   → dot 16129 (tie → nbr)
+      (4L, Array(0.0f, 1.0f)),    // codes (0, 127)   → dot 0
+      (5L, Array(-1.0f, 0.0f)))   // codes (-127, 0)  → dot -16129
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizedTopK(df, df.where(col("vec_id") === 1),
+      "vec_id", "embedding", k = 4)
+      .orderBy("rank")
+      .select("nbr", "dot", "rank")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (2L, 16129L, 1L), (3L, 16129L, 2L), (4L, 0L, 3L), (5L, -16129L, 4L)))
+  }
+
   test("quantizeInt8: extremes hit ±127, zero vector yields all-zero codes") {
     import spark.implicits._
     val df = Seq(
