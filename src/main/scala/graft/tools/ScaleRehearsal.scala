@@ -66,6 +66,7 @@ object ScaleRehearsal {
     "px36_chunk_overlap" -> Set("documents"),
     "px37_bigram_topk" -> Set("documents"),
     "px38_embed_quantize" -> Set("embeddings"),
+    "px44_sim_quantized" -> Set("embeddings"),
     "px40_oov_bigrams" -> Set("documents"),
     "px41_incremental_dedup" -> Set("documents"),
     "px42_bpe_train" -> Set("documents"),

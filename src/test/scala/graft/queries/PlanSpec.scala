@@ -123,6 +123,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("px44 quantized search: query side broadcast, native integer kernel") {
+    val p = plan("px44_sim_quantized")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 20-query side must broadcast (corpus never shuffles for the join):\n$p")
+    assert(p.contains("dot_i64"), s"native DotI64 kernel missing:\n$p")
+  }
+
   test("px39 outliers: exact medians broadcast back, counts combine map-side") {
     val p = plan("px39_length_outliers")
     assert(p.contains("BroadcastHashJoin"),
