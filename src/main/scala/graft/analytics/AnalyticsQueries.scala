@@ -143,6 +143,24 @@ object AnalyticsQueries {
              |  FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk < b.sk)
              |SELECT COUNT(*) AS triangles
              |FROM e e1 JOIN e e2 ON e2.u = e1.v
-             |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin))
+             |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin)),
+
+    // Out-degree distribution of the customer→orders hop — the fan-out
+    // histogram of the reference's refsTargets multimap
+    // (/root/reference/library/GraphDB/Graph.hs:30): how many nodes have k
+    // targets. Two map-side-combined aggregations; the second input is
+    // node-count-sized and the output degree-count-sized — both shuffles
+    // shrink the data, so the plan is flat at any corpus size.
+    Q("ga5_degree_distribution",
+      (s, d) => {
+        val deg = graft.Tables.load(s, d, "orders")
+          .groupBy("o_custkey").agg(count(lit(1)).as("deg"))
+        deg.groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("deg")
+      },
+      Some("""SELECT deg, COUNT(*) AS n_nodes FROM
+             |  (SELECT o_custkey, COUNT(*) AS deg FROM orders
+             |   GROUP BY o_custkey)
+             |GROUP BY deg ORDER BY deg""".stripMargin))
   )
 }

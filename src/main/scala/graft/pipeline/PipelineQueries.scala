@@ -1480,6 +1480,70 @@ object PipelineQueries {
             |FROM tok t JOIN vocab v ON t.w = v.w
             |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
         base + stages + tail
-      })
+      }),
+
+    // ----------------------------------------------- conjunctive keyword search
+    // Topic-slice retrieval: every document containing ALL query terms,
+    // ranked by total term frequency. Integer tfs, integer score — exact.
+    Q("px45_search_conjunctive",
+      (s, d) => TextAnalysis.searchConjunctive(docs(s, d), "text", "doc_id",
+        terms = Seq("join", "hash", "scan"), k = 25)
+        .orderBy(col("score").desc, col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(trim(lower(text)), '\s+'),
+             |    x -> x <> '') AS toks
+             |  FROM documents
+             |), tf AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS tf_join,
+             |    CAST(len(list_filter(toks, x -> x = 'hash')) AS BIGINT) AS tf_hash,
+             |    CAST(len(list_filter(toks, x -> x = 'scan')) AS BIGINT) AS tf_scan
+             |  FROM t)
+             |SELECT doc_id, tf_join, tf_hash, tf_scan,
+             |  tf_join + tf_hash + tf_scan AS score
+             |FROM tf
+             |WHERE tf_join > 0 AND tf_hash > 0 AND tf_scan > 0
+             |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin)),
+
+    // -------------------------------------------------- PMI-lift collocations
+    // Phrase mining: bigrams ranked by lift = pair·N / (left·right). Every
+    // factor is an exact integer and the score is ONE IEEE double division
+    // (correctly rounded ⇒ bit-identical across engines) — no rounding
+    // class in the oracle at all.
+    Q("px46_collocations",
+      (s, d) => TextAnalysis.collocations(docs(s, d), "text",
+        k = 50, minCount = 5L),
+      Some("""WITH t AS (
+             |  SELECT list_filter(
+             |    string_split_regex(trim(lower(text)), '\s+'),
+             |    x -> x <> '') AS toks
+             |  FROM documents
+             |), uc AS (
+             |  SELECT w, CAST(count(*) AS BIGINT) AS c
+             |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+             |), n AS (
+             |  SELECT CAST(SUM(c) AS BIGINT) AS n FROM uc
+             |), bc AS (
+             |  SELECT bigram, CAST(count(*) AS BIGINT) AS pair_count
+             |  FROM (
+             |    SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+             |    FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+             |          FROM t WHERE len(toks) >= 2))
+             |  GROUP BY bigram HAVING count(*) >= 5
+             |), parts AS (
+             |  SELECT bigram, pair_count,
+             |    string_split(bigram, ' ')[1] AS w1,
+             |    string_split(bigram, ' ')[2] AS w2
+             |  FROM bc)
+             |SELECT p.bigram, p.pair_count,
+             |  u1.c AS left_count, u2.c AS right_count,
+             |  CAST(p.pair_count * n.n AS DOUBLE) /
+             |    CAST(u1.c * u2.c AS DOUBLE) AS lift
+             |FROM parts p
+             |JOIN uc u1 ON u1.w = p.w1
+             |JOIN uc u2 ON u2.w = p.w2
+             |CROSS JOIN n
+             |ORDER BY lift DESC, p.bigram LIMIT 50""".stripMargin))
   )
 }

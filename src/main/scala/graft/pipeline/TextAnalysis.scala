@@ -402,6 +402,77 @@ object TextAnalysis {
         sum(when(col("_len") * 4 < col("_m2"), 1L).otherwise(0L)).as("n_low"))
   }
 
+  /** Conjunctive keyword search, term-frequency ranked — the retrieval op
+    * a corpus-curation pipeline runs to pull topic slices ("every document
+    * mentioning all of these words"). Per-term tf is computed as
+    * `size(toks) - size(array_remove(toks, term))`: array_remove is a
+    * codegen'd collection expression, so (unlike a filter() lambda, which
+    * is CodegenFallback and breaks subexpression elimination) the token
+    * array is materialized ONCE per row and every tf shares it.
+    *
+    * Scale: one full scan with per-row expressions only — no shuffle,
+    * no explode — then TakeOrderedAndProject for the top-k (per-partition
+    * heaps, never a global sort). For a many-query serving workload the
+    * inverted-index form (explode → term-filtered groupBy) amortizes
+    * better; for the single-slice curation pass this scan shape is the
+    * one that survives 100 TB: it reads each split exactly once.
+    *
+    * Reference analog: the word-split SearchTerm index + getTargets
+    * lookup (/root/reference/executables/Demo.hs:24-28, 66-71) — same
+    * semantics, corpus-scan form instead of a prebuilt index.
+    */
+  def searchConjunctive(df: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "searchConjunctive needs at least one term")
+    val toks = tokens(lower(col(textCol)))
+    val withTf = df.select(
+      col(idCol) +: terms.map(term =>
+        (size(toks) - size(array_remove(toks, term))).cast("bigint")
+          .as(s"tf_$term")): _*)
+    val conj = terms.map(term => col(s"tf_$term") > 0L).reduce(_ && _)
+    withTf.where(conj)
+      .withColumn("score", terms.map(term => col(s"tf_$term")).reduce(_ + _))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** PMI-lift collocation mining — phrase discovery: rank bigrams by how
+    * much more often the pair occurs than independence predicts
+    * (`lift = c_xy · N / (c_x · c_y)`), the standard first pass of
+    * phrase/vocab induction over a training corpus.
+    *
+    * Cross-engine exactness without rounding: every factor is an exact
+    * integer (counts), both products stay far below 2^53 (corpus token
+    * count × pair count), and the score is ONE IEEE double division —
+    * which is correctly rounded, hence bit-identical in Spark and DuckDB.
+    * Ties break on the bigram string.
+    *
+    * Scale: two map-side-combined aggregations (unigram + bigram counts,
+    * both vocabulary-sized after combine), a minCount prune BEFORE the
+    * joins (the pruned bigram table is small; the unigram joins hash on
+    * the word), a 1-row total broadcast, and TakeOrderedAndProject.
+    * Nothing touches the corpus twice except the two counting scans.
+    */
+  def collocations(df: DataFrame, textCol: String, k: Int = 50,
+      minCount: Long = 5L): DataFrame = {
+    val uni = df.select(explode(tokens(lower(col(textCol)))).as("_w"))
+      .groupBy("_w").agg(count(lit(1)).as("_cw"))
+    val total = uni.agg(sum(col("_cw")).cast("bigint").as("_n"))
+    val bi = bigramCounts(df, textCol)
+      .where(col("cnt") >= minCount)
+      .withColumn("_w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("_w2", split(col("bigram"), " ").getItem(1))
+    bi.join(uni.select(col("_w").as("_w1"), col("_cw").as("left_count")), "_w1")
+      .join(uni.select(col("_w").as("_w2"), col("_cw").as("right_count")), "_w2")
+      .crossJoin(broadcast(total))
+      .select(col("bigram"), col("cnt").as("pair_count"),
+        col("left_count"), col("right_count"),
+        ((col("cnt") * col("_n")).cast("double") /
+          (col("left_count") * col("right_count")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** Rolling document fingerprint: min/max/count sketch of xxhash64 over
     * the 3-gram shingle set — a 1-permutation MinHash. Identical documents
     * (post-tokenization) get identical fingerprints; any changed word flips

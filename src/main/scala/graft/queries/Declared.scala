@@ -632,6 +632,35 @@ object Declared {
              |       LEFT JOIN p ON v.user_id = p.user_id
              |ORDER BY v.user_id""".stripMargin)),
 
+    // --------------------------------------------------------------- R26
+    // Distribution windows: NTILE quartiles of order value WITHIN each
+    // priority class (partitioned window — never a global ORDER BY window,
+    // which would single-thread at scale), then per-(priority, quartile)
+    // count and value bounds. The ordering key carries o_orderkey so tile
+    // assignment is total-order deterministic in both engines.
+    Q("r26_ntile_quartiles",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+          .groupBy("o_orderpriority", "quartile")
+          .agg(count(lit(1)).as("cnt"),
+            round(min(col("o_totalprice")), 2).as("lo"),
+            round(max(col("o_totalprice")), 2).as("hi"))
+          .orderBy("o_orderpriority", "quartile")
+      },
+      Some("""WITH q AS (
+             |  SELECT o_orderpriority, o_totalprice,
+             |    NTILE(4) OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice, o_orderkey) AS quartile
+             |  FROM orders)
+             |SELECT o_orderpriority, CAST(quartile AS BIGINT) AS quartile,
+             |  COUNT(*) AS cnt, ROUND(MIN(o_totalprice), 2) AS lo,
+             |  ROUND(MAX(o_totalprice), 2) AS hi
+             |FROM q GROUP BY o_orderpriority, quartile
+             |ORDER BY o_orderpriority, quartile""".stripMargin)),
+
     // ---------------------------------------------------------------- X1
     Q("x1_dedup_counts",
       (s, d) =>

@@ -1001,6 +1001,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(out === Seq(("a", 4L, 1L, 1L), ("b", 3L, 0L, 0L)))
   }
 
+  test("searchConjunctive: tf ranking, conjunction filter, k cut") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "join hash scan join"),            // tf (2,1,1) score 4
+      (2L, "join hash"),                      // missing scan → excluded
+      (3L, "scan hash join"),                 // (1,1,1) score 3
+      (4L, "join join hash hash scan scan"),  // (2,2,2) score 6
+      (5L, "nothing relevant here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.searchConjunctive(df, "text", "doc_id",
+      Seq("join", "hash", "scan"), k = 2)
+      .select("doc_id", "tf_join", "tf_hash", "tf_scan", "score")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((4L, 2L, 2L, 2L, 6L), (1L, 2L, 1L, 1L, 4L)),
+      "rank by total tf desc, doc_id tiebreak, top-k cut")
+  }
+
+  test("collocations: exact integer-derived lift, minCount prune") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "big data big data"), // bigrams: big data ×2, data big ×1
+      (2L, "big data rocks"))    // big data ×1, data rocks ×1
+      .toDF("doc_id", "text")
+    // unigrams: big 3, data 3, rocks 1 → N = 7; only "big data" (3) ≥ 2
+    val out = TextAnalysis.collocations(df, "text", k = 10, minCount = 2L)
+      .select("bigram", "pair_count", "left_count", "right_count", "lift")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(("big data", 3L, 3L, 3L, (3L * 7L).toDouble / (3L * 3L).toDouble)))
+  }
+
   test("bigramCounts: bag semantics, lowercase, <2-token docs contribute nothing") {
     import spark.implicits._
     val df = Seq(

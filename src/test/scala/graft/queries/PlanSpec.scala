@@ -130,6 +130,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dot_i64"), s"native DotI64 kernel missing:\n$p")
   }
 
+  test("px45 search: one shuffle-free scan, native tf, top-k without global sort") {
+    val p = plan("px45_search_conjunctive")
+    assert(!p.contains("lambdafunction"),
+      s"tf must come from array_remove, not a filter() lambda:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the search pass must not shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must use per-partition heaps, not a global sort:\n$p")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read == "doc_id:bigint,text:string",
+      s"scan must read only (doc_id, text), got: $read")
+  }
+
+  test("px46 collocations: map-side combine, broadcast total, top-k heap") {
+    val p = plan("px46_collocations")
+    assert(p.contains("partial_count"),
+      s"unigram/bigram counts must combine map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row corpus total must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not globally sort:\n$p")
+  }
+
   test("px39 outliers: exact medians broadcast back, counts combine map-side") {
     val p = plan("px39_length_outliers")
     assert(p.contains("BroadcastHashJoin"),
