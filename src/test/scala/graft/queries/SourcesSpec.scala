@@ -28,7 +28,7 @@ class SourcesSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
   }
 
-  test("documents round-trip through JSON and CSV with identical operator results") {
+  test("documents round-trip through JSON, CSV and ORC with identical operator results") {
     val pq = graft.Tables.load(spark, sf, "documents")
     val schema = pq.schema
     val dir = java.nio.file.Files.createTempDirectory("graft_sources").toString
@@ -37,16 +37,38 @@ class SourcesSpec extends AnyFunSuite {
     // header carries names; schema is supplied explicitly (CSV is untyped)
     pq.write.mode("overwrite").option("header", "true")
       .option("escape", "\"").csv(s"$dir/documents.csv")
+    // ORC is the other self-describing columnar format Spark ships natively
+    pq.write.mode("overwrite").orc(s"$dir/documents.orc")
 
     val fromJson = spark.read.schema(schema).json(s"$dir/documents.json")
     val fromCsv = spark.read.schema(schema).option("header", "true")
       .option("escape", "\"").csv(s"$dir/documents.csv")
+    val fromOrc = spark.read.orc(s"$dir/documents.orc")
 
     assert(fromJson.count() === pq.count())
     assert(fromCsv.count() === pq.count())
+    assert(fromOrc.count() === pq.count())
+    assert(fromOrc.schema === schema, "ORC must carry the schema itself")
 
     val base = tokenCounts(pq)
     assert(tokenCounts(fromJson) === base, "JSON source must be operator-identical")
     assert(tokenCounts(fromCsv) === base, "CSV source must be operator-identical")
+    assert(tokenCounts(fromOrc) === base, "ORC source must be operator-identical")
+  }
+
+  test("ORC scan pushes predicates and prunes columns like parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_plan").toString
+    graft.Tables.load(spark, sf, "documents").write.mode("overwrite")
+      .orc(s"$dir/documents.orc")
+    val p = spark.read.orc(s"$dir/documents.orc")
+      .where(org.apache.spark.sql.functions.col("doc_id") > 100L)
+      .select("doc_id", "lang")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("GreaterThan(doc_id,100)"),
+      s"filter must reach the ORC scan:\n$p")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+      .map(_.group(1)).getOrElse("")
+    assert(read == "doc_id:bigint,lang:string",
+      s"ORC scan must read only (doc_id, lang), got: $read")
   }
 }

@@ -99,6 +99,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(chunkExpected.nonEmpty && scrubExpected.nonEmpty)
   }
 
+  test("incremental ingest dedup runs unchanged on a stream (== batch px41)") {
+    // the px41 operator is exactly the streaming-ingest shape: the EXISTING
+    // corpus is static (its bloom is built once, eagerly), the NEW batch
+    // arrives as a stream — bloom-negative rows pass with zero join work,
+    // bloom-positive rows verify via a stream-static left_anti join. The
+    // identical operator code must serve both paths.
+    import org.apache.spark.sql.functions.col
+    val all = graft.Tables.load(spark, sf, "documents")
+    val existing = all.where(col("doc_id") % 2 === 0)
+    val newDocs = all.where(col("doc_id") % 2 === 1)
+    val srcDir = Files.createTempDirectory("graft-stream-px41-")
+    newDocs.coalesce(1).write.mode("overwrite")
+      .parquet(srcDir.resolve("batch").toString)
+    val stream = spark.readStream.schema(all.schema)
+      .parquet(srcDir.resolve("batch").toString)
+    val q = graft.pipeline.Dedup.incrementalNew(existing, stream,
+      "doc_id", "text", expectedItems = 100000L)
+      .writeStream.format("memory").queryName("px41_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("px41_stream").collect()
+      .map(_.getLong(0)).toSet
+    val expected = graft.pipeline.Dedup.incrementalNew(existing, newDocs,
+      "doc_id", "text", expectedItems = 100000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed === expected, "ingest dedup: stream must equal batch")
+    assert(expected.nonEmpty)
+  }
+
   test("sessionization via flatMapGroupsWithState") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
