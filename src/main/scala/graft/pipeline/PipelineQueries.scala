@@ -1544,6 +1544,37 @@ object PipelineQueries {
              |JOIN uc u1 ON u1.w = p.w1
              |JOIN uc u2 ON u2.w = p.w2
              |CROSS JOIN n
-             |ORDER BY lift DESC, p.bigram LIMIT 50""".stripMargin))
+             |ORDER BY lift DESC, p.bigram LIMIT 50""".stripMargin)),
+
+    // --------------------------------------------------- integer centroids
+    // The assignment-fixed half of a k-means/IVF training step over the
+    // px38 int8 codes: per-(label, dim) code sums. Integer sums are exact
+    // and accumulation-order-independent, so the oracle replays the
+    // quantization and the sums value-identically (a float centroid could
+    // not be hash-compared across engines at all).
+    Q("px47_code_centroids",
+      (s, d) => Similarity.codeCentroids(embs(s, d),
+        "vec_id", "embedding", "label")
+        .orderBy("label", "dim"),
+      Some("""WITH v AS (
+             |  SELECT label, embedding::DOUBLE[] AS e FROM embeddings
+             |), m AS (
+             |  SELECT label, e,
+             |    list_max(list_transform(e, x -> abs(x))) AS ma
+             |  FROM v
+             |), c AS (
+             |  SELECT label,
+             |    CASE WHEN ma > 0 THEN list_transform(e,
+             |           x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT))
+             |         ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END
+             |      AS codes
+             |  FROM m
+             |), x AS (
+             |  SELECT label, unnest(range(1, len(codes) + 1)) AS i, codes
+             |  FROM c)
+             |SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+             |  COUNT(*) AS n_vecs, CAST(SUM(codes[i]) AS BIGINT) AS code_sum
+             |FROM x GROUP BY label, dim
+             |ORDER BY label, dim""".stripMargin))
   )
 }

@@ -263,19 +263,38 @@ object Similarity {
         array_min(col("codes")).as("code_min"),
         array_max(col("codes")).as("code_max"))
 
-  /** (id, codes: array<bigint>) — the quantized form both [[quantizeInt8]]
-    * and [[quantizedTopK]] build on.
+  /** (id[, kept cols], codes: array<bigint>) — the quantized form
+    * [[quantizeInt8]], [[quantizedTopK]] and [[codeCentroids]] build on.
     */
   private[pipeline] def withCodes(df: DataFrame, idCol: String,
-      vecCol: String): DataFrame = {
+      vecCol: String, keep: Seq[String] = Nil): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
-    df.select(col(idCol), v.as("_v"),
-      array_max(transform(v, x => abs(x))).as("_ma"))
-      .select(col(idCol),
+    df.select((col(idCol) +: keep.map(col)) ++ Seq(v.as("_v"),
+      array_max(transform(v, x => abs(x))).as("_ma")): _*)
+      .select((col(idCol) +: keep.map(col)) :+
         when(col("_ma") > 0d,
           transform(col("_v"), x => floor(x * lit(127.0d) / col("_ma") + lit(0.5d))))
-          .otherwise(transform(col("_v"), _ => lit(0L))).as("codes"))
+          .otherwise(transform(col("_v"), _ => lit(0L))).as("codes"): _*)
   }
+
+  /** Per-label centroids of the int8 codes — the assignment-fixed half of
+    * a k-means/IVF training step (sum vectors per cell, divide by count).
+    * Sums are INTEGERS, so unlike float centroids they are exact and
+    * independent of partition/accumulation order — which is what makes the
+    * px47 oracle a value-identical cross-engine check (float centroid sums
+    * differ per reduction tree). The caller derives the mean as
+    * code_sum / n_vecs at whatever precision it wants.
+    *
+    * Scale: quantize is per-row; posexplode fans each vector into dim rows
+    * but the (label, dim) hash agg combines map-side to |labels|·dim cells
+    * per task, so the shuffle payload is model-sized, not corpus-sized.
+    */
+  def codeCentroids(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame =
+    withCodes(df, idCol, vecCol, keep = Seq(labelCol))
+      .select(col(labelCol), posexplode(col("codes")).as(Seq("dim", "code")))
+      .groupBy(col(labelCol), col("dim").cast("bigint").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum("code").as("code_sum"))
 
   /** Quantized similarity search — brute-force top-k by INTEGER dot
     * product over int8 codes: the serving-side shape once px38 has

@@ -634,16 +634,19 @@ object Declared {
 
     // --------------------------------------------------------------- R26
     // Distribution windows: NTILE quartiles of order value WITHIN each
-    // priority class (partitioned window — never a global ORDER BY window,
-    // which would single-thread at scale), then per-(priority, quartile)
-    // count and value bounds. The ordering key carries o_orderkey so tile
-    // assignment is total-order deterministic in both engines.
+    // priority class, then per-(priority, quartile) count and value
+    // bounds. The ordering key carries o_orderkey so tile assignment is
+    // total-order deterministic in both engines. NOT the built-in ntile()
+    // window: with 5 priority classes its parallelism is 5 and each task
+    // sorts a fifth of the table (the 100× rehearsal measured 21× — the
+    // round's one scale-killer). Distribution.ntileBucketed computes the
+    // identical assignment with bucket prefix sums (rank window keyed by
+    // (priority, value-bucket); DistributionSpec proves == ntile()).
     Q("r26_ntile_quartiles",
       (s, d) => {
-        val w = Window.partitionBy("o_orderpriority")
-          .orderBy(col("o_totalprice"), col("o_orderkey"))
-        t(s, d, "orders")
-          .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+        Distribution.ntileBucketed(t(s, d, "orders"),
+          "o_orderpriority", "o_totalprice", "o_orderkey", tiles = 4)
+          .withColumnRenamed("tile", "quartile")
           .groupBy("o_orderpriority", "quartile")
           .agg(count(lit(1)).as("cnt"),
             round(min(col("o_totalprice")), 2).as("lo"),
@@ -660,6 +663,26 @@ object Declared {
              |  ROUND(MAX(o_totalprice), 2) AS hi
              |FROM q GROUP BY o_orderpriority, quartile
              |ORDER BY o_orderpriority, quartile""".stripMargin)),
+
+    // --------------------------------------------------------------- R27
+    // CUBE: all four grouping combinations in one pass (r12 covers ROLLUP;
+    // CUBE completes the grouping-sets family). The Expand operator feeds
+    // one hash aggregate, so the lineitem scan happens exactly once.
+    Q("r27_cube",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sq"))
+          .select(
+            coalesce(col("l_returnflag"), lit("_all")).as("rf"),
+            coalesce(col("l_linestatus"), lit("_all")).as("ls"),
+            col("cnt"), col("sq"))
+          .orderBy("rf", "ls"),
+      Some("""SELECT COALESCE(l_returnflag, '_all') AS rf,
+             |  COALESCE(l_linestatus, '_all') AS ls,
+             |  COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sq
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin)),
 
     // ---------------------------------------------------------------- X1
     Q("x1_dedup_counts",

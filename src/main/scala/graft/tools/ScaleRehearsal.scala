@@ -71,6 +71,10 @@ object ScaleRehearsal {
     "px41_incremental_dedup" -> Set("documents"),
     "px42_bpe_train" -> Set("documents"),
     "px43_bpe_encode" -> Set("documents"),
+    "px45_search_conjunctive" -> Set("documents"),
+    "px46_collocations" -> Set("documents"),
+    "ga5_degree_distribution" -> Set("orders"),
+    "r26_ntile_quartiles" -> Set("orders"),
     "px16_approx_stats" -> Set("documents"),
     "px29_composed" -> Set("documents"),
     "px30_char_budget" -> Set("documents"),
