@@ -664,6 +664,26 @@ object Declared {
              |FROM q GROUP BY o_orderpriority, quartile
              |ORDER BY o_orderpriority, quartile""".stripMargin)),
 
+    // --------------------------------------------------------------- R28
+    // Sliding event-time windows (2 h duration, 1 h slide) — r9 covers the
+    // tumbling special case; overlap is the semantics watermarked stream
+    // aggregations actually run with. Exactly the streaming operator
+    // (EventStreams.slidingCounts serves batch and stream verbatim —
+    // StreamingSpec proves parity); the oracle replays the two-window
+    // membership by fanning each event to k ∈ {0, 1} hour offsets.
+    Q("r28_sliding_window",
+      (s, d) =>
+        graft.streaming.EventStreams.slidingCounts(t(s, d, "events"))
+          .orderBy("ws", "event_type"),
+      Some("""WITH e AS (
+             |  SELECT epoch_us(date_trunc('hour', ts)) AS h0,
+             |    unnest([0, 1]) AS k, event_type, value
+             |  FROM events)
+             |SELECT h0 - k * 3600000000 AS ws, event_type,
+             |  COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sv
+             |FROM e GROUP BY ws, event_type
+             |ORDER BY ws, event_type""".stripMargin)),
+
     // --------------------------------------------------------------- R27
     // CUBE: all four grouping combinations in one pass (r12 covers ROLLUP;
     // CUBE completes the grouping-sets family). The Expand operator feeds

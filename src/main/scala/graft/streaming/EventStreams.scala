@@ -53,6 +53,27 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sv"))
       .select(col("window.start").as("h"), col("event_type"), col("cnt"), col("sv"))
 
+  /** Sliding event-time windows — duration 2 h, slide 1 h: every event
+    * contributes to TWO overlapping windows (tumbling is the slide ==
+    * duration special case, hourlyCounts above). Window starts are
+    * exported as epoch-micros BIGINT so the r28 oracle compare is
+    * integer-exact. The same code serves batch (watermark is a no-op)
+    * and a watermarked stream (StreamingSpec parity test); state per key
+    * stays bounded because the watermark closes windows 2 h after their
+    * end.
+    *
+    * Scale: window() is a per-row generator (2 rows out per event), and
+    * the aggregation map-side combines to (window, type) cells — the
+    * shuffle payload is window-count-sized, not event-count-sized.
+    */
+  def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sv"))
+      .select(unix_micros(col("window.start")).as("ws"),
+        col("event_type"), col("cnt"), col("sv"))
+
   /** Stream-stream interval join: each click matched to the same user's
     * purchases within `withinMinutes` AFTER it. Both sides carry
     * watermarks and the join condition bounds event time on both ends, so

@@ -99,6 +99,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(chunkExpected.nonEmpty && scrubExpected.nonEmpty)
   }
 
+  test("sliding 2h/1h windows run unchanged on a stream (== batch r28)") {
+    val srcDir = Files.createTempDirectory("graft-stream-r28-")
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val q = EventStreams.slidingCounts(
+      EventStreams.readEvents(spark, srcDir.toString))
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))
+    val streamed = spark.table("sliding").collect().map(key).toMap
+    val batch = EventStreams.slidingCounts(graft.Tables.events(spark, sf))
+      .collect().map(key).toMap
+    assert(streamed.nonEmpty, "stream must emit closed windows")
+    // append mode emits only watermark-closed windows — a prefix of batch
+    streamed.foreach { case (k, v) =>
+      assert(batch.contains(k) && batch(k) === v, s"window $k mismatch")
+    }
+    assert(streamed.size >= batch.size / 2, "most windows should be closed")
+  }
+
   test("incremental ingest dedup runs unchanged on a stream (== batch px41)") {
     // the px41 operator is exactly the streaming-ingest shape: the EXISTING
     // corpus is static (its bloom is built once, eagerly), the NEW batch
