@@ -455,6 +455,13 @@ object TextAnalysis {
     */
   def collocations(df: DataFrame, textCol: String, k: Int = 50,
       minCount: Long = 5L): DataFrame = {
+    // The unigram table has three consumers (left join, right join,
+    // corpus total), so the corpus tokenize+count scan runs 4× per query.
+    // Caching it was MEASURED SLOWER at 100× (3.3 s → 13.3 s): the cached
+    // relation loses the stats that let AQE broadcast the unigram side of
+    // both joins, and at blowup scale the resulting exchanges dwarf the
+    // re-scans (tokenize+partial-count is cheap map work that rides
+    // executor count). Recompute wins; see SCALE_r12.json.
     val uni = df.select(explode(tokens(lower(col(textCol)))).as("_w"))
       .groupBy("_w").agg(count(lit(1)).as("_cw"))
     val total = uni.agg(sum(col("_cw")).cast("bigint").as("_n"))
