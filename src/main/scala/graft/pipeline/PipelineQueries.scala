@@ -1546,6 +1546,50 @@ object PipelineQueries {
              |CROSS JOIN n
              |ORDER BY lift DESC, p.bigram LIMIT 50""".stripMargin)),
 
+    // ---------------------------------------------- inverted-index search
+    // The many-query serving form of px45: ONE corpus scan answers all
+    // three queries through a query-vocabulary-bounded posting table.
+    // Conjunction is an integer hit count, score an integer tf sum —
+    // exact. PipelineSpec additionally proves per-query equality with
+    // the px45 scan form.
+    Q("px48_search_many",
+      (s, d) => TextAnalysis.searchMany(docs(s, d), "text", "doc_id",
+        queries = Seq(
+          1L -> Seq("join", "hash", "scan"),
+          2L -> Seq("spark", "table"),
+          3L -> Seq("customer", "order")),
+        k = 10)
+        .orderBy("query_id", "rank"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |    string_split_regex(trim(lower(text)), '\s+'),
+             |    x -> x <> '')) AS term
+             |  FROM documents
+             |), q(query_id, term) AS (
+             |  VALUES (1, 'join'), (1, 'hash'), (1, 'scan'),
+             |         (2, 'spark'), (2, 'table'),
+             |         (3, 'customer'), (3, 'order')
+             |), nq AS (
+             |  SELECT query_id, COUNT(*) AS n FROM q GROUP BY query_id
+             |), p AS (
+             |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+             |  WHERE term IN (SELECT term FROM q)
+             |  GROUP BY doc_id, term
+             |), h AS (
+             |  SELECT q.query_id, p.doc_id,
+             |    COUNT(*) AS nh, CAST(SUM(p.tf) AS BIGINT) AS score
+             |  FROM p JOIN q ON p.term = q.term
+             |  GROUP BY q.query_id, p.doc_id
+             |), m AS (
+             |  SELECT h.query_id, h.doc_id, h.score,
+             |    ROW_NUMBER() OVER (PARTITION BY h.query_id
+             |      ORDER BY h.score DESC, h.doc_id) AS rank
+             |  FROM h JOIN nq ON h.query_id = nq.query_id
+             |  WHERE h.nh = nq.n)
+             |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank
+             |FROM m WHERE rank <= 10
+             |ORDER BY query_id, rank""".stripMargin)),
+
     // --------------------------------------------------- integer centroids
     // The assignment-fixed half of a k-means/IVF training step over the
     // px38 int8 codes: per-(label, dim) code sums. Integer sums are exact

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -434,6 +435,55 @@ object TextAnalysis {
       .withColumn("score", terms.map(term => col(s"tf_$term")).reduce(_ + _))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Many-query conjunctive search over an inverted index — the serving
+    * counterpart of [[searchConjunctive]]: ONE corpus scan amortized
+    * across all queries (the reference's actual retrieval shape — the
+    * SearchTerm index is built at write time and hit per lookup,
+    * /root/reference/executables/Demo.hs:24-28, 66-71).
+    *
+    * Postings (doc, term, tf) come from one explode, filtered to the
+    * union of query terms BEFORE the shuffle, so the posting table is
+    * query-vocabulary-sized. Conjunction is an integer count (a doc
+    * matches query q iff it hits all |q| distinct terms); score = Σ tf;
+    * per-query top-k uses the two-phase rank (partition-local cut, then
+    * global — the px15 shape, never one task per query sorting all its
+    * candidates... parallelism stays (queries × partitions)).
+    *
+    * PipelineSpec proves per-query equality with the scan form.
+    */
+  def searchMany(df: DataFrame, textCol: String, idCol: String,
+      queries: Seq[(Long, Seq[String])], k: Int): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qTerms = queries
+      .flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+      .toDF("query_id", "_term")
+    val qSizes = queries
+      .map { case (q, ts) => (q, ts.distinct.size.toLong) }
+      .toDF("query_id", "_nq")
+    val termSet = queries.flatMap(_._2).distinct
+    val postings = df
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("_term"))
+      .where(col("_term").isin(termSet: _*))
+      .groupBy(col(idCol), col("_term"))
+      .agg(count(lit(1)).as("_tf"))
+    val hits = postings.join(broadcast(qTerms), "_term")
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("_nhit"), sum(col("_tf")).as("score"))
+      .join(broadcast(qSizes), "query_id")
+      .where(col("_nhit") === col("_nq"))
+    val part = Window.partitionBy(col("query_id"), spark_partition_id())
+      .orderBy(col("score").desc, col(idCol))
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    hits
+      .withColumn("_pr", row_number().over(part)).where(col("_pr") <= k)
+      .withColumn("rank", row_number().over(global).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("score"), col("rank"))
   }
 
   /** PMI-lift collocation mining — phrase discovery: rank bigrams by how

@@ -1018,6 +1018,33 @@ class PipelineSpec extends AnyFunSuite {
       "rank by total tf desc, doc_id tiebreak, top-k cut")
   }
 
+  test("searchMany == searchConjunctive per query on a random corpus") {
+    import spark.implicits._
+    val vocab = Vector("join", "hash", "scan", "sort", "agg", "row", "x")
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 120L).map { id =>
+      (id, Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val queries = Seq(
+      1L -> Seq("join", "hash"),
+      2L -> Seq("scan", "sort", "agg"),
+      3L -> Seq("row"),
+      4L -> Seq("join", "join", "hash")) // dup terms must not change results
+    val many = TextAnalysis.searchMany(docs, "text", "doc_id", queries, k = 7)
+      .select("query_id", "doc_id", "score", "rank")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    queries.foreach { case (qid, terms) =>
+      val scan = TextAnalysis.searchConjunctive(docs, "text", "doc_id",
+        terms.distinct, k = 7)
+        .select(col("doc_id"), col("score"))
+        .as[(Long, Long)].collect().toSeq
+      assert(many.getOrElse(qid, Seq.empty) === scan,
+        s"query $qid: index form must equal scan form")
+    }
+  }
+
   test("collocations: exact integer-derived lift, minCount prune") {
     import spark.implicits._
     val df = Seq(
