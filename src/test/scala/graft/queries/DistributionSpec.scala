@@ -52,6 +52,30 @@ class DistributionSpec extends AnyFunSuite {
     check(rows, tiles = 4, buckets = 32)
   }
 
+  test("property: == ntile() for random data, tile counts and bucket counts") {
+    // raw scalacheck Gen with fixed seeds (scalatestplus is not in the
+    // offline cache) — deterministic across runs, seed printed on failure
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(1, 80)
+      tiles <- Gen.choose(1, 9)
+      buckets <- Gen.choose(1, 40)
+      // values from a tiny domain force heavy duplication across buckets
+      vals <- Gen.listOfN(n, Gen.choose(-5, 5))
+      parts <- Gen.listOfN(n, Gen.oneOf("a", "b"))
+    } yield (vals.zip(parts).zipWithIndex.map { case ((v, p), i) =>
+      (p, v.toDouble, i.toLong)
+    }, tiles, buckets)
+    (1 to 12).foreach { i =>
+      val (rows, tiles, buckets) = gen(Gen.Parameters.default, Seed(100L + i))
+        .getOrElse(sys.error(s"gen failed for seed ${100L + i}"))
+      withClue(s"seed ${100L + i} tiles=$tiles buckets=$buckets: ") {
+        check(rows, tiles, buckets)
+      }
+    }
+  }
+
   test("r26 plan ranks by (priority, bucket) — never a priority-only data window") {
     val p = graft.SparkEntry.queries("r26_ntile_quartiles")(
       spark, "/root/testdata/sf0.001")
