@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
@@ -280,6 +282,68 @@ class StreamingSpec extends AnyFunSuite {
 
     assert(batch.nonEmpty, "fixture must contain click→purchase pairs")
     assert(streamed === batch)
+  }
+
+  test("foreachBatch streaming edge ingest == one-shot bulk load (store state)") {
+    // the WRITE side of streaming integration: an edge stream lands in the
+    // persistent store through commitBulk per microbatch (each microbatch
+    // is one atomic `-bulk` WAL publish — the distributed ingest path, no
+    // driver collect). End state must equal a single one-shot bulk load of
+    // the same delta, because commitBulk is set-wise idempotent like
+    // addTarget (Graph.hs:57-61 semantics).
+    import spark.implicits._
+    val nArtists = 12
+    def freshStore(dir: java.nio.file.Path) = {
+      val s = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir.toString)
+      val ids = (1 to nArtists).map(i => s.session.newNode(Artist(i, s"a$i")))
+      s.commit()
+      (s, ids)
+    }
+    val streamDir = Files.createTempDirectory("graft-ingest-store-")
+    val (streamed, ids) = freshStore(streamDir)
+    val edges = ids.map(n => (streamed.session.root, n)) ++
+      ids.sliding(2).map(p => (p(0), p(1))) ++
+      ids.sliding(2).map(p => (p(0), p(1)))   // dups: ingest must dedupe
+    // three parquet files drip-fed one per microbatch
+    val srcDir = Files.createTempDirectory("graft-ingest-src-")
+    edges.grouped(edges.size / 3 + 1).zipWithIndex.foreach { case (g, i) =>
+      val tmp = Files.createTempDirectory("graft-ingest-part-")
+      g.toSeq.toDF("src", "dst").coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, srcDir.resolve(s"batch-$i.parquet"))
+    }
+    val stream = spark.readStream
+      .schema("src LONG, dst LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        streamed.commitBulk(batch)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val refDir = Files.createTempDirectory("graft-ingest-ref-")
+    val (ref, refIds) = freshStore(refDir)
+    ref.commitBulk(edges.map { case (s0, d0) =>
+      // same graph shape over the reference store's own ids
+      def m(x: Long) = if (x == streamed.session.root) ref.session.root
+        else refIds(ids.indexOf(x))
+      (m(s0), m(d0))
+    }.toSeq.toDF("src", "dst"))
+
+    assert(streamed.session.getStats() === ref.session.getStats(),
+      "streamed ingest must reach the one-shot bulk-load state")
+    assert(streamed.session.targets(ids.head).toSet ===
+      Set(ids(1)), "adjacency must match")
+    // WAL carries one -bulk batch per microbatch, each atomically published
+    val bulkDirs = Files.list(streamDir.resolve("1.events"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .count(_.endsWith("-bulk"))
+    assert(bulkDirs === 3, "one bulk WAL batch per microbatch")
+    streamed.close(); ref.close()
   }
 
   test("op-log streaming follower converges to the writer's state") {
