@@ -113,7 +113,7 @@ object Verify {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$auxDir/px16_estimates")
       }
-      auxExport("px17_corpus_minhash")(Seq("px17_sigs")) {
+      auxExport("px17_corpus_minhash", "px49_source_similarity")(Seq("px17_sigs")) {
         // per-doc minhash signatures, one row per (source, slot) — DuckDB
         // recomputes the per-source elementwise-min merged signature as an
         // independent check of the MinHashMerge Aggregator. Empty shingle

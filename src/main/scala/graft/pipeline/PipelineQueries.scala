@@ -976,6 +976,26 @@ object PipelineQueries {
              |  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pos) AS sig
              |FROM m GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ------------------------------------- cross-source similarity matrix
+    // "How similar are my data sources?" — the corpus-composition
+    // diagnostic: per-source merged minhash signatures (px17's UDAF, one
+    // map-side-combined aggregation), then pairwise slot-agreement counts
+    // (n_agree/32 estimates the shingle-set Jaccard between sources).
+    // The pair join runs over |sources| rows — model-sized, never corpus.
+    // n_agree is an INTEGER, and the oracle re-merges the exported per-doc
+    // signatures independently, so the whole matrix is value-exact.
+    Q("px49_source_similarity",
+      (s, d) => Similarity.corpusAgreement(docs(s, d), "text", "source",
+        slots = 32)
+        .orderBy("s1", "s2"),
+      Some(s"""WITH s AS (SELECT * FROM '${AuxToken}/px17_sigs/*.parquet'),
+             |m AS (SELECT source, pos, MIN(h) AS mh FROM s GROUP BY 1, 2)
+             |SELECT a.source AS s1, b.source AS s2,
+             |  CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_agree
+             |FROM m a JOIN m b ON a.pos = b.pos AND a.source < b.source
+             |GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin)),
+
     Q("px12_multimodal_meta",
       (s, d) => docs(s, d)
         .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("media"))

@@ -296,6 +296,32 @@ object Similarity {
       .groupBy(col(labelCol), col("dim").cast("bigint").as("dim"))
       .agg(count(lit(1)).as("n_vecs"), sum("code").as("code_sum"))
 
+  /** Cross-group corpus similarity — per-group merged minhash signatures
+    * (MinHashMerge UDAF: map-side partial elementwise-min), then pairwise
+    * slot-agreement counts: `n_agree / slots` estimates the shingle-set
+    * Jaccard between the two groups' corpora. The pair join runs over
+    * |groups| rows — model-sized; the corpus is scanned exactly once.
+    * n_agree is an integer, so the px49 oracle (which re-merges exported
+    * per-doc signatures independently) is value-exact.
+    */
+  def corpusAgreement(df: DataFrame, textCol: String, groupCol: String,
+      slots: Int = 32): DataFrame = {
+    val merge = graft.functions.MinHashMerge(slots)
+    val sigs = df
+      .select(col(groupCol),
+        graft.functions.MinHashSigs(
+          TextAnalysis.shingles(col(textCol), 3), slots).as("sig"))
+      .groupBy(groupCol)
+      .agg(merge(col("sig")).as("merged"))
+    sigs.as("a").join(sigs.as("b"),
+        col(s"a.$groupCol") < col(s"b.$groupCol"))
+      .select(col(s"a.$groupCol").as("s1"), col(s"b.$groupCol").as("s2"),
+        aggregate(
+          zip_with(col("a.merged"), col("b.merged"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), _ + _).as("n_agree"))
+  }
+
   /** Quantized similarity search — brute-force top-k by INTEGER dot
     * product over int8 codes: the serving-side shape once px38 has
     * compressed the store. Scores, ranks, and therefore the whole result

@@ -74,6 +74,7 @@ object ScaleRehearsal {
     "px45_search_conjunctive" -> Set("documents"),
     "px46_collocations" -> Set("documents"),
     "px48_search_many" -> Set("documents"),
+    "px49_source_similarity" -> Set("documents"),
     "ga5_degree_distribution" -> Set("orders"),
     "r26_ntile_quartiles" -> Set("orders"),
     "px16_approx_stats" -> Set("documents"),

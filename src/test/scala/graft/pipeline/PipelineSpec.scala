@@ -1045,6 +1045,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("corpusAgreement: identical groups agree on all slots; == independent re-merge") {
+    import spark.implicits._
+    val shared = Seq("alpha beta gamma delta", "the quick brown fox jumps")
+    val df = (
+      shared.map(t => ("s1", t)) ++ shared.map(t => ("s2", t)) ++
+        Seq(("s3", "completely different words here entirely")))
+      .zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    val got = Similarity.corpusAgreement(df, "text", "source", slots = 16)
+      .orderBy("s1", "s2")
+      .as[(String, String, Long)].collect().toSeq
+    // independent re-merge: elementwise MIN of per-doc signatures, then
+    // slot-by-slot compare (the px49 oracle's computation, in-plan)
+    val merged = df.select(col("source"),
+      posexplode(graft.functions.MinHashSigs(
+        TextAnalysis.shingles(col("text"), 3), 16)).as(Seq("pos", "h")))
+      .groupBy("source", "pos").agg(min("h").as("mh"))
+    val want = merged.as("a").join(merged.as("b"),
+        col("a.pos") === col("b.pos") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(sum(when(col("a.mh") === col("b.mh"), 1L).otherwise(0L)).as("n"))
+      .orderBy("s1", "s2")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === want, "UDAF merge must equal the independent re-merge")
+    val m = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m(("s1", "s2")) === 16L, "identical corpora agree on every slot")
+    assert(m(("s1", "s3")) < 16L, "disjoint corpora must not fully agree")
+  }
+
   test("collocations: exact integer-derived lift, minCount prune") {
     import spark.implicits._
     val df = Seq(
