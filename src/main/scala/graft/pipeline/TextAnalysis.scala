@@ -495,7 +495,11 @@ object TextAnalysis {
     * integer (counts), both products stay far below 2^53 (corpus token
     * count × pair count), and the score is ONE IEEE double division —
     * which is correctly rounded, hence bit-identical in Spark and DuckDB.
-    * Ties break on the bigram string.
+    * Ties break on the bigram string. Scale boundary of that claim: at
+    * ~10^13+ tokens c_xy·N can exceed 2^53 and the product loses ulps —
+    * rankings stay stable to ~1e-16 relative error, but a run at that
+    * size should compare in log space (log c_xy + log N - log c_x -
+    * log c_y) rather than claim bit-exactness.
     *
     * Scale: two map-side-combined aggregations (unigram + bigram counts,
     * both vocabulary-sized after combine), a minCount prune BEFORE the
