@@ -1045,6 +1045,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("curation export sink: partitionBy(split) layout, lossless round-trip") {
+    // the SINK end of the pipeline: hash-split the corpus and write it as
+    // a training-ready partitioned dataset. partitionBy gives one
+    // directory per split so a trainer reads its slice with partition
+    // pruning (no full scan) — the layout a 100 TB export needs.
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val split = Sampling.hashSplit(docs, "doc_id",
+      Seq("val" -> 0.1, "test" -> 0.1))
+    val out = java.nio.file.Files.createTempDirectory("graft-export-").toString
+    split.write.mode("overwrite").partitionBy("split").parquet(out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs === Set("split=train", "split=val", "split=test"),
+      s"one directory per split, got $dirs")
+    val back = spark.read.parquet(out)
+    // partition pruning must reach the file index: one split's read plan
+    // lists only its own directory
+    val pruned = back.where(col("split") === "val")
+      .queryExecution.executedPlan.toString
+    assert(!pruned.contains("split=train"),
+      s"reading one split must prune the others:\n$pruned")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(key(back) === key(split), "round-trip must be lossless")
+  }
+
   test("corpusAgreement: identical groups agree on all slots; == independent re-merge") {
     import spark.implicits._
     val shared = Seq("alpha beta gamma delta", "the quick brown fox jumps")
