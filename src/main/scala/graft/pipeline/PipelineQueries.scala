@@ -976,6 +976,31 @@ object PipelineQueries {
              |  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pos) AS sig
              |FROM m GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ----------------------------------------------- exact heavy hitters
+    // Every bigram above 1/1000 corpus frequency, found via per-partition
+    // Misra-Gries summaries (hard 2000-entry memory bound — the shape for
+    // corpora whose distinct set outgrows the agg hash map) + exact
+    // candidate recount. The bounded phase is an implementation detail
+    // exactness never depends on, so the oracle is the plain HAVING form.
+    Q("px50_heavy_hitters",
+      (s, d) => TextAnalysis.heavyHitters(
+        docs(s, d).select(explode(graft.functions.ShinglesBag(
+          TextAnalysis.tokens(lower(col("text"))), 2)).as("item")),
+        "item", support = 1000, counters = 2000)
+        .orderBy("item"),
+      Some("""WITH b AS (
+             |  SELECT toks[i] || ' ' || toks[i + 1] AS item
+             |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+             |        FROM (SELECT list_filter(
+             |                string_split_regex(trim(lower(text)), '\s+'),
+             |                x -> x <> '') AS toks
+             |              FROM documents)
+             |        WHERE len(toks) >= 2)
+             |), n AS (SELECT COUNT(*) AS n FROM b)
+             |SELECT item, COUNT(*) AS cnt FROM b, n
+             |GROUP BY item, n.n HAVING COUNT(*) * 1000 > n.n
+             |ORDER BY item""".stripMargin)),
+
     // ------------------------------------- cross-source similarity matrix
     // "How similar are my data sources?" — the corpus-composition
     // diagnostic: per-source merged minhash signatures (px17's UDAF, one

@@ -534,6 +534,65 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Exact heavy hitters with a memory-bounded candidate phase — the
+    * frequent-items pattern for corpora whose per-partition DISTINCT set
+    * outgrows the aggregation hash map (where a plain groupBy count — the
+    * px37 shape — starts spilling): phase 1 runs Misra-Gries summaries
+    * with a HARD `counters`-entry bound per partition (mapPartitions — the
+    * brief's last-resort tier, used here because bounded-state streaming
+    * summaries are genuinely inexpressible as Catalyst aggregates); phase
+    * 2 exactly recounts ONLY the candidates (broadcast semi-join) and
+    * keeps items with `count · support > N`, i.e. frequency > N/support.
+    *
+    * The output is EXACT, not approximate — MG guarantees every item with
+    * global frequency > N/counters survives in at least one partition's
+    * summary (if it died everywhere, its total ≤ Σ_p n_p/counters =
+    * N/counters), and `counters ≥ support` makes the candidate set a
+    * superset of the answer. So the px50 oracle is the plain exact
+    * heavy-hitter SQL, and the bounded phase is an implementation detail
+    * correctness never depends on (the px41-bloom posture). The result is
+    * also layout-independent (PipelineSpec shuffles partitionings).
+    */
+  def heavyHitters(items: DataFrame, itemCol: String, support: Int,
+      counters: Int): DataFrame = {
+    require(support >= 1 && counters >= support,
+      "MG needs counters >= support for the candidate superset guarantee")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val ds = items.select(col(itemCol).cast("string")).as[String]
+    // ONE pass emits both the MG survivors and the partition's item count
+    // (as a null-keyed row) — a separate items.count() would re-run the
+    // whole upstream subtree (tokenize + explode for the px50 caller), a
+    // third corpus pass the first 100× rehearsal measured at 22×.
+    // The summary table is tiny (≤ counters+1 rows per partition):
+    // localCheckpoint it so its two consumers don't re-run phase 1.
+    val summaries = ds.mapPartitions { it =>
+      var n = 0L
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { w =>
+        n += 1L
+        if (m.contains(w)) m(w) += 1L
+        else if (m.size < counters) m(w) = 1L
+        else {
+          // classic MG miss step: every counter pairs off against the
+          // arriving item — decrement all, evict zeros, don't insert
+          val dead = m.iterator.collect { case (k, 1L) => k }.toList
+          dead.foreach(m -= _)
+          m.mapValuesInPlace((_, v) => v - 1L)
+        }
+      }
+      Iterator.single((null: String, n)) ++ m.keysIterator.map((_, 0L))
+    }.toDF(itemCol, "_n").localCheckpoint(true)
+    val candidates = summaries.where(col(itemCol).isNotNull)
+      .select(itemCol).distinct()
+    val total = summaries.where(col(itemCol).isNull)
+      .agg(sum(col("_n"))).head().getLong(0)
+    items.join(broadcast(candidates), Seq(itemCol), "left_semi")
+      .groupBy(itemCol)
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * support > total)
+  }
+
   /** Rolling document fingerprint: min/max/count sketch of xxhash64 over
     * the 3-gram shingle set — a 1-permutation MinHash. Identical documents
     * (post-tokenization) get identical fingerprints; any changed word flips

@@ -1045,6 +1045,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("heavyHitters: exact, layout-independent, bounded candidates catch spread items") {
+    import spark.implicits._
+    // heavy item "h" spread uniformly so no single partition sees it
+    // concentrated; plus medium and noise items around the threshold
+    val rows = (Seq.fill(300)("h") ++ Seq.fill(80)("m") ++
+      (1 to 600).map(i => s"n$i")).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }
+    val rnd = new scala.util.Random(3)
+    val shuffled = rnd.shuffle(rows)
+    val exact = shuffled.groupBy(_._2).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * 8 > rows.size }.toMap // support 8: > 122.5
+    for (parts <- Seq(1, 4, 13)) {
+      val df = shuffled.toDF("id", "item").repartition(parts)
+      val got = TextAnalysis.heavyHitters(df, "item", support = 8, counters = 16)
+        .as[(String, Long)].collect().toMap
+      assert(got === exact, s"parts=$parts: must equal the exact answer")
+    }
+    assert(exact === Map("h" -> 300L), "fixture sanity: only h is heavy")
+  }
+
   test("curation export sink: partitionBy(split) layout, lossless round-trip") {
     // the SINK end of the pipeline: hash-split the corpus and write it as
     // a training-ready partitioned dataset. partitionBy gives one
