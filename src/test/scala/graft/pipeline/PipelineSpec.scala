@@ -1043,6 +1043,10 @@ class PipelineSpec extends AnyFunSuite {
       assert(many.getOrElse(qid, Seq.empty) === scan,
         s"query $qid: index form must equal scan form")
     }
+    // a query containing a term absent from the corpus matches nothing
+    val absent = TextAnalysis.searchMany(docs, "text", "doc_id",
+      Seq(9L -> Seq("join", "zzz_not_in_corpus")), k = 7)
+    assert(absent.count() === 0L, "absent term must fail the conjunction")
   }
 
   test("heavyHitters: exact, layout-independent, bounded candidates catch spread items") {
