@@ -39,6 +39,12 @@ object Distribution {
     * (p, bucket) count aggregation (≤ |p|·buckets rows — the prefix-sum
     * window runs over THIS table, not the data), and one rank window
     * partitioned by (p, bucket) — parallelism |p|·buckets instead of |p|.
+    *
+    * Applicability: this operator exists for LOW-cardinality `partCol`
+    * (the r26 case — 5 priority classes), where the built-in window
+    * single-threads. With high-cardinality partitions the built-in
+    * ntile() is already parallel AND avoids this operator's broadcast of
+    * the |p|-row stats/offsets tables — use it directly there.
     */
   def ntileBucketed(df: DataFrame, partCol: String, valueCol: String,
       tieCol: String, tiles: Int, buckets: Int = 256): DataFrame = {
