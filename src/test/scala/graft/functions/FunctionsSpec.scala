@@ -110,6 +110,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(native === folded, "native must be bit-identical to the column fold")
   }
 
+  test("dot_i64 matches the zip_with fold; NULL on ragged or null inputs") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),      // 4+10+18 = 32
+      (Seq(-2L, 7L), Seq(3L, -1L)),            // -6-7 = -13
+      (Seq.empty[Long], Seq.empty[Long]))      // 0
+      .toDF("a", "b")
+    val native = df.select(graft.functions.DotI64(col("a"), col("b"))).as[Long].collect().toSeq
+    val folded = df.select(
+      aggregate(zip_with(col("a"), col("b"), _ * _), lit(0L), _ + _))
+      .as[Long].collect().toSeq
+    assert(native === folded && native === Seq(32L, -13L, 0L))
+    val ragged = Seq((Seq(1L, 2L), Seq(1L)))
+      .toDF("a", "b")
+      .select(graft.functions.DotI64(col("a"), col("b")).as("d"))
+    assert(ragged.collect().head.isNullAt(0), "ragged lengths must be NULL")
+    val nullIn = Seq((Some(Seq(1L)), Option.empty[Seq[Long]]))
+      .toDF("a", "b")
+      .select(graft.functions.DotI64(col("a"), col("b")).as("d"))
+    assert(nullIn.collect().head.isNullAt(0), "null input must null-propagate")
+  }
+
   test("cosine_sim is NULL for ragged or zero-norm vectors (no silent garbage)") {
     import spark.implicits._
     val df = Seq(
