@@ -976,6 +976,44 @@ object PipelineQueries {
              |  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pos) AS sig
              |FROM m GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ------------------------------------------- cross-corpus novelty
+    // Batch (odd doc ids) scored against the reference corpus (even ids):
+    // per doc, distinct bigrams absent from the reference vocabulary.
+    // Completes the contamination family: px24 flags eval overlap, px40
+    // scores own-corpus OOV, px41 exact-dedups, px51 measures freshness
+    // against a DIFFERENT corpus. Integer counts — exact oracle.
+    Q("px51_novelty_vs_reference",
+      (s, d) => {
+        val all = docs(s, d)
+        TextAnalysis.noveltyVsReference(
+          batch = all.where(col("doc_id") % 2 === 1),
+          reference = all.where(col("doc_id") % 2 === 0),
+          textCol = "text", idCol = "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))
+             |    AS gs
+             |  FROM (SELECT doc_id, list_filter(
+             |          string_split_regex(trim(lower(text)), '\s+'),
+             |          x -> x <> '') AS toks
+             |        FROM documents)
+             |), ref AS (
+             |  SELECT DISTINCT unnest(gs) AS g FROM t WHERE doc_id % 2 = 0
+             |), b AS (
+             |  SELECT doc_id, unnest(gs) AS g FROM t WHERE doc_id % 2 = 1
+             |), nov AS (
+             |  SELECT doc_id, count(*) AS n_novel FROM b
+             |  WHERE g NOT IN (SELECT g FROM ref) GROUP BY doc_id
+             |)
+             |SELECT t.doc_id, CAST(len(t.gs) AS BIGINT) AS n_bigrams,
+             |  COALESCE(nov.n_novel, 0) AS n_novel,
+             |  (COALESCE(nov.n_novel, 0) * 2 > len(t.gs)) AS mostly_novel
+             |FROM t LEFT JOIN nov ON t.doc_id = nov.doc_id
+             |WHERE t.doc_id % 2 = 1
+             |ORDER BY t.doc_id""".stripMargin)),
+
     // ----------------------------------------------- exact heavy hitters
     // Every bigram above 1/1000 corpus frequency, found via per-partition
     // Misra-Gries summaries (hard 2000-entry memory bound — the shape for

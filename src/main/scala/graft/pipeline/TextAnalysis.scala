@@ -534,6 +534,39 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Cross-corpus n-gram novelty — "how much of this batch is NEW
+    * relative to a reference corpus?": per document, the count of its
+    * distinct bigrams absent from the reference's bigram vocabulary,
+    * plus a majority flag. The cross-epoch memorization / freshness
+    * metric: px40 scores OOV against the corpus's own head vocabulary,
+    * this scores against a DIFFERENT corpus. Integer counts — exact.
+    *
+    * Scale: the reference side reduces to its DISTINCT bigram table
+    * (map-side combined, vocabulary-sized); the batch side explodes once
+    * and left-anti joins on the bigram — at reference vocabularies that
+    * fit a broadcast this is shuffle-free on the batch side; beyond
+    * that, the join hashes on the bigram key (vocab-sized shuffle, not
+    * corpus-sized).
+    */
+  def noveltyVsReference(batch: DataFrame, reference: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val refVocab = reference
+      .select(explode(shingles(lower(col(textCol)), 2)).as("_g"))
+      .distinct()
+    val base = batch.select(col(idCol),
+      shingles(lower(col(textCol)), 2).as("_gs"))
+      .select(col(idCol), col("_gs"),
+        size(col("_gs")).cast("bigint").as("n_bigrams"))
+    val novel = base
+      .select(col(idCol), explode(col("_gs")).as("_g"))
+      .join(refVocab, Seq("_g"), "left_anti")
+      .groupBy(idCol).agg(count(lit(1)).as("n_novel"))
+    base.select(col(idCol), col("n_bigrams"))
+      .join(novel, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_novel"))
+      .withColumn("mostly_novel", col("n_novel") * 2 > col("n_bigrams"))
+  }
+
   /** Exact heavy hitters with a memory-bounded candidate phase — the
     * frequent-items pattern for corpora whose per-partition DISTINCT set
     * outgrows the aggregation hash map (where a plain groupBy count — the

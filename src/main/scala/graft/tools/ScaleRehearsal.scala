@@ -76,6 +76,7 @@ object ScaleRehearsal {
     "px48_search_many" -> Set("documents"),
     "px49_source_similarity" -> Set("documents"),
     "px50_heavy_hitters" -> Set("documents"),
+    "px51_novelty_vs_reference" -> Set("documents"),
     "ga5_degree_distribution" -> Set("orders"),
     "r26_ntile_quartiles" -> Set("orders"),
     "px16_approx_stats" -> Set("documents"),

@@ -1049,6 +1049,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(absent.count() === 0L, "absent term must fail the conjunction")
   }
 
+  test("noveltyVsReference: distinct-bigram novelty, zero-bigram docs, majority flag") {
+    import spark.implicits._
+    val ref = Seq((0L, "a b c")).toDF("doc_id", "text")       // vocab: a b, b c
+    val batch = Seq(
+      (1L, "a b x"),    // {a b, b x} → 1 novel of 2, not mostly
+      (3L, "z z z"),    // {z z} → 1 of 1, mostly
+      (5L, "a b c"),    // fully covered → 0 of 2
+      (7L, "solo"))     // no bigrams
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyVsReference(batch, ref, "text", "doc_id")
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "n_novel", "mostly_novel")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, 2L, 1L, false),
+      (3L, 1L, 1L, true),
+      (5L, 2L, 0L, false),
+      (7L, 0L, 0L, false)))
+  }
+
   test("heavyHitters: exact, layout-independent, bounded candidates catch spread items") {
     import spark.implicits._
     // heavy item "h" spread uniformly so no single partition sees it
