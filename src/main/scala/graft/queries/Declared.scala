@@ -684,6 +684,33 @@ object Declared {
              |FROM e GROUP BY ws, event_type
              |ORDER BY ws, event_type""".stripMargin)),
 
+    // --------------------------------------------------------------- R29
+    // Bounded moving frame (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW):
+    // 3-day moving average of daily order revenue — the last window-frame
+    // shape the declared set lacked (r7 rank, r24 lag + running sum, r26
+    // ntile). The global ORDER BY window is legitimate HERE because its
+    // input is the pre-aggregated daily table (date-cardinality rows, not
+    // the fact table) — aggregate first, window over the aggregate is the
+    // scale rule. Daily revenue is rounded BEFORE the frame so both
+    // engines average identical inputs (kills the sum-order ulp class).
+    Q("r29_moving_avg",
+      (s, d) => {
+        val daily = t(s, d, "orders")
+          .groupBy(col("o_orderdate").as("d"))
+          .agg(round(sum("o_totalprice"), 2).as("rev"))
+        val w = Window.orderBy("d").rowsBetween(-2, Window.currentRow)
+        daily.select(col("d"), col("rev"),
+          round(avg(col("rev")).over(w), 2).as("ma3"))
+          .orderBy("d")
+      },
+      Some("""WITH daily AS (
+             |  SELECT o_orderdate AS d, ROUND(SUM(o_totalprice), 2) AS rev
+             |  FROM orders GROUP BY o_orderdate)
+             |SELECT d, rev,
+             |  ROUND(AVG(rev) OVER (ORDER BY d
+             |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS ma3
+             |FROM daily ORDER BY d""".stripMargin)),
+
     // --------------------------------------------------------------- R27
     // CUBE: all four grouping combinations in one pass (r12 covers ROLLUP;
     // CUBE completes the grouping-sets family). The Expand operator feeds
