@@ -201,6 +201,27 @@ object GraphQueries {
              |          + (SELECT COUNT(*) FROM customer)) AS gedges,
              |       ((SELECT COUNT(*) FROM region)
              |          + 2 * (SELECT COUNT(*) FROM nation)
-             |          + (SELECT COUNT(*) FROM customer)) AS gindex""".stripMargin))
+             |          + (SELECT COUNT(*) FROM customer)) AS gindex""".stripMargin)),
+
+    // The reference's flagship Demo query: a word-split SearchTerm index
+    // (one index key PER WORD of the value — the multi-key `indexes`
+    // emission, /root/reference/executables/Demo.hs:24-28) hit by a
+    // getTargets lookup (Demo.hs:66-71). Relationally: explode the name
+    // into words at index-build time, equi-filter at query time — the
+    // inverted-index shape. Bag semantics preserved (a name repeating the
+    // word would emit the key twice; lookup dedupes per Graph.hs:72-77,
+    // hence DISTINCT).
+    Q("gq4_search_term_index",
+      (s, d) =>
+        graft.Tables.load(s, d, "part")
+          .select(col("p_partkey"),
+            explode(split(col("p_name"), " ")).as("_w"))
+          .where(col("_w") === "red")
+          .select("p_partkey").distinct()
+          .orderBy("p_partkey"),
+      Some("""SELECT DISTINCT p_partkey FROM (
+             |  SELECT p_partkey, unnest(string_split(p_name, ' ')) AS w
+             |  FROM part)
+             |WHERE w = 'red' ORDER BY p_partkey""".stripMargin))
   )
 }
