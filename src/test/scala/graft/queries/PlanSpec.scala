@@ -153,6 +153,27 @@ class PlanSpec extends AnyFunSuite {
       s"top-k must not globally sort:\n$p")
   }
 
+  test("gq4 search-term index: pruned 2-column scan feeding the explode") {
+    val p = plan("gq4_search_term_index")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read == "p_partkey:bigint,p_name:string",
+      s"index build must read only (p_partkey, p_name), got: $read")
+    assert(p.contains("Generate explode"),
+      s"per-word key emission must be a Generate:\n$p")
+  }
+
+  test("r29 moving average: window runs over the aggregated daily table") {
+    // the global ORDER BY window is only acceptable because its input is
+    // date-cardinality — the aggregation must appear BELOW the window
+    val p = plan("r29_moving_avg")
+    assert(p.contains("partial_sum"),
+      s"daily totals must combine map-side before the shuffle:\n$p")
+    val window = p.indexOf("Window")
+    val agg = p.lastIndexOf("HashAggregate")
+    assert(window >= 0 && agg > window,
+      s"an aggregate must feed the window (plan prints downstream-first):\n$p")
+  }
+
   test("px39 outliers: exact medians broadcast back, counts combine map-side") {
     val p = plan("px39_length_outliers")
     assert(p.contains("BroadcastHashJoin"),
