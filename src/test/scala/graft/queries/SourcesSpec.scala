@@ -56,6 +56,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(tokenCounts(fromOrc) === base, "ORC source must be operator-identical")
   }
 
+  test("gzipped JSONL round-trips (the wire format web corpora ship as)") {
+    val pq = graft.Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_gz").toString
+    pq.write.mode("overwrite").option("compression", "gzip")
+      .json(s"$dir/documents.jsonl.gz")
+    val files = new java.io.File(s"$dir/documents.jsonl.gz").listFiles()
+      .map(_.getName).filter(_.endsWith(".json.gz"))
+    assert(files.nonEmpty, "output must actually be gzip-compressed")
+    val back = spark.read.schema(pq.schema).json(s"$dir/documents.jsonl.gz")
+    assert(tokenCounts(back) === tokenCounts(pq),
+      "gzipped JSONL source must be operator-identical")
+  }
+
+  test("export file-count control: repartition bounds the small-files problem") {
+    // at 100 TB an uncontrolled write emits one file per task — millions
+    // of tiny files; repartition(n) before write pins the output layout
+    val pq = graft.Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_filecount").toString
+    pq.repartition(4).write.mode("overwrite").parquet(s"$dir/four")
+    val parts = new java.io.File(s"$dir/four").listFiles()
+      .map(_.getName).count(_.endsWith(".parquet"))
+    assert(parts === 4, s"repartition(4) must emit exactly 4 files, got $parts")
+    val back = spark.read.parquet(s"$dir/four")
+    assert(back.count() === pq.count())
+  }
+
   test("ORC scan pushes predicates and prunes columns like parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc_plan").toString
     graft.Tables.load(spark, sf, "documents").write.mode("overwrite")
