@@ -976,6 +976,54 @@ object PipelineQueries {
              |  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pos) AS sig
              |FROM m GROUP BY source ORDER BY source""".stripMargin)),
 
+    // --------------------------------------- cross-modal record assembly
+    // Pair each document with its embedding by id and emit per-record
+    // features from BOTH modalities (token count; int8 code sum/extremes
+    // from px38's quantization) — the modality-pairing join every
+    // multimodal training-data build runs. All outputs integer-exact.
+    // Scale: an id-equi join of two co-partitionable tables — bucket both
+    // by id at persist time and it is a zero-exchange sort-merge join
+    // (BucketingSpec proves that pattern).
+    Q("px52_multimodal_assembly",
+      (s, d) => {
+        val doc = docs(s, d).select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        val codes = Similarity.quantizeInt8(embs(s, d), "vec_id", "embedding")
+          .withColumnRenamed("vec_id", "doc_id")
+        doc.join(codes, "doc_id")
+          .select("doc_id", "lang", "n_tokens",
+            "n_dims", "code_sum", "code_min", "code_max")
+          .orderBy("doc_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             |), m AS (
+             |  SELECT vec_id, e,
+             |    list_max(list_transform(e, x -> abs(x))) AS ma
+             |  FROM v
+             |), c AS (
+             |  SELECT vec_id,
+             |    CASE WHEN ma > 0 THEN list_transform(e,
+             |           x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT))
+             |         ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END
+             |      AS codes
+             |  FROM m
+             |), q AS (
+             |  SELECT vec_id, CAST(len(codes) AS BIGINT) AS n_dims,
+             |    CAST(list_sum(codes) AS BIGINT) AS code_sum,
+             |    list_min(codes) AS code_min, list_max(codes) AS code_max
+             |  FROM c
+             |), t AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(list_filter(
+             |      string_split_regex(trim(text), '\s+'), x -> x <> ''))
+             |      AS BIGINT) AS n_tokens
+             |  FROM documents)
+             |SELECT t.doc_id, t.lang, t.n_tokens,
+             |  q.n_dims, q.code_sum, q.code_min, q.code_max
+             |FROM t JOIN q ON t.doc_id = q.vec_id
+             |ORDER BY t.doc_id""".stripMargin)),
+
     // ------------------------------------------- cross-corpus novelty
     // Batch (odd doc ids) scored against the reference corpus (even ids):
     // per doc, distinct bigrams absent from the reference vocabulary.
