@@ -79,6 +79,10 @@ object ScaleRehearsal {
     "px51_novelty_vs_reference" -> Set("documents"),
     "ga5_degree_distribution" -> Set("orders"),
     "r26_ntile_quartiles" -> Set("orders"),
+    "r27_cube" -> Set("lineitem"),
+    "r29_moving_avg" -> Set("orders"),
+    "gq4_search_term_index" -> Set("part"),
+    "px52_multimodal_assembly" -> Set("documents", "embeddings"),
     "px16_approx_stats" -> Set("documents"),
     "px29_composed" -> Set("documents"),
     "px30_char_budget" -> Set("documents"),
