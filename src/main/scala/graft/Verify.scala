@@ -90,7 +90,7 @@ object Verify {
           .parquet(s"$auxDir/px8_shingle_hashes")
       }
       auxExport("px21_hash_split", "px29_composed", "px30_char_budget",
-        "px31_mix_shares")(Seq("px21_buckets")) {
+        "px31_mix_shares", "x4_multimodal_curation")(Seq("px21_buckets")) {
         // per-doc (bucket, raw hash) rows — DuckDB replays hashSplit's
         // integer threshold CASE and bernoulli's normalized threshold
         // from these, pinning every document's split membership

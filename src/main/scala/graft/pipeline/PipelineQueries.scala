@@ -976,6 +976,65 @@ object PipelineQueries {
              |  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pos) AS sig
              |FROM m GROUP BY source ORDER BY source""".stripMargin)),
 
+    // --------------------------------- multimodal curation flagship (x4)
+    // Assembly (documents ⋈ embeddings by id) → integer quality gate
+    // (token floor + non-degenerate embedding: quantization pins an
+    // extreme code to ±127 whenever the vector is nonzero) → train/val/
+    // test hash split → per-(lang, split) counts, chained as ONE lazy
+    // Catalyst plan (the px29 posture for the multimodal path — no
+    // materialization seams). Oracle: the px52 quantization replay + the
+    // px21 bucket export.
+    Q("x4_multimodal_curation",
+      (s, d) => {
+        val doc = docs(s, d).select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        val codes = Similarity.quantizeInt8(embs(s, d), "vec_id", "embedding")
+          .withColumnRenamed("vec_id", "doc_id")
+        val gated = doc.join(codes, "doc_id")
+          .where(col("n_tokens") >= 20 &&
+            (col("code_max") === 127L || col("code_min") === -127L))
+        Sampling.hashSplit(gated, "doc_id", Seq("val" -> 0.05, "test" -> 0.15))
+          .groupBy("lang", "split").agg(count(lit(1)).as("cnt"))
+          .orderBy("lang", "split")
+      },
+      Some(s"""WITH v AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             |), m AS (
+             |  SELECT vec_id, e,
+             |    list_max(list_transform(e, x -> abs(x))) AS ma
+             |  FROM v
+             |), c AS (
+             |  SELECT vec_id,
+             |    CASE WHEN ma > 0 THEN list_transform(e,
+             |           x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT))
+             |         ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END
+             |      AS codes
+             |  FROM m
+             |), q AS (
+             |  SELECT vec_id, list_min(codes) AS code_min,
+             |    list_max(codes) AS code_max
+             |  FROM c
+             |), t AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(list_filter(
+             |      string_split_regex(trim(text), '\\s+'), x -> x <> ''))
+             |      AS BIGINT) AS n_tokens
+             |  FROM documents
+             |), g AS (
+             |  SELECT t.doc_id, t.lang FROM t
+             |  JOIN q ON t.doc_id = q.vec_id
+             |  WHERE t.n_tokens >= 20
+             |    AND (q.code_max = 127 OR q.code_min = -127)
+             |), b AS (
+             |  SELECT * FROM '$AuxToken/px21_buckets/*.parquet')
+             |SELECT g.lang,
+             |  CASE WHEN b.bucket >= 0   AND b.bucket < 500  THEN 'val'
+             |       WHEN b.bucket >= 500 AND b.bucket < 2000 THEN 'test'
+             |       ELSE 'train' END AS split,
+             |  COUNT(*) AS cnt
+             |FROM g JOIN b ON g.doc_id = b.doc_id
+             |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
+
     // --------------------------------------- cross-modal record assembly
     // Pair each document with its embedding by id and emit per-record
     // features from BOTH modalities (token count; int8 code sum/extremes
