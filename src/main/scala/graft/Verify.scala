@@ -143,7 +143,8 @@ object Verify {
           tables = 8) // px11's banding parameters (occupancy-auto-sized)
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px11_sigs")
       }
-      auxExport("px13_sim_ivf")(Seq("px13_cells", "px13_probes")) {
+      auxExport("px13_sim_ivf", "px53_sim_ivf_persist")(
+          Seq("px13_cells", "px13_probes")) {
         // px13: the IVF model is deterministic (decimal Lloyd accumulation),
         // so exporting (cells, probes) lets the oracle recompute the
         // probed-cell search quadratically

@@ -25,7 +25,31 @@ object GraphQueries {
   final case class NationV(name: String) extends GeoV
   final case class CustomerV(custkey: Long) extends GeoV
 
-  object GeoModel extends GraphModel[GeoV] {
+  /** Per-edge index emission for the geo graph — user logic, exactly the
+    * part the reference's `deriveSetup` macro leaves user-supplied
+    * (M.indexes, /root/reference/library/GraphDB/Model.hs). Shared by the
+    * derived [[GeoModel]] and the hand-written [[GeoModelHand]] fixture.
+    */
+  def geoIndexes(target: GeoV, source: GeoV): Seq[IndexKey] = (target, source) match {
+    case (RegionV(n), GeoRoot) => Seq(IndexKey("Region_Name", n))
+    case (NationV(n), RegionV(_)) => Seq(IndexKey("Nation"), IndexKey("Nation_Name", n))
+    case (CustomerV(_), NationV(_)) => Seq(IndexKey("Nation_Customer"))
+    case _ => Seq.empty
+  }
+
+  /** The PRIMARY geo model, runtime-derived from the sealed `GeoV` ADT —
+    * every declared graph query (g1-g6, gq1-gq4) runs on derived codecs.
+    * DeriveSpec proves it member-for-member equal to [[GeoModelHand]].
+    */
+  val GeoModel: GraphModel[GeoV] = GraphModel.derive[GeoV](
+    indexesFn = geoIndexes,
+    kindNames = Map("GeoRoot" -> "Root", "RegionV" -> "Region",
+      "NationV" -> "Nation", "CustomerV" -> "Customer"))
+
+  /** Hand-written codec, kept as the derivation cross-check fixture (the
+    * MacrosTests.hs/THTests.hs analog — TH-generated vs explicit Setup).
+    */
+  private[graft] object GeoModelHand extends GraphModel[GeoV] {
     val valueSchema: StructType = StructType(Seq(
       StructField("name", StringType, nullable = true),
       StructField("custkey", LongType, nullable = true)))
@@ -51,12 +75,8 @@ object GraphQueries {
       case "Customer" => CustomerV(row.getLong(1))
     }
 
-    def indexes(target: GeoV, source: GeoV): Seq[IndexKey] = (target, source) match {
-      case (RegionV(n), GeoRoot) => Seq(IndexKey("Region_Name", n))
-      case (NationV(n), RegionV(_)) => Seq(IndexKey("Nation"), IndexKey("Nation_Name", n))
-      case (CustomerV(_), NationV(_)) => Seq(IndexKey("Nation_Customer"))
-      case _ => Seq.empty
-    }
+    def indexes(target: GeoV, source: GeoV): Seq[IndexKey] =
+      geoIndexes(target, source)
   }
 
   // A real deployment opens the graph session once and serves many reads

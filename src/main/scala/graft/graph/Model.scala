@@ -44,3 +44,275 @@ trait GraphModel[V] extends Serializable {
   /** Index keys emitted for an edge source→target. */
   def indexes(target: V, source: V): Seq[IndexKey]
 }
+
+/** Runtime model derivation — the analog of the reference's
+  * `deriveSetup` Template Haskell macro
+  * (/root/reference/library/GraphDB/Macros.hs:15-32,
+  * Macros/Templates.hs:41-68). Where the reference reifies the value
+  * types at compile time and renders the `Setup` instance (sum
+  * constructors for `Value`/`Index`, pack/unpack per variant, the
+  * `indexes` dispatch), we reify the sealed-trait ADT at runtime with
+  * `scala.reflect` and assemble the codec: the sparse union schema,
+  * `kindOf`, `toValueRow`, `fromValueRow`. The per-edge `indexes` logic
+  * stays user-supplied — exactly as in the reference, where `M.indexes`
+  * is user code and the macro only generates the dispatch clauses
+  * (Templates.hs:76-88).
+  *
+  * The derived model must survive Spark closure serialization (index
+  * derivation runs model code on executors), so the descriptors hold
+  * only serializable state — `java.lang.Class`, field layouts, codec
+  * ADTs — and rebuild java-reflection mirrors lazily on each JVM.
+  */
+object GraphModel {
+
+  import org.apache.spark.sql.types._
+
+  /** Per-field encoder between a Scala constructor argument and its
+    * Spark SQL column representation. A small closed algebra keeps every
+    * codec a serializable case class (no captured reflection mirrors).
+    */
+  sealed trait FieldCodec extends Serializable {
+    def sparkType: DataType
+    def toRow(v: Any): Any
+    def fromRow(v: Any): Any
+  }
+
+  /** Types whose Scala and Row representations coincide. */
+  final case class PrimCodec(sparkType: DataType) extends FieldCodec {
+    def toRow(v: Any): Any = v
+    def fromRow(v: Any): Any = v
+  }
+
+  final case class OptionCodec(inner: FieldCodec) extends FieldCodec {
+    val sparkType: DataType = inner.sparkType
+    def toRow(v: Any): Any = v match {
+      case Some(x) => inner.toRow(x)
+      case _ => null
+    }
+    def fromRow(v: Any): Any = if (v == null) None else Some(inner.fromRow(v))
+  }
+
+  final case class SeqCodec(inner: FieldCodec) extends FieldCodec {
+    val sparkType: DataType = ArrayType(inner.sparkType, containsNull = true)
+    def toRow(v: Any): Any =
+      if (v == null) null
+      else v.asInstanceOf[scala.collection.Seq[Any]].map(inner.toRow)
+    def fromRow(v: Any): Any =
+      if (v == null) null
+      else v.asInstanceOf[scala.collection.Seq[Any]].map(inner.fromRow).toSeq
+  }
+
+  /** Nested case class ⇄ nested struct. */
+  final case class StructCodec(clazz: Class[_],
+      fields: Seq[(String, FieldCodec)]) extends FieldCodec {
+    val sparkType: DataType =
+      StructType(fields.map { case (n, c) =>
+        StructField(n, c.sparkType, nullable = true) })
+    @transient private lazy val ctor = primaryCtorOf(clazz, fields.size)
+    def toRow(v: Any): Any =
+      if (v == null) null
+      else {
+        val p = v.asInstanceOf[Product]
+        Row.fromSeq(fields.indices.map(i => fields(i)._2.toRow(p.productElement(i))))
+      }
+    def fromRow(v: Any): Any =
+      if (v == null) null
+      else {
+        val r = v.asInstanceOf[Row]
+        val args = fields.indices.map(i => fields(i)._2.fromRow(r.get(i)).asInstanceOf[AnyRef])
+        ctor.newInstance(args: _*)
+      }
+  }
+
+  /** One sum constructor of the ADT — the runtime analog of a rendered
+    * `SumConstructor` (Templates.hs:60-70). `unionPos(i)` is the slot of
+    * constructor field i inside the union schema.
+    */
+  final case class VariantDesc(
+      kind: String,
+      clazz: Class[_],
+      isObject: Boolean,
+      fieldCodecs: Seq[FieldCodec],
+      unionPos: Seq[Int]) extends Serializable {
+    @transient lazy val moduleInstance: AnyRef =
+      clazz.getField("MODULE$").get(null)
+    @transient lazy val ctor: java.lang.reflect.Constructor[_] =
+      primaryCtorOf(clazz, fieldCodecs.size)
+  }
+
+  private def primaryCtorOf(clazz: Class[_], arity: Int): java.lang.reflect.Constructor[_] = {
+    val c = clazz.getDeclaredConstructors
+      .find(_.getParameterCount == arity)
+      .getOrElse(throw new IllegalArgumentException(
+        s"${clazz.getName}: no $arity-ary constructor"))
+    c.setAccessible(true)
+    c
+  }
+
+  private final class Derived[V](
+      val valueSchema: StructType,
+      variants: Seq[VariantDesc],
+      indexesFn: (V, V) => Seq[IndexKey]) extends GraphModel[V] {
+
+    @transient private lazy val byClass: Map[Class[_], VariantDesc] =
+      variants.map(v => (v.clazz: Class[_]) -> v).toMap
+    @transient private lazy val byKind: Map[String, VariantDesc] =
+      variants.map(v => v.kind -> v).toMap
+    private val arity = valueSchema.size
+
+    private def variantOf(v: V): VariantDesc =
+      byClass.getOrElse(v.getClass, throw new IllegalArgumentException(
+        s"${v.getClass.getName} is not a variant of this model"))
+
+    def kindOf(v: V): String = variantOf(v).kind
+
+    def toValueRow(v: V): Row = {
+      val d = variantOf(v)
+      val arr = new Array[Any](arity)
+      if (!d.isObject) {
+        val p = v.asInstanceOf[Product]
+        var i = 0
+        while (i < d.fieldCodecs.length) {
+          arr(d.unionPos(i)) = d.fieldCodecs(i).toRow(p.productElement(i))
+          i += 1
+        }
+      }
+      Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+    }
+
+    def fromValueRow(kind: String, row: Row): V = {
+      val d = byKind.getOrElse(kind, throw new IllegalArgumentException(
+        s"unknown kind '$kind' for this model"))
+      if (d.isObject) d.moduleInstance.asInstanceOf[V]
+      else {
+        val args = d.fieldCodecs.indices.map(i =>
+          d.fieldCodecs(i).fromRow(row.get(d.unionPos(i))).asInstanceOf[AnyRef])
+        d.ctor.newInstance(args: _*).asInstanceOf[V]
+      }
+    }
+
+    def indexes(target: V, source: V): Seq[IndexKey] = indexesFn(target, source)
+  }
+
+  // scala.reflect runtime universes are not thread-safe; derivation is a
+  // one-time driver-side step, so a coarse lock is free.
+  private val reflectLock = new Object
+
+  /** Derive a [[GraphModel]] for the sealed-trait ADT `V`.
+    *
+    * Variant kinds default to the constructor's simple name (as the
+    * reference's macro names its sum constructors after the value types,
+    * Macros/Analysis — `Value_*`/`Index_*` prefixes aside); `kindNames`
+    * renames individual variants (e.g. a root marker object `CatRoot` →
+    * kind `"Catalogue"`).
+    *
+    * The union schema takes each field at its first appearance, scanning
+    * variants in DECLARATION order (falling back to alphabetical when
+    * the enclosing scope can't be scanned) — so a hand-written sparse
+    * struct that lists fields in ADT order is reproduced exactly. Two
+    * variants may share a field name only at the same Spark type.
+    *
+    * @param indexesFn the user's per-edge index emission — the analog of
+    *   the user-written `M.indexes` the reference macro dispatches to.
+    */
+  def derive[V](indexesFn: (V, V) => Seq[IndexKey],
+      kindNames: Map[String, String] = Map.empty)(
+      implicit tt: scala.reflect.runtime.universe.TypeTag[V]): GraphModel[V] =
+    reflectLock.synchronized {
+      import scala.reflect.runtime.universe._
+      val mirror = tt.mirror
+      val root = tt.tpe.typeSymbol.asClass
+      require(root.isSealed,
+        s"${root.fullName} must be a sealed trait/class to derive a GraphModel")
+
+      def leavesOf(c: ClassSymbol): Seq[ClassSymbol] = {
+        c.info // force, so knownDirectSubclasses is populated
+        if (c.isSealed && (c.isTrait || c.isAbstract))
+          c.knownDirectSubclasses.toSeq.map(_.asClass).flatMap(leavesOf)
+        else Seq(c)
+      }
+      val leaves = leavesOf(root)
+      require(leaves.nonEmpty, s"${root.fullName}: no concrete variants found " +
+        "(knownDirectSubclasses empty — are the subclasses compiled?)")
+
+      // Declaration order: scan the enclosing scopes' decls (a MemberScope
+      // iterates in declaration order); a case object's decl is its module
+      // symbol, so match either the class symbol or its module.
+      val declOrder: Seq[Symbol] =
+        leaves.map(_.owner).distinct.flatMap(o => o.info.decls.toSeq)
+      def orderOf(c: ClassSymbol): (Int, String) = {
+        val i = declOrder.indexWhere(s =>
+          s == c || (c.isModuleClass && s == c.module))
+        (if (i < 0) Int.MaxValue else i, c.name.toString)
+      }
+      val ordered = leaves.sortBy(orderOf)
+
+      def codecFor(t: Type): FieldCodec = {
+        val d = t.dealias
+        if (d =:= typeOf[Int]) PrimCodec(IntegerType)
+        else if (d =:= typeOf[Long]) PrimCodec(LongType)
+        else if (d =:= typeOf[Double]) PrimCodec(DoubleType)
+        else if (d =:= typeOf[Float]) PrimCodec(FloatType)
+        else if (d =:= typeOf[Short]) PrimCodec(ShortType)
+        else if (d =:= typeOf[Byte]) PrimCodec(ByteType)
+        else if (d =:= typeOf[Boolean]) PrimCodec(BooleanType)
+        else if (d =:= typeOf[String]) PrimCodec(StringType)
+        else if (d =:= typeOf[Array[Byte]]) PrimCodec(BinaryType)
+        else if (d =:= typeOf[java.sql.Timestamp]) PrimCodec(TimestampType)
+        else if (d =:= typeOf[java.sql.Date]) PrimCodec(DateType)
+        else if (d =:= typeOf[java.math.BigDecimal])
+          PrimCodec(DecimalType.SYSTEM_DEFAULT)
+        else if (d <:< typeOf[Option[_]]) OptionCodec(codecFor(d.typeArgs.head))
+        else if (d <:< typeOf[scala.collection.Seq[_]])
+          SeqCodec(codecFor(d.typeArgs.head))
+        else if (d.typeSymbol.isClass && d.typeSymbol.asClass.isCaseClass) {
+          val fs = caseFields(d)
+          StructCodec(mirror.runtimeClass(d.typeSymbol.asClass),
+            fs.map { case (n, ft) => (n, codecFor(ft)) })
+        } else throw new IllegalArgumentException(
+          s"unsupported field type $d — supported: primitives, String, " +
+          "binary, Timestamp/Date, BigDecimal, Option, Seq, nested case class")
+      }
+
+      def caseFields(t: Type): Seq[(String, Type)] = {
+        val ctor = t.decl(termNames.CONSTRUCTOR).alternatives
+          .collectFirst { case m: MethodSymbol if m.isPrimaryConstructor => m }
+          .getOrElse(throw new IllegalArgumentException(
+            s"$t: no primary constructor"))
+        ctor.paramLists.flatten.map(p =>
+          (p.name.toString, p.typeSignatureIn(t).dealias))
+      }
+
+      // Union schema: first-appearance field order over declaration-ordered
+      // variants; same name ⇒ same Spark type, else the model is ambiguous.
+      val union = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+      val perVariant = ordered.map { leaf =>
+        val isObject = leaf.isModuleClass
+        val simpleName = leaf.name.toString
+        val kind = kindNames.getOrElse(simpleName, simpleName)
+        val fields =
+          if (isObject) Seq.empty[(String, FieldCodec)]
+          else caseFields(leaf.toType).map { case (n, t) => (n, codecFor(t)) }
+        fields.foreach { case (n, c) =>
+          union.get(n) match {
+            case Some(dt) => require(dt == c.sparkType,
+              s"field '$n' maps to both $dt and ${c.sparkType} across variants")
+            case None => union(n) = c.sparkType
+          }
+        }
+        (kind, leaf, isObject, fields)
+      }
+      require(perVariant.map(_._1).distinct.size == perVariant.size,
+        s"duplicate kinds after renaming: ${perVariant.map(_._1).mkString(", ")}")
+      val unionNames = union.keys.toIndexedSeq
+      val schema = StructType(unionNames.map(n =>
+        StructField(n, union(n), nullable = true)))
+
+      val variants = perVariant.map { case (kind, leaf, isObject, fields) =>
+        val clazz = mirror.runtimeClass(leaf)
+        VariantDesc(kind, clazz, isObject,
+          fields.map(_._2), fields.map(f => unionNames.indexOf(f._1)))
+      }
+      new Derived[V](schema, variants, indexesFn)
+    }
+}

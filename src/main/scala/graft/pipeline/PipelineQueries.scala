@@ -341,6 +341,51 @@ object PipelineQueries {
              |SELECT qid, nbr, rank FROM scored WHERE rank <= 5
              |ORDER BY qid, rank""".stripMargin)),
 
+    // ------------------------------- similarity: persisted-index IVF path
+    // The build-once/serve-many shape: the IVF index (centroids + corpus
+    // PARTITIONED BY CELL) is written to disk, reloaded, and the search is
+    // served from the loaded artifact — proving persisted-index results ==
+    // refit results (identical parameters to px13, identical oracle: the
+    // centroid floats round-trip parquet bit-exactly, so cells and probes
+    // are the same rows). The on-disk cell partitioning is the scale win:
+    // the probe join dynamically prunes to nprobe cells, so a serving
+    // query reads corpus·nprobe/nlist — and the Lloyd training cost is
+    // paid once at build, not per query.
+    Q("px53_sim_ivf_persist",
+      (s, d) => {
+        val e = embs(s, d)
+        val corpus = e.select(col("vec_id"), col("embedding"))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
+          java.lang.Integer.toHexString(d.hashCode)
+        Similarity.saveIndex(corpus, "vec_id", "embedding", dir,
+          nlist = 16, iters = 1)
+        val idx = Similarity.loadIndex(s, dir)
+        Similarity.ivfTopKFromIndex(idx,
+          e.where(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
+          idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 4)
+          .select("qid", "nbr", "rank")
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH cells AS (
+             |  SELECT * FROM '${AuxToken}/px13_cells/*.parquet'),
+             |probes AS (
+             |  SELECT * FROM '${AuxToken}/px13_probes/*.parquet'),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cand AS (
+             |  SELECT DISTINCT p.qid, c.nbr
+             |  FROM probes p JOIN cells c ON c._cell = p._cell
+             |  WHERE p.qid <> c.nbr),
+             |scored AS (
+             |  SELECT qid, nbr,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY ROUND(list_cosine_similarity(eq.v, ec.v), 6) DESC,
+             |               nbr) AS rank
+             |  FROM cand
+             |  JOIN e eq ON eq.vec_id = qid
+             |  JOIN e ec ON ec.vec_id = nbr)
+             |SELECT qid, nbr, rank FROM scored WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin)),
+
     // ---------------------------------------------- similarity: LSH path
     // Oracle reads the per-(vector, table) bucket signatures exported by
     // graft.Verify and re-derives the SAME candidate set quadratically in
@@ -1728,8 +1773,8 @@ object PipelineQueries {
              |  FROM bc)
              |SELECT p.bigram, p.pair_count,
              |  u1.c AS left_count, u2.c AS right_count,
-             |  CAST(p.pair_count * n.n AS DOUBLE) /
-             |    CAST(u1.c * u2.c AS DOUBLE) AS lift
+             |  (CAST(p.pair_count AS DOUBLE) * CAST(n.n AS DOUBLE)) /
+             |    (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
              |FROM parts p
              |JOIN uc u1 ON u1.w = p.w1
              |JOIN uc u2 ON u2.w = p.w2

@@ -162,20 +162,28 @@ object Similarity {
   def ivfModel(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, nlist: Int = 16, nprobe: Int = 4,
       iters: Int = 1): (DataFrame, DataFrame) = {
-    import graft.functions.{CentroidDots, NearestCentroid}
+    import graft.functions.NearestCentroid
     val c = corpus.select(col(idCol).as("nbr"), col(vecCol).as("cv"))
+    val refined = ivfCentroids(corpus, idCol, vecCol, nlist, iters)
+    val cells = c.withColumn("_cell", NearestCentroid(col("cv"), refined))
+    (cells, ivfProbes(queries, idCol, vecCol, refined, nprobe))
+  }
 
-    // deterministic seed sample for centroids
+  /** Centroid training factored out of [[ivfModel]] (identical numerics):
+    * deterministic seed sample (smallest xxhash64(id), id tie-break),
+    * then `iters` distributed Lloyd refinements with decimal accumulation
+    * — floats are exactly representable in decimal(38,18), so the mean is
+    * exact up to the final division and independent of partition merge
+    * order. Per iteration only the nlist×dim centroid matrix reaches the
+    * driver — the right shape at any corpus size.
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, iters: Int = 1): Array[Array[Float]] = {
+    import graft.functions.NearestCentroid
+    val c = corpus.select(col(idCol).as("nbr"), col(vecCol).as("cv"))
     val seed = c.orderBy(xxhash64(col("nbr")), col("nbr")).limit(nlist)
       .select(col("cv")).collect()
       .map(_.getSeq[Float](0).toArray)
-    // `iters` Lloyd refinements, each fully distributed; decimal
-    // accumulation (see scaladoc) — floats are exactly representable in
-    // decimal(38,18), so the mean is exact up to the final division. Per
-    // iteration only the nlist×dim centroid matrix reaches the driver —
-    // the right shape at any corpus size; more iterations buy tighter
-    // cells at one assign+agg pass each (the default stays 1: px13's
-    // declared plan, bit-identical to previous rounds)
     var refined = seed
     for (_ <- 1 to math.max(iters, 0)) {
       val assigned = c.withColumn("_cell", NearestCentroid(col("cv"), refined))
@@ -191,16 +199,84 @@ object Similarity {
         else dims.sortBy(_.getInt(1)).map(_.getDecimal(2).doubleValue.toFloat).toArray
       }.toArray
     }
+    refined
+  }
 
-    val cells = c.withColumn("_cell", NearestCentroid(col("cv"), refined))
-    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+  /** Query→probed-cells assignment for a given centroid matrix (factored
+    * out of [[ivfModel]]): each query scores all nlist centroids in one
+    * native expression and keeps its `nprobe` best cells.
+    */
+  def ivfProbes(queries: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], nprobe: Int): DataFrame = {
+    import graft.functions.CentroidDots
+    queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .select(col("qid"), col("qv"),
-        posexplode(CentroidDots(col("qv"), refined)).as(Seq("_cell", "_score")))
+        posexplode(CentroidDots(col("qv"), centroids)).as(Seq("_cell", "_score")))
       .withColumn("_pr", row_number().over(
         Window.partitionBy("qid").orderBy(col("_score").desc, col("_cell"))))
       .where(col("_pr") <= nprobe)
       .select(col("qid"), col("qv"), col("_cell"))
-    (cells, probes)
+  }
+
+  /** A persisted IVF index, reloaded: the driver-side centroid matrix
+    * plus the cell-partitioned codes table (`nbr, cv, _cell`).
+    */
+  final case class IvfIndex(centroids: Array[Array[Float]], cells: DataFrame)
+
+  /** Persist an IVF index: centroids as one tiny parquet (nlist×dim —
+    * driver-bounded by construction) and the assigned corpus PARTITIONED
+    * BY CELL on disk. The partition layout is the read-path win: a probe
+    * join against `nprobe` cells triggers dynamic partition pruning, so
+    * a search reads only the probed cells' files — at 100 TB the scan
+    * cost is corpus·nprobe/nlist, and the train cost (the expensive part,
+    * [[ivfCentroids]]) is paid ONCE here instead of per query
+    * (the reference's persistent-store posture: build once, serve many,
+    * /root/reference/library/GraphDB/Persistent.hs:62-88).
+    */
+  def saveIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, nlist: Int = 16, iters: Int = 1): Unit = {
+    import graft.functions.NearestCentroid
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist, iters)
+    cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("_cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    corpus.select(col(idCol).as("nbr"), col(vecCol).as("cv"))
+      .withColumn("_cell", NearestCentroid(col("cv"), cents))
+      .write.mode("overwrite").partitionBy("_cell").parquet(s"$dir/cells")
+  }
+
+  /** Reload a persisted index. Centroid floats round-trip parquet
+    * bit-exactly, so probes computed from a loaded index are identical to
+    * probes from the freshly trained matrix (px53's oracle relies on it).
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select("_cell", "centroid").orderBy("_cell").collect()
+      .map(_.getSeq[Float](1).toArray)
+    val raw = spark.read.parquet(s"$dir/cells")
+    // partition-column type inference reads `_cell=N` back as int; keep
+    // the attribute UNCAST so the probe join key stays the partition
+    // column itself and dynamic partition pruning applies.
+    require(raw.schema("_cell").dataType ==
+      org.apache.spark.sql.types.IntegerType,
+      s"unexpected _cell partition type: ${raw.schema("_cell").dataType}")
+    IvfIndex(cents, raw.select("nbr", "cv", "_cell"))
+  }
+
+  /** ANN search served from a persisted index — [[ivfTopK]] minus the
+    * training cost. The cells scan prunes to the probed partitions
+    * (dynamic partition pruning on `_cell`).
+    */
+  def ivfTopKFromIndex(index: IvfIndex, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val probes = ivfProbes(queries, idCol, vecCol, index.centroids, nprobe)
+    topKPerQuery(
+      index.cells.join(probes, Seq("_cell")).where(col("qid") =!= col("nbr"))
+        .withColumn("sim", round(cosine(col("qv"), col("cv")), 6)),
+      k)
   }
 
   /** Signature width that targets a constant expected bucket occupancy:

@@ -528,8 +528,13 @@ object TextAnalysis {
       .crossJoin(broadcast(total))
       .select(col("bigram"), col("cnt").as("pair_count"),
         col("left_count"), col("right_count"),
-        ((col("cnt") * col("_n")).cast("double") /
-          (col("left_count") * col("right_count")).cast("double")).as("lift"))
+        // Each factor casts to double BEFORE the multiply: the BIGINT
+        // products cnt*N and left*right wrap past 2^63 (reachable at
+        // ~1e13-token corpora) while the double products merely round —
+        // and below 2^53 the two forms are bit-identical anyway.
+        ((col("cnt").cast("double") * col("_n").cast("double")) /
+          (col("left_count").cast("double") *
+            col("right_count").cast("double"))).as("lift"))
       .orderBy(col("lift").desc, col("bigram"))
       .limit(k)
   }
@@ -592,7 +597,14 @@ object TextAnalysis {
       "MG needs counters >= support for the candidate superset guarantee")
     val spark = items.sparkSession
     import spark.implicits._
-    val ds = items.select(col(itemCol).cast("string")).as[String]
+    // NULL items are excluded up front: the summary table reuses a
+    // null-keyed row as its per-partition count sentinel, so a null item
+    // flowing into phase 1 would be counted into the total yet be
+    // indistinguishable from the sentinel (silently dropped from
+    // candidates). Frequency-of-NULL is not a meaningful heavy hitter;
+    // dropping it keeps the sentinel encoding unambiguous.
+    val ds = items.where(col(itemCol).isNotNull)
+      .select(col(itemCol).cast("string")).as[String]
     // ONE pass emits both the MG survivors and the partition's item count
     // (as a null-keyed row) — a separate items.count() would re-run the
     // whole upstream subtree (tokenize + explode for the px50 caller), a
@@ -618,8 +630,13 @@ object TextAnalysis {
     }.toDF(itemCol, "_n").localCheckpoint(true)
     val candidates = summaries.where(col(itemCol).isNotNull)
       .select(itemCol).distinct()
+    // coalesce: sum over zero rows is NULL (e.g. a zero-partition input
+    // produces no sentinel rows) — treat that as an empty corpus.
     val total = summaries.where(col(itemCol).isNull)
-      .agg(sum(col("_n"))).head().getLong(0)
+      .agg(coalesce(sum(col("_n")), lit(0L))).head().getLong(0)
+    if (total == 0L)
+      return items.select(col(itemCol)).limit(0)
+        .withColumn("cnt", lit(0L))
     items.join(broadcast(candidates), Seq(itemCol), "left_semi")
       .groupBy(itemCol)
       .agg(count(lit(1)).as("cnt"))

@@ -67,6 +67,8 @@ object ScaleRehearsal {
     "px37_bigram_topk" -> Set("documents"),
     "px38_embed_quantize" -> Set("embeddings"),
     "px44_sim_quantized" -> Set("embeddings"),
+    "px53_sim_ivf_persist" -> Set("embeddings"),
+    "px13_sim_ivf" -> Set("embeddings"),
     "px40_oov_bigrams" -> Set("documents"),
     "px41_incremental_dedup" -> Set("documents"),
     "px42_bpe_train" -> Set("documents"),
@@ -89,7 +91,9 @@ object ScaleRehearsal {
     "px31_mix_shares" -> Set("documents"),
     "r10_multiway_join_agg" ->
       Set("region", "nation", "customer", "supplier", "part", "orders", "lineitem"),
-    "r12_rollup" -> Set("region", "nation", "customer", "orders"))
+    "r12_rollup" -> Set("region", "nation", "customer", "orders"),
+    "r15_percentiles" -> Set("lineitem"),
+    "r11_asof_join" -> Set("events", "orders"))
 
   private var K = 10 // blowup factor (arg 2)
 

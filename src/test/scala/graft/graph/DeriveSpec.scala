@@ -1,0 +1,176 @@
+package graft.graph
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The MacrosTests.hs / THTests.hs analog
+  * (/root/reference/executables/InternalTests/MacrosTests.hs,
+  * THTests.hs:14-39): the reference asserts its TH-generated `Setup`
+  * instance behaves like the explicit one; we assert the
+  * runtime-derived [[GraphModel]] is member-for-member equal to the
+  * hand-written codec on every existing model — schema (names, types,
+  * nullability, ORDER), kindOf, toValueRow, fromValueRow round trips,
+  * and indexes — plus closure-serializability (models ship to
+  * executors) and the derive-time failure modes.
+  */
+class DeriveSpec extends AnyFunSuite {
+
+  private def gen[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(seed + i)))
+
+  private val strGen = Gen.listOfN(6, Gen.alphaNumChar).map(_.mkString)
+
+  private val catGen: Gen[Cat] = Gen.oneOf(
+    Gen.const(CatRoot: Cat),
+    Gen.zip(Gen.chooseNum(-1000, 1000), strGen).map { case (u, n) => Artist(u, n) },
+    strGen.map(Genre(_)),
+    strGen.map(Song(_)))
+
+  private val demoGen: Gen[DemoV] = Gen.oneOf(
+    Gen.const(DemoRoot: DemoV),
+    Gen.listOfN(3, strGen).map(ws => DArtist(ws.mkString(" "))),
+    strGen.map(DGenre(_)))
+
+  private val geoGen: Gen[GraphQueries.GeoV] = {
+    import GraphQueries._
+    Gen.oneOf(
+      Gen.const(GeoRoot: GeoV),
+      strGen.map(RegionV(_)),
+      strGen.map(NationV(_)),
+      Gen.chooseNum(0L, 100000L).map(CustomerV(_)))
+  }
+
+  private def assertEqualModels[V](derived: GraphModel[V],
+      hand: GraphModel[V], samples: Seq[V]): Unit = {
+    assert(derived.valueSchema === hand.valueSchema,
+      "sparse union schema must match the hand-written one exactly " +
+        "(names, types, nullability, field order)")
+    for (v <- samples) {
+      assert(derived.kindOf(v) === hand.kindOf(v))
+      assert(derived.toValueRow(v) === hand.toValueRow(v))
+      val k = hand.kindOf(v)
+      val r = hand.toValueRow(v)
+      assert(derived.fromValueRow(k, r) === v)
+      assert(derived.fromValueRow(k, derived.toValueRow(v)) === v)
+      for (s <- samples)
+        assert(derived.indexes(v, s) === hand.indexes(v, s))
+    }
+  }
+
+  test("derived CatalogueModel == hand-written (all members, 40 samples)") {
+    assertEqualModels(CatalogueModel, CatalogueModelHand, gen(catGen, 40, 11L))
+  }
+
+  test("derived DemoModel == hand-written") {
+    assertEqualModels(DemoModel, DemoModelHand, gen(demoGen, 40, 12L))
+  }
+
+  test("derived GeoModel == hand-written (the declared-query model)") {
+    assertEqualModels(GraphQueries.GeoModel, GraphQueries.GeoModelHand,
+      gen(geoGen, 40, 13L))
+  }
+
+  test("derived schema reproduces hand-written field order") {
+    // CatalogueModel: Artist(uid, name) is the first variant declared with
+    // fields, so the union is (uid, name); GeoModel declares RegionV(name)
+    // before CustomerV(custkey), so the union is (name, custkey).
+    assert(CatalogueModel.valueSchema.fieldNames.toSeq === Seq("uid", "name"))
+    assert(GraphQueries.GeoModel.valueSchema.fieldNames.toSeq ===
+      Seq("name", "custkey"))
+  }
+
+  test("derived model survives java serialization (executor shipping)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.ObjectOutputStream(bos)
+    out.writeObject(GraphQueries.GeoModel)
+    out.close()
+    val in = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    val copy = in.readObject().asInstanceOf[GraphModel[GraphQueries.GeoV]]
+    assertEqualModels(copy, GraphQueries.GeoModelHand, gen(geoGen, 20, 14L))
+  }
+
+  // ---------------------------------------- richer field types round-trip
+
+  private val derivedRich: GraphModel[DeriveSpecADT.Rich] =
+    GraphModel.derive[DeriveSpecADT.Rich]((_, _) => Seq.empty)
+
+  test("derive handles Option / Seq / nested case class / binary fields") {
+    import DeriveSpecADT._
+    assert(derivedRich.valueSchema === StructType(Seq(
+      StructField("n", LongType, nullable = true),
+      StructField("tags", ArrayType(StringType, containsNull = true), nullable = true),
+      StructField("note", StringType, nullable = true),
+      StructField("point", StructType(Seq(
+        StructField("x", DoubleType, nullable = true),
+        StructField("y", DoubleType, nullable = true))), nullable = true),
+      StructField("blob", BinaryType, nullable = true))))
+    val vs: Seq[Rich] = Seq(
+      RichRoot,
+      Wide(7L, Seq("a", "b"), Some("hi"), Point(1.5, -2.5)),
+      Wide(0L, Seq.empty, None, Point(0.0, 0.0)),
+      Blobby(Array[Byte](1, 2, 3)))
+    for (v <- vs) {
+      val k = derivedRich.kindOf(v)
+      val r = derivedRich.toValueRow(v)
+      assert(r.size === 5)
+      val back = derivedRich.fromValueRow(k, r)
+      (v, back) match {
+        // Array[Byte] equality is reference equality — compare contents
+        case (Blobby(a), Blobby(b)) => assert(a.toSeq === b.toSeq)
+        case _ => assert(back === v)
+      }
+    }
+    // Option encodes as the bare value / null, not a struct (positions:
+    // n=0, tags=1, note=2, point=3, blob=4 in the union schema)
+    val w = derivedRich.toValueRow(Wide(1L, Seq("x"), Some("y"), Point(0, 0)))
+    assert(w.get(2) === "y")
+    assert(derivedRich.toValueRow(Wide(1L, Seq("x"), None, Point(0, 0)))
+      .get(2) === null)
+    // nested case class encodes as a nested Row
+    assert(w.get(3) === Row(0.0, 0.0))
+  }
+
+  test("derive rejects non-sealed roots and conflicting field types") {
+    assertThrows[IllegalArgumentException] {
+      GraphModel.derive[DeriveSpecADT.Unsealed]((_, _) => Seq.empty)
+    }
+    assertThrows[IllegalArgumentException] {
+      GraphModel.derive[DeriveSpecADT.Conflict]((_, _) => Seq.empty)
+    }
+  }
+
+  test("derived model round-trips through a live GraphSession") {
+    val spark = TestSpark.spark
+    val g = GraphSession.inMemory(spark, derivedRich,
+      DeriveSpecADT.RichRoot: DeriveSpecADT.Rich)
+    val n = g.newNode(DeriveSpecADT.Wide(42L, Seq("t1", "t2"), Some("v"),
+      DeriveSpecADT.Point(3.25, -1.0)))
+    g.addTarget(g.root, n)
+    assert(g.getValue(n) ===
+      DeriveSpecADT.Wide(42L, Seq("t1", "t2"), Some("v"),
+        DeriveSpecADT.Point(3.25, -1.0)))
+  }
+}
+
+/** ADTs for the derive failure / rich-type tests (top level so runtime
+  * reflection sees ordinary static classes).
+  */
+object DeriveSpecADT {
+  sealed trait Rich
+  case object RichRoot extends Rich
+  final case class Wide(n: Long, tags: Seq[String], note: Option[String],
+      point: Point) extends Rich
+  final case class Blobby(blob: Array[Byte]) extends Rich
+  final case class Point(x: Double, y: Double)
+
+  trait Unsealed
+  final case class U1(a: Int) extends Unsealed
+
+  sealed trait Conflict
+  final case class C1(a: Int) extends Conflict
+  final case class C2(a: String) extends Conflict
+}

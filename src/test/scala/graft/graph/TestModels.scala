@@ -27,7 +27,12 @@ final case class Artist(uid: Int, name: String) extends Cat
 final case class Genre(name: String) extends Cat
 final case class Song(name: String) extends Cat
 
-object CatalogueModel extends GraphModel[Cat] {
+/** Hand-written codec kept as the derivation cross-check fixture: the
+  * analog of the reference's MacrosTests.hs/THTests.hs, which assert the
+  * TH-generated Setup instance behaves like the explicit one. DeriveSpec
+  * proves [[CatalogueModel]] (derived) == this on every member.
+  */
+object CatalogueModelHand extends GraphModel[Cat] {
   val valueSchema: StructType = StructType(Seq(
     StructField("uid", IntegerType, nullable = true),
     StructField("name", StringType, nullable = true)))
@@ -73,7 +78,9 @@ case object DemoRoot extends DemoV
 final case class DArtist(name: String) extends DemoV
 final case class DGenre(name: String) extends DemoV
 
-object DemoModel extends GraphModel[DemoV] {
+/** Hand-written Demo codec — derivation cross-check fixture (see
+  * [[CatalogueModelHand]]). */
+object DemoModelHand extends GraphModel[DemoV] {
   val valueSchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = true)))
 
@@ -105,4 +112,36 @@ object DemoModel extends GraphModel[DemoV] {
     case (DArtist(_), DGenre(_)) => Seq(IndexKey("Genre_Artist"))
     case _ => Seq.empty
   }
+}
+
+/** The PRIMARY catalogue model: runtime-derived from the sealed `Cat` ADT
+  * via [[GraphModel.derive]] — the `deriveSetup` analog
+  * (/root/reference/library/GraphDB/Macros.hs:15-32). Every graph spec
+  * runs on this; DeriveSpec proves it equals [[CatalogueModelHand]].
+  * The index emission mirrors GraphTests.hs:37-43 (user logic the
+  * reference macro also leaves user-supplied).
+  */
+object CatalogueModel extends GraphModel[Cat] {
+  private val d: GraphModel[Cat] = GraphModel.derive[Cat](
+    indexesFn = CatalogueModelHand.indexes,
+    kindNames = Map("CatRoot" -> "Catalogue"))
+  val valueSchema: StructType = d.valueSchema
+  def kindOf(v: Cat): String = d.kindOf(v)
+  def toValueRow(v: Cat): Row = d.toValueRow(v)
+  def fromValueRow(kind: String, row: Row): Cat = d.fromValueRow(kind, row)
+  def indexes(target: Cat, source: Cat): Seq[IndexKey] = d.indexes(target, source)
+}
+
+/** Derived Demo model (Demo.hs:10-45); DeriveSpec proves it equals
+  * [[DemoModelHand]]. */
+object DemoModel extends GraphModel[DemoV] {
+  private val d: GraphModel[DemoV] = GraphModel.derive[DemoV](
+    indexesFn = DemoModelHand.indexes,
+    kindNames = Map("DemoRoot" -> "Catalogue", "DArtist" -> "Artist",
+      "DGenre" -> "Genre"))
+  val valueSchema: StructType = d.valueSchema
+  def kindOf(v: DemoV): String = d.kindOf(v)
+  def toValueRow(v: DemoV): Row = d.toValueRow(v)
+  def fromValueRow(kind: String, row: Row): DemoV = d.fromValueRow(kind, row)
+  def indexes(target: DemoV, source: DemoV): Seq[IndexKey] = d.indexes(target, source)
 }

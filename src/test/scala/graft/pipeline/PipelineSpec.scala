@@ -179,6 +179,44 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF persisted index: save→load→search == refit search, pruned scan") {
+    val corpus = embs.select(col("vec_id"), col("embedding"))
+    val queries = embs.where(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    try {
+      Similarity.saveIndex(corpus, "vec_id", "embedding", dir, nlist = 16, iters = 1)
+      val idx = Similarity.loadIndex(spark, dir)
+      // centroids round-trip parquet bit-exactly
+      val fresh = Similarity.ivfCentroids(corpus, "vec_id", "embedding", nlist = 16)
+      assert(idx.centroids.length === fresh.length)
+      idx.centroids.zip(fresh).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+      // on-disk layout is partitioned by cell (the pruning unit)
+      val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+        .filter(_.getName.startsWith("_cell=")).map(_.getName).toSet
+      assert(cellDirs.nonEmpty)
+      // served results identical to the refit search, row for row
+      val served = Similarity.ivfTopKFromIndex(idx, queries,
+        "vec_id", "embedding", k = 5, nprobe = 4)
+        .orderBy("qid", "rank").collect().toSeq
+      val refit = Similarity.ivfTopK(corpus, queries,
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(served === refit)
+      // the probe join prunes the cells scan: the physical plan carries a
+      // dynamic-pruning partition filter on _cell
+      val plan = Similarity.ivfTopKFromIndex(idx, queries,
+        "vec_id", "embedding", k = 5, nprobe = 4)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(_cell"),
+        s"expected a partition-pruned cells scan, got:\n$plan")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("sequence packing: conservation, monotone bins, straddling docs") {
     val df = docs
     val bins = Packing.packBins(df, "doc_id", "lang", "text",
