@@ -17,6 +17,46 @@ object Profile {
       val r = f
       println(f"PROFILE $label ${(System.nanoTime() - t0) / 1e9}%.2f s ($r)")
     }
+    // phase attribution for px18 (pairs → CC → anti-join): run with
+    //   runMain graft.tools.Profile <sfDir> px18
+    if (args.length > 1 && args(1) == "px18") {
+      time("shingles-checkpoint") {
+        docs.select(col("doc_id").as("_id"),
+          graft.pipeline.TextAnalysis.shingles(col("text"), 3).as("_sh"))
+          .where(size(col("_sh")) > 0)
+          .localCheckpoint(true).count()
+      }
+      time("banding-candidates-only") {
+        val sh = docs.select(col("doc_id").as("_id"),
+          graft.pipeline.TextAnalysis.shingles(col("text"), 3).as("_sh"))
+          .where(size(col("_sh")) > 0)
+          .localCheckpoint(true)
+        val withBand = sh.select(col("_id"),
+          posexplode(graft.functions.MinHashBands(col("_sh"), 64, 16)))
+          .select(col("_id"), struct(col("pos"), col("col").as("h")).as("_b"))
+        withBand.as("a").join(withBand.as("b"),
+          col("a._b") === col("b._b") && col("a._id") < col("b._id"))
+          .select(col("a._id").as("id1"), col("b._id").as("id2"))
+          .distinct().count()
+      }
+      time("minhash-pairs") {
+        graft.pipeline.Dedup.minhashPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.6, numHashes = 64, bands = 16).count()
+      }
+      val pairs = graft.pipeline.Dedup.minhashPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.6, numHashes = 64, bands = 16)
+        .localCheckpoint(true)
+      time("cc-loop-only") {
+        graft.analytics.GraphAnalytics.connectedComponentsDF(
+          pairs.select(col("id1").as("src"), col("id2").as("dst"))).count()
+      }
+      time("full-keepRepresentatives") {
+        graft.pipeline.Dedup.keepRepresentatives(docs, "doc_id", pairs)
+          .count()
+      }
+      spark.stop()
+      return
+    }
     time("tokens-count") {
       docs.select(graft.pipeline.TextAnalysis.tokens(col("text")).as("t"))
         .select(sum(size(col("t")))).head().getLong(0)

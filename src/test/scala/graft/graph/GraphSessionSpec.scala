@@ -1,5 +1,6 @@
 package graft.graph
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Per-operator unit tests mirroring the reference's internal suite
@@ -20,6 +21,31 @@ class GraphSessionSpec extends AnyFunSuite {
     g.addTarget(billieJean, michael)
     g.addTarget(whoIsIt, michael)
     (g, michael, billieJean, whoIsIt)
+  }
+
+  test("withTargetsDFGuarded validates endpoints; == unguarded on valid input") {
+    val g = GraphSession.inMemory(spark, CatalogueModel, CatRoot: Cat)
+    val a = g.newNode(Artist(1, "A"))
+    val b = g.newNode(Song("B"))
+    val st = g.applied()
+    val s = TestSpark.spark
+    import s.implicits._
+    val valid = Seq((g.root, a), (b, a)).toDF("src", "dst")
+    val guarded = st.withTargetsDFGuarded(valid)
+    val plain = st.withTargetsDF(valid)
+    assert(guarded.edges.orderBy("src", "dst").collect().toSeq ===
+      plain.edges.orderBy("src", "dst").collect().toSeq)
+    assert(guarded.index.orderBy("src", "kkind", "key", "dst").collect().toSeq ===
+      plain.index.orderBy("src", "kkind", "key", "dst").collect().toSeq)
+    val bad = Seq((g.root, 999L)).toDF("src", "dst")
+    val e = intercept[Exception] {
+      st.withTargetsDFGuarded(bad).edges.collect()
+    }
+    assert(e.getMessage.contains("unknown node id") ||
+      Option(e.getCause).exists(_.getMessage.contains("unknown node id")))
+    // the unguarded contract: the bad edge lands, silently index-less
+    assert(st.withTargetsDF(bad).index
+      .where(col("dst") === 999L).count() === 0L)
   }
 
   test("stats of the michael fixture = (4, 5, 6)  [GraphTests.hs:121-133]") {

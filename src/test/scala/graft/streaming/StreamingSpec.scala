@@ -561,4 +561,98 @@ class StreamingSpec extends AnyFunSuite {
     assert(st.index.count() === g.applied().index.count())
     store.close()
   }
+
+  test("px29 composed curation re-curates incrementally (every streamed prefix == batch)") {
+    // The curation flagship as a STREAMING job: documents arrive in
+    // chunks; foreachBatch appends each chunk to the accumulated corpus
+    // and re-runs the IDENTICAL px29 pipeline (PipelineQueries.curateText
+    // — the same function the declared batch query calls) over the
+    // prefix. Every per-batch answer must equal the batch pipeline run
+    // independently on exactly the docs seen so far — not just the final
+    // state. This is the recuration cadence a production corpus runs
+    // (holistic dedup can't be append-only; px41 covers the incremental
+    // exact-dedup half).
+    val all = graft.Tables.load(spark, sf, "documents")
+    val srcDir = Files.createTempDirectory("graft-stream-px29-")
+    val accDir = srcDir.resolve("acc").toString
+    val inDir = srcDir.resolve("in").toString
+    // three chunk files; maxFilesPerTrigger=1 makes each its own batch
+    (0 until 3).foreach { i =>
+      all.where(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
+        .write.mode("append").parquet(inDir)
+    }
+    val prefixes =
+      scala.collection.mutable.Buffer[(Set[Long], Seq[(String, String, Long)])]()
+    val q = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(accDir)
+        val acc = spark.read.parquet(accDir)
+        val ids = acc.select("doc_id").collect().map(_.getLong(0)).toSet
+        val counts = graft.pipeline.PipelineQueries.curateText(acc)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        prefixes += ((ids, counts.toSeq))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    assert(prefixes.size === 3, s"expected 3 batches, got ${prefixes.size}")
+    // prefix sets must be strictly growing to the full corpus
+    assert(prefixes.last._1 === all.select("doc_id").collect().map(_.getLong(0)).toSet)
+    prefixes.sliding(2).foreach { case scala.collection.mutable.Buffer((a, _), (b, _)) =>
+      assert(a.subsetOf(b) && a.size < b.size)
+    }
+    // every prefix answer == the batch pipeline on exactly those docs
+    prefixes.foreach { case (ids, streamed) =>
+      val expected = graft.pipeline.PipelineQueries.curateText(
+        all.where(col("doc_id").isin(ids.toSeq: _*)))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      assert(streamed === expected,
+        s"prefix of ${ids.size} docs: streamed curation != batch curation")
+      assert(expected.nonEmpty)
+    }
+  }
+
+  test("x4 multimodal curation re-curates incrementally (streamed prefix == batch)") {
+    // the x4 flagship under the same incremental-recuration harness:
+    // documents stream in while embeddings are the static side of the
+    // modality-assembly join (the store-and-enrich shape) — per-prefix
+    // answers must equal PipelineQueries.curateMultimodal run in batch
+    // mode on the same prefix
+    val all = graft.Tables.load(spark, sf, "documents")
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val srcDir = Files.createTempDirectory("graft-stream-x4-")
+    val accDir = srcDir.resolve("acc").toString
+    val inDir = srcDir.resolve("in").toString
+    (0 until 2).foreach { i =>
+      all.where(pmod(col("doc_id"), lit(2)) === i).coalesce(1)
+        .write.mode("append").parquet(inDir)
+    }
+    val prefixes =
+      scala.collection.mutable.Buffer[(Set[Long], Seq[(String, String, Long)])]()
+    val q = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(accDir)
+        val acc = spark.read.parquet(accDir)
+        val ids = acc.select("doc_id").collect().map(_.getLong(0)).toSet
+        val counts = graft.pipeline.PipelineQueries.curateMultimodal(acc, emb)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        prefixes += ((ids, counts.toSeq))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    assert(prefixes.size === 2, s"expected 2 batches, got ${prefixes.size}")
+    prefixes.foreach { case (ids, streamed) =>
+      val expected = graft.pipeline.PipelineQueries.curateMultimodal(
+        all.where(col("doc_id").isin(ids.toSeq: _*)), emb)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      assert(streamed === expected,
+        s"prefix of ${ids.size} docs: streamed x4 != batch x4")
+      assert(expected.nonEmpty)
+    }
+  }
 }
