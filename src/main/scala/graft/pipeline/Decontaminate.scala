@@ -74,4 +74,31 @@ object Decontaminate {
       .groupBy(col(idCol))
       .agg(max(col("overlap")).as("max_overlap"))
   }
+
+  /** SEMANTIC decontamination — the embedding-space counterpart of
+    * [[overlap]]: per corpus vector, the maximum cosine similarity to any
+    * single benchmark vector, flagged at `threshold`. Catches paraphrased
+    * or translated eval contamination that shares no n-grams (the reason
+    * pipelines run both lexical AND semantic passes).
+    *
+    * Scale: the bench side is small by nature and broadcasts — the corpus
+    * embedding store is scanned ONCE with a broadcast nested-loop of
+    * |bench| dot products per row (each a codegen'd native CosineSim),
+    * then one map-side-combined max per corpus id. No corpus shuffle of
+    * vectors at all; at billions of corpus rows this is a pure map stage
+    * riding executor count. Scores are rounded to 6dp BEFORE the max and
+    * the threshold, so both are stable across engines (the px9/px13
+    * convention).
+    */
+  def semanticOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).as("_cv"))
+    val b = bench.select(col(idCol).as("_bid"), col(vecCol).as("_bv"))
+    c.join(broadcast(b), col(idCol) =!= col("_bid"))
+      .select(col(idCol),
+        round(Similarity.cosine(col("_cv"), col("_bv")), 6).as("_sim"))
+      .groupBy(col(idCol))
+      .agg(max(col("_sim")).as("max_sim"))
+      .withColumn("contaminated", col("max_sim") >= threshold)
+  }
 }

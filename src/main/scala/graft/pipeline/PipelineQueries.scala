@@ -447,6 +447,33 @@ object PipelineQueries {
              |SELECT qid, nbr, rank FROM scored WHERE rank <= 5
              |ORDER BY qid, rank""".stripMargin)),
 
+    // ------------------------------------- semantic decontamination
+    // The embedding-space counterpart of px24: per corpus vector, the max
+    // cosine to any single benchmark vector (bench = vec_id < 20,
+    // broadcast), flagged at 0.9 — catches paraphrased eval contamination
+    // that shares no n-grams. Corpus scanned once, no vector shuffle;
+    // scores rounded at 6dp before max/threshold (the px9/px13
+    // cross-engine convention, oracled directly in DuckDB).
+    Q("px54_semantic_decontam",
+      (s, d) => {
+        val e = embs(s, d)
+        Decontaminate.semanticOverlap(
+          corpus = e.where(col("vec_id") >= 20).select(col("vec_id"), col("embedding")),
+          bench = e.where(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
+          idCol = "vec_id", vecCol = "embedding", threshold = 0.9)
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 20),
+             |b AS (SELECT vec_id AS bid, v AS bv FROM e WHERE vec_id < 20),
+             |m AS (
+             |  SELECT c.vec_id,
+             |    MAX(ROUND(list_cosine_similarity(c.v, b.bv), 6)) AS max_sim
+             |  FROM c JOIN b ON c.vec_id <> b.bid
+             |  GROUP BY c.vec_id)
+             |SELECT vec_id, max_sim, max_sim >= 0.9 AS contaminated
+             |FROM m ORDER BY vec_id""".stripMargin)),
+
     // ---------------------------------------------- similarity: LSH path
     // Oracle reads the per-(vector, table) bucket signatures exported by
     // graft.Verify and re-derives the SAME candidate set quadratically in

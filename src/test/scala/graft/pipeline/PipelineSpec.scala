@@ -179,6 +179,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic decontamination: exact dup flags 1.0, orthogonal stays low") {
+    val s = spark
+    import s.implicits._
+    // corpus vec 100 IS bench vec 1 (paraphrase-free worst case); corpus
+    // 101 is orthogonal to both bench vectors
+    val bench = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Decontaminate.semanticOverlap(corpus, bench,
+      "vec_id", "embedding", threshold = 0.9)
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(100L, 101L))
+    assert(out(0).getDouble(1) === 1.0 && out(0).getBoolean(2))
+    assert(out(1).getDouble(1) === 0.0 && !out(1).getBoolean(2))
+  }
+
   test("IVF persisted index: save→load→search == refit search, pruned scan") {
     val corpus = embs.select(col("vec_id"), col("embedding"))
     val queries = embs.where(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
