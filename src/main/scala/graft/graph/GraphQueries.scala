@@ -38,11 +38,19 @@ object GraphQueries {
   }
 
   /** The PRIMARY geo model, runtime-derived from the sealed `GeoV` ADT —
-    * every declared graph query (g1-g6, gq1-gq4) runs on derived codecs.
-    * DeriveSpec proves it member-for-member equal to [[GeoModelHand]].
+    * every declared graph query (g1-g6, gq1-gq4) runs on derived codecs,
+    * and the index dispatch is ASSEMBLED from per-edge declarations (the
+    * `Edge` instance analog) rather than hand-matched. DeriveSpec proves
+    * it member-for-member equal to [[GeoModelHand]].
     */
   val GeoModel: GraphModel[GeoV] = GraphModel.derive[GeoV](
-    indexesFn = geoIndexes,
+    indexesFn = GraphModel.indexesFromEdges[GeoV](Seq(
+      GraphModel.edge[RegionV, GeoRoot.type](r =>
+        Seq(IndexKey("Region_Name", r.name))),
+      GraphModel.edge[NationV, RegionV](n =>
+        Seq(IndexKey("Nation"), IndexKey("Nation_Name", n.name))),
+      GraphModel.edge[CustomerV, NationV](_ =>
+        Seq(IndexKey("Nation_Customer"))))),
     kindNames = Map("GeoRoot" -> "Root", "RegionV" -> "Region",
       "NationV" -> "Nation", "CustomerV" -> "Customer"))
 

@@ -194,6 +194,45 @@ object GraphModel {
     def indexes(target: V, source: V): Seq[IndexKey] = indexesFn(target, source)
   }
 
+  /** One edge declaration — the runtime analog of an
+    * `instance M.Edge source target` with its `indexes :: target ->
+    * [Index]` (/root/reference/library/GraphDB/Model.hs:30-34,
+    * GraphTests.hs:31-43): the handler sees the TARGET value; the source
+    * participates by TYPE only, selecting the instance — exactly the
+    * reference's dispatch shape (Templates.hs:76-88 renders
+    * `indexes (Target v) (Source _) = map IndexCtor (M.indexes v)`).
+    * Case objects declare with their singleton type
+    * (`edge[Artist, CatRoot.type](...)`).
+    */
+  final class EdgeDef private[GraphModel] (
+      private[GraphModel] val targetClass: Class[_],
+      private[GraphModel] val sourceClass: Class[_],
+      private[GraphModel] val fn: Any => Seq[IndexKey]) extends Serializable
+
+  def edge[T: scala.reflect.ClassTag, S: scala.reflect.ClassTag](
+      fn: T => Seq[IndexKey]): EdgeDef =
+    new EdgeDef(
+      scala.reflect.classTag[T].runtimeClass,
+      scala.reflect.classTag[S].runtimeClass,
+      v => fn(v.asInstanceOf[T]))
+
+  /** Assemble the total `indexes` dispatch from per-edge declarations —
+    * the `renderIndexesClause` analog: unmatched (target, source) type
+    * pairs emit no keys, exactly like the reference's fall-through
+    * `indexes _ _ = []`. Duplicate declarations for one pair are
+    * rejected (the macro would have produced overlapping clauses).
+    */
+  def indexesFromEdges[V](edges: Seq[EdgeDef]): (V, V) => Seq[IndexKey] = {
+    val keys = edges.map(e => (e.targetClass: Class[_], e.sourceClass: Class[_]))
+    require(keys.distinct.size == keys.size,
+      s"duplicate edge declarations: ${keys.diff(keys.distinct).mkString(", ")}")
+    val table: Map[(Class[_], Class[_]), Any => Seq[IndexKey]] =
+      edges.map(e => (e.targetClass: Class[_], e.sourceClass: Class[_]) -> e.fn).toMap
+    (target: V, source: V) =>
+      table.get((target.getClass, source.getClass))
+        .map(_(target)).getOrElse(Seq.empty)
+  }
+
   // scala.reflect runtime universes are not thread-safe; derivation is a
   // one-time driver-side step, so a coarse lock is free.
   private val reflectLock = new Object

@@ -134,6 +134,24 @@ class DeriveSpec extends AnyFunSuite {
     assert(w.get(3) === Row(0.0, 0.0))
   }
 
+  test("per-edge dispatch: unmatched pairs empty, duplicates rejected") {
+    // the three primary models' indexes now come from indexesFromEdges —
+    // the equality tests above already prove dispatch == hand-written
+    // match on every sampled (target, source) pair; here: the fall-through
+    // and the overlapping-clause rejection (renderIndexesClause analog)
+    val f = GraphModel.indexesFromEdges[Cat](Seq(
+      GraphModel.edge[Artist, CatRoot.type](a =>
+        Seq(IndexKey("A", a.name)))))
+    assert(f(Artist(1, "x"), CatRoot) === Seq(IndexKey("A", "x")))
+    assert(f(Artist(1, "x"), Genre("g")) === Seq.empty) // no clause
+    assert(f(CatRoot, CatRoot) === Seq.empty)
+    assertThrows[IllegalArgumentException] {
+      GraphModel.indexesFromEdges[Cat](Seq(
+        GraphModel.edge[Artist, CatRoot.type](_ => Seq.empty),
+        GraphModel.edge[Artist, CatRoot.type](_ => Seq.empty)))
+    }
+  }
+
   test("derive rejects non-sealed roots and conflicting field types") {
     assertThrows[IllegalArgumentException] {
       GraphModel.derive[DeriveSpecADT.Unsealed]((_, _) => Seq.empty)

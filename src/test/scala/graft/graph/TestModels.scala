@@ -122,8 +122,19 @@ object DemoModelHand extends GraphModel[DemoV] {
   * reference macro also leaves user-supplied).
   */
 object CatalogueModel extends GraphModel[Cat] {
+  // index dispatch assembled from per-edge declarations — each mirrors
+  // one `instance Edge ... where indexes` of GraphTests.hs:31-43
   private val d: GraphModel[Cat] = GraphModel.derive[Cat](
-    indexesFn = CatalogueModelHand.indexes,
+    indexesFn = GraphModel.indexesFromEdges[Cat](Seq(
+      GraphModel.edge[Artist, CatRoot.type](a => Seq(
+        IndexKey("Catalogue_Artist_Name", a.name),
+        IndexKey("Catalogue_Artist_UID", a.uid.toString))),
+      GraphModel.edge[Artist, Song](_ => Seq(IndexKey("Song_Artist"))),
+      GraphModel.edge[Genre, CatRoot.type](g =>
+        Seq(IndexKey("Catalogue_Genre_Name", g.name))),
+      GraphModel.edge[Song, CatRoot.type](sn =>
+        Seq(IndexKey("Catalogue_Song_Name", sn.name))),
+      GraphModel.edge[Song, Genre](_ => Seq(IndexKey("Genre_Song"))))),
     kindNames = Map("CatRoot" -> "Catalogue"))
   val valueSchema: StructType = d.valueSchema
   def kindOf(v: Cat): String = d.kindOf(v)
@@ -135,8 +146,17 @@ object CatalogueModel extends GraphModel[Cat] {
 /** Derived Demo model (Demo.hs:10-45); DeriveSpec proves it equals
   * [[DemoModelHand]]. */
 object DemoModel extends GraphModel[DemoV] {
+  // per-edge declarations mirroring Demo.hs:24-44's Edge instances,
+  // incl. the word-split search-term emission (Demo.hs:24-28)
   private val d: GraphModel[DemoV] = GraphModel.derive[DemoV](
-    indexesFn = DemoModelHand.indexes,
+    indexesFn = GraphModel.indexesFromEdges[DemoV](Seq(
+      GraphModel.edge[DArtist, DemoRoot.type](a =>
+        IndexKey("Catalogue_Artist") +:
+          a.name.split("\\s+").filter(_.nonEmpty).toSeq
+            .map(w => IndexKey("Catalogue_Artist_SearchTerm", w))),
+      GraphModel.edge[DGenre, DemoRoot.type](g =>
+        Seq(IndexKey("Catalogue_Genre"), IndexKey("Catalogue_Genre_Name", g.name))),
+      GraphModel.edge[DArtist, DGenre](_ => Seq(IndexKey("Genre_Artist"))))),
     kindNames = Map("DemoRoot" -> "Catalogue", "DArtist" -> "Artist",
       "DGenre" -> "Genre"))
   val valueSchema: StructType = d.valueSchema
