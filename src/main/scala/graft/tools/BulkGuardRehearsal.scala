@@ -29,7 +29,12 @@ object BulkGuardRehearsal {
     spark.sparkContext.setLogLevel("WARN")
 
     import graft.graph.{GraphQueries, GraphState}
-    val model = GraphQueries.GeoModel
+    // arg 3 "hand" swaps in the hand-written codec — lets one run A/B the
+    // DERIVED model's reflection-backed fromValueRow against the direct
+    // pattern match on the same ingest (the deriveIndex flatMap decodes
+    // two node values per edge row, the hottest codec path in the repo)
+    val model = if (args.length > 2 && args(2) == "hand")
+      GraphQueries.GeoModelHand else GraphQueries.GeoModel
 
     // nodes: one root + nodes/edges ratio 1:4, values through the geo
     // model's sparse struct; edges reference valid ids only (the guard
