@@ -253,6 +253,18 @@ object GraphModel {
     *
     * @param indexesFn the user's per-edge index emission — the analog of
     *   the user-written `M.indexes` the reference macro dispatches to.
+    *   Usually assembled from per-edge declarations:
+    *   {{{
+    *   sealed trait Cat
+    *   case object CatRoot extends Cat
+    *   final case class Artist(uid: Int, name: String) extends Cat
+    *
+    *   val model = GraphModel.derive[Cat](
+    *     indexesFn = GraphModel.indexesFromEdges[Cat](Seq(
+    *       GraphModel.edge[Artist, CatRoot.type](a =>
+    *         Seq(IndexKey("Catalogue_Artist_Name", a.name))))),
+    *     kindNames = Map("CatRoot" -> "Catalogue"))
+    *   }}}
     */
   def derive[V](indexesFn: (V, V) => Seq[IndexKey],
       kindNames: Map[String, String] = Map.empty)(

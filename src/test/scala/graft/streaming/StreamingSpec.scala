@@ -562,6 +562,33 @@ class StreamingSpec extends AnyFunSuite {
     store.close()
   }
 
+  test("semantic decontamination runs unchanged on a stream (== batch px54)") {
+    // corpus embeddings arrive as a stream; the bench side is static and
+    // broadcast — the same operator code serves both paths, with the
+    // per-id max as a streaming aggregation (complete mode)
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val bench = emb.where(col("vec_id") < 10)
+    val corpus = emb.where(col("vec_id") >= 10)
+    val srcDir = Files.createTempDirectory("graft-stream-px54-")
+    corpus.coalesce(1).write.mode("overwrite")
+      .parquet(srcDir.resolve("batch").toString)
+    val stream = spark.readStream.schema(emb.schema)
+      .parquet(srcDir.resolve("batch").toString)
+    val q = graft.pipeline.Decontaminate.semanticOverlap(
+      stream, bench, "vec_id", "embedding", threshold = 0.9)
+      .writeStream.format("memory").queryName("px54_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("px54_stream").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    val expected = graft.pipeline.Decontaminate.semanticOverlap(
+      corpus, bench, "vec_id", "embedding", threshold = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    assert(streamed === expected, "semantic decontam: stream must equal batch")
+    assert(expected.nonEmpty)
+  }
+
   test("px29 composed curation re-curates incrementally (every streamed prefix == batch)") {
     // The curation flagship as a STREAMING job: documents arrive in
     // chunks; foreachBatch appends each chunk to the accumulated corpus
