@@ -152,6 +152,29 @@ class DeriveSpec extends AnyFunSuite {
     }
   }
 
+  test("derived rich model round-trips 60 random values (property)") {
+    import DeriveSpecADT._
+    val wideGen: Gen[Rich] = for {
+      n <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      tags <- Gen.listOf(strGen).map(_.take(5))
+      note <- Gen.option(strGen)
+      x <- Gen.chooseNum(-1e6, 1e6)
+      y <- Gen.chooseNum(-1e6, 1e6)
+    } yield Wide(n, tags, note, Point(x, y))
+    val richGen: Gen[Rich] = Gen.oneOf(
+      Gen.const(RichRoot: Rich), wideGen,
+      Gen.listOf(Gen.chooseNum(-128, 127)).map(bs =>
+        Blobby(bs.map(_.toByte).toArray)))
+    for (v <- gen(richGen, 60, 77L)) {
+      val back = derivedRich.fromValueRow(
+        derivedRich.kindOf(v), derivedRich.toValueRow(v))
+      (v, back) match {
+        case (Blobby(a), Blobby(b)) => assert(a.toSeq === b.toSeq)
+        case _ => assert(back === v)
+      }
+    }
+  }
+
   test("derive rejects non-sealed roots and conflicting field types") {
     assertThrows[IllegalArgumentException] {
       GraphModel.derive[DeriveSpecADT.Unsealed]((_, _) => Seq.empty)
