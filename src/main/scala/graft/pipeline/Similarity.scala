@@ -266,6 +266,26 @@ object Similarity {
     IvfIndex(cents, raw.select("nbr", "cv", "_cell"))
   }
 
+  /** Incrementally add vectors to a persisted index WITHOUT retraining:
+    * new rows are assigned to the EXISTING centroids (one map pass — the
+    * IVF update posture: centroids drift slowly, assignment is cheap) and
+    * appended to the cell-partitioned codes table; a subsequent
+    * [[loadIndex]] + [[ivfTopKFromIndex]] serves the union. Searches over
+    * the appended index are identical to an index whose cells were
+    * assigned from the same centroid matrix over the full corpus
+    * (PipelineSpec proves it) — recall degrades only as far as the
+    * centroids have gone stale, the documented tradeoff that schedules
+    * re-training ([[saveIndex]]) as a periodic job, not a per-batch one.
+    */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newRows: DataFrame, idCol: String, vecCol: String): Unit = {
+    import graft.functions.NearestCentroid
+    val cents = loadIndex(spark, dir).centroids
+    newRows.select(col(idCol).as("nbr"), col(vecCol).as("cv"))
+      .withColumn("_cell", NearestCentroid(col("cv"), cents))
+      .write.mode("append").partitionBy("_cell").parquet(s"$dir/cells")
+  }
+
   /** ANN search served from a persisted index — [[ivfTopK]] minus the
     * training cost. The cells scan prunes to the probed partitions
     * (dynamic partition pruning on `_cell`).

@@ -236,6 +236,45 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF incremental append: union served == same-centroid full assignment") {
+    val partA = embs.where(col("vec_id") % 2 === 0).select(col("vec_id"), col("embedding"))
+    val partB = embs.where(col("vec_id") % 2 === 1).select(col("vec_id"), col("embedding"))
+    val queries = embs.where(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+    try {
+      // build on A only, then append B without retraining
+      Similarity.saveIndex(partA, "vec_id", "embedding", dir, nlist = 16, iters = 1)
+      val centsA = Similarity.loadIndex(spark, dir).centroids
+      Similarity.appendToIndex(spark, dir, partB, "vec_id", "embedding")
+      val idx = Similarity.loadIndex(spark, dir)
+      // centroids untouched by the append
+      idx.centroids.zip(centsA).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+      assert(idx.cells.count() === embs.count())
+      val served = Similarity.ivfTopKFromIndex(idx, queries,
+        "vec_id", "embedding", k = 5, nprobe = 4)
+        .orderBy("qid", "rank").collect().toSeq
+      // reference: assign the FULL corpus to the SAME centroid matrix
+      val full = embs.select(col("vec_id").as("nbr"), col("embedding").as("cv"))
+        .withColumn("_cell", graft.functions.NearestCentroid(col("cv"), centsA))
+      val probes = Similarity.ivfProbes(queries, "vec_id", "embedding", centsA, nprobe = 4)
+      val expected = full.join(probes, Seq("_cell"))
+        .where(col("qid") =!= col("nbr"))
+        .withColumn("sim", round(Similarity.cosine(col("qv"), col("cv")), 6))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("qid")
+            .orderBy(col("sim").desc, col("nbr"))).cast("bigint"))
+        .where(col("rank") <= 5)
+        .select("qid", "nbr", "rank", "sim")
+        .orderBy("qid", "rank").collect().toSeq
+      assert(served === expected)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("sequence packing: conservation, monotone bins, straddling docs") {
     val df = docs
     val bins = Packing.packBins(df, "doc_id", "lang", "text",
