@@ -157,6 +157,19 @@ object Verify {
         probes.select(col("qid"), col("_cell"))
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px13_probes")
       }
+      auxExport("px55_sim_ivf_append")(Seq("px55_cells", "px55_probes")) {
+        // px55: the appended index (built on the even half, odd half
+        // assigned to the SAME centroids) — the exact index the query
+        // serves from, via the shared memoized builder
+        val idx = pipeline.PipelineQueries.ivfAppendIndex(spark, sfDir)
+        idx.cells.select(col("nbr"), col("_cell"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px55_cells")
+        pipeline.Similarity.ivfProbes(
+          embs.where(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", idx.centroids, nprobe = 4)
+          .select(col("qid"), col("_cell"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px55_probes")
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

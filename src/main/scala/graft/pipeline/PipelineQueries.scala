@@ -22,6 +22,31 @@ object PipelineQueries {
   private val ivfSaved =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** The px55 index: built ONCE per (JVM, data dir) from the even-id half
+    * of the embeddings, then the odd half APPENDED without retraining
+    * (Similarity.appendToIndex). Deterministic end-to-end (hash-ordered
+    * seed sample on the even half, decimal Lloyd, bit-exact parquet float
+    * round-trip), so graft.Verify can export this exact index's
+    * (cells, probes) for the DuckDB oracle — shared here so the declared
+    * query and the Verify aux export cannot drift apart.
+    */
+  private[graft] def ivfAppendIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): Similarity.IvfIndex = {
+    val e = embs(s, d)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_append_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    ivfSaved.computeIfAbsent(dir, _ => {
+      Similarity.saveIndex(
+        e.where(col("vec_id") % 2 === 0).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", dir, nlist = 16, iters = 1)
+      Similarity.appendToIndex(s, dir,
+        e.where(col("vec_id") % 2 === 1).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding")
+      java.lang.Boolean.TRUE
+    })
+    Similarity.loadIndex(s, dir)
+  }
+
   /** The px29 composed curation pipeline over an arbitrary documents
     * table: decontaminate → near-dup representatives → deterministic hash
     * split → per-(lang, split) counts, chained as ONE lazy Catalyst plan.
@@ -431,6 +456,44 @@ object PipelineQueries {
              |  SELECT * FROM '${AuxToken}/px13_cells/*.parquet'),
              |probes AS (
              |  SELECT * FROM '${AuxToken}/px13_probes/*.parquet'),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cand AS (
+             |  SELECT DISTINCT p.qid, c.nbr
+             |  FROM probes p JOIN cells c ON c._cell = p._cell
+             |  WHERE p.qid <> c.nbr),
+             |scored AS (
+             |  SELECT qid, nbr,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY ROUND(list_cosine_similarity(eq.v, ec.v), 6) DESC,
+             |               nbr) AS rank
+             |  FROM cand
+             |  JOIN e eq ON eq.vec_id = qid
+             |  JOIN e ec ON ec.vec_id = nbr)
+             |SELECT qid, nbr, rank FROM scored WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin)),
+
+    // --------------------------- similarity: incremental index update
+    // Build the IVF index on the even-id half, APPEND the odd half
+    // without retraining (assign to the existing centroids, append to
+    // the cell-partitioned codes table — the periodic-retrain serving
+    // posture), serve from the updated index. Oracle: the appended
+    // index's (cells, probes) are exported by graft.Verify (the whole
+    // build is deterministic) and DuckDB recomputes the probed-cell
+    // search quadratically — px13's oracle pattern over the UPDATED
+    // index.
+    Q("px55_sim_ivf_append",
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.ivfTopKFromIndex(ivfAppendIndex(s, d),
+          e.where(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
+          idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 4)
+          .select("qid", "nbr", "rank")
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH cells AS (
+             |  SELECT * FROM '${AuxToken}/px55_cells/*.parquet'),
+             |probes AS (
+             |  SELECT * FROM '${AuxToken}/px55_probes/*.parquet'),
              |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              |cand AS (
              |  SELECT DISTINCT p.qid, c.nbr

@@ -69,6 +69,7 @@ object ScaleRehearsal {
     "px44_sim_quantized" -> Set("embeddings"),
     "px53_sim_ivf_persist" -> Set("embeddings"),
     "px54_semantic_decontam" -> Set("embeddings"),
+    "px55_sim_ivf_append" -> Set("embeddings"),
     "px13_sim_ivf" -> Set("embeddings"),
     "px40_oov_bigrams" -> Set("documents"),
     "px41_incremental_dedup" -> Set("documents"),
