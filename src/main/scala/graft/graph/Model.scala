@@ -289,8 +289,13 @@ object GraphModel {
       // Declaration order: scan the enclosing scopes' decls (a MemberScope
       // iterates in declaration order); a case object's decl is its module
       // symbol, so match either the class symbol or its module.
+      // With variants spread across several owners, knownDirectSubclasses
+      // (a Set) gives no stable owner order — sort owners by fullName so
+      // the derived union schema's column order is identical across JVM
+      // runs (persisted value rows depend on it).
       val declOrder: Seq[Symbol] =
-        leaves.map(_.owner).distinct.flatMap(o => o.info.decls.toSeq)
+        leaves.map(_.owner).distinct.sortBy(_.fullName)
+          .flatMap(o => o.info.decls.toSeq)
       def orderOf(c: ClassSymbol): (Int, String) = {
         val i = declOrder.indexWhere(s =>
           s == c || (c.isModuleClass && s == c.module))

@@ -89,12 +89,29 @@ object Decontaminate {
     * riding executor count. Scores are rounded to 6dp BEFORE the max and
     * the threshold, so both are stable across engines (the px9/px13
     * convention).
+    *
+    * The broadcast is GUARDED like [[overlap]]'s: an unconditional hint
+    * overrides Spark's size protection, so a caller passing a huge
+    * "bench" would OOM every executor — above `maxBroadcastBenchRows`
+    * the plain (shuffled nested-loop) join gives identical answers.
+    *
+    * `excludeSameId` (default true) skips corpus-vs-bench comparisons
+    * whose ids coincide — correct when the bench is carved OUT OF the
+    * corpus id space (px54's shape: a held-out half, where the self-pair
+    * is a trivial sim=1.0). When corpus and bench are independent
+    * datasets whose id spaces can collide, pass false, or a genuinely
+    * contaminated pair sharing an id is never scored.
     */
   def semanticOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
-      vecCol: String, threshold: Double): DataFrame = {
+      vecCol: String, threshold: Double, excludeSameId: Boolean = true,
+      maxBroadcastBenchRows: Long = 2000000L): DataFrame = {
     val c = corpus.select(col(idCol), col(vecCol).as("_cv"))
     val b = bench.select(col(idCol).as("_bid"), col(vecCol).as("_bv"))
-    c.join(broadcast(b), col(idCol) =!= col("_bid"))
+    val benchSide =
+      if (b.count() <= maxBroadcastBenchRows) broadcast(b) else b
+    val cond =
+      if (excludeSameId) col(idCol) =!= col("_bid") else lit(true)
+    c.join(benchSide, cond)
       .select(col(idCol),
         round(Similarity.cosine(col("_cv"), col("_bv")), 6).as("_sim"))
       .groupBy(col(idCol))

@@ -18,9 +18,24 @@ import graft.queries.Declared.Q
   */
 object PipelineQueries {
 
-  // px53's once-per-(JVM, data dir) index-build guard (see the query)
+  // px53's once-per-(JVM, data dir) index-build guard (see the query):
+  // maps a logical index key to the concrete on-disk dir this JVM built.
   private val ivfSaved =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** On-disk location for a persisted serving index. Keyed by the
+    * SANITIZED ABSOLUTE data path — not its 32-bit hashCode, where a
+    * collision across data dirs would silently serve the wrong index —
+    * and suffixed with this JVM's pid, so two processes running against
+    * the same data dir concurrently (bench vs Verify) each build and
+    * serve their own complete copy instead of racing one overwrite
+    * against the other's read. The build is deterministic, so per-process
+    * copies are identical.
+    */
+  private def indexDir(prefix: String, d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/$prefix" +
+      new java.io.File(d).getAbsolutePath.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "_p" + ProcessHandle.current().pid()
 
   /** The px55 index: built ONCE per (JVM, data dir) from the even-id half
     * of the embeddings, then the odd half APPENDED without retraining
@@ -33,16 +48,14 @@ object PipelineQueries {
   private[graft] def ivfAppendIndex(s: org.apache.spark.sql.SparkSession,
       d: String): Similarity.IvfIndex = {
     val e = embs(s, d)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_append_" +
-      java.lang.Integer.toHexString(d.hashCode)
-    ivfSaved.computeIfAbsent(dir, _ => {
+    val dir = ivfSaved.computeIfAbsent(indexDir("graft_ivf_append_", d), k => {
       Similarity.saveIndex(
         e.where(col("vec_id") % 2 === 0).select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", dir, nlist = 16, iters = 1)
-      Similarity.appendToIndex(s, dir,
+        "vec_id", "embedding", k, nlist = 16, iters = 1)
+      Similarity.appendToIndex(s, k,
         e.where(col("vec_id") % 2 === 1).select(col("vec_id"), col("embedding")),
         "vec_id", "embedding")
-      java.lang.Boolean.TRUE
+      k
     })
     Similarity.loadIndex(s, dir)
   }
@@ -434,17 +447,16 @@ object PipelineQueries {
       (s, d) => {
         val e = embs(s, d)
         val corpus = e.select(col("vec_id"), col("embedding"))
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
-          java.lang.Integer.toHexString(d.hashCode)
         // build-once/serve-many: the index is written once per (JVM, data
         // dir) — exactly the persistent-store posture the query exists to
         // prove — so repeated runs (bench best-of-3) measure load+search,
         // not a redundant retrain
-        ivfSaved.computeIfAbsent(dir, _ => {
-          Similarity.saveIndex(corpus, "vec_id", "embedding", dir,
-            nlist = 16, iters = 1)
-          java.lang.Boolean.TRUE
-        })
+        val dir = ivfSaved.computeIfAbsent(indexDir("graft_ivf_index_", d),
+          k => {
+            Similarity.saveIndex(corpus, "vec_id", "embedding", k,
+              nlist = 16, iters = 1)
+            k
+          })
         val idx = Similarity.loadIndex(s, dir)
         Similarity.ivfTopKFromIndex(idx,
           e.where(col("vec_id") < 20).select(col("vec_id"), col("embedding")),

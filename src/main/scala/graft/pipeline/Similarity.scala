@@ -278,11 +278,24 @@ object Similarity {
     * re-training ([[saveIndex]]) as a periodic job, not a per-batch one.
     */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-      newRows: DataFrame, idCol: String, vecCol: String): Unit = {
+      newRows: DataFrame, idCol: String, vecCol: String,
+      dedupeIds: Boolean = true): Unit = {
     import graft.functions.NearestCentroid
-    val cents = loadIndex(spark, dir).centroids
-    newRows.select(col(idCol).as("nbr"), col(vecCol).as("cv"))
-      .withColumn("_cell", NearestCentroid(col("cv"), cents))
+    val idx = loadIndex(spark, dir)
+    // Idempotence under retries: a re-submitted batch (crashed writer,
+    // ids already indexed) must not duplicate code rows, so by default the
+    // new ids are anti-joined against the existing codes table — a
+    // column-pruned scan of `nbr` only, cheap relative to the append.
+    // Callers with an external exactly-once guarantee can pass false.
+    // Parquet append itself is not atomic: a crash mid-write can leave
+    // partial part-files; re-running the SAME append after such a crash
+    // is safe only with dedupeIds=true (the surviving rows are excluded,
+    // the lost rows re-written).
+    val base = newRows.select(col(idCol).as("nbr"), col(vecCol).as("cv"))
+    val fresh =
+      if (dedupeIds) base.join(idx.cells.select("nbr"), Seq("nbr"), "left_anti")
+      else base
+    fresh.withColumn("_cell", NearestCentroid(col("cv"), idx.centroids))
       .write.mode("append").partitionBy("_cell").parquet(s"$dir/cells")
   }
 

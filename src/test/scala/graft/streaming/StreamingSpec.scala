@@ -188,6 +188,9 @@ class StreamingSpec extends AnyFunSuite {
     // when it happens, so tolerate the exception and let run 2 (fresh query,
     // same checkpoint) fire the timer instead.
     scala.util.Try(q1.awaitTermination(120000))
+    // stop explicitly so a straggling wrap-up batch isn't torn down with
+    // the SparkSession at suite end (logs a spurious INTERNAL_ERROR)
+    scala.util.Try(q1.stop())
     val run1 = spark.table("sess_t1").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val flushed =
@@ -203,6 +206,7 @@ class StreamingSpec extends AnyFunSuite {
           .option("checkpointLocation", ckpt)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q2.awaitTermination(120000)
+        scala.util.Try(q2.stop())
         run1 ++ spark.table("sess_t2").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
       }
