@@ -98,6 +98,14 @@ object Verify {
           Tables.load(spark, sfDir, "documents"), "doc_id")
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px21_buckets")
       }
+      auxExport("ga6_triangle_approx")(Seq("ga6_sample")) {
+        // ga6's DETERMINISTIC DOULION edge sample (xxhash64 trial, not
+        // recomputable in DuckDB) — the oracle recounts triangles on
+        // exactly these rows and bound-checks the scaled estimate against
+        // its own exact count on the full co-supplier graph
+        analytics.AnalyticsQueries.ga6SampledEdges(spark, sfDir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/ga6_sample")
+      }
       auxExport("px16_approx_stats")(Seq("px16_estimates")) {
         // the per-lang sketch ESTIMATES themselves (HLL++ distinct count,
         // rank-sketch median) — DuckDB checks them against its OWN exact

@@ -15,6 +15,39 @@ object AnalyticsQueries {
     * the comparison is only meaningful when both run the SAME N. */
   val PageRankIters: Int = 8
 
+  /** ga4/ga6's shared induced graph: suppliers linked when they supply
+    * the same filtered part — canonical (src < dst, distinct) co-supplier
+    * pairs. The graph stays bounded because edges are per-part supplier
+    * pairs over a selective dimension filter; at 100 TB the same plan
+    * holds (distinct + equi-join candidate generation on the pruned
+    * part side, never on the raw fact table).
+    */
+  private[graft] def coSupplierPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val li = graft.Tables.load(s, d, "lineitem")
+    val filteredPart = graft.Tables.load(s, d, "part")
+      .where(col("p_brand") === "Brand#13" && col("p_size") < 10)
+    val sp = li.join(filteredPart, li("l_partkey") === filteredPart("p_partkey"))
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+    sp.as("a").join(sp.as("b"),
+      col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+  }
+
+  /** ga6's sampling parameters, shared by the query and graft.Verify's
+    * aux export (which dumps the sampled edges so DuckDB can replay the
+    * count on the EXACT same sample — xxhash64 is not recomputable
+    * cross-engine). keepMod=4 → p=1/4: the wedge join shrinks 8×
+    * (4^1.5) while σ/t ≈ √(64/42621) ≈ 4% at sf0.01 — far inside the
+    * oracle's 30% + 30 bound.
+    */
+  val Ga6KeepMod: Int = 4
+  val Ga6Seed: Long = 2026L
+
+  private[graft] def ga6SampledEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    GraphAnalytics.sampleCanonical(coSupplierPairs(s, d), Ga6KeepMod, Ga6Seed)
+
   /** ga3's oracle: the geo edge list (root=0 → regions=1+key →
     * nations=100+key, GraphQueries' node-id scheme) rebuilt from the base
     * tables, then [[PageRankIters]] chained power-method CTEs — rank₀ = 1,
@@ -123,18 +156,11 @@ object AnalyticsQueries {
     Q("ga4_triangle_count",
       (s, d) => {
         import s.implicits._
-        val li = graft.Tables.load(s, d, "lineitem")
-        val filteredPart = graft.Tables.load(s, d, "part")
-          .where(col("p_brand") === "Brand#13" && col("p_size") < 10)
-        val sp = li.join(filteredPart, li("l_partkey") === filteredPart("p_partkey"))
-          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
-        val pairs = sp.as("a").join(sp.as("b"),
-          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
-          .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
         // DF route: the induced co-supplier graph is already a Catalyst
         // plan — counting wedges in-plan avoids GraphX's RDD conversion
         // and fixed overhead (AnalyticsSpec cross-checks DF == GraphX)
-        Seq(GraphAnalytics.triangleCountDF(pairs)).toDF("triangles")
+        Seq(GraphAnalytics.triangleCountDF(coSupplierPairs(s, d)))
+          .toDF("triangles")
       },
       Some("""WITH sp AS (SELECT DISTINCT l.l_partkey AS pk, l.l_suppkey AS sk
              |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
@@ -144,6 +170,42 @@ object AnalyticsQueries {
              |SELECT COUNT(*) AS triangles
              |FROM e e1 JOIN e e2 ON e2.u = e1.v
              |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin)),
+
+    // SCALE-SAFE triangle counting: ga4's exact degree-oriented wedge join
+    // is inherently O(m^1.5) and the co-supplier graph DENSIFIES with
+    // scale (17.4× time at 100× data measured in r13) — this query is the
+    // production path for full-graph counting at 100 TB: DOULION edge
+    // sampling (keep w.p. 1/4, deterministic xxhash64 trial), exact count
+    // on the sample, scale by 4³. Unbiased, ~4% relative σ at sf0.01, and
+    // the wedge join shrinks 8×. The oracle is adversarial on BOTH halves:
+    // DuckDB recounts triangles on the exported sample (hash-exact match
+    // of the estimate) AND recomputes the EXACT count on the full graph,
+    // emitting the row only if the estimate lands within 30% + 30 of
+    // truth — an out-of-bound estimator fails as a row-count mismatch.
+    Q("ga6_triangle_approx",
+      (s, d) => {
+        import s.implicits._
+        Seq(GraphAnalytics.triangleCountApprox(
+          coSupplierPairs(s, d), Ga6KeepMod, Ga6Seed)).toDF("est_triangles")
+      },
+      Some(s"""WITH samp AS (SELECT u, v FROM
+             |    '${graft.pipeline.PipelineQueries.AuxToken}/ga6_sample/*.parquet'),
+             |ts AS (SELECT COUNT(*) AS t FROM samp e1
+             |  JOIN samp e2 ON e2.u = e1.v
+             |  JOIN samp e3 ON e3.u = e1.u AND e3.v = e2.v),
+             |sp AS (SELECT DISTINCT l.l_partkey AS pk, l.l_suppkey AS sk
+             |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+             |  WHERE p.p_brand = 'Brand#13' AND p.p_size < 10),
+             |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+             |  FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk < b.sk),
+             |ex AS (SELECT COUNT(*) AS t FROM e e1
+             |  JOIN e e2 ON e2.u = e1.v
+             |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+             |SELECT ts.t * ${Ga6KeepMod.toLong * Ga6KeepMod * Ga6KeepMod}
+             |    AS est_triangles
+             |FROM ts, ex
+             |WHERE ABS(ts.t * ${Ga6KeepMod.toLong * Ga6KeepMod * Ga6KeepMod}
+             |          - ex.t) <= 0.30 * ex.t + 30""".stripMargin)),
 
     // Out-degree distribution of the customer→orders hop — the fan-out
     // histogram of the reference's refsTargets multimap

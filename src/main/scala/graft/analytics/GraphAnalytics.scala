@@ -354,6 +354,44 @@ object GraphAnalytics {
       .count()
   }
 
+  /** DOULION edge sparsification (Tsourakakis et al., KDD '09): keep each
+    * canonical edge independently with probability 1/keepMod, here as the
+    * DETERMINISTIC Bernoulli trial xxhash64(u, v, seed) ≡ 0 (mod keepMod)
+    * — a pure map-side filter over the canonicalized edge set, and
+    * replayable by an oracle from the exported sample (no engine RNG).
+    * Returns canonical `(u, v)` with u < v. Triangles counted on the
+    * sample scale by keepMod³ ([[triangleCountApprox]]).
+    */
+  def sampleCanonical(edges: DataFrame, keepMod: Int, seed: Long): DataFrame = {
+    require(keepMod >= 1, s"keepMod must be >= 1, got $keepMod")
+    edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .where(pmod(xxhash64(col("u"), col("v"), lit(seed)),
+        lit(keepMod.toLong)) === 0L)
+  }
+
+  /** Approximate triangle count via DOULION: sparsify with
+    * [[sampleCanonical]], count EXACTLY on the sample (the same
+    * degree-oriented wedge join as [[triangleCountDF]]), scale by
+    * keepMod³. This is what makes full-graph triangle counting 100×-safe
+    * on a densifying graph: exact counting is inherently O(m^1.5), but
+    * the sample's m is m/keepMod, so the wedge join shrinks by
+    * keepMod^1.5 while the estimator stays unbiased
+    * (E[t_sample·keepMod³] = t). Relative error falls as the true count
+    * grows (σ/t ≈ √(keepMod³/t) plus a shared-edge covariance term), so
+    * the estimator gets TIGHTER exactly where the exact plan gets
+    * expensive — the right asymmetry for scale. Unlike [[dropHubs]] this
+    * is unbiased: hub triangles are sampled, not excluded.
+    */
+  def triangleCountApprox(edges: DataFrame, keepMod: Int, seed: Long): Long = {
+    val samp = sampleCanonical(edges, keepMod, seed)
+      .select(col("u").as("src"), col("v").as("dst"))
+    triangleCountDF(samp) * keepMod.toLong * keepMod * keepMod
+  }
+
   /** Drop every edge incident to a vertex of degree > `cap` from a
     * canonicalized (u < v, distinct) edge set — the standard
     * approximate-triangle trick that makes the wedge join 100×-safe

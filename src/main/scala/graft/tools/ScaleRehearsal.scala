@@ -50,6 +50,7 @@ object ScaleRehearsal {
     "ga2_connected_components" -> Set("region", "nation", "customer", "orders"),
     "ga3_pagerank" -> Set("region", "nation", "customer", "orders"),
     "ga4_triangle_count" -> Set("lineitem", "part"),
+    "ga6_triangle_approx" -> Set("lineitem", "part"),
     "gq3_graph_stats" -> Set("region", "nation", "customer", "orders"),
     "px2_dedup_ngram" -> Set("documents"),
     "px3_dedup_minhash" -> Set("documents"),

@@ -126,6 +126,50 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(GraphAnalytics.triangleCountDF(hubTri, maxDegree = Some(10)) === 0L)
   }
 
+  test("DOULION approx triangles: exact at p=1, within bound across seeds") {
+    // keepMod=1 keeps every edge — the estimator degenerates to exact
+    val k5 = edgesDF((for { i <- 1L to 5L; j <- (i + 1) to 5L }
+      yield (i, j)): _*)
+    assert(GraphAnalytics.triangleCountApprox(k5, keepMod = 1, seed = 7L)
+      === 10L)
+    // K40 = 9880 triangles — the worst case for DOULION variance (every
+    // pair of triangles shares an edge, σ/t ≈ 20% at p=1/4): per-seed
+    // estimates swing, but the across-seed mean must sit tight on the
+    // exact count (unbiasedness evidence on the adversarial shape)
+    val k40 = edgesDF((for { i <- 1L to 40L; j <- (i + 1) to 40L }
+      yield (i, j)): _*)
+    val exact = 9880L
+    val ests = (1L to 8L).map(sd =>
+      GraphAnalytics.triangleCountApprox(k40, keepMod = 4, seed = sd))
+    val mean = ests.sum.toDouble / ests.size
+    assert(math.abs(mean - exact) <= 0.10 * exact,
+      s"seed-mean $mean drifted from exact $exact (ests=$ests)")
+    // Per-seed bound on a production-shaped graph: 6000 edge-disjoint
+    // triangles (t = 6000, zero shared-edge covariance → σ/t =
+    // √(63/6000) ≈ 10%). Every deterministic trial must land inside the
+    // SAME bound ga6's oracle enforces (30% + 30 ≈ 3σ here); the sf0.01
+    // co-supplier graph the declared query runs on sits at σ/t ≈ 11%
+    // (t = 42621, k = 3.0M shared-edge pairs), i.e. the same regime.
+    val many = edgesDF((0L until 6000L).flatMap { i =>
+      val a = 3 * i; Seq((a, a + 1), (a + 1, a + 2), (a, a + 2))
+    }: _*)
+    val manyExact = 6000L
+    val manyEsts = (1L to 6L).map(sd =>
+      GraphAnalytics.triangleCountApprox(many, keepMod = 4, seed = sd))
+    manyEsts.foreach(e =>
+      assert(math.abs(e - manyExact) <= 0.30 * manyExact + 30,
+        s"estimate $e outside oracle bound of exact $manyExact ($manyEsts)"))
+    // the deterministic Bernoulli trial is calibrated: the kept fraction
+    // of 18000 canonical edges is ≈ 1/4
+    val kept = GraphAnalytics.sampleCanonical(many, keepMod = 4, seed = 1L)
+      .count().toDouble / 18000.0
+    assert(kept > 0.2 && kept < 0.3, s"sample rate $kept far from 1/4")
+    // determinism: same seed → same sample → same estimate (the aux
+    // oracle replay depends on it)
+    assert(GraphAnalytics.triangleCountApprox(k40, keepMod = 4, seed = 3L)
+      === GraphAnalytics.triangleCountApprox(k40, keepMod = 4, seed = 3L))
+  }
+
   test("pagerank: sink vertices outrank sources; ranks positive") {
     val pr = GraphAnalytics.pageRank(edgesDF((0L, 1L), (0L, 2L), (1L, 2L)))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
