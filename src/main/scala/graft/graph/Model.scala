@@ -102,6 +102,72 @@ object GraphModel {
       else v.asInstanceOf[scala.collection.Seq[Any]].map(inner.fromRow).toSeq
   }
 
+  /** `Map[K, V]` ⇄ `MapType`. Row-land maps are `scala.collection.Map`;
+    * keys/values recurse through their own codecs.
+    */
+  final case class MapCodec(key: FieldCodec, value: FieldCodec)
+      extends FieldCodec {
+    val sparkType: DataType =
+      MapType(key.sparkType, value.sparkType, valueContainsNull = true)
+    def toRow(v: Any): Any =
+      if (v == null) null
+      else v.asInstanceOf[scala.collection.Map[Any, Any]]
+        .map { case (k, x) => (key.toRow(k), value.toRow(x)) }.toMap
+    def fromRow(v: Any): Any =
+      if (v == null) null
+      else v.asInstanceOf[scala.collection.Map[Any, Any]]
+        .map { case (k, x) => (key.fromRow(k), value.fromRow(x)) }.toMap
+  }
+
+  /** Nested sealed-trait (sum) field ⇄ kind-tagged sparse struct: column 0
+    * is the variant tag, the rest the union of the variants' fields — the
+    * same representation the top-level model uses, one struct down (the
+    * reference admits arbitrary value nesting,
+    * /root/reference/library/GraphDB/Graph.hs:15-16).
+    */
+  final case class SumCodec(variants: Seq[VariantDesc],
+      union: StructType) extends FieldCodec {
+    val sparkType: DataType = StructType(
+      StructField("_kind", StringType, nullable = true) +: union.fields)
+    @transient private lazy val byClass: Map[Class[_], VariantDesc] =
+      variants.map(v => (v.clazz: Class[_]) -> v).toMap
+    @transient private lazy val byKind: Map[String, VariantDesc] =
+      variants.map(v => v.kind -> v).toMap
+    def toRow(v: Any): Any =
+      if (v == null) null
+      else {
+        val d = byClass.getOrElse(v.getClass,
+          throw new IllegalArgumentException(
+            s"${v.getClass.getName} is not a variant of this sum field"))
+        val arr = new Array[Any](union.size + 1)
+        arr(0) = d.kind
+        if (!d.isObject) {
+          val p = v.asInstanceOf[Product]
+          var i = 0
+          while (i < d.fieldCodecs.length) {
+            arr(1 + d.unionPos(i)) = d.fieldCodecs(i).toRow(p.productElement(i))
+            i += 1
+          }
+        }
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+      }
+    def fromRow(v: Any): Any =
+      if (v == null) null
+      else {
+        val r = v.asInstanceOf[Row]
+        val d = byKind.getOrElse(r.getString(0),
+          throw new IllegalArgumentException(
+            s"unknown kind '${r.getString(0)}' for this sum field"))
+        if (d.isObject) d.moduleInstance
+        else {
+          val args = d.fieldCodecs.indices.map(i =>
+            d.fieldCodecs(i).fromRow(r.get(1 + d.unionPos(i)))
+              .asInstanceOf[AnyRef])
+          d.ctor.newInstance(args: _*)
+        }
+      }
+  }
+
   /** Nested case class ⇄ nested struct. */
   final case class StructCodec(clazz: Class[_],
       fields: Seq[(String, FieldCodec)]) extends FieldCodec {
@@ -282,10 +348,6 @@ object GraphModel {
           c.knownDirectSubclasses.toSeq.map(_.asClass).flatMap(leavesOf)
         else Seq(c)
       }
-      val leaves = leavesOf(root)
-      require(leaves.nonEmpty, s"${root.fullName}: no concrete variants found " +
-        "(knownDirectSubclasses empty — are the subclasses compiled?)")
-
       // Declaration order: scan the enclosing scopes' decls (a MemberScope
       // iterates in declaration order); a case object's decl is its module
       // symbol, so match either the class symbol or its module.
@@ -293,15 +355,24 @@ object GraphModel {
       // (a Set) gives no stable owner order — sort owners by fullName so
       // the derived union schema's column order is identical across JVM
       // runs (persisted value rows depend on it).
-      val declOrder: Seq[Symbol] =
-        leaves.map(_.owner).distinct.sortBy(_.fullName)
-          .flatMap(o => o.info.decls.toSeq)
-      def orderOf(c: ClassSymbol): (Int, String) = {
-        val i = declOrder.indexWhere(s =>
-          s == c || (c.isModuleClass && s == c.module))
-        (if (i < 0) Int.MaxValue else i, c.name.toString)
+      def orderedLeavesOf(c: ClassSymbol): Seq[ClassSymbol] = {
+        val leaves = leavesOf(c)
+        require(leaves.nonEmpty, s"${c.fullName}: no concrete variants found " +
+          "(knownDirectSubclasses empty — are the subclasses compiled?)")
+        val declOrder: Seq[Symbol] =
+          leaves.map(_.owner).distinct.sortBy(_.fullName)
+            .flatMap(o => o.info.decls.toSeq)
+        def orderOf(cs: ClassSymbol): (Int, String) = {
+          val i = declOrder.indexWhere(s =>
+            s == cs || (cs.isModuleClass && s == cs.module))
+          (if (i < 0) Int.MaxValue else i, cs.name.toString)
+        }
+        leaves.sortBy(orderOf)
       }
-      val ordered = leaves.sortBy(orderOf)
+
+      // cycle guard: a self-referential case class or sum type would
+      // recurse codecFor forever — reject with the offending type named
+      val inProgress = scala.collection.mutable.Set.empty[Symbol]
 
       def codecFor(t: Type): FieldCodec = {
         val d = t.dealias
@@ -319,15 +390,40 @@ object GraphModel {
         else if (d =:= typeOf[java.math.BigDecimal])
           PrimCodec(DecimalType.SYSTEM_DEFAULT)
         else if (d <:< typeOf[Option[_]]) OptionCodec(codecFor(d.typeArgs.head))
+        else if (d <:< typeOf[scala.collection.Map[_, _]])
+          MapCodec(codecFor(d.typeArgs(0)), codecFor(d.typeArgs(1)))
         else if (d <:< typeOf[scala.collection.Seq[_]])
           SeqCodec(codecFor(d.typeArgs.head))
+        else if (d.typeSymbol.isClass && d.typeSymbol.asClass.isSealed &&
+            (d.typeSymbol.asClass.isTrait || d.typeSymbol.asClass.isAbstract)) {
+          // nested sum type — same kind-tagged sparse-union encoding as
+          // the top level, one struct down
+          val sym = d.typeSymbol
+          require(inProgress.add(sym),
+            s"recursive ADT at $d: self-referential value types are not " +
+            "derivable (the reference stores them behind node refs instead)")
+          try {
+            val (u, vs) = buildVariants(orderedLeavesOf(sym.asClass), Map.empty)
+            SumCodec(vs, u)
+          } finally inProgress.remove(sym)
+        }
         else if (d.typeSymbol.isClass && d.typeSymbol.asClass.isCaseClass) {
-          val fs = caseFields(d)
-          StructCodec(mirror.runtimeClass(d.typeSymbol.asClass),
-            fs.map { case (n, ft) => (n, codecFor(ft)) })
+          // includes TupleN — tuples ARE case classes with fields _1.._N
+          // (the reference's own catalogue ROOT value is a tuple,
+          // /root/reference/executables/APITests/Catalogue.hs:19)
+          val sym = d.typeSymbol
+          require(inProgress.add(sym),
+            s"recursive ADT at $d: self-referential value types are not " +
+            "derivable (the reference stores them behind node refs instead)")
+          try {
+            val fs = caseFields(d)
+            StructCodec(mirror.runtimeClass(d.typeSymbol.asClass),
+              fs.map { case (n, ft) => (n, codecFor(ft)) })
+          } finally inProgress.remove(sym)
         } else throw new IllegalArgumentException(
           s"unsupported field type $d — supported: primitives, String, " +
-          "binary, Timestamp/Date, BigDecimal, Option, Seq, nested case class")
+          "binary, Timestamp/Date, BigDecimal, Option, Seq, Map, tuple, " +
+          "nested case class, nested sealed trait")
       }
 
       def caseFields(t: Type): Seq[(String, Type)] = {
@@ -335,40 +431,51 @@ object GraphModel {
           .collectFirst { case m: MethodSymbol if m.isPrimaryConstructor => m }
           .getOrElse(throw new IllegalArgumentException(
             s"$t: no primary constructor"))
+        // typeSignatureIn does not substitute the CLASS's own type
+        // parameters (a generic case class like TupleN reports `_1: T1`)
+        // — substitute them with the applied type's arguments explicitly
+        val sym = t.typeSymbol.asClass
         ctor.paramLists.flatten.map(p =>
-          (p.name.toString, p.typeSignatureIn(t).dealias))
+          (p.name.toString, p.typeSignatureIn(t)
+            .substituteTypes(sym.typeParams, t.typeArgs).dealias))
       }
 
       // Union schema: first-appearance field order over declaration-ordered
       // variants; same name ⇒ same Spark type, else the model is ambiguous.
-      val union = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
-      val perVariant = ordered.map { leaf =>
-        val isObject = leaf.isModuleClass
-        val simpleName = leaf.name.toString
-        val kind = kindNames.getOrElse(simpleName, simpleName)
-        val fields =
-          if (isObject) Seq.empty[(String, FieldCodec)]
-          else caseFields(leaf.toType).map { case (n, t) => (n, codecFor(t)) }
-        fields.foreach { case (n, c) =>
-          union.get(n) match {
-            case Some(dt) => require(dt == c.sparkType,
-              s"field '$n' maps to both $dt and ${c.sparkType} across variants")
-            case None => union(n) = c.sparkType
+      // Shared by the top level and every nested sum field (codecFor).
+      def buildVariants(ordered: Seq[ClassSymbol],
+          kinds: Map[String, String]): (StructType, Seq[VariantDesc]) = {
+        val union = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+        val perVariant = ordered.map { leaf =>
+          val isObject = leaf.isModuleClass
+          val simpleName = leaf.name.toString
+          val kind = kinds.getOrElse(simpleName, simpleName)
+          val fields =
+            if (isObject) Seq.empty[(String, FieldCodec)]
+            else caseFields(leaf.toType).map { case (n, t) => (n, codecFor(t)) }
+          fields.foreach { case (n, c) =>
+            union.get(n) match {
+              case Some(dt) => require(dt == c.sparkType,
+                s"field '$n' maps to both $dt and ${c.sparkType} across variants")
+              case None => union(n) = c.sparkType
+            }
           }
+          (kind, leaf, isObject, fields)
         }
-        (kind, leaf, isObject, fields)
+        require(perVariant.map(_._1).distinct.size == perVariant.size,
+          s"duplicate kinds after renaming: ${perVariant.map(_._1).mkString(", ")}")
+        val unionNames = union.keys.toIndexedSeq
+        val schema = StructType(unionNames.map(n =>
+          StructField(n, union(n), nullable = true)))
+        val variants = perVariant.map { case (kind, leaf, isObject, fields) =>
+          val clazz = mirror.runtimeClass(leaf)
+          VariantDesc(kind, clazz, isObject,
+            fields.map(_._2), fields.map(f => unionNames.indexOf(f._1)))
+        }
+        (schema, variants)
       }
-      require(perVariant.map(_._1).distinct.size == perVariant.size,
-        s"duplicate kinds after renaming: ${perVariant.map(_._1).mkString(", ")}")
-      val unionNames = union.keys.toIndexedSeq
-      val schema = StructType(unionNames.map(n =>
-        StructField(n, union(n), nullable = true)))
 
-      val variants = perVariant.map { case (kind, leaf, isObject, fields) =>
-        val clazz = mirror.runtimeClass(leaf)
-        VariantDesc(kind, clazz, isObject,
-          fields.map(_._2), fields.map(f => unionNames.indexOf(f._1)))
-      }
+      val (schema, variants) = buildVariants(orderedLeavesOf(root), kindNames)
       new Derived[V](schema, variants, indexesFn)
     }
 }

@@ -134,6 +134,64 @@ class DeriveSpec extends AnyFunSuite {
     assert(w.get(3) === Row(0.0, 0.0))
   }
 
+  test("derive handles tuple / Map / nested sealed-trait fields") {
+    import DeriveSpecADT._
+    val m = GraphModel.derive[Rich2](indexesFn = (_, _) => Seq.empty)
+    assert(m.valueSchema === StructType(Seq(
+      StructField("ids", StructType(Seq(
+        StructField("_1", IntegerType, nullable = true),
+        StructField("_2", LongType, nullable = true),
+        StructField("_3", StringType, nullable = true))), nullable = true),
+      StructField("tags",
+        MapType(StringType, IntegerType, valueContainsNull = true),
+        nullable = true),
+      StructField("shape", StructType(Seq(
+        StructField("_kind", StringType, nullable = true),
+        StructField("r", DoubleType, nullable = true))), nullable = true),
+      StructField("name", StringType, nullable = true))))
+    // tuple encodes as a nested struct _1.._N (tuples are case classes)
+    val t = m.toValueRow(TupRoot((1, 2L, "x")))
+    assert(t.get(0) === Row(1, 2L, "x"))
+    // nested sum encodes as (_kind, union...) — a case object carries
+    // only its tag, a payload variant its fields
+    assert(m.toValueRow(Shaped(Dot, "d")).get(2) === Row("Dot", null))
+    assert(m.toValueRow(Shaped(Circle(2.5), "c")).get(2) === Row("Circle", 2.5))
+    val vs: Seq[Rich2] = Seq(
+      TupRoot((1, 2L, "x")),
+      Tagged(Map("a" -> 1, "b" -> 2)),
+      Tagged(Map.empty),
+      Shaped(Dot, "d"),
+      Shaped(Circle(2.5), "c"))
+    for (v <- vs)
+      assert(m.fromValueRow(m.kindOf(v), m.toValueRow(v)) === v)
+  }
+
+  test("derive rejects recursive value ADTs with a clear error") {
+    import DeriveSpecADT._
+    val e = intercept[IllegalArgumentException] {
+      GraphModel.derive[Rec](indexesFn = (_, _) => Seq.empty)
+    }
+    assert(e.getMessage.contains("recursive"))
+  }
+
+  test("tuple-ROOT model (the reference catalogue shape) runs live") {
+    // the reference's own catalogue root value is a tuple
+    // (/root/reference/executables/APITests/Catalogue.hs:19)
+    import DeriveSpecADT._
+    val spark = TestSpark.spark
+    val m = GraphModel.derive[Rich2](
+      indexesFn = GraphModel.indexesFromEdges[Rich2](Seq(
+        GraphModel.edge[Shaped, TupRoot](sh =>
+          Seq(IndexKey("Rich2_Shaped_Name", sh.name))))))
+    val g = GraphSession.inMemory(spark, m, TupRoot((1, 2L, "root")): Rich2)
+    val n = g.newNode(Shaped(Circle(1.5), "c1"))
+    g.addTarget(g.root, n)
+    assert(g.getValue(n) === Shaped(Circle(1.5), "c1"))
+    assert(g.getValue(g.root) === TupRoot((1, 2L, "root")))
+    g.setValue(g.root, TupRoot((7, 8L, "updated")))
+    assert(g.getValue(g.root) === TupRoot((7, 8L, "updated")))
+  }
+
   test("per-edge dispatch: unmatched pairs empty, duplicates rejected") {
     // the three primary models' indexes now come from indexesFromEdges —
     // the equality tests above already prove dispatch == hand-written
@@ -207,6 +265,18 @@ object DeriveSpecADT {
       point: Point) extends Rich
   final case class Blobby(blob: Array[Byte]) extends Rich
   final case class Point(x: Double, y: Double)
+
+  sealed trait Rich2
+  final case class TupRoot(ids: (Int, Long, String)) extends Rich2
+  final case class Tagged(tags: Map[String, Int]) extends Rich2
+  final case class Shaped(shape: Shape, name: String) extends Rich2
+
+  sealed trait Shape
+  case object Dot extends Shape
+  final case class Circle(r: Double) extends Shape
+
+  sealed trait Rec
+  final case class RNode(child: Rec) extends Rec
 
   trait Unsealed
   final case class U1(a: Int) extends Unsealed
