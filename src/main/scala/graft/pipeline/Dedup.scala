@@ -120,91 +120,67 @@ object Dedup {
   }
 
   /** N-gram Jaccard near-duplicate pairs with similarity ≥ threshold over
-    * the DF-capped shingle space. Exact over that space: candidates come
-    * from a PREFIX-FILTERED inverted index (below), which is lossless for
-    * J ≥ threshold, and every candidate is exactly verified. Pass
-    * `maxDF = None` for exact-over-all-shingles semantics (safe only on
-    * corpora known to be free of hot shingles).
+    * the DF-capped shingle space. Exact over that space: J(a,b) > 0 ⟹ the
+    * pair shares a surviving shingle ⟹ it appears in the inverted-index
+    * candidates. Pass `maxDF = None` for exact-over-all-shingles semantics
+    * (safe only on corpora known to be free of hot shingles).
     *
-    * Prefix filtering (Chaudhuri et al. / Bayardo et al. / PPJoin): under
-    * ANY global total order on shingles, index only each document's first
-    * ⌊(1−t)·s⌋+1 shingles. Lossless: J(a,b) ≥ t ⟹ |a∩b| ≥ t·|a| (and
-    * ≥ t·|b|), so if g = the smallest common shingle sat outside a's
-    * prefix, the ≥ ⌈t·|a|⌉ common shingles would all have to fit in the
-    * ⌈t·|a|⌉−1 positions after it — contradiction; symmetrically for b,
-    * so g lands in BOTH prefixes and the pair survives the prefix
-    * self-join. The order used is (document frequency asc, shingle):
-    * prefixes then hold each doc's RAREST shingles, so unrelated docs
-    * almost never collide — at t=0.8 only 1/5 of each doc's shingles are
-    * indexed and the candidate-pair volume drops superlinearly (each
-    * surviving index key is rarer than average).
+    * Intersection sizes come straight from the inverted index — count of
+    * co-occurrences per pair (one shuffle on the pair key) — NOT from
+    * joining the shingle arrays back and running array_intersect per
+    * candidate: on corpora with hot shingles the array join re-ships every
+    * document's full shingle set once per candidate pair, which is the
+    * difference between seconds and minutes at sf0.1.
     *
-    * Intersection sizes come from the full (capped) inverted index
-    * restricted to candidate docs — the minhashPairs candidate-restricted
-    * verify join (shuffling the corpus-sized index was the profiled
-    * dominant cost there) — NOT from joining shingle arrays back per
-    * candidate.
+    * MEASURED ANTI-RESULT (r14): PPJoin-style prefix filtering
+    * (df-ascending global order, both-side ⌊(1−t)s⌋+1 prefixes, then a
+    * candidate-restricted verify join à la minhashPairs) was built and
+    * rehearsed at 100× — 81× time ratio vs this plan's 6.4× on the same
+    * synthetic corpus. Two compounding causes: a near-dup-heavy corpus
+    * defeats the prefix (near-duplicates share exactly their rarest
+    * shingles, so prefix-df ≈ df for the colliding keys), and the verify
+    * join re-expands every candidate pair by its full shingle list — an
+    * intermediate this direct-from-index intersection never materializes.
+    * Do not re-attempt without a candidate-count measurement first.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6,
       maxDF: Option[Int] = Some(DefaultMaxDF)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // materialize the shingle sets once: the plan references them several
-    // times and Catalyst does not reuse non-exchange subtrees, so without
-    // this the corpus is scanned and re-shingled per consumer.
-    // localCheckpoint, NOT persist(): a persist entry lives in the
-    // session's CacheManager until an explicit unpersist nobody is
-    // positioned to call, so every invocation would leak a
-    // MEMORY_AND_DISK entry for the session's lifetime; checkpoint blocks
-    // are owned by the returned plan and are GC-reclaimed with it
+    // materialize the shingle sets once: the plan references them 4× (both
+    // self-join sides + both size lookups) and Catalyst does not reuse
+    // non-exchange subtrees, so without this the corpus is scanned and
+    // re-shingled four times per run. localCheckpoint, NOT persist(): a
+    // persist entry lives in the session's CacheManager until an explicit
+    // unpersist nobody is positioned to call, so every invocation would
+    // leak a MEMORY_AND_DISK entry for the session's lifetime; checkpoint
+    // blocks are owned by the returned plan and are GC-reclaimed with it
     val sh = df.select(col(idCol).as("_id"),
       TextAnalysis.shingles(col(textCol), n).as("_sh"))
       .where(size(col("_sh")) > 0)
       .localCheckpoint(true)
     val inv = sh.select(col("_id"), explode(col("_sh")).as("_k"))
-    // document frequency via groupBy (map-side partial agg: a hot
-    // shingle's count combines per-partition before the shuffle) — needed
-    // BOTH for the hot-shingle cap and as the prefix order key, so the
-    // cap becomes an inner join against the surviving-df table (which
-    // carries _df along) instead of an anti-join against the hot set.
-    // A Window.partitionBy("_k") count would land every row of a hot
-    // shingle on ONE task — the exact skew the cap exists to bound.
-    val dfTab = inv.groupBy("_k").agg(count(lit(1)).as("_df"))
-    val kept = maxDF.fold(dfTab)(cap => dfTab.where(col("_df") <= cap))
-    val capped = inv.join(kept, Seq("_k"))
+    // document frequency via groupBy (map-side partial agg: a hot shingle's
+    // count combines per-partition before the shuffle), then anti-join away
+    // the hot shingles. A Window.partitionBy("_k") count would land every
+    // row of a hot shingle on ONE task — the exact skew the cap exists to
+    // bound. The hot set has at most |inv|/cap keys, so AQE broadcasts it
+    // in the common case; when it is genuinely large the anti-join is a
+    // plain shuffle join, still skew-free.
+    val capped = maxDF.fold(inv) { cap =>
+      val hot = inv.groupBy("_k").agg(count(lit(1)).as("_df"))
+        .where(col("_df") > cap).select("_k")
+      inv.join(hot, Seq("_k"), "left_anti")
+    }
     // sizes from the SAME (possibly DF-capped) shingle space as the
-    // intersections: mixing capped intersections with uncapped sizes
-    // would yield a hybrid ratio that misses even exact duplicates whose
-    // shared shingles are mostly hot — with a cap, the similarity is
-    // Jaccard over the capped space, consistently. Size and prefix rank
-    // share ONE partitioning by _id (same WindowExec exchange).
-    val byDoc = Window.partitionBy("_id")
-    val ranked = capped
-      .withColumn("_n", count(lit(1)).over(byDoc))
-      .withColumn("_r", row_number().over(byDoc.orderBy("_df", "_k")))
-    val prefix = ranked
-      .where(col("_r") <= floor((lit(1.0) - lit(threshold)) * col("_n")) + 1)
-      .select("_id", "_k")
-    // candidate pairs from the prefix index only; lazily checkpointed —
-    // three consumers (the id-restriction reads it twice, the verify
-    // join once), the prefix self-join must run once, not per consumer
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a._k") === col("b._k") && col("a._id") < col("b._id"))
-      .select(col("a._id").as("id1"), col("b._id").as("id2")).distinct()
-      .localCheckpoint(false)
-    // exact verify via co-occurrence counts over the FULL capped index,
-    // semi-restricted to candidate docs (candIds is candidate-bounded, so
-    // AQE broadcasts it and the restriction costs no shuffle)
-    val candIds = cand.select(col("id1").as("_id"))
-      .union(cand.select(col("id2").as("_id"))).distinct()
-    val invC = capped.select("_id", "_k")
-      .join(candIds, Seq("_id"), "left_semi")
+    // intersections: mixing capped intersections with uncapped sizes would
+    // yield a hybrid ratio that misses even exact duplicates whose shared
+    // shingles are mostly hot — with a cap, the similarity is Jaccard over
+    // the capped space, consistently
     val sizes = capped.groupBy("_id").agg(count(lit(1)).as("_n"))
-    val shared = invC.select(col("_id").as("id1"), col("_k"))
-      .join(cand, "id1")
-      .join(invC.select(col("_id").as("id2"), col("_k")), Seq("id2", "_k"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("_shared"))
+    val shared = capped.as("a")
+      .join(capped.as("b"), col("a._k") === col("b._k") && col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("id1"), col("b._id").as("id2"))
+      .agg(count(lit(1)).as("_shared"))
     shared
       .join(sizes.select(col("_id").as("id1"), col("_n").as("_n1")), "id1")
       .join(sizes.select(col("_id").as("id2"), col("_n").as("_n2")), "id2")

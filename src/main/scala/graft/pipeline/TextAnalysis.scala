@@ -661,4 +661,45 @@ object TextAnalysis {
         col("_sk.fp_min").as("fp_min"),
         col("_sk.fp_max").as("fp_max"),
         col("_sk.fp_card").as("fp_card"))
+
+  /** Feature-hash width for [[qualityClassifier]] — shared with
+    * graft.Verify's aux export so query and oracle hash into the same
+    * space. */
+  val ClassifierBuckets: Int = 4096
+
+  /** Linear (fastText-style) quality-classifier scoring: hashed n-gram
+    * features (distinct word unigrams + bigrams → xxhash64 mod
+    * [[ClassifierBuckets]]) scored against a per-bucket weight table and
+    * summed into a per-document LOGIT. Everything is integer-exact — the
+    * feature hash, the LCG-derived weight
+    * `w(b) = (b·1103515245 + 12345) mod 101 − 50`, and the dot product —
+    * so the score is bit-stable across engines, and `quality` is the
+    * sigmoid threshold expressed in logit space (σ(z) ≥ 0.5 ⟺ z > 0):
+    * no float surface at all. A TRAINED model drops in by replacing
+    * [[bucketWeight]] with a broadcast weight lookup; what matters at
+    * 100 TB is the plan shape proven here — one `aggregate` higher-order
+    * function over the per-row feature array, a PURE MAP stage with no
+    * explode and no shuffle, linear at any corpus size.
+    */
+  def qualityClassifier(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol),
+      aggregate(classifierFeatures(col(textCol)), lit(0L),
+        (acc, g) => acc + bucketWeight(
+          pmod(xxhash64(g), lit(ClassifierBuckets.toLong))))
+        .as("logit"))
+      .withColumn("quality", col("logit") > 0L)
+
+  /** The classifier's feature set: distinct unigram + bigram shingles
+    * (presence features, the fastText default). */
+  private[graft] def classifierFeatures(text: Column): Column =
+    concat(shingles(text, 1), shingles(text, 2))
+
+  /** Deterministic per-bucket weight in [−50, 50] — recomputable in exact
+    * int64 arithmetic from the bucket id by any engine (bucket < 2^12, so
+    * bucket·1103515245 + 12345 < 2^62: no overflow on either side, and
+    * both operands of % are non-negative, where Spark and DuckDB agree).
+    */
+  private[graft] def bucketWeight(bucket: Column): Column =
+    (bucket * lit(1103515245L) + lit(12345L)) % lit(101L) - lit(50L)
 }
