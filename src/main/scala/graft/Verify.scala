@@ -98,6 +98,28 @@ object Verify {
           Tables.load(spark, sfDir, "documents"), "doc_id")
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px21_buckets")
       }
+      auxExport("px56_quality_classifier")(Seq("px56_features")) {
+        // per-(doc, hashed feature bucket) rows — DuckDB re-derives the
+        // LCG bucket weights, per-doc logit sums, and the quality
+        // threshold independently (exact int64 arithmetic throughout).
+        // explode_outer keeps featureless docs as NULL-bucket rows
+        // (logit 0), matching the aggregate()-over-empty-array zero
+        Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"), org.apache.spark.sql.functions.explode_outer(
+            pipeline.TextAnalysis.classifierFeatures(col("text"))).as("g"))
+          .select(col("doc_id"),
+            // xxhash64(NULL) hashes to the seed, not NULL — keep the
+            // featureless sentinel NULL explicitly
+            org.apache.spark.sql.functions.when(col("g").isNull,
+              org.apache.spark.sql.functions.lit(null)).otherwise(
+              org.apache.spark.sql.functions.pmod(
+                org.apache.spark.sql.functions.xxhash64(col("g")),
+                org.apache.spark.sql.functions.lit(
+                  pipeline.TextAnalysis.ClassifierBuckets.toLong)))
+              .as("bucket"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$auxDir/px56_features")
+      }
       auxExport("ga6_triangle_approx")(Seq("ga6_sample")) {
         // ga6's DETERMINISTIC DOULION edge sample (xxhash64 trial, not
         // recomputable in DuckDB) — the oracle recounts triangles on

@@ -549,6 +549,29 @@ object PipelineQueries {
              |SELECT vec_id, max_sim, max_sim >= 0.9 AS contaminated
              |FROM m ORDER BY vec_id""".stripMargin)),
 
+    // ------------------------------------ quality-classifier scoring
+    // fastText-style linear scoring: hashed unigram+bigram presence
+    // features, a deterministic integer weight table, per-doc logit sum —
+    // ONE aggregate() higher-order function per row, a pure map stage
+    // with no shuffle (the plan a trained classifier would run at 100 TB;
+    // the weight table swaps for a broadcast lookup). Integer-exact end
+    // to end, so the oracle is a hash match: Verify exports the
+    // per-(doc, bucket) feature rows (xxhash64 is engine-local) and
+    // DuckDB re-derives the LCG weights, logit sums, and threshold
+    // independently in exact int64 arithmetic.
+    Q("px56_quality_classifier",
+      (s, d) => TextAnalysis.qualityClassifier(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH f AS (SELECT doc_id, bucket
+             |  FROM '$AuxToken/px56_features/*.parquet'),
+             |s AS (SELECT doc_id,
+             |  CAST(COALESCE(SUM(CASE WHEN bucket IS NULL THEN 0
+             |    ELSE (bucket * 1103515245 + 12345) % 101 - 50 END), 0)
+             |    AS BIGINT) AS logit
+             |  FROM f GROUP BY doc_id)
+             |SELECT doc_id, logit, logit > 0 AS quality
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
     // ---------------------------------------------- similarity: LSH path
     // Oracle reads the per-(vector, table) bucket signatures exported by
     // graft.Verify and re-derives the SAME candidate set quadratically in

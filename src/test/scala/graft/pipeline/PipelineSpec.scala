@@ -1264,4 +1264,35 @@ class PipelineSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq
     assert(out === Seq(("the cat", 2L), ("cat sat", 1L)))
   }
+
+  test("qualityClassifier: logit == independent explode-plan dot product; empty doc scores 0") {
+    import spark.implicits._
+    // independent computation: explode the same feature set, hash, weight,
+    // sum per doc — a different Spark plan (shuffle agg) must agree with
+    // the aggregate() map-stage exactly, integer for integer
+    val expected = docs
+      .select(col("doc_id"),
+        explode_outer(TextAnalysis.classifierFeatures(col("text"))).as("g"))
+      .select(col("doc_id"),
+        when(col("g").isNull, lit(0L)).otherwise(TextAnalysis.bucketWeight(
+          pmod(xxhash64(col("g")),
+            lit(TextAnalysis.ClassifierBuckets.toLong)))).as("w"))
+      .groupBy("doc_id").agg(sum("w").as("logit"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = TextAnalysis.qualityClassifier(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, logit, q) =>
+      assert(logit === expected(id), s"doc $id logit mismatch")
+      assert(q === (logit > 0L))
+    }
+    assert(got.map(_._1).toSet === expected.keySet)
+    // both quality classes occur on the corpus (the weights are not
+    // degenerate) and an empty document scores exactly 0 / false
+    assert(got.exists(_._3) && got.exists(!_._3))
+    val empty = TextAnalysis.qualityClassifier(
+      Seq((9L, ""), (10L, "   ")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(empty === Set((9L, 0L, false), (10L, 0L, false)))
+  }
 }
