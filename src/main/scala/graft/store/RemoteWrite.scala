@@ -78,7 +78,7 @@ object RemoteWrite {
         "partial txn — reopen the store to recover (the WAL holds only " +
         "complete, acked txns)", cause)
 
-  private val MetaName = "_meta.json"
+  private[store] val MetaName = "_meta.json"
 
   private def writeJsonAtomic(target: Path, json: String): Unit = {
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")

@@ -1,0 +1,105 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph._
+
+/** TCP serve/client suite — the wire analog of the reference's socket
+  * server (/root/reference/library/GraphDB/Server.hs:17-94,
+  * Client.hs:53-60, Protocol.hs:8-43): the same protocol artifacts as the
+  * shared-storage suites, framed over a loopback socket. Everything the
+  * RemoteRead/RemoteWrite suites prove (batching, refusals, tx-local
+  * refs, atomicity) is inherited — these tests pin that the TRANSPORT
+  * preserves it end to end, plus wire-only concerns: concurrent clients
+  * on one server and value fidelity through the framed parquet.
+  */
+class WireSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def storeWithData() = {
+    val dir = Files.createTempDirectory("graft-wire-store-").toString
+    val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val g = store.session
+    val mj = g.newNode(Artist(1, "Michael Jackson"))
+    val bj = g.newNode(Song("Billie Jean"))
+    g.addTarget(g.root, mj)
+    g.addTarget(g.root, bj)
+    g.addTarget(bj, mj)
+    store.commit()
+    (store, dir, mj, bj)
+  }
+
+  test("wire read client: every read op round-trips over TCP") {
+    val (store, dir, mj, bj) = storeWithData()
+    val replica = GraphReplica.bootstrap(spark, CatalogueModel, dir)
+    replica.catchUp()
+    val server = Wire.serveRead(replica)
+    val client = new Wire.ReadClient(spark, CatalogueModel,
+      server.host, server.port, "wr")
+    try {
+      assert(client.getValue(mj) === Artist(1, "Michael Jackson"))
+      assert(client.getValues(Seq(mj, bj, 424242L)) ===
+        Map(mj -> Artist(1, "Michael Jackson"), bj -> Song("Billie Jean")),
+        "batched read over the wire: unknown ids absent, not errors")
+      assert(client.getTargets(store.session.root,
+        IndexKey("Catalogue_Artist_Name", "Michael Jackson")) === Seq(mj))
+      assert(client.targets(store.session.root).sorted === Seq(mj, bj).sorted)
+      assert(client.sources(mj).toSet === Set(store.session.root, bj))
+      val (nodes, edges, indexes) = client.getStats()
+      assert(nodes === 3L && edges === 3L && indexes >= 1L)
+      // single-id contract preserved through the wire: unknown id throws
+      intercept[NoSuchElementException](client.getValue(999999L))
+    } finally {
+      client.close(); server.close(); store.close()
+    }
+  }
+
+  test("wire write client: shipped txns apply atomically; tx-local refs resolve") {
+    val (store, _, _, _) = storeWithData()
+    val server = Wire.serveWrite(store)
+    val client = new Wire.WriteClient(spark, CatalogueModel,
+      server.host, server.port, "ww")
+    try {
+      val t1 = client.submit { txn =>
+        val p = txn.newNode(Artist(9, "Prince"))
+        txn.addTarget(0L, p) // negative tx-local ordinal through the wire
+      }
+      val a1 = client.await(t1)
+      assert(a1.applied && a1.error.isEmpty)
+      val newId = a1.assigned(-1L)
+      assert(store.session.getValue(newId) === Artist(9, "Prince"))
+      // a structurally bad txn is refused — no state change, typed error
+      val before = store.session.applied().edges.count()
+      val t2 = client.submit { txn => txn.addTarget(0L, 987654321L) }
+      val a2 = client.await(t2)
+      assert(!a2.applied && a2.error.nonEmpty)
+      assert(store.session.applied().edges.count() === before)
+    } finally {
+      client.close(); server.close(); store.close()
+    }
+  }
+
+  test("two wire clients share one server; answers stay per-client") {
+    val (store, dir, mj, bj) = storeWithData()
+    val replica = GraphReplica.bootstrap(spark, CatalogueModel, dir)
+    replica.catchUp()
+    val server = Wire.serveRead(replica)
+    val c1 = new Wire.ReadClient(spark, CatalogueModel,
+      server.host, server.port, "wa")
+    val c2 = new Wire.ReadClient(spark, CatalogueModel,
+      server.host, server.port, "wb")
+    try {
+      val r1 = c1.getValue(mj)
+      val r2 = c2.getValue(bj)
+      assert(r1 === Artist(1, "Michael Jackson"))
+      assert(r2 === Song("Billie Jean"))
+      // interleaved second round on both connections
+      assert(c2.getValues(Seq(mj)) === Map(mj -> Artist(1, "Michael Jackson")))
+      assert(c1.getValues(Seq(bj)) === Map(bj -> Song("Billie Jean")))
+    } finally {
+      c1.close(); c2.close(); server.close(); store.close()
+    }
+  }
+}
