@@ -98,13 +98,53 @@ object ServeBench {
       .map { case (k, v) => s"$k=${fmt(v / 1e9)}" }.mkString(" ")
     System.err.println(s"[serve] write polls=$polls last-poll phases: $phases")
 
+    // ---- WIRE burst: the TCP transport (store.Wire) under the same
+    // point-read/write shape — 4 socket clients x 4 getValues requests of
+    // idsPerReq ids, then 16 wire txns. Each frame is a synchronous
+    // request/response (the reference's per-action round trip), so this
+    // measures the per-action serving floor over a real socket; batching
+    // ids per request is the amortization lever, as on the inbox path.
+    import graft.store.Wire
+    val wireServer = Wire.serve(replica, store)
+    val wireReadSec = {
+      val clients = (0 until 4).map(c => new Wire.ReadClient(
+        spark, GeoModel, wireServer.host, wireServer.port, f"wire$c%02d"))
+      clients.head.getValues(Seq(ids(0))) // warm the path
+      val t0 = System.nanoTime()
+      for (s <- 0 until 4; c <- clients)
+        c.getValues(Seq.fill(idsPerReq)(ids(rnd.nextInt(nNodes))))
+      val sec = (System.nanoTime() - t0) / 1e9
+      clients.foreach(_.close())
+      sec
+    }
+    val wireWriteSec = {
+      val wc = new Wire.WriteClient(spark, GeoModel,
+        wireServer.host, wireServer.port, "wirew")
+      val t0 = System.nanoTime()
+      val txnIds = (0 until 16).map { i =>
+        wc.submit { txn =>
+          val n = txn.newNode(CustomerV(900000L + i))
+          txn.addTarget(0L, n)
+        }
+      }
+      txnIds.foreach(id => wc.await(id, timeoutMs = 120000L))
+      val sec = (System.nanoTime() - t0) / 1e9
+      wc.close()
+      sec
+    }
+    wireServer.close()
+
     println(
       s"""{"metric":"serve","read":{"requests":$nReqs,"ids_per_req":$idsPerReq,""" +
       s""""batched_sec":${fmt(batchedSec)},"batched_rps":${fmt(nReqs / batchedSec)},""" +
       s""""per_request_sec":${fmt(perReqSec)},"per_request_rps":${fmt(nReqs / perReqSec)},""" +
       s""""batched_speedup":${fmt(perReqSec / batchedSec)}},""" +
       s""""write":{"txns":$writeTxns,"sec":${fmt(writeSec)},""" +
-      s""""txn_rps":${fmt(writeTxns / writeSec)}}}""")
+      s""""txn_rps":${fmt(writeTxns / writeSec)}},""" +
+      s""""wire":{"read_requests":16,"ids_per_req":$idsPerReq,""" +
+      s""""read_sec":${fmt(wireReadSec)},"read_rps":${fmt(16 / wireReadSec)},""" +
+      s""""write_txns":16,"write_sec":${fmt(wireWriteSec)},""" +
+      s""""write_rps":${fmt(16 / wireWriteSec)}}}""")
     store.close()
     spark.stop()
   }

@@ -192,6 +192,18 @@ class DeriveSpec extends AnyFunSuite {
     assert(g.getValue(g.root) === TupRoot((7, 8L, "updated")))
   }
 
+  test("Map-field values live in a session (newNode/getValue/setValue)") {
+    import DeriveSpecADT._
+    val spark = TestSpark.spark
+    val m = GraphModel.derive[Rich2](indexesFn = (_, _) => Seq.empty)
+    val g = GraphSession.inMemory(spark, m, TupRoot((0, 0L, "r")): Rich2)
+    val n = g.newNode(Tagged(Map("a" -> 1, "b" -> 2)))
+    g.addTarget(g.root, n)
+    assert(g.getValue(n) === Tagged(Map("a" -> 1, "b" -> 2)))
+    g.setValue(n, Tagged(Map("c" -> 3)))
+    assert(g.getValue(n) === Tagged(Map("c" -> 3)))
+  }
+
   test("per-edge dispatch: unmatched pairs empty, duplicates rejected") {
     // the three primary models' indexes now come from indexesFromEdges —
     // the equality tests above already prove dispatch == hand-written

@@ -123,6 +123,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("px56 quality classifier: pure map stage — no shuffle but the output order") {
+    val p = plan("px56_quality_classifier")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"px56 must have at most the presentation-sort exchange, got $exchanges:\n$p")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+      !p.contains("HashAggregate"),
+      s"px56 must neither join nor aggregate across rows:\n$p")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+      .map(_.group(1)).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text:string") &&
+      !read.contains("source"),
+      s"scan must read only (doc_id, text), got: $read")
+  }
+
+  test("ga6 approx triangles samples BEFORE the wedge joins (filter under the degree agg)") {
+    // the DOULION filter must prune edges at the canonicalization step —
+    // degrees, orientation, and wedges are computed on the SAMPLE, not
+    // the full graph (sampling after the joins would cost full price)
+    val sampled = graft.analytics.GraphAnalytics.sampleCanonical(
+      graft.analytics.AnalyticsQueries.coSupplierPairs(spark, sf),
+      keepMod = 4, seed = 2026L)
+    val p = sampled.queryExecution.optimizedPlan.toString
+    assert(p.contains("xxhash64") && (p.contains("pmod") || p.contains("%")),
+      s"sample trial must be in the plan:\n$p")
+    // the trial filter sits in the same plan as the distinct, i.e. the
+    // sampled edge set is what downstream consumers receive
+    assert("Filter".r.findAllIn(p).nonEmpty)
+  }
+
   test("px44 quantized search: query side broadcast, native integer kernel") {
     val p = plan("px44_sim_quantized")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
