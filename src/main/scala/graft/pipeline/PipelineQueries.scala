@@ -549,6 +549,34 @@ object PipelineQueries {
              |SELECT vec_id, max_sim, max_sim >= 0.9 AS contaminated
              |FROM m ORDER BY vec_id""".stripMargin)),
 
+    // ------------------------------------------ C4-style line cleaning
+    // The published C4 heuristics as one per-row array pipeline
+    // (split → filter → re-join): terminal punctuation, ≥3 words, no
+    // "javascript" per line; "lorem ipsum" / "{" / empty-after-cleaning
+    // per document. FULLY cross-engine — every rule is a string op DuckDB
+    // re-runs verbatim, and the cleaned TEXT itself is hash-compared byte
+    // for byte (the px35 convention), not a summary statistic.
+    // The fixtures are punctuation-free single-line word soup, so the
+    // declared query runs the word-count (≥ 60) + blocklist rules — the
+    // punctuation rule is exercised in PipelineSpec on constructed prose
+    Q("px57_c4_line_clean",
+      (s, d) => TextAnalysis.c4Clean(docs(s, d), "doc_id", "text",
+        minWords = 60, requireTerminalPunct = false)
+        .orderBy("doc_id"),
+      Some("""WITH l AS (
+             |  SELECT doc_id, text,
+             |    list_filter(string_split(text, chr(10)), x ->
+             |      len(string_split_regex(trim(x), '\s+')) >= 60
+             |      AND NOT contains(lower(x), 'javascript')) AS kl
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(kl) AS BIGINT) AS n_kept,
+             |  COALESCE(array_to_string(kl, chr(10)), '') AS cleaned,
+             |  (NOT contains(lower(text), 'lorem ipsum')
+             |   AND NOT contains(text, '{')
+             |   AND len(kl) >= 1) AS kept
+             |FROM l ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------ quality-classifier scoring
     // fastText-style linear scoring: hashed unigram+bigram presence
     // features, a deterministic integer weight table, per-doc logit sum —

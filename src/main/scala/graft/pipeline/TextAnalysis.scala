@@ -690,6 +690,42 @@ object TextAnalysis {
         .as("logit"))
       .withColumn("quality", col("logit") > 0L)
 
+  /** C4-style line-level cleaning (Raffel et al. 2020, the published C4
+    * heuristics): keep only lines that end in terminal punctuation
+    * (`. ! ? "`), carry ≥ 3 whitespace words, and do not mention
+    * "javascript"; a document is `kept` when it has ≥ 1 surviving line
+    * and contains neither "lorem ipsum" (case-insensitive) nor a curly
+    * brace (the code-leak heuristic). Emits the CLEANED text itself
+    * (surviving lines re-joined), so the oracle hash-checks every byte of
+    * the transformation, not a summary — the px35 full-text convention.
+    *
+    * Pure per-row array expressions (split → filter → array_join): no
+    * explode, no shuffle, linear at any corpus size. Both engines trim
+    * ASCII spaces and split words on `\s+`, the tokens() input boundary.
+    */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 3, requireTerminalPunct: Boolean = true): DataFrame = {
+    // terminal punctuation is a PARAMETER because it only discriminates on
+    // prose corpora; on punctuation-free text (the driver fixtures) the
+    // caller runs the word-count + blocklist rules alone — same pipeline,
+    // same oracle, non-vacuous output
+    val keepLine = (l: Column) => {
+      val t = trim(l)
+      val punctOk =
+        if (requireTerminalPunct) t.rlike("[.!?\"]$") else lit(true)
+      punctOk && (size(split(t, "\\s+")) >= minWords) &&
+        !lower(l).contains("javascript")
+    }
+    df.select(col(idCol), col(textCol).as("_t"))
+      .withColumn("_kl", filter(split(col("_t"), "\n"), keepLine))
+      .select(col(idCol),
+        size(col("_kl")).cast("long").as("n_kept"),
+        array_join(col("_kl"), "\n").as("cleaned"),
+        (!lower(col("_t")).contains("lorem ipsum") &&
+          !col("_t").contains("{") &&
+          size(col("_kl")) >= 1).as("kept"))
+  }
+
   /** The classifier's feature set: distinct unigram + bigram shingles
     * (presence features, the fastText default). */
   private[graft] def classifierFeatures(text: Column): Column =

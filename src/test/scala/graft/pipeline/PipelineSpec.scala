@@ -1265,6 +1265,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(out === Seq(("the cat", 2L), ("cat sat", 1L)))
   }
 
+  test("c4Clean: full C4 rules line by line on constructed prose") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "This is a good sentence.\nshort one.\nno punct at all here\n" +
+        "Another proper sentence here!\nthis line mentions JavaScript sadly."),
+      (2L, "lorem ipsum dolor sit amet.\nA fine long sentence right here."),
+      (3L, "A fine long sentence right here. { code }"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Clean(df, "doc_id", "text").orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+    // doc 1: keeps the two proper sentences; drops the short line (<3
+    // words), the unterminated line, and the javascript line
+    assert(out(0) === ((1L, 2L,
+      "This is a good sentence.\nAnother proper sentence here!", true)))
+    // doc 2: both lines survive the LINE rules, the DOC is dropped by
+    // the lorem-ipsum rule
+    assert(out(1) === ((2L, 2L,
+      "lorem ipsum dolor sit amet.\nA fine long sentence right here.", false)))
+    // doc 3: brace doc, and its only line ends in '}' — nothing survives
+    assert(out(2) === ((3L, 0L, "", false)))
+    // doc 4: empty text cleans to empty, dropped
+    assert(out(3) === ((4L, 0L, "", false)))
+  }
+
   test("qualityClassifier: logit == independent explode-plan dot product; empty doc scores 0") {
     import spark.implicits._
     // independent computation: explode the same feature set, hash, weight,
