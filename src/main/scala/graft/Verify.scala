@@ -98,6 +98,17 @@ object Verify {
           Tables.load(spark, sfDir, "documents"), "doc_id")
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px21_buckets")
       }
+      auxExport("px58_shuffle_shard")(Seq("px58_hashes")) {
+        // the per-doc seeded shuffle keys — DuckDB re-derives shard
+        // membership and within-shard rank from them independently
+        Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"),
+            org.apache.spark.sql.functions.xxhash64(col("doc_id"),
+              org.apache.spark.sql.functions.lit(
+                pipeline.Sampling.ShuffleShardSeed)).as("h"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$auxDir/px58_hashes")
+      }
       auxExport("px56_quality_classifier")(Seq("px56_features")) {
         // per-(doc, hashed feature bucket) rows — DuckDB re-derives the
         // LCG bucket weights, per-doc logit sums, and the quality

@@ -549,6 +549,30 @@ object PipelineQueries {
              |SELECT vec_id, max_sim, max_sim >= 0.9 AS contaminated
              |FROM m ORDER BY vec_id""".stripMargin)),
 
+    // --------------------------------- deterministic shuffle + sharding
+    // The epoch-ordering staple: a reproducible seeded permutation of the
+    // corpus, sharded for parallel readers — shard = hash mod N, pos =
+    // rank within shard under (hash, id). NO global sort: the one
+    // exchange partitions by shard and each shard sorts independently
+    // (shards ~ reader count at 100 TB keeps every sort executor-sized).
+    // Oracle: Verify exports the per-doc hash keys (xxhash64 is
+    // engine-local); DuckDB re-derives shard and position from them with
+    // its own modulo and window — the permutation itself is checked, not
+    // a summary.
+    Q("px58_shuffle_shard",
+      (s, d) => Sampling.shuffleShard(docs(s, d), "doc_id")
+        .orderBy("shard", "pos"),
+      Some(s"""WITH h AS (SELECT doc_id, h
+             |  FROM '$AuxToken/px58_hashes/*.parquet')
+             |SELECT doc_id,
+             |  CAST(((h % ${Sampling.ShuffleShards}) + ${Sampling.ShuffleShards})
+             |       % ${Sampling.ShuffleShards} AS INT) AS shard,
+             |  CAST(ROW_NUMBER() OVER (
+             |    PARTITION BY ((h % ${Sampling.ShuffleShards})
+             |                  + ${Sampling.ShuffleShards}) % ${Sampling.ShuffleShards}
+             |    ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+             |FROM h ORDER BY shard, pos""".stripMargin)),
+
     // ------------------------------------------ C4-style line cleaning
     // The published C4 heuristics as one per-row array pipeline
     // (split → filter → re-join): terminal punctuation, ≥3 words, no

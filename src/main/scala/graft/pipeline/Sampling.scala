@@ -229,4 +229,36 @@ object Sampling {
       df.where(u < rate)
     }
   }
+
+  /** px58's parameters, shared with graft.Verify's aux export. */
+  val ShuffleShardSeed: Long = 2026L
+  val ShuffleShards: Int = 8
+
+  /** Deterministic corpus shuffle + sharding — the training-data ORDERING
+    * operator: every epoch pipeline needs a reproducible global
+    * permutation of the corpus, sharded for parallel readers. Order is
+    * the seeded hash `xxhash64(id, seed)` (ties broken by id — a total
+    * order), shard is the hash mod `shards`, and `pos` is the row's
+    * 0-based position within its shard under that order. Changing the
+    * seed is a fresh epoch permutation; same seed is bit-identical across
+    * runs (no engine RNG anywhere).
+    *
+    * Scale: there is NO global sort — the only exchange partitions by
+    * `shard`, and each shard sorts |corpus|/shards rows independently
+    * (pick shards ~ reader count at 100 TB, thousands; each per-shard
+    * sort is then executor-sized). Writing `partitionBy(shard)` after
+    * this yields ready-to-stream epoch files.
+    */
+  def shuffleShard(df: DataFrame, idCol: String,
+      seed: Long = ShuffleShardSeed,
+      shards: Int = ShuffleShards): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = score(col(idCol), seed)
+    df.select(col(idCol), h.as("_h"))
+      .withColumn("shard", pmod(col("_h"), lit(shards.toLong)).cast("int"))
+      .withColumn("pos", (row_number().over(
+        Window.partitionBy("shard").orderBy(col("_h"), col(idCol))) - 1)
+        .cast("bigint"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
 }

@@ -61,6 +61,7 @@ object ScaleRehearsal {
     "px24_decontaminate" -> Set("documents"),
     "px56_quality_classifier" -> Set("documents"),
     "px57_c4_line_clean" -> Set("documents"),
+    "px58_shuffle_shard" -> Set("documents"),
     "px25_shared_spans" -> Set("documents"),
     "px32_imageio_decode" -> Set("documents"),
     "px33_audio_decode" -> Set("documents"),

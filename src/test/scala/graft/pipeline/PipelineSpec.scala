@@ -1265,6 +1265,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(out === Seq(("the cat", 2L), ("cat sat", 1L)))
   }
 
+  test("shuffleShard: deterministic permutation, dense per-shard positions, seed-sensitive") {
+    val out = Sampling.shuffleShard(docs, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val n = docs.count()
+    assert(out.length === n)
+    assert(out.map(_._1).distinct.length === n, "every doc exactly once")
+    out.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq,
+        s"shard $s positions must be dense 0..${rows.length - 1}")
+    }
+    val again = Sampling.shuffleShard(docs, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSet === again.toSet, "same seed must be bit-identical")
+    val other = Sampling.shuffleShard(docs, "doc_id", seed = 7L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(other.map(_._1).sorted.toSeq === out.map(_._1).sorted.toSeq,
+      "an epoch re-shuffle permutes, never drops")
+    assert(other.toSet !== out.toSet, "a new seed is a new permutation")
+    val sizes = out.groupBy(_._2).values.map(_.length)
+    assert(sizes.max <= 2 * (n / Sampling.ShuffleShards).toInt + 8,
+      s"hash sharding must stay near-uniform, got $sizes")
+  }
+
   test("c4Clean: full C4 rules line by line on constructed prose") {
     import spark.implicits._
     val df = Seq(

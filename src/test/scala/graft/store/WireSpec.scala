@@ -81,6 +81,38 @@ class WireSpec extends AnyFunSuite {
     }
   }
 
+  test("read-your-writes through the wire: write txn -> commit -> catchUp -> wire read") {
+    // the full serving stack composed over TCP: a wire WRITE lands in the
+    // store (group commit), the follower replica tails the WAL, and a
+    // wire READ against the replica sees the new value — the
+    // reference's write-then-read client session, across both transports
+    val (store, dir, _, _) = storeWithData()
+    val replica = GraphReplica.bootstrap(spark, CatalogueModel, dir)
+    replica.catchUp()
+    val server = Wire.serve(replica, store)
+    val wc = new Wire.WriteClient(spark, CatalogueModel,
+      server.host, server.port, "rw")
+    val rc = new Wire.ReadClient(spark, CatalogueModel,
+      server.host, server.port, "rr")
+    try {
+      val t = wc.submit { txn =>
+        val g = txn.newNode(Genre("Funk"))
+        txn.addTarget(0L, g)
+      }
+      val ack = wc.await(t)
+      assert(ack.applied)
+      val gid = ack.assigned(-1L)
+      // applyPending committed the txn's WAL batch before acking; the
+      // follower tails it on catchUp and the wire read serves it
+      store.drain()
+      replica.catchUp()
+      assert(rc.getValue(gid) === Genre("Funk"))
+      assert(rc.targets(0L).contains(gid))
+    } finally {
+      wc.close(); rc.close(); server.close(); store.close()
+    }
+  }
+
   test("two wire clients share one server; answers stay per-client") {
     val (store, dir, mj, bj) = storeWithData()
     val replica = GraphReplica.bootstrap(spark, CatalogueModel, dir)
