@@ -683,8 +683,11 @@ object TextAnalysis {
     */
   def qualityClassifier(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
+    // NULL text scores like empty text (logit 0), not a NULL that
+    // diverges from the oracle's featureless-row convention
     df.select(col(idCol),
-      aggregate(classifierFeatures(col(textCol)), lit(0L),
+      aggregate(classifierFeatures(coalesce(col(textCol), lit(""))),
+        lit(0L),
         (acc, g) => acc + bucketWeight(
           pmod(xxhash64(g), lit(ClassifierBuckets.toLong))))
         .as("logit"))
@@ -716,7 +719,9 @@ object TextAnalysis {
       punctOk && (size(split(t, "\\s+")) >= minWords) &&
         !lower(l).contains("javascript")
     }
-    df.select(col(idCol), col(textCol).as("_t"))
+    // NULL text cleans like empty text (size(null) is -1 in Spark — a
+    // silent divergence from every oracle convention otherwise)
+    df.select(col(idCol), coalesce(col(textCol), lit("")).as("_t"))
       .withColumn("_kl", filter(split(col("_t"), "\n"), keepLine))
       .select(col(idCol),
         size(col("_kl")).cast("long").as("n_kept"),
