@@ -142,6 +142,17 @@ object Dedup {
     * join re-expands every candidate pair by its full shingle list — an
     * intermediate this direct-from-index intersection never materializes.
     * Do not re-attempt without a candidate-count measurement first.
+    *
+    * That measurement now exists (r14, SCALE_r14 phase attribution):
+    * every intermediate's row count grows exactly 100.00× at 100× data
+    * (capped index 260k→26.0M, candidates 1.27M→126.6M, pairs
+    * 1.13M→113.1M) — the DF cap holds per-doc candidate degree constant,
+    * so the plan carries ZERO super-linear volume; and a within-process
+    * shuffle-partition sweep (16/64/128 → 13.3/14.6/21.3 s on the
+    * dominant pair-groupby) shows the phase is compute-bound, not
+    * partition- or spill-bound. The ~6.4× time ratio at 100× is the
+    * fixed-box core count amortizing, and disappears when executors
+    * scale with data. This operator's perf story is CLOSED.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6,
