@@ -198,6 +198,16 @@ object Verify {
         probes.select(col("qid"), col("_cell"))
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px13_probes")
       }
+      auxExport("px59_semantic_prune")(Seq("px59_cells")) {
+        // px59: the deterministic (id, cell) k-means assignment — same
+        // shared code path the query clusters with — lets the oracle
+        // replay the within-cell quadratic compare + min-id prune rule
+        pipeline.Similarity.clusterAssignments(
+          embs.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding")
+          .select(col("_id"), col("_cell"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px59_cells")
+      }
       auxExport("px55_sim_ivf_append")(Seq("px55_cells", "px55_probes")) {
         // px55: the appended index (built on the even half, odd half
         // assigned to the SAME centroids) — the exact index the query

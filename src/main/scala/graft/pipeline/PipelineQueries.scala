@@ -522,6 +522,39 @@ object PipelineQueries {
              |SELECT qid, nbr, rank FROM scored WHERE rank <= 5
              |ORDER BY qid, rank""".stripMargin)),
 
+    // ------------------------------------ semantic cluster dedup (SemDeDup)
+    // Cluster the embeddings into k-means cells (the px13 IVF training,
+    // deterministic decimal Lloyd; cell count occupancy-auto-sized à la
+    // Similarity.autoBits so the within-cell pair join stays linear —
+    // fixed nlist measured 15.4x at 30x), compare ONLY within cells, prune every
+    // vector with a smaller-id same-cell neighbor at cosine ≥ 0.35 (the
+    // corpus's ≈99.9th pairwise percentile — the synthetic fixtures carry
+    // no true near-dups, so this exercises the exact plan a 0.95-threshold
+    // run has on a real corpus). One keep/prune verdict PER VECTOR — the
+    // curation form, vs px11's global near-dup PAIRS. Oracle: Verify
+    // exports the deterministic (id, cell) assignment; DuckDB replays the
+    // within-cell quadratic compare and the min-id prune rule, pinning
+    // every verdict.
+    Q("px59_semantic_prune",
+      (s, d) => Similarity.semanticClusterPrune(
+        embs(s, d).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", threshold = 0.35)
+        .orderBy("vec_id"),
+      Some(s"""WITH cells AS (
+             |  SELECT * FROM '${AuxToken}/px59_cells/*.parquet'),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |pr AS (
+             |  SELECT DISTINCT b._id AS vec_id
+             |  FROM cells a JOIN cells b
+             |    ON a._cell = b._cell AND a._id < b._id
+             |  JOIN e ea ON ea.vec_id = a._id
+             |  JOIN e eb ON eb.vec_id = b._id
+             |  WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35)
+             |SELECT c._id AS vec_id, c._cell AS cell,
+             |  (pr.vec_id IS NOT NULL) AS pruned
+             |FROM cells c LEFT JOIN pr ON pr.vec_id = c._id
+             |ORDER BY vec_id""".stripMargin)),
+
     // ------------------------------------- semantic decontamination
     // The embedding-space counterpart of px24: per corpus vector, the max
     // cosine to any single benchmark vector (bench = vec_id < 20,

@@ -352,6 +352,72 @@ object Similarity {
       .select("id1", "id2", "sim")
   }
 
+  /** Occupancy-targeted cluster count — the [[autoBits]] discipline for
+    * k-means cells: nlist ≈ n/occupancy (floor 16) keeps expected cell
+    * size CONSTANT as the corpus grows. With nlist fixed instead, the
+    * within-cell pair join is Σ|cell|²/2 ∝ n²/nlist — measured: px59 at
+    * fixed nlist=16 ran 15.4× at 30× blowup; occupancy-sized it is the
+    * linear n·occupancy/2. The driver holds nlist×dim floats (SemDeDup
+    * itself ran 100k clusters; at n=10⁹, dim=64 that is ~2 GB — beyond
+    * that a two-level coarse quantizer replaces the flat matrix).
+    */
+  def autoNlist(n: Long, targetOccupancy: Int = 128): Int =
+    math.max(16, (n / math.max(targetOccupancy, 1)).toInt)
+
+  /** Deterministic cluster assignment shared by [[semanticClusterPrune]]
+    * and graft.Verify's px59 aux export: the [[ivfCentroids]] matrix
+    * (hash-ordered seed sample, decimal Lloyd — partition-order
+    * independent), then one NearestCentroid map pass. Returns
+    * (`_id`, `_v`, `_cell`). `nlist ≤ 0` auto-sizes via [[autoNlist]]
+    * (one count job) — the scale-correct default.
+    */
+  def clusterAssignments(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 0, iters: Int = 1): DataFrame = {
+    import graft.functions.NearestCentroid
+    val useNlist = if (nlist > 0) nlist else autoNlist(df.count())
+    val cents = ivfCentroids(df, idCol, vecCol, useNlist, iters)
+    df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .withColumn("_cell", NearestCentroid(col("_v"), cents))
+  }
+
+  /** SemDeDup-style semantic pruning (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embeddings (k-means cells via
+    * [[clusterAssignments]]), compare vectors ONLY within their cell, and
+    * prune every vector that has a same-cell neighbor of smaller id with
+    * cosine ≥ threshold — the deterministic min-id representative rule
+    * (the paper keeps the member farthest from the centroid; any fixed
+    * deterministic choice yields the same dedup rate, and min-id is
+    * exactly replayable by the DuckDB oracle). Complements
+    * [[embeddingNearDupPairs]]: LSH finds global near-dup PAIRS; this is
+    * the curation form — a per-document keep/prune verdict whose
+    * candidate scope is the semantic cluster, catching paraphrase-level
+    * duplicates LSH bit-signatures miss at moderate thresholds.
+    *
+    * Scale: the only shuffle is the self-join's exchange on `_cell`.
+    * `nlist ≤ 0` (the default) auto-sizes via [[autoNlist]] so cell
+    * occupancy stays constant and the within-cell pair count is
+    * n·occupancy/2 — linear in the corpus (fixed nlist is quadratic;
+    * measured, see [[autoNlist]]). The driver holds only the nlist×dim
+    * centroid matrix. The prune verdict joins back a DISTINCT pruned-id
+    * set — bounded by the corpus, broadcast by AQE when small.
+    *
+    * Returns one row per input vector: (idCol, cell, pruned).
+    */
+  def semanticClusterPrune(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 0, threshold: Double = 0.95,
+      iters: Int = 1): DataFrame = {
+    val cells = clusterAssignments(df, idCol, vecCol, nlist, iters)
+    val pruned = cells.as("a").join(cells.as("b"),
+        col("a._cell") === col("b._cell") && col("a._id") < col("b._id"))
+      .where(round(cosine(col("a._v"), col("b._v")), 6) >= threshold)
+      .select(col("b._id").as("_id")).distinct()
+      .withColumn("_pruned", lit(true))
+    cells.join(pruned, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("_cell").as("cell"),
+        coalesce(col("_pruned"), lit(false)).as("pruned"))
+  }
+
   /** Symmetric per-vector int8 quantization — the compression step a
     * 100 TB embedding store runs before ANN serving: each vector is scaled
     * by 127/max|x| and rounded to [-127, 127] codes (zero vectors → all-0

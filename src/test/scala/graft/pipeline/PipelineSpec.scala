@@ -1343,4 +1343,38 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(empty === Set((9L, 0L, false), (10L, 0L, false)))
   }
+
+  test("semantic cluster prune: verdicts == quadratic within-cell replay") {
+    val e = embs.select(col("vec_id"), col("embedding"))
+    val t = 0.3
+    val got = Similarity.semanticClusterPrune(e, "vec_id", "embedding",
+      nlist = 16, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(got.length === e.count())
+    // independent replay: same deterministic assignment, then a plain
+    // quadratic pair join per cell and the min-id prune rule
+    val cells = Similarity.clusterAssignments(e, "vec_id", "embedding",
+      nlist = 16)
+    val prunedExpected = cells.as("a").join(cells.as("b"),
+        col("a._cell") === col("b._cell") && col("a._id") < col("b._id"))
+      .where(round(Similarity.cosine(col("a._v"), col("b._v")), 6) >= t)
+      .select(col("b._id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    got.foreach { case (id, _, pruned) =>
+      assert(pruned === prunedExpected.contains(id), s"vec $id verdict")
+    }
+    // the corpus exercises both classes at this threshold
+    assert(got.exists(_._3) && got.exists(!_._3))
+    // the min id of every cell is never pruned (it has no smaller-id
+    // neighbor) — the representative always survives
+    got.groupBy(_._2).foreach { case (cell, members) =>
+      val minId = members.map(_._1).min
+      assert(!members.find(_._1 == minId).get._3, s"cell $cell min id pruned")
+    }
+    // determinism: a second full run (fresh Lloyd train included) agrees
+    val again = Similarity.semanticClusterPrune(e, "vec_id", "embedding",
+      nlist = 16, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+  }
 }
