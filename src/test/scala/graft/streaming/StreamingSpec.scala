@@ -593,6 +593,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.nonEmpty)
   }
 
+  test("px59 semantic prune re-curates incrementally (every streamed prefix == batch)") {
+    // Semantic dedup under the px29 incremental-recuration harness:
+    // embeddings arrive in chunks; foreachBatch appends each chunk to the
+    // accumulated corpus and re-runs the IDENTICAL semanticClusterPrune
+    // the declared batch query calls (retrain + reassign per prefix —
+    // cluster-scoped dedup, like holistic dedup, can't be append-only).
+    // Every per-batch verdict set must equal the batch operator run
+    // independently on exactly the vectors seen so far — the determinism
+    // of the hash-seeded decimal-Lloyd train is what makes this exact.
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val srcDir = Files.createTempDirectory("graft-stream-px59-")
+    val accDir = srcDir.resolve("acc").toString
+    val inDir = srcDir.resolve("in").toString
+    (0 until 3).foreach { i =>
+      emb.where(pmod(col("vec_id"), lit(3)) === i).coalesce(1)
+        .write.mode("append").parquet(inDir)
+    }
+    val t = 0.3
+    val prefixes =
+      scala.collection.mutable.Buffer[(Set[Long], Seq[(Long, Int, Boolean)])]()
+    val q = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(accDir)
+        val acc = spark.read.parquet(accDir)
+        val ids = acc.select("vec_id").collect().map(_.getLong(0)).toSet
+        val verdicts = graft.pipeline.Similarity.semanticClusterPrune(
+          acc, "vec_id", "embedding", threshold = t)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+        prefixes += ((ids, verdicts.sortBy(_._1).toSeq))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    assert(prefixes.size === 3, s"expected 3 batches, got ${prefixes.size}")
+    assert(prefixes.last._1 ===
+      emb.select("vec_id").collect().map(_.getLong(0)).toSet)
+    prefixes.sliding(2).foreach { case scala.collection.mutable.Buffer((a, _), (b, _)) =>
+      assert(a.subsetOf(b) && a.size < b.size)
+    }
+    prefixes.foreach { case (ids, streamed) =>
+      val expected = graft.pipeline.Similarity.semanticClusterPrune(
+        emb.where(col("vec_id").isin(ids.toSeq: _*)),
+        "vec_id", "embedding", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+      assert(streamed === expected,
+        s"prefix of ${ids.size} vectors: streamed prune != batch prune")
+      assert(expected.nonEmpty)
+    }
+    // the full-corpus prefix exercises both verdict classes
+    assert(prefixes.last._2.exists(_._3) && prefixes.last._2.exists(!_._3))
+  }
+
   test("streaming appendToIndex: served top-k after every micro-batch == one-shot append") {
     // the ANN index maintained ON WRITE — the reference's addTarget
     // update-the-index-as-you-write posture (Graph.hs:57-61) for the
