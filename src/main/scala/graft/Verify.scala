@@ -198,6 +198,20 @@ object Verify {
         probes.select(col("qid"), col("_cell"))
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px13_probes")
       }
+      auxExport("px60_sim_ivf_twolevel")(Seq("px60_cells", "px60_probes")) {
+        // px60: the two-level model is deterministic end-to-end (hash
+        // seeds, decimal refinement, tie-broken argmax), so exporting the
+        // compound (c1, c2) cells and probes lets the oracle recompute
+        // the probed-cell search quadratically
+        val (cells, probes) = pipeline.Similarity.twoLevelModelFor(
+          embs.select(col("vec_id"), col("embedding")),
+          embs.where(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", nlist1 = 4, k2 = 4, p1 = 2, nprobe = 4)
+        cells.select(col("nbr"), col("_c1"), col("_c2"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px60_cells")
+        probes.select(col("qid"), col("_c1"), col("_c2"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px60_probes")
+      }
       auxExport("px59_semantic_prune")(Seq("px59_cells")) {
         // px59: the deterministic (id, cell) k-means assignment — same
         // shared code path the query clusters with — lets the oracle

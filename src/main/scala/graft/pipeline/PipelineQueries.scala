@@ -522,6 +522,48 @@ object PipelineQueries {
              |SELECT qid, nbr, rank FROM scored WHERE rank <= 5
              |ORDER BY qid, rank""".stripMargin)),
 
+    // --------------------------- similarity: two-level IVF (driver-free)
+    // The coarse quantizer that removes flat IVF's driver bound: level-1
+    // centroids on the driver (nlist1 ≈ √nlist), level-2 sub-centroids a
+    // DISTRIBUTED table trained per level-1 cell (hash-seeded, one
+    // decimal-Lloyd groupBy pass — never collected). Same total cell
+    // count as px13 (4×4 = 16), √-scale driver memory and per-vector
+    // assignment work. Oracle: the whole build is deterministic, so
+    // Verify exports the final (id, c1, c2) cells and the probed (c1,c2)
+    // pairs, and DuckDB recomputes the probed-cell search + exact rerank
+    // — px13's oracle over the compound cell key.
+    Q("px60_sim_ivf_twolevel",
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.twoLevelTopK(
+          corpus = e.select(col("vec_id"), col("embedding")),
+          queries = e.where(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
+          idCol = "vec_id", vecCol = "embedding", k = 5,
+          nlist1 = 4, k2 = 4, p1 = 2, nprobe = 4)
+          .select("qid", "nbr", "rank")
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH cells AS (
+             |  SELECT * FROM '${AuxToken}/px60_cells/*.parquet'),
+             |probes AS (
+             |  SELECT * FROM '${AuxToken}/px60_probes/*.parquet'),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cand AS (
+             |  SELECT DISTINCT p.qid, c.nbr
+             |  FROM probes p JOIN cells c
+             |    ON c._c1 = p._c1 AND c._c2 = p._c2
+             |  WHERE p.qid <> c.nbr),
+             |scored AS (
+             |  SELECT qid, nbr,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY ROUND(list_cosine_similarity(eq.v, ec.v), 6) DESC,
+             |               nbr) AS rank
+             |  FROM cand
+             |  JOIN e eq ON eq.vec_id = qid
+             |  JOIN e ec ON ec.vec_id = nbr)
+             |SELECT qid, nbr, rank FROM scored WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin)),
+
     // ------------------------------------ semantic cluster dedup (SemDeDup)
     // Cluster the embeddings into k-means cells (the px13 IVF training,
     // deterministic decimal Lloyd; cell count occupancy-auto-sized à la

@@ -312,6 +312,130 @@ object Similarity {
       k)
   }
 
+  /** A two-level IVF coarse quantizer: the level-1 centroid matrix on the
+    * driver, the level-2 centroids as a DISTRIBUTED table
+    * (`_c1, _c2, _cent`) — never collected.
+    */
+  final case class TwoLevelModel(l1: Array[Array[Float]], l2: DataFrame)
+
+  /** Train a two-level IVF quantizer — the structure that removes the flat
+    * design's driver bound. Flat IVF holds nlist×dim floats on the driver
+    * ([[ivfCentroids]]) and scores every vector against all nlist
+    * centroids: at nlist = 10⁶, dim = 64 that is ~2 GB of driver matrix
+    * and 10⁶ dots per vector. Two-level holds only nlist1 ≈ √nlist
+    * level-1 centroids on the driver; each level-1 cell trains k2
+    * sub-centroids DISTRIBUTED (seeded by the cell's own hash-smallest
+    * members, refined by one decimal-Lloyd pass as a groupBy — the
+    * refined level-2 table never reaches the driver), and assignment
+    * costs nlist1 + k2 ≈ 2√nlist dots per vector. Same total cell count,
+    * √-scale driver memory and per-vector work.
+    *
+    * Deterministic end-to-end for the same reasons as [[ivfCentroids]]:
+    * hash-ordered seeds with id tie-breaks, decimal accumulation in the
+    * refinement (exact, partition-order independent), and the level-2
+    * argmax breaks score ties toward the smaller sub-cell id. Sub-cells
+    * left empty by the refinement pass are dropped (not retained as in
+    * the flat trainer) — the documented divergence.
+    */
+  def twoLevelCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist1: Int = 4, k2: Int = 4, iters: Int = 1): TwoLevelModel = {
+    import graft.functions.NearestCentroid
+    val l1 = ivfCentroids(corpus, idCol, vecCol, nlist1, iters)
+    val assigned = corpus.select(col(idCol).as("nbr"), col(vecCol).as("cv"))
+      .withColumn("_c1", NearestCentroid(col("cv"), l1))
+    val seeds = assigned.withColumn("_rn", row_number().over(
+        Window.partitionBy("_c1").orderBy(xxhash64(col("nbr")), col("nbr"))))
+      .where(col("_rn") <= k2)
+      .select(col("_c1"), (col("_rn") - 1).as("_c2"), col("cv").as("_cent"))
+    var l2 = seeds
+    for (_ <- 1 to math.max(iters, 0)) {
+      l2 = assignToL2(assigned, l2)
+        .select(col("_c1"), col("_c2"),
+          posexplode(col("cv")).as(Seq("_dim", "_x")))
+        .groupBy("_c1", "_c2", "_dim")
+        .agg(avg(col("_x").cast("decimal(38,18)")).as("_m"))
+        .groupBy("_c1", "_c2")
+        .agg(array_sort(collect_list(struct(col("_dim"), col("_m")))).as("_dm"))
+        .select(col("_c1"), col("_c2"),
+          expr("transform(_dm, p -> cast(p._m as float))").as("_cent"))
+    }
+    TwoLevelModel(l1, l2)
+  }
+
+  /** Assign each level-1-assigned vector (`nbr, cv, _c1`) to its nearest
+    * level-2 sub-centroid WITHIN its level-1 cell: a join on `_c1`
+    * replicates each vector k2 times (k2 is a constant — this is the
+    * bounded explode that replaces the flat design's nlist-wide driver
+    * matrix scan), cosine-scored, argmax by lexicographic struct max —
+    * score first, smaller `_c2` on ties (cosine argmax selects the same
+    * sub-cell as the normalized-centroid dot NearestCentroid uses, since
+    * the query-side norm is constant per vector).
+    */
+  private def assignToL2(vecs: DataFrame, l2: DataFrame): DataFrame =
+    vecs.join(l2, Seq("_c1"))
+      .withColumn("_s", cosine(col("cv"), col("_cent")))
+      .groupBy(col("nbr"))
+      .agg(first(col("cv")).as("cv"), first(col("_c1")).as("_c1"),
+        max(struct(col("_s").as("s"), (-col("_c2")).as("n"))).as("_b"))
+      .select(col("nbr"), col("cv"), col("_c1"), (-col("_b.n")).as("_c2"))
+
+  /** Query→probed-(c1,c2) assignment: score the driver-held level-1
+    * matrix (one native expression), keep the best `p1` level-1 cells,
+    * then score ONLY those cells' sub-centroids via a join against the
+    * distributed level-2 table and keep the best `nprobe` (c1,c2) pairs
+    * per query.
+    */
+  def twoLevelProbes(queries: DataFrame, idCol: String, vecCol: String,
+      model: TwoLevelModel, p1: Int, nprobe: Int): DataFrame = {
+    import graft.functions.CentroidDots
+    queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .select(col("qid"), col("qv"),
+        posexplode(CentroidDots(col("qv"), model.l1)).as(Seq("_c1", "_s1")))
+      .withColumn("_p1", row_number().over(
+        Window.partitionBy("qid").orderBy(col("_s1").desc, col("_c1"))))
+      .where(col("_p1") <= p1)
+      .select(col("qid"), col("qv"), col("_c1"))
+      .join(model.l2, Seq("_c1"))
+      .withColumn("_s2", cosine(col("qv"), col("_cent")))
+      .withColumn("_p2", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("_s2").desc, col("_c1"), col("_c2"))))
+      .where(col("_p2") <= nprobe)
+      .select(col("qid"), col("qv"), col("_c1"), col("_c2"))
+  }
+
+  /** The two-level model + probe assignment underlying [[twoLevelTopK]]
+    * — (cells `nbr, cv, _c1, _c2`, probes `qid, qv, _c1, _c2`).
+    * Deterministic, so graft.Verify exports (cells, probes) and the px60
+    * oracle recomputes the probed-cell search quadratically in DuckDB —
+    * the px13 pattern over the compound cell key.
+    */
+  def twoLevelModelFor(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, nlist1: Int = 4, k2: Int = 4, p1: Int = 2,
+      nprobe: Int = 4, iters: Int = 1): (DataFrame, DataFrame) = {
+    import graft.functions.NearestCentroid
+    val m = twoLevelCentroids(corpus, idCol, vecCol, nlist1, k2, iters)
+    val assigned = corpus.select(col(idCol).as("nbr"), col(vecCol).as("cv"))
+      .withColumn("_c1", NearestCentroid(col("cv"), m.l1))
+    (assignToL2(assigned, m.l2),
+      twoLevelProbes(queries, idCol, vecCol, m, p1, nprobe))
+  }
+
+  /** ANN top-k served from the two-level index: probed (c1,c2) cells
+    * joined on the compound key, exact cosine rerank, two-phase top-k.
+    */
+  def twoLevelTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist1: Int = 4, k2: Int = 4, p1: Int = 2,
+      nprobe: Int = 4, iters: Int = 1): DataFrame = {
+    val (cells, probes) = twoLevelModelFor(corpus, queries, idCol, vecCol,
+      nlist1, k2, p1, nprobe, iters)
+    topKPerQuery(
+      cells.join(probes, Seq("_c1", "_c2"))
+        .where(col("qid") =!= col("nbr"))
+        .withColumn("sim", round(cosine(col("qv"), col("cv")), 6)),
+      k)
+  }
+
   /** Signature width that targets a constant expected bucket occupancy:
     * bits = log2(n / target), clamped. With FIXED bits the bucket count is
     * constant, occupancy grows linearly with the corpus, and the

@@ -56,6 +56,7 @@ object ScaleRehearsal {
     "px3_dedup_minhash" -> Set("documents"),
     "px10_sim_lsh" -> Set("embeddings"),
     "px59_semantic_prune" -> Set("embeddings"),
+    "px60_sim_ivf_twolevel" -> Set("embeddings"),
     "px11_embed_neardup" -> Set("embeddings"),
     "px15_vocab_topk" -> Set("documents"),
     "px18_dedup_representatives" -> Set("documents"),

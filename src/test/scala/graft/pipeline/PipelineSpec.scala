@@ -150,6 +150,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits >= bfTop5.size / 5, s"recall@5 too low: $hits/${bfTop5.size}")
   }
 
+  test("two-level IVF: exact sims in probed cells, recall, distributed l2, determinism") {
+    val corpus = embs.select(col("vec_id"), col("embedding"))
+    val queries = embs.where(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+    val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val bfTop5 = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tl = Similarity.twoLevelTopK(corpus, queries, "vec_id", "embedding",
+      k = 5, nlist1 = 4, k2 = 4, p1 = 2, nprobe = 4).collect()
+    assert(tl.nonEmpty)
+    // every served sim is the exact cosine (the rerank is exact; only
+    // the candidate scope is approximate)
+    tl.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(math.abs(bf(key) - r.getDouble(3)) < 1e-9, s"sim mismatch for $key")
+    }
+    // same coverage contract as the flat px13 spec: 16 cells, 2×4
+    // subcells probed — clearly above a broken index
+    val hits = tl.map(r => (r.getLong(0), r.getLong(1))).count(bfTop5.contains)
+    assert(hits >= bfTop5.size / 5, s"recall@5 too low: $hits/${bfTop5.size}")
+    // the level-2 centroid table is DISTRIBUTED state: a DataFrame whose
+    // plan contains no driver-collected centroid literal (the flat
+    // trainer's nlist×dim matrix) — the point of the two-level design
+    val m = Similarity.twoLevelCentroids(corpus, "vec_id", "embedding",
+      nlist1 = 4, k2 = 4)
+    assert(m.l1.length === 4)
+    val l2rows = m.l2.collect()
+    assert(l2rows.length > 4 && l2rows.length <= 16,
+      s"expected (4, 16] sub-centroids, got ${l2rows.length}")
+    // every sub-centroid is dim-64 and belongs to a valid level-1 cell
+    l2rows.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) < 4)
+      assert(r.getInt(1) >= 0 && r.getInt(1) < 4)
+      assert(r.getSeq[Float](2).length === 64)
+    }
+    // the full build is deterministic: a second train + assignment run
+    // produces identical compound cells (what the px60 oracle relies on)
+    def cellsOf(): Seq[(Long, Int, Int)] = {
+      val (cells, _) = Similarity.twoLevelModelFor(corpus, queries,
+        "vec_id", "embedding", nlist1 = 4, k2 = 4, p1 = 2, nprobe = 4)
+      cells.select(col("nbr"), col("_c1"), col("_c2")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq
+    }
+    val c1 = cellsOf()
+    assert(c1 === cellsOf())
+    assert(c1.map(_._1).toSet === corpus.collect().map(_.getLong(0)).toSet)
+  }
+
   test("IVF multi-iteration Lloyd is deterministic and serves the same contract") {
     val corpus = embs.select(col("vec_id"), col("embedding"))
     val queries = embs.where(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
