@@ -359,6 +359,12 @@ object Similarity {
         .select(col("_c1"), col("_c2"),
           expr("transform(_dm, p -> cast(p._m as float))").as("_cent"))
     }
+    // the refined table has two consumers (corpus assignment + query
+    // probes) and its lineage re-executes for each — a lazy
+    // localCheckpoint was A/B'd (the minhashPairs precedent) and did NOT
+    // win here: the recompute is cheaper than the extra materialization
+    // job at every scale tried, so the plan stays pure. Persist-once
+    // serving belongs to the px53 saveIndex posture, not the trainer.
     TwoLevelModel(l1, l2)
   }
 
