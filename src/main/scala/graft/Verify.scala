@@ -212,6 +212,19 @@ object Verify {
         probes.select(col("qid"), col("_c1"), col("_c2"))
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px60_probes")
       }
+      auxExport("px61_semantic_prune_append")(
+          Seq("px61_cells_base", "px61_cells_new")) {
+        // px61: both halves' (id, cell) assignments against the
+        // BASE-trained centroids — same shared code path as the query
+        val (cb, cn) = pipeline.Similarity.semanticAppendCells(
+          embs.where(col("vec_id") % 2 === 0).select(col("vec_id"), col("embedding")),
+          embs.where(col("vec_id") % 2 === 1).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding")
+        cb.select(col("_id"), col("_cell"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px61_cells_base")
+        cn.select(col("_id"), col("_cell"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px61_cells_new")
+      }
       auxExport("px59_semantic_prune")(Seq("px59_cells")) {
         // px59: the deterministic (id, cell) k-means assignment — same
         // shared code path the query clusters with — lets the oracle

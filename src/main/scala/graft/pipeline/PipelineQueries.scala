@@ -597,6 +597,58 @@ object PipelineQueries {
              |FROM cells c LEFT JOIN pr ON pr.vec_id = c._id
              |ORDER BY vec_id""".stripMargin)),
 
+    // ----------------------------- incremental semantic dedup (append)
+    // The dedup-maintained-on-write posture for the semantic family
+    // (px55's stale-centroid append + px41's incremental-ingest shape):
+    // the odd-id half arrives as a batch against the even-id base —
+    // assigned to the BASE-trained centroids, pruned iff near a SURVIVING
+    // base representative or a smaller-id batch neighbor in the same
+    // cell. A batch vector near only a PRUNED base vector is kept (the
+    // incremental semantics — it is new relative to the kept corpus).
+    // Oracle: Verify exports both halves' deterministic (id, cell)
+    // assignments; DuckDB replays the base min-id rule, the kept set,
+    // and both batch prune rules — every batch verdict pinned.
+    Q("px61_semantic_prune_append",
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.semanticPruneAppend(
+          base = e.where(col("vec_id") % 2 === 0).select(col("vec_id"), col("embedding")),
+          batch = e.where(col("vec_id") % 2 === 1).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", threshold = 0.35)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH cb AS (
+             |  SELECT * FROM '${AuxToken}/px61_cells_base/*.parquet'),
+             |cn AS (
+             |  SELECT * FROM '${AuxToken}/px61_cells_new/*.parquet'),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |prb AS (
+             |  SELECT DISTINCT b._id AS vec_id
+             |  FROM cb a JOIN cb b ON a._cell = b._cell AND a._id < b._id
+             |  JOIN e ea ON ea.vec_id = a._id
+             |  JOIN e eb ON eb.vec_id = b._id
+             |  WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35),
+             |kept AS (
+             |  SELECT c._id, c._cell FROM cb c
+             |  LEFT JOIN prb ON prb.vec_id = c._id
+             |  WHERE prb.vec_id IS NULL),
+             |prn AS (
+             |  SELECT DISTINCT n._id AS vec_id
+             |  FROM cn n JOIN kept k ON n._cell = k._cell
+             |  JOIN e en ON en.vec_id = n._id
+             |  JOIN e ek ON ek.vec_id = k._id
+             |  WHERE ROUND(list_cosine_similarity(en.v, ek.v), 6) >= 0.35
+             |  UNION
+             |  SELECT DISTINCT b._id AS vec_id
+             |  FROM cn a JOIN cn b ON a._cell = b._cell AND a._id < b._id
+             |  JOIN e ea ON ea.vec_id = a._id
+             |  JOIN e eb ON eb.vec_id = b._id
+             |  WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35)
+             |SELECT c._id AS vec_id, c._cell AS cell,
+             |  (prn.vec_id IS NOT NULL) AS pruned
+             |FROM cn c LEFT JOIN prn ON prn.vec_id = c._id
+             |ORDER BY vec_id""".stripMargin)),
+
     // ------------------------------------- semantic decontamination
     // The embedding-space counterpart of px24: per corpus vector, the max
     // cosine to any single benchmark vector (bench = vec_id < 20,

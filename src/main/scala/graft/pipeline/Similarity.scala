@@ -548,6 +548,70 @@ object Similarity {
         coalesce(col("_pruned"), lit(false)).as("pruned"))
   }
 
+  /** Cluster assignment of a base corpus AND an arriving batch against
+    * centroids trained on the BASE ONLY (the stale-centroid append
+    * posture of [[appendToIndex]]) — shared by [[semanticPruneAppend]]
+    * and graft.Verify's px61 aux export so the query and its oracle
+    * cannot drift. Returns (baseCells, batchCells), each
+    * (`_id`, `_v`, `_cell`).
+    */
+  def semanticAppendCells(base: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, nlist: Int = 0,
+      iters: Int = 1): (DataFrame, DataFrame) = {
+    import graft.functions.NearestCentroid
+    val useNlist = if (nlist > 0) nlist else autoNlist(base.count())
+    val cents = ivfCentroids(base, idCol, vecCol, useNlist, iters)
+    def assign(df: DataFrame) =
+      df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+        .withColumn("_cell", NearestCentroid(col("_v"), cents))
+    (assign(base), assign(batch))
+  }
+
+  /** Incremental SemDeDup — the dedup-maintained-on-write posture
+    * ([[appendToIndex]]'s analog for [[semanticClusterPrune]], and the
+    * embedding-space sibling of Dedup.incrementalNew): an arriving batch
+    * is assigned to the EXISTING base centroids (no retrain — one map
+    * pass) and each batch vector is pruned iff, within its cell, it has
+    * (a) a SURVIVING base representative at cosine ≥ threshold, or (b) a
+    * smaller-id batch neighbor at cosine ≥ threshold. Comparing against
+    * survivors only — not pruned base vectors — is the incremental
+    * semantics: a batch vector near-duplicate ONLY of an already-pruned
+    * base vector is genuinely new relative to the kept corpus and is
+    * kept (the spec pins this case). Base verdicts are recomputed here
+    * for self-containment; a production pipeline persists the kept set
+    * and pays only the batch-side cost — batch × occupancy comparisons
+    * plus one batch×batch within-cell pass, never a base re-pairing.
+    * Centroid staleness is the same documented tradeoff as
+    * [[appendToIndex]]: re-train ([[semanticClusterPrune]] from scratch)
+    * on a cadence, not per batch.
+    *
+    * Returns one row per BATCH vector: (idCol, cell, pruned).
+    */
+  def semanticPruneAppend(base: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, nlist: Int = 0, threshold: Double = 0.95,
+      iters: Int = 1): DataFrame = {
+    val (baseCells, newCells) =
+      semanticAppendCells(base, batch, idCol, vecCol, nlist, iters)
+    val basePruned = baseCells.as("a").join(baseCells.as("b"),
+        col("a._cell") === col("b._cell") && col("a._id") < col("b._id"))
+      .where(round(cosine(col("a._v"), col("b._v")), 6) >= threshold)
+      .select(col("b._id").as("_id")).distinct()
+    val kept = baseCells.join(basePruned, Seq("_id"), "left_anti")
+    val vsKept = newCells.as("n").join(kept.as("k"),
+        col("n._cell") === col("k._cell"))
+      .where(round(cosine(col("n._v"), col("k._v")), 6) >= threshold)
+      .select(col("n._id").as("_id"))
+    val vsBatch = newCells.as("a").join(newCells.as("b"),
+        col("a._cell") === col("b._cell") && col("a._id") < col("b._id"))
+      .where(round(cosine(col("a._v"), col("b._v")), 6) >= threshold)
+      .select(col("b._id").as("_id"))
+    val pruned = vsKept.unionByName(vsBatch).distinct()
+      .withColumn("_pruned", lit(true))
+    newCells.join(pruned, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("_cell").as("cell"),
+        coalesce(col("_pruned"), lit(false)).as("pruned"))
+  }
+
   /** Symmetric per-vector int8 quantization — the compression step a
     * 100 TB embedding store runs before ANN serving: each vector is scaled
     * by 127/max|x| and rounded to [-127, 127] codes (zero vectors → all-0

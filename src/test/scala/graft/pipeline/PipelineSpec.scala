@@ -198,6 +198,64 @@ class PipelineSpec extends AnyFunSuite {
     assert(c1.map(_._1).toSet === corpus.collect().map(_.getLong(0)).toSet)
   }
 
+  test("semantic prune append: survivors-only compare, batch min-id, replay parity") {
+    import spark.implicits._
+    // constructed single-cell case (nlist=1) pinning the three rules:
+    //   base: b1 kept, b2 near-dup of b1 -> pruned
+    //   batch: w1 near ONLY b2 (the pruned one) -> KEPT (incremental
+    //          semantics: new relative to the kept corpus)
+    //          w2 near b1 (kept)              -> pruned
+    //          w3, w4 mutual near-dups        -> w3 kept, w4 pruned
+    //          w5 near nothing                -> kept
+    // dim-4 unit vectors in a plane: the angle controls cosine; at
+    // threshold 0.9, pi/8 apart (cos ~0.924) is "near", pi/4 (0.707) is
+    // not. b1=0, b2=pi/8 (near b1, pruned); w1=pi/4 (near b2 only);
+    // w2=-pi/8 (near b1); w3=pi/2, w4=pi/2+pi/8 (mutual); w5=pi (alone)
+    def ang(a: Double) = Array(math.cos(a).toFloat, math.sin(a).toFloat, 0f, 0f)
+    val base = Seq((1L, ang(0)), (2L, ang(Math.PI / 8)))
+      .toDF("vec_id", "embedding")
+    val batch = Seq(
+      (11L, ang(Math.PI / 4)), (12L, ang(-Math.PI / 8)),
+      (13L, ang(Math.PI / 2)), (14L, ang(Math.PI / 2 + Math.PI / 8)),
+      (15L, ang(Math.PI))).toDF("vec_id", "embedding")
+    val got = Similarity.semanticPruneAppend(base, batch,
+      "vec_id", "embedding", nlist = 1, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(got === Map(11L -> false, 12L -> true, 13L -> false,
+      14L -> true, 15L -> false))
+    // real-corpus replay parity: verdicts == an independent quadratic
+    // recomputation from the shared cell assignments
+    val e = embs.select(col("vec_id"), col("embedding"))
+    val b0 = e.where(col("vec_id") % 2 === 0)
+    val b1 = e.where(col("vec_id") % 2 === 1)
+    val t = 0.3
+    val verdicts = Similarity.semanticPruneAppend(b0, b1,
+      "vec_id", "embedding", threshold = t)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(verdicts.keySet ===
+      b1.select("vec_id").collect().map(_.getLong(0)).toSet)
+    val (cb, cn) = Similarity.semanticAppendCells(b0, b1,
+      "vec_id", "embedding")
+    def pairsOver(l: org.apache.spark.sql.DataFrame,
+        r: org.apache.spark.sql.DataFrame, ltId: Boolean) = {
+      val cond0 = col("a._cell") === col("b._cell")
+      val cond = if (ltId) cond0 && col("a._id") < col("b._id") else cond0
+      l.as("a").join(r.as("b"), cond)
+        .where(round(Similarity.cosine(col("a._v"), col("b._v")), 6) >= t)
+        .select(col("b._id")).collect().map(_.getLong(0)).toSet
+    }
+    val basePruned = pairsOver(cb, cb, ltId = true)
+    val kept = cb.collect().map(_.getLong(0)).toSet -- basePruned
+    val keptCells = cb.where(col("_id").isin(kept.toSeq: _*))
+    val expectPruned = pairsOver(keptCells, cn, ltId = false) ++
+      pairsOver(cn, cn, ltId = true)
+    verdicts.foreach { case (id, p) =>
+      assert(p === expectPruned.contains(id), s"batch vec $id verdict")
+    }
+    assert(verdicts.values.exists(identity) &&
+      verdicts.values.exists(!_), "both classes present at this threshold")
+  }
+
   test("IVF multi-iteration Lloyd is deterministic and serves the same contract") {
     val corpus = embs.select(col("vec_id"), col("embedding"))
     val queries = embs.where(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
