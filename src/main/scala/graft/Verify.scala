@@ -198,7 +198,8 @@ object Verify {
         probes.select(col("qid"), col("_cell"))
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px13_probes")
       }
-      auxExport("px60_sim_ivf_twolevel")(Seq("px60_cells", "px60_probes")) {
+      auxExport("px60_sim_ivf_twolevel", "px62_sim_twolevel_persist")(
+          Seq("px60_cells", "px60_probes")) {
         // px60: the two-level model is deterministic end-to-end (hash
         // seeds, decimal refinement, tie-broken argmax), so exporting the
         // compound (c1, c2) cells and probes lets the oracle recompute

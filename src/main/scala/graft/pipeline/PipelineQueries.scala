@@ -564,6 +564,52 @@ object PipelineQueries {
              |SELECT qid, nbr, rank FROM scored WHERE rank <= 5
              |ORDER BY qid, rank""".stripMargin)),
 
+    // --------------------- similarity: persisted two-level index path
+    // px53's build-once/serve-many posture for the two-level quantizer:
+    // the index (level-1 parquet, cluster-written level-2 table, corpus
+    // PARTITIONED BY the compound (c1,c2) cell) is written once per
+    // (JVM, data dir), reloaded, and served — the probe join dynamically
+    // prunes to the probed sub-cells' files. Identical parameters to
+    // px60 and floats round-trip parquet bit-exactly, so the served
+    // answer equals the refit px60 against the SAME oracle exports.
+    Q("px62_sim_twolevel_persist",
+      (s, d) => {
+        val e = embs(s, d)
+        val corpus = e.select(col("vec_id"), col("embedding"))
+        val dir = ivfSaved.computeIfAbsent(indexDir("graft_ivf2_index_", d),
+          k => {
+            Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", k,
+              nlist1 = 4, k2 = 4, iters = 1)
+            k
+          })
+        val idx = Similarity.loadTwoLevelIndex(s, dir)
+        Similarity.twoLevelTopKFromIndex(idx,
+          e.where(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
+          idCol = "vec_id", vecCol = "embedding", k = 5, p1 = 2, nprobe = 4)
+          .select("qid", "nbr", "rank")
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH cells AS (
+             |  SELECT * FROM '${AuxToken}/px60_cells/*.parquet'),
+             |probes AS (
+             |  SELECT * FROM '${AuxToken}/px60_probes/*.parquet'),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cand AS (
+             |  SELECT DISTINCT p.qid, c.nbr
+             |  FROM probes p JOIN cells c
+             |    ON c._c1 = p._c1 AND c._c2 = p._c2
+             |  WHERE p.qid <> c.nbr),
+             |scored AS (
+             |  SELECT qid, nbr,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY ROUND(list_cosine_similarity(eq.v, ec.v), 6) DESC,
+             |               nbr) AS rank
+             |  FROM cand
+             |  JOIN e eq ON eq.vec_id = qid
+             |  JOIN e ec ON ec.vec_id = nbr)
+             |SELECT qid, nbr, rank FROM scored WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin)),
+
     // ------------------------------------ semantic cluster dedup (SemDeDup)
     // Cluster the embeddings into k-means cells (the px13 IVF training,
     // deterministic decimal Lloyd; cell count occupancy-auto-sized à la

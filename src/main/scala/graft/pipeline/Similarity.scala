@@ -442,6 +442,78 @@ object Similarity {
       k)
   }
 
+  /** A persisted two-level index, reloaded: the driver-side level-1
+    * matrix, the level-2 centroid table, and the compound-cell-partitioned
+    * codes table (`nbr, cv, _c1, _c2`).
+    */
+  final case class TwoLevelIndex(l1: Array[Array[Float]], l2: DataFrame,
+    cells: DataFrame)
+
+  /** Persist a two-level index — the [[saveIndex]] posture for the
+    * √-scale quantizer: the tiny level-1 matrix and the level-2 centroid
+    * table as parquet, and the assigned corpus PARTITIONED BY the
+    * compound (c1, c2) cell so a probe join dynamically prunes to the
+    * probed sub-cells' files. Train is paid ONCE here; note the level-2
+    * table is written by the CLUSTER (it was never on the driver) —
+    * at nlist = 10⁶ it is a 10⁶-row parquet, not a driver matrix.
+    */
+  def saveTwoLevelIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, nlist1: Int = 4, k2: Int = 4, iters: Int = 1): Unit = {
+    import graft.functions.NearestCentroid
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = twoLevelCentroids(corpus, idCol, vecCol, nlist1, k2, iters)
+    m.l1.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("_c1", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/l1")
+    m.l2.select(col("_c1"), col("_c2"), col("_cent"))
+      .write.mode("overwrite").parquet(s"$dir/l2")
+    val assigned = corpus.select(col(idCol).as("nbr"), col(vecCol).as("cv"))
+      .withColumn("_c1", NearestCentroid(col("cv"), m.l1))
+    assignToL2(assigned, m.l2)
+      .write.mode("overwrite").partitionBy("_c1", "_c2")
+      .parquet(s"$dir/cells")
+  }
+
+  /** Reload a persisted two-level index. Floats round-trip parquet
+    * bit-exactly — level-1, level-2, AND the assigned cells are
+    * identical to the freshly trained model's, so probes and serves from
+    * a loaded index equal the refit path row for row (the px62 oracle
+    * shares px60's exports on that basis). The compound partition
+    * columns must come back as ints so the probe join key stays the
+    * partition column and dynamic partition pruning applies.
+    */
+  def loadTwoLevelIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): TwoLevelIndex = {
+    val l1 = spark.read.parquet(s"$dir/l1")
+      .select("_c1", "centroid").orderBy("_c1").collect()
+      .map(_.getSeq[Float](1).toArray)
+    val l2 = spark.read.parquet(s"$dir/l2").select("_c1", "_c2", "_cent")
+    val raw = spark.read.parquet(s"$dir/cells")
+    Seq("_c1", "_c2").foreach { c =>
+      require(raw.schema(c).dataType ==
+        org.apache.spark.sql.types.IntegerType,
+        s"unexpected $c partition type: ${raw.schema(c).dataType}")
+    }
+    TwoLevelIndex(l1, l2, raw.select("nbr", "cv", "_c1", "_c2"))
+  }
+
+  /** ANN top-k served from a persisted two-level index — [[twoLevelTopK]]
+    * minus the training cost; the cells scan prunes to the probed
+    * compound partitions.
+    */
+  def twoLevelTopKFromIndex(index: TwoLevelIndex, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, p1: Int = 2,
+      nprobe: Int = 4): DataFrame = {
+    val probes = twoLevelProbes(queries, idCol, vecCol,
+      TwoLevelModel(index.l1, index.l2), p1, nprobe)
+    topKPerQuery(
+      index.cells.join(probes, Seq("_c1", "_c2"))
+        .where(col("qid") =!= col("nbr"))
+        .withColumn("sim", round(cosine(col("qv"), col("cv")), 6)),
+      k)
+  }
+
   /** Signature width that targets a constant expected bucket occupancy:
     * bits = log2(n / target), clamped. With FIXED bits the bucket count is
     * constant, occupancy grows linearly with the corpus, and the

@@ -58,6 +58,7 @@ object ScaleRehearsal {
     "px59_semantic_prune" -> Set("embeddings"),
     "px60_sim_ivf_twolevel" -> Set("embeddings"),
     "px61_semantic_prune_append" -> Set("embeddings"),
+    "px62_sim_twolevel_persist" -> Set("embeddings"),
     "px11_embed_neardup" -> Set("embeddings"),
     "px15_vocab_topk" -> Set("documents"),
     "px18_dedup_representatives" -> Set("documents"),

@@ -342,6 +342,53 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("two-level persisted index: save→load→serve == refit, compound-pruned scan") {
+    val corpus = embs.select(col("vec_id"), col("embedding"))
+    val queries = embs.where(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf2_spec").toString
+    try {
+      Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", dir,
+        nlist1 = 4, k2 = 4, iters = 1)
+      val idx = Similarity.loadTwoLevelIndex(spark, dir)
+      // level-1 matrix round-trips parquet bit-exactly
+      val fresh = Similarity.twoLevelCentroids(corpus, "vec_id", "embedding",
+        nlist1 = 4, k2 = 4)
+      assert(idx.l1.length === fresh.l1.length)
+      idx.l1.zip(fresh.l1).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+      // ... and so does the cluster-written level-2 table
+      def l2Of(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => ((r.getInt(0), r.getInt(1)),
+          r.getSeq[Float](2).toSeq)).toMap
+      assert(l2Of(idx.l2) === l2Of(fresh.l2))
+      // on-disk layout is partitioned by the COMPOUND cell (nested dirs)
+      val c1Dirs = new java.io.File(s"$dir/cells").listFiles()
+        .filter(_.getName.startsWith("_c1=")).toSeq
+      assert(c1Dirs.nonEmpty)
+      assert(c1Dirs.forall(d => Option(d.listFiles()).exists(
+        _.exists(_.getName.startsWith("_c2=")))))
+      // served results identical to the refit two-level search
+      val served = Similarity.twoLevelTopKFromIndex(idx, queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4)
+        .orderBy("qid", "rank").collect().toSeq
+      val refit = Similarity.twoLevelTopK(corpus, queries,
+        "vec_id", "embedding", k = 5, nlist1 = 4, k2 = 4, p1 = 2, nprobe = 4)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(served === refit)
+      // the probe join prunes the cells scan on the partition columns
+      val plan = Similarity.twoLevelTopKFromIndex(idx, queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning") ||
+        plan.contains("PartitionFilters: [isnotnull(_c1"),
+        s"expected a partition-pruned cells scan, got:\n$plan")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("IVF incremental append: union served == same-centroid full assignment") {
     val partA = embs.where(col("vec_id") % 2 === 0).select(col("vec_id"), col("embedding"))
     val partB = embs.where(col("vec_id") % 2 === 1).select(col("vec_id"), col("embedding"))
