@@ -377,7 +377,7 @@ object Similarity {
     * sub-cell as the normalized-centroid dot NearestCentroid uses, since
     * the query-side norm is constant per vector).
     */
-  private def assignToL2(vecs: DataFrame, l2: DataFrame): DataFrame =
+  private[pipeline] def assignToL2(vecs: DataFrame, l2: DataFrame): DataFrame =
     vecs.join(l2, Seq("_c1"))
       .withColumn("_s", cosine(col("cv"), col("_cent")))
       .groupBy(col("nbr"))
@@ -496,6 +496,29 @@ object Similarity {
         s"unexpected $c partition type: ${raw.schema(c).dataType}")
     }
     TwoLevelIndex(l1, l2, raw.select("nbr", "cv", "_c1", "_c2"))
+  }
+
+  /** Incrementally add vectors to a persisted two-level index WITHOUT
+    * retraining — [[appendToIndex]]'s posture for the √-scale quantizer:
+    * new rows are assigned level-1 against the loaded driver matrix and
+    * level-2 against the loaded (distributed) centroid table — two
+    * bounded map/join passes — and appended to the compound-partitioned
+    * codes table. Same retry idempotence rule (id anti-join on a
+    * column-pruned `nbr` scan by default) and the same staleness
+    * tradeoff: re-train ([[saveTwoLevelIndex]]) on a cadence.
+    */
+  def appendToTwoLevelIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, newRows: DataFrame, idCol: String, vecCol: String,
+      dedupeIds: Boolean = true): Unit = {
+    import graft.functions.NearestCentroid
+    val idx = loadTwoLevelIndex(spark, dir)
+    val base = newRows.select(col(idCol).as("nbr"), col(vecCol).as("cv"))
+    val fresh =
+      if (dedupeIds) base.join(idx.cells.select("nbr"), Seq("nbr"), "left_anti")
+      else base
+    assignToL2(fresh.withColumn("_c1", NearestCentroid(col("cv"), idx.l1)),
+      idx.l2)
+      .write.mode("append").partitionBy("_c1", "_c2").parquet(s"$dir/cells")
   }
 
   /** ANN top-k served from a persisted two-level index — [[twoLevelTopK]]

@@ -389,6 +389,48 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("two-level incremental append: union served == same-quantizer full assignment") {
+    val partA = embs.where(col("vec_id") % 2 === 0).select(col("vec_id"), col("embedding"))
+    val partB = embs.where(col("vec_id") % 2 === 1).select(col("vec_id"), col("embedding"))
+    val queries = embs.where(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf2_append").toString
+    try {
+      Similarity.saveTwoLevelIndex(partA, "vec_id", "embedding", dir,
+        nlist1 = 4, k2 = 4, iters = 1)
+      val idxA = Similarity.loadTwoLevelIndex(spark, dir)
+      Similarity.appendToTwoLevelIndex(spark, dir, partB, "vec_id", "embedding")
+      val idx = Similarity.loadTwoLevelIndex(spark, dir)
+      // both quantizer levels untouched by the append
+      idx.l1.zip(idxA.l1).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+      def l2Of(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => ((r.getInt(0), r.getInt(1)),
+          r.getSeq[Float](2).toSeq)).toMap
+      assert(l2Of(idx.l2) === l2Of(idxA.l2))
+      assert(idx.cells.count() === embs.count())
+      val served = Similarity.twoLevelTopKFromIndex(idx, queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4)
+        .orderBy("qid", "rank").collect().toSeq
+      // reference: assign the FULL corpus to the SAME loaded quantizer
+      val full = embs.select(col("vec_id").as("nbr"), col("embedding").as("cv"))
+        .withColumn("_c1", graft.functions.NearestCentroid(col("cv"), idxA.l1))
+      val expected = Similarity.twoLevelTopKFromIndex(
+        Similarity.TwoLevelIndex(idxA.l1, idxA.l2,
+          Similarity.assignToL2(full, idxA.l2)),
+        queries, "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(served === expected)
+      // retry idempotence: re-appending the same batch adds nothing
+      Similarity.appendToTwoLevelIndex(spark, dir, partB, "vec_id", "embedding")
+      assert(Similarity.loadTwoLevelIndex(spark, dir).cells.count()
+        === embs.count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("IVF incremental append: union served == same-centroid full assignment") {
     val partA = embs.where(col("vec_id") % 2 === 0).select(col("vec_id"), col("embedding"))
     val partB = embs.where(col("vec_id") % 2 === 1).select(col("vec_id"), col("embedding"))
