@@ -587,7 +587,11 @@ object Similarity {
     * that a two-level coarse quantizer replaces the flat matrix).
     */
   def autoNlist(n: Long, targetOccupancy: Int = 128): Int =
-    math.max(16, (n / math.max(targetOccupancy, 1)).toInt)
+    // clamp: past ~4M cells the flat driver matrix (and the int cell id
+    // arithmetic) is the binding constraint — that regime belongs to the
+    // two-level quantizer (twoLevelCentroids), not a bigger flat matrix
+    math.min(1 << 22,
+      math.max(16, (n / math.max(targetOccupancy, 1)).toInt))
 
   /** Deterministic cluster assignment shared by [[semanticClusterPrune]]
     * and graft.Verify's px59 aux export: the [[ivfCentroids]] matrix
@@ -678,7 +682,11 @@ object Similarity {
     * plus one batch×batch within-cell pass, never a base re-pairing.
     * Centroid staleness is the same documented tradeoff as
     * [[appendToIndex]]: re-train ([[semanticClusterPrune]] from scratch)
-    * on a cadence, not per batch.
+    * on a cadence, not per batch. Cell occupancy is sized from the BASE
+    * corpus — a base far smaller than the batch (degenerate: empty)
+    * collapses the batch into few cells and the batch-internal compare
+    * toward quadratic; seed from [[semanticClusterPrune]] over the first
+    * corpus instead of appending onto a near-empty base.
     *
     * Returns one row per BATCH vector: (idCol, cell, pruned).
     */
