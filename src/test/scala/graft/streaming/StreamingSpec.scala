@@ -593,6 +593,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.nonEmpty)
   }
 
+  test("streaming appendToTwoLevelIndex: served top-k per micro-batch == one-shot append") {
+    // the index-maintained-on-write posture for the TWO-LEVEL quantizer:
+    // each micro-batch is assigned against the loaded level-1 matrix +
+    // distributed level-2 table (no retrain) and appended to the
+    // compound-partitioned codes table; after every batch the served
+    // top-k must equal a same-base index with the same rows appended in
+    // one call. The build is deterministic per base corpus, so the
+    // comparison is exact.
+    import graft.pipeline.Similarity
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val base = emb.where(col("vec_id") % 3 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val rest = emb.where(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.where(col("vec_id") < 15)
+      .select(col("vec_id"), col("embedding"))
+    def serve(dir: String): Seq[(Long, Long, Long, Double)] =
+      Similarity.twoLevelTopKFromIndex(
+        Similarity.loadTwoLevelIndex(spark, dir), queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val root = Files.createTempDirectory("graft-ann2-stream-")
+    val streamIdx = root.resolve("stream_idx").toString
+    Similarity.saveTwoLevelIndex(base, "vec_id", "embedding", streamIdx,
+      nlist1 = 4, k2 = 4, iters = 1)
+    val inDir = root.resolve("in").toString
+    (0 until 2).foreach { i =>
+      rest.where(pmod(col("vec_id"), lit(2)) === i).coalesce(1)
+        .write.mode("append").parquet(inDir)
+    }
+    val prefixes = scala.collection.mutable
+      .Buffer[(Set[Long], Seq[(Long, Long, Long, Double)])]()
+    val seen = scala.collection.mutable.Set[Long]()
+    val q = spark.readStream.schema(rest.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.appendToTwoLevelIndex(spark, streamIdx, batch,
+          "vec_id", "embedding")
+        seen ++= batch.select("vec_id").collect().map(_.getLong(0))
+        prefixes += ((seen.toSet, serve(streamIdx)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    assert(prefixes.size === 2, s"expected 2 batches, got ${prefixes.size}")
+    assert(prefixes.last._1 ===
+      rest.select("vec_id").collect().map(_.getLong(0)).toSet)
+    prefixes.zipWithIndex.foreach { case ((ids, streamed), i) =>
+      val dir = root.resolve(s"batch_idx_$i").toString
+      Similarity.saveTwoLevelIndex(base, "vec_id", "embedding", dir,
+        nlist1 = 4, k2 = 4, iters = 1)
+      Similarity.appendToTwoLevelIndex(spark, dir,
+        rest.where(col("vec_id").isin(ids.toSeq: _*)), "vec_id", "embedding")
+      assert(streamed === serve(dir),
+        s"prefix $i (${ids.size} rows): streamed serve != one-shot serve")
+      assert(streamed.nonEmpty)
+    }
+    // retry-idempotence: re-appending held rows must not change serving
+    val before = serve(streamIdx)
+    Similarity.appendToTwoLevelIndex(spark, streamIdx,
+      rest.where(col("vec_id").isin(prefixes.last._1.toSeq: _*)),
+      "vec_id", "embedding")
+    assert(serve(streamIdx) === before,
+      "re-appended rows must dedupe, not duplicate")
+  }
+
   test("px59 semantic prune re-curates incrementally (every streamed prefix == batch)") {
     // Semantic dedup under the px29 incremental-recuration harness:
     // embeddings arrive in chunks; foreachBatch appends each chunk to the
