@@ -198,7 +198,8 @@ object Verify {
         probes.select(col("qid"), col("_cell"))
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px13_probes")
       }
-      auxExport("px60_sim_ivf_twolevel", "px62_sim_twolevel_persist")(
+      auxExport("px60_sim_ivf_twolevel", "px62_sim_twolevel_persist",
+          "px63_sim_pq_serve")(
           Seq("px60_cells", "px60_probes")) {
         // px60: the two-level model is deterministic end-to-end (hash
         // seeds, decimal refinement, tie-broken argmax), so exporting the
@@ -212,6 +213,20 @@ object Verify {
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px60_cells")
         probes.select(col("qid"), col("_c1"), col("_c2"))
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px60_probes")
+      }
+      auxExport("px64_sim_batch_serve")(Seq("px64_probes")) {
+        // px64: probed (c1,c2) pairs for the WHOLE corpus as the query
+        // batch, computed against the same persisted index the declared
+        // query serves from (shared memoized builder — the px55 pattern)
+        val idx = pipeline.Similarity.loadTwoLevelIndex(spark,
+          pipeline.PipelineQueries.twoLevelIndexDir(spark, sfDir))
+        pipeline.Similarity.twoLevelProbes(
+          embs.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding",
+          pipeline.Similarity.TwoLevelModel(idx.l1, idx.l2),
+          p1 = 2, nprobe = 4)
+          .select(col("qid"), col("_c1"), col("_c2"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px64_probes")
       }
       auxExport("px61_semantic_prune_append")(
           Seq("px61_cells_base", "px61_cells_new")) {

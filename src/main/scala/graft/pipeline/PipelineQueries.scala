@@ -123,6 +123,20 @@ object PipelineQueries {
   private def embs(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.Tables.load(s, d, "embeddings")
 
+  /** The px62/px63/px64 persisted two-level index: built ONCE per
+    * (JVM, data dir) over the full embeddings corpus, shared between the
+    * declared queries and graft.Verify's aux exports so the served index
+    * and the oracle's exports can never drift apart (the px55 pattern).
+    */
+  private[graft] def twoLevelIndexDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    ivfSaved.computeIfAbsent(indexDir("graft_ivf2_index_", d), k => {
+      Similarity.saveTwoLevelIndex(
+        embs(s, d).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k, nlist1 = 4, k2 = 4, iters = 1)
+      k
+    })
+
   val all: Seq[Q] = Seq(
     // -------------------------------------------------------- exact dedup
     Q("px1_dedup_exact",
@@ -575,14 +589,7 @@ object PipelineQueries {
     Q("px62_sim_twolevel_persist",
       (s, d) => {
         val e = embs(s, d)
-        val corpus = e.select(col("vec_id"), col("embedding"))
-        val dir = ivfSaved.computeIfAbsent(indexDir("graft_ivf2_index_", d),
-          k => {
-            Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", k,
-              nlist1 = 4, k2 = 4, iters = 1)
-            k
-          })
-        val idx = Similarity.loadTwoLevelIndex(s, dir)
+        val idx = Similarity.loadTwoLevelIndex(s, twoLevelIndexDir(s, d))
         Similarity.twoLevelTopKFromIndex(idx,
           e.where(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
           idCol = "vec_id", vecCol = "embedding", k = 5, p1 = 2, nprobe = 4)
@@ -608,6 +615,100 @@ object PipelineQueries {
              |  JOIN e eq ON eq.vec_id = qid
              |  JOIN e ec ON ec.vec_id = nbr)
              |SELECT qid, nbr, rank FROM scored WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin)),
+
+    // --------------------- similarity: quantized serving (IVF-PQ shape)
+    // Serve top-k from the int8 codes stored INSIDE px62's persisted
+    // two-level index: the probed partitions' scan reads the packed
+    // binary `codes` column (1 byte/dim — ~4× fewer bytes than the
+    // float32 `cv` the px62 path reads; parquet column pruning makes the
+    // two modes coexist in ONE cells table), and scoring is the
+    // all-integer DotI8 kernel — exact, so the oracle replays
+    // quantization (px44's half-up rounding, bit-identical across
+    // engines) and ranking with no rounding class anywhere. Same index
+    // dir, same (cells, probes) exports as px60/px62.
+    Q("px63_sim_pq_serve",
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.quantizedTopKFromIndex(s, twoLevelIndexDir(s, d),
+          e.where(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
+          idCol = "vec_id", vecCol = "embedding", k = 5, p1 = 2, nprobe = 4)
+          .select("qid", "nbr", "dot", "rank")
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH cells AS (
+             |  SELECT * FROM '${AuxToken}/px60_cells/*.parquet'),
+             |probes AS (
+             |  SELECT * FROM '${AuxToken}/px60_probes/*.parquet'),
+             |v AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             |), mx AS (
+             |  SELECT vec_id, e,
+             |    list_max(list_transform(e, x -> abs(x))) AS ma
+             |  FROM v
+             |), c AS (
+             |  SELECT vec_id,
+             |    CASE WHEN ma > 0 THEN list_transform(e,
+             |           x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT))
+             |         ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END
+             |      AS codes
+             |  FROM mx
+             |), cand AS (
+             |  SELECT DISTINCT p.qid, cl.nbr
+             |  FROM probes p JOIN cells cl
+             |    ON cl._c1 = p._c1 AND cl._c2 = p._c2
+             |  WHERE p.qid <> cl.nbr
+             |), scored AS (
+             |  SELECT qid, nbr,
+             |    CAST(list_dot_product(cq.codes, cn.codes) AS BIGINT) AS dot
+             |  FROM cand
+             |  JOIN c cq ON cq.vec_id = qid
+             |  JOIN c cn ON cn.vec_id = nbr
+             |), ranked AS (
+             |  SELECT qid, nbr, dot,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY dot DESC, nbr) AS rank
+             |  FROM scored)
+             |SELECT qid, nbr, dot, rank FROM ranked WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin)),
+
+    // ---------------------- similarity: whole-corpus batched ANN serving
+    // The one-scan-answers-all-queries posture (px48's proof pattern) for
+    // ANN: EVERY corpus vector queries the persisted two-level index in
+    // ONE pass — the whole batch's probes join the cell-partitioned table
+    // once and the per-query top-k is the two-phase rank, so per-query
+    // cost amortizes to ~0 marginal scans (SERVE_r15's batch curve is the
+    // receipt). This is the kNN-graph / all-pairs ANN maintenance
+    // workload, and the batched counterpart of px62's 20-query serve.
+    Q("px64_sim_batch_serve",
+      (s, d) => {
+        val e = embs(s, d)
+        val idx = Similarity.loadTwoLevelIndex(s, twoLevelIndexDir(s, d))
+        Similarity.twoLevelTopKFromIndex(idx,
+          e.select(col("vec_id"), col("embedding")),
+          idCol = "vec_id", vecCol = "embedding", k = 3, p1 = 2, nprobe = 4)
+          .select("qid", "nbr", "rank")
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH cells AS (
+             |  SELECT * FROM '${AuxToken}/px60_cells/*.parquet'),
+             |probes AS (
+             |  SELECT * FROM '${AuxToken}/px64_probes/*.parquet'),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cand AS (
+             |  SELECT DISTINCT p.qid, c.nbr
+             |  FROM probes p JOIN cells c
+             |    ON c._c1 = p._c1 AND c._c2 = p._c2
+             |  WHERE p.qid <> c.nbr),
+             |scored AS (
+             |  SELECT qid, nbr,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY ROUND(list_cosine_similarity(eq.v, ec.v), 6) DESC,
+             |               nbr) AS rank
+             |  FROM cand
+             |  JOIN e eq ON eq.vec_id = qid
+             |  JOIN e ec ON ec.vec_id = nbr)
+             |SELECT qid, nbr, rank FROM scored WHERE rank <= 3
              |ORDER BY qid, rank""".stripMargin)),
 
     // ------------------------------------ semantic cluster dedup (SemDeDup)

@@ -470,7 +470,13 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/l2")
     val assigned = corpus.select(col(idCol).as("nbr"), col(vecCol).as("cv"))
       .withColumn("_c1", NearestCentroid(col("cv"), m.l1))
+    // the cells table carries BOTH precisions: `cv` (float32) for exact
+    // scoring / re-rank and `codes` (packed int8, 1 byte/dim) for the
+    // quantized serving path ([[quantizedTopKFromIndex]]). Parquet is
+    // columnar, so each serving mode's scan reads only its own column —
+    // the integer path never pays for the floats it skips.
     assignToL2(assigned, m.l2)
+      .withColumn("codes", packedCodes(col("cv")))
       .write.mode("overwrite").partitionBy("_c1", "_c2")
       .parquet(s"$dir/cells")
   }
@@ -516,8 +522,28 @@ object Similarity {
     val fresh =
       if (dedupeIds) base.join(idx.cells.select("nbr"), Seq("nbr"), "left_anti")
       else base
-    assignToL2(fresh.withColumn("_c1", NearestCentroid(col("cv"), idx.l1)),
+    // Assign level-1 against ONLY the cells that have level-2 rows: the
+    // flat trainer retains empty cells' centroids in l1, such cells have
+    // no sub-centroids, and assignToL2's inner join on _c1 would silently
+    // DROP any vector landing in one (the dedupeIds anti-join would then
+    // drop it again on every retry). Restricting the matrix sends those
+    // vectors to the best POPULATED cell instead — nothing is lost, and
+    // when every cell is populated the restricted matrix IS the full
+    // matrix, so the common path is unchanged. `populated` is bounded by
+    // nlist1 — the same √-scale driver budget that holds l1 itself.
+    val populated = idx.l2.select("_c1").distinct()
+      .collect().map(_.getInt(0)).sorted
+    require(populated.nonEmpty,
+      s"two-level index at $dir has no level-2 cells")
+    val l1p = populated.map(idx.l1)
+    assignToL2(
+      fresh.withColumn("_c1p", NearestCentroid(col("cv"), l1p))
+        .withColumn("_c1",
+          element_at(array(populated.toSeq.map(c => lit(c)): _*),
+            col("_c1p") + 1))
+        .drop("_c1p"),
       idx.l2)
+      .withColumn("codes", packedCodes(col("cv")))
       .write.mode("append").partitionBy("_c1", "_c2").parquet(s"$dir/cells")
   }
 
@@ -535,6 +561,75 @@ object Similarity {
         .where(col("qid") =!= col("nbr"))
         .withColumn("sim", round(cosine(col("qv"), col("cv")), 6)),
       k)
+  }
+
+  /** The int8 quantization of a float vector column, packed to binary
+    * (1 byte/dim) — numerics IDENTICAL to [[withCodes]] / [[quantizeInt8]]
+    * (scale by 127/max|x|, half-up rounding written with the one operand
+    * order both engines reproduce bit-exactly; zero vectors → all-zero
+    * codes), so codes packed at index-build time equal codes the px44
+    * oracle re-derives from the floats.
+    */
+  private[pipeline] def packedCodes(vec: Column): Column = {
+    val v = transform(vec, x => x.cast("double"))
+    val ma = array_max(transform(v, x => abs(x)))
+    graft.functions.PackI8(
+      when(ma > 0d,
+        transform(v, x => floor(x * lit(127.0d) / ma + lit(0.5d))))
+        .otherwise(transform(v, _ => lit(0L))))
+  }
+
+  /** ANN top-k served from the QUANTIZED codes inside a persisted
+    * two-level index — the IVF-PQ serving shape for a 100 TB store: the
+    * probed partitions' scan reads the packed int8 `codes` column
+    * (1 byte/dim — ~4× fewer bytes than the float32 `cv` column the
+    * float path reads), scoring is the all-integer [[graft.functions.DotI8]]
+    * kernel (exact, no rounding class anywhere — what makes the px63
+    * oracle replay value-identical), and ranking ties break on `nbr`.
+    *
+    * `rerank > 0` adds the optional exact re-rank: the integer top-`rerank`
+    * candidates per query are joined back against the SAME cells table on
+    * the full (partition, id) key — so the float fetch also prunes to the
+    * probed partitions — and the final top-k ranks on float cosine exactly
+    * as [[twoLevelTopKFromIndex]] does. With `rerank` covering the whole
+    * probed candidate set the result EQUALS the float serving path row for
+    * row (PipelineSpec pins it); smaller values trade recall for reading
+    * fewer float rows, the standard PQ-then-refine tradeoff.
+    */
+  def quantizedTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, p1: Int = 2, nprobe: Int = 4, rerank: Int = 0): DataFrame = {
+    val idx = loadTwoLevelIndex(spark, dir)
+    val codes = spark.read.parquet(s"$dir/cells")
+      .select(col("nbr"), col("codes"), col("_c1"), col("_c2"))
+    val probes = twoLevelProbes(queries, idCol, vecCol,
+      TwoLevelModel(idx.l1, idx.l2), p1, nprobe)
+      .withColumn("_qc", packedCodes(col("qv")))
+    val m = if (rerank > 0) math.max(rerank, k) else k
+    val wLocal = Window.partitionBy(col("qid"), col("_part"))
+      .orderBy(col("dot").desc, col("nbr"))
+    val wGlobal = Window.partitionBy("qid")
+      .orderBy(col("dot").desc, col("nbr"))
+    val top = codes.join(broadcast(probes), Seq("_c1", "_c2"))
+      .where(col("qid") =!= col("nbr"))
+      .withColumn("dot", graft.functions.DotI8(col("_qc"), col("codes")))
+      .withColumn("_part", spark_partition_id())
+      .withColumn("_lr", row_number().over(wLocal))
+      .where(col("_lr") <= m)
+      .withColumn("rank", row_number().over(wGlobal).cast("bigint"))
+      .where(col("rank") <= m)
+      .select(col("qid"), col("qv"), col("nbr"), col("_c1"), col("_c2"),
+        col("dot"), col("rank"))
+    if (rerank <= 0) top.select("qid", "nbr", "dot", "rank")
+    else {
+      val floats = spark.read.parquet(s"$dir/cells")
+        .select(col("nbr"), col("cv"), col("_c1"), col("_c2"))
+      topKPerQuery(
+        floats.join(broadcast(top.drop("dot", "rank")),
+            Seq("_c1", "_c2", "nbr"))
+          .withColumn("sim", round(cosine(col("qv"), col("cv")), 6)),
+        k)
+    }
   }
 
   /** Signature width that targets a constant expected bucket occupancy:
@@ -589,9 +684,13 @@ object Similarity {
   def autoNlist(n: Long, targetOccupancy: Int = 128): Int =
     // clamp: past ~4M cells the flat driver matrix (and the int cell id
     // arithmetic) is the binding constraint — that regime belongs to the
-    // two-level quantizer (twoLevelCentroids), not a bigger flat matrix
-    math.min(1 << 22,
-      math.max(16, (n / math.max(targetOccupancy, 1)).toInt))
+    // two-level quantizer (twoLevelCentroids), not a bigger flat matrix.
+    // Clamp in LONG arithmetic before narrowing: n/occupancy can exceed
+    // Int.MaxValue (n ≳ 2.7e11 at the default 128), where .toInt would
+    // wrap negative and max(16, ·) would yield 16 cells — the quadratic
+    // regime the clamp exists to prevent.
+    math.min(1L << 22,
+      math.max(16L, n / math.max(targetOccupancy, 1))).toInt
 
   /** Deterministic cluster assignment shared by [[semanticClusterPrune]]
     * and graft.Verify's px59 aux export: the [[ivfCentroids]] matrix

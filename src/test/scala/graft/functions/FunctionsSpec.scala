@@ -132,6 +132,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(nullIn.collect().head.isNullAt(0), "null input must null-propagate")
   }
 
+  test("pack_i8 round-trips codes exactly through dot_i8; loud on out-of-range") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, -2L, 127L, -127L, 0L), Seq(3L, 5L, -1L, 2L, 9L)),
+      (Seq.empty[Long], Seq.empty[Long]))
+      .toDF("a", "b")
+    // the packed-binary dot must equal the array<bigint> dot it compresses
+    val viaI8 = df.select(
+      DotI8(PackI8(col("a")), PackI8(col("b")))).as[Long].collect().toSeq
+    val viaI64 = df.select(DotI64(col("a"), col("b"))).as[Long].collect().toSeq
+    assert(viaI8 === viaI64 && viaI8 === Seq(1L * 3 - 2 * 5 - 127 + (-127) * 2, 0L))
+    // ragged binary pair → NULL, like dot_i64
+    val ragged = Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+      .select(DotI8(PackI8(col("a")), PackI8(col("b"))).as("d"))
+    assert(ragged.collect().head.isNullAt(0))
+    // silent byte wrap would corrupt every downstream dot — must throw
+    val bad = Seq(Tuple1(Seq(128L))).toDF("a").select(PackI8(col("a")))
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage != null)
+  }
+
   test("cosine_sim is NULL for ragged or zero-norm vectors (no silent garbage)") {
     import spark.implicits._
     val df = Seq(

@@ -389,6 +389,94 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("quantized serving from the persisted index: codes-only scan, rerank-all == float path") {
+    val corpus = embs.select(col("vec_id"), col("embedding"))
+    val queries = embs.where(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf2_pq").toString
+    try {
+      Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", dir,
+        nlist1 = 4, k2 = 4, iters = 1)
+      // integer serving ranks by the exact int8 dot (ties on nbr) — spot
+      // check one query's order against a driver-side replay from cv
+      val served = Similarity.quantizedTopKFromIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(served.nonEmpty)
+      assert(served.forall(_.getLong(3) <= 5L))
+      // the rerank-covering-all-candidates variant EQUALS the float path:
+      // same candidate set (same probes, same cells), same cosine ranking
+      val idx = Similarity.loadTwoLevelIndex(spark, dir)
+      val full = Similarity.twoLevelTopKFromIndex(idx, queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4)
+        .select("qid", "nbr", "rank").orderBy("qid", "rank").collect().toSeq
+      val rerankAll = Similarity.quantizedTopKFromIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4,
+        rerank = corpus.count().toInt)
+        .select("qid", "nbr", "rank").orderBy("qid", "rank").collect().toSeq
+      assert(rerankAll === full,
+        "exact re-rank over the full probed candidate set must equal the float serving path")
+      // the integer path's cells scan reads the packed codes column, NOT
+      // the float vectors, and prunes to the probed compound partitions
+      val plan = Similarity.quantizedTopKFromIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning") ||
+        plan.contains("PartitionFilters: [isnotnull(_c1"),
+        s"expected a partition-pruned cells scan, got:\n$plan")
+      val cellScans = plan.linesIterator
+        .filter(l => l.contains("ReadSchema") && l.contains("/cells"))
+        .toSeq
+      assert(cellScans.nonEmpty && cellScans.forall(l =>
+        l.contains("codes:binary") && !l.contains("cv:")),
+        s"integer serving must scan codes, never cv:\n${cellScans.mkString("\n")}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("batched ANN serving: whole-corpus batch == per-query serves, one cells scan") {
+    val corpus = embs.select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf2_batch").toString
+    try {
+      Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", dir,
+        nlist1 = 4, k2 = 4, iters = 1)
+      val idx = Similarity.loadTwoLevelIndex(spark, dir)
+      val batch = Similarity.twoLevelTopKFromIndex(idx, corpus,
+        "vec_id", "embedding", k = 3, p1 = 2, nprobe = 4)
+        .select("qid", "nbr", "rank").collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq)
+        .toMap
+      // per-query equality (the px48/px45 proof pattern): the batch's rows
+      // for a sampled qid equal a dedicated single-query serve
+      val sample = batch.keys.toSeq.sorted.take(5)
+      sample.foreach { qid =>
+        val solo = Similarity.twoLevelTopKFromIndex(idx,
+          corpus.where(col("vec_id") === qid),
+          "vec_id", "embedding", k = 3, p1 = 2, nprobe = 4)
+          .select("qid", "nbr", "rank").collect()
+          .map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq
+        assert(batch(qid) === solo, s"batched result for qid=$qid diverges")
+      }
+      // the whole batch is ONE pass: exactly one scan of the cells table
+      val plan = Similarity.twoLevelTopKFromIndex(idx, corpus,
+        "vec_id", "embedding", k = 3, p1 = 2, nprobe = 4)
+        .queryExecution.executedPlan.toString
+      val cellScans = plan.linesIterator.count(l =>
+        l.contains("Scan parquet") && l.contains("/cells"))
+      assert(cellScans === 1,
+        s"expected exactly one cells scan for the whole batch, got $cellScans:\n$plan")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("two-level incremental append: union served == same-quantizer full assignment") {
     val partA = embs.where(col("vec_id") % 2 === 0).select(col("vec_id"), col("embedding"))
     val partB = embs.where(col("vec_id") % 2 === 1).select(col("vec_id"), col("embedding"))
@@ -423,6 +511,59 @@ class PipelineSpec extends AnyFunSuite {
       Similarity.appendToTwoLevelIndex(spark, dir, partB, "vec_id", "embedding")
       assert(Similarity.loadTwoLevelIndex(spark, dir).cells.count()
         === embs.count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("two-level append: vectors landing in an L2-less cell are re-routed, not dropped") {
+    import spark.implicits._
+    // two tight clusters along e1 and e2 — every trained cell is populated
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0.95f, 0f, 0.05f, 0f)), (4L, Array(0f, 1f, 0f, 0f)),
+      (5L, Array(0.1f, 0.9f, 0f, 0f)), (6L, Array(0f, 0.95f, 0.05f, 0f))
+    ).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf2_l2less").toString
+    try {
+      Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", dir,
+        nlist1 = 2, k2 = 2, iters = 1)
+      // simulate the flat trainer's retained-empty-cell shape (ivfCentroids
+      // keeps an empty cell's centroid — Similarity.scala "empty cell keeps
+      // its centroid"): hand-add a level-1 centroid along e3 that has NO
+      // level-2 rows, then append a vector nearest to exactly that cell
+      val l1Rows = spark.read.parquet(s"$dir/l1")
+        .select("_c1", "centroid").collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      (l1Rows :+ ((l1Rows.length, Seq(0f, 0f, 0f, 1f)))).toSeq
+        .toDF("_c1", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/l1")
+      val before = Similarity.loadTwoLevelIndex(spark, dir)
+      assert(before.l1.length === l1Rows.length + 1)
+      assert(!before.l2.select("_c1").distinct().collect()
+        .map(_.getInt(0)).contains(l1Rows.length),
+        "precondition: the added cell must have no level-2 rows")
+      val novel = Seq((100L, Array(0f, 0f, 0.1f, 0.99f))).toDF("vec_id", "embedding")
+      Similarity.appendToTwoLevelIndex(spark, dir, novel, "vec_id", "embedding")
+      val idx = Similarity.loadTwoLevelIndex(spark, dir)
+      // the vector was NOT silently dropped: it landed in a populated cell
+      val got = idx.cells.where(col("nbr") === 100L).collect()
+      assert(got.length === 1, "appended vector must be written to the index")
+      assert(got.head.getAs[Int]("_c1") !== l1Rows.length,
+        "must be re-routed to a POPULATED cell, not the L2-less one")
+      // retry idempotence still holds for the re-routed row
+      Similarity.appendToTwoLevelIndex(spark, dir, novel, "vec_id", "embedding")
+      assert(Similarity.loadTwoLevelIndex(spark, dir)
+        .cells.where(col("nbr") === 100L).count() === 1L)
+      // and the row is reachable by search when the probes cover its cell
+      val q = Seq((200L, Array(0f, 0f, 0f, 1f))).toDF("vec_id", "embedding")
+      val served = Similarity.twoLevelTopKFromIndex(idx, q,
+        "vec_id", "embedding", k = 3, p1 = 3, nprobe = 4)
+        .select("nbr").collect().map(_.getLong(0)).toSet
+      assert(served.contains(100L))
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
@@ -1104,6 +1245,11 @@ class PipelineSpec extends AnyFunSuite {
       cur
     }
     spark.listenerManager.register(listener)
+    // the listener bus delivers queued events to listeners registered at
+    // DELIVERY time — a late event from the preceding collect() can land
+    // in the counter. Settle once and RESET before the first assertion so
+    // only jobs triggered below are counted.
+    settledCount(); actions.set(0)
     try {
       Decontaminate.overlap(probe, hotBench, "doc_id", "text", n = 3,
         maxBenchDF = Some(2)) // plan construction only — no collect
