@@ -244,6 +244,8 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     corpus.select(col(idCol).as("nbr"), col(vecCol).as("cv"))
       .withColumn("_cell", NearestCentroid(col("cv"), cents))
+      // one file per cell, not tasks × cells — see saveTwoLevelIndex
+      .repartition(col("_cell"))
       .write.mode("overwrite").partitionBy("_cell").parquet(s"$dir/cells")
   }
 
@@ -296,6 +298,7 @@ object Similarity {
       if (dedupeIds) base.join(idx.cells.select("nbr"), Seq("nbr"), "left_anti")
       else base
     fresh.withColumn("_cell", NearestCentroid(col("cv"), idx.centroids))
+      .repartition(col("_cell")) // one file per touched cell
       .write.mode("append").partitionBy("_cell").parquet(s"$dir/cells")
   }
 
@@ -475,8 +478,17 @@ object Similarity {
     // quantized serving path ([[quantizedTopKFromIndex]]). Parquet is
     // columnar, so each serving mode's scan reads only its own column —
     // the integer path never pays for the floats it skips.
+    //
+    // repartition on the partition columns BEFORE the partitioned write:
+    // without it every write task emits a file into every cell it holds
+    // rows for (tasks × cells files — measured 7.7k ~4 KB files at 484
+    // cells × 32 tasks, where per-file footer overhead swamps column
+    // pruning and file-listing dominates the serve; at 10⁶ cells × 1000
+    // tasks it is fatal metadata pressure). Hash-clustered, each cell is
+    // exactly ONE file sized by its occupancy.
     assignToL2(assigned, m.l2)
       .withColumn("codes", packedCodes(col("cv")))
+      .repartition(col("_c1"), col("_c2"))
       .write.mode("overwrite").partitionBy("_c1", "_c2")
       .parquet(s"$dir/cells")
   }
@@ -512,6 +524,20 @@ object Similarity {
     * codes table. Same retry idempotence rule (id anti-join on a
     * column-pruned `nbr` scan by default) and the same staleness
     * tradeoff: re-train ([[saveTwoLevelIndex]]) on a cadence.
+    *
+    * WHEN to retrain — the measured rule (tools/RetrainCadence,
+    * SCALE_r15): appending drifted batches (whole-corpus 30°-per-batch
+    * rotations) to fixed centroids did NOT degrade recall vs a same-data
+    * refit (coherent drift moves queries and their neighbors together,
+    * so any fixed Voronoi keeps co-locating them — recall parity at
+    * K = 0/2/8 appended batches under a 4%-of-cells probe budget), but
+    * the stale index's CELL-OCCUPANCY SKEW (max/mean cell size) ran
+    * ~30% above the refit's at every K — drifted mass piles into the few
+    * nearest stale cells, which is a serving-cost/straggler problem, not
+    * a correctness one. The operational trigger: record max/mean
+    * occupancy at train time, recompute it after appends (one groupBy
+    * over the cells table), and retrain when it exceeds ~1.3× the
+    * trained value.
     */
   def appendToTwoLevelIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, newRows: DataFrame, idCol: String, vecCol: String,
@@ -544,6 +570,7 @@ object Similarity {
         .drop("_c1p"),
       idx.l2)
       .withColumn("codes", packedCodes(col("cv")))
+      .repartition(col("_c1"), col("_c2")) // one file per touched cell
       .write.mode("append").partitionBy("_c1", "_c2").parquet(s"$dir/cells")
   }
 
