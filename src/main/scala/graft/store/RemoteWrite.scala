@@ -111,13 +111,55 @@ object RemoteWrite {
 
   // ------------------------------------------------------------- client side
 
+  /** Snapshot reads an open [[RemoteTxn]] overlays its pending ops on —
+    * the base leg of read-your-uncommitted-writes. Adapters below wrap the
+    * existing read surfaces; `getValue` is total (None for unknown ids).
+    */
+  trait TxnReads[V] {
+    def getValue(n: Long): Option[V]
+    def targets(n: Long): Seq[Long]
+  }
+
+  object TxnReads {
+    /** Mid-txn reads against a thin read client (shared-storage or wire —
+      * the wire's ReadClient wraps this same class).
+      */
+    def fromRemoteRead[V](c: RemoteRead.Client[V]): TxnReads[V] =
+      new TxnReads[V] {
+        def getValue(n: Long): Option[V] = c.getValues(Seq(n)).get(n)
+        def targets(n: Long): Seq[Long] = c.targets(n)
+      }
+
+    /** Mid-txn reads against a local follower replica. */
+    def fromReplica[V](r: GraphReplica[V]): TxnReads[V] =
+      new TxnReads[V] {
+        def getValue(n: Long): Option[V] = r.getValues(Seq(n)).get(n)
+        def targets(n: Long): Seq[Long] = r.targets(n)
+      }
+  }
+
   /** Transaction builder — the client-side action DSL (Client.hs:53-60).
     * `newNode` returns a tx-local NEGATIVE ref usable by later ops in this
     * txn; ids ≥ 0 reference globally-known nodes (the root is 0; others come
     * from prior acks or replica reads — the same "handles you got from the
     * server" contract the reference's typed client enforces).
+    *
+    * INTERACTIVE MID-TXN READS ([[getValue]]/[[targets]]): the reference's
+    * client holds its write transaction open over the socket and
+    * interleaves reads that see its own uncommitted state
+    * (Server.hs:17-69, Client.hs:71-117 — under the held write lock).
+    * Here the same read-your-uncommitted-writes semantics come from
+    * OVERLAYING this txn's pending ops (in op order) on a snapshot
+    * ([[TxnReads]]) — no lock is held across the wire. Under the
+    * single-writer discipline the group-commit server enforces, a
+    * caught-up snapshot makes these reads exactly what the reference's
+    * lock-holding reads return; with concurrent writers they are
+    * optimistic (the snapshot can be stale — the documented difference,
+    * and the reason the reference itself flags its held write lock as a
+    * hazard).
     */
-  final class RemoteTxn[V] private[store] () {
+  final class RemoteTxn[V] private[store] (
+      reads: Option[TxnReads[V]] = None) {
     private[store] val ops = mutable.ArrayBuffer[GraphOp[V]]()
     private val defined = mutable.Set[Long]()
     private var locals = 0
@@ -147,6 +189,53 @@ object RemoteWrite {
     }
     def remove(n: Long): Unit = {
       checkRef(n, "remove"); ops += GraphOp.RemoveNode(n)
+    }
+
+    /** The value `n` would have if this txn committed now: the latest
+      * NewNode/SetValue in THIS txn wins; a node removed in this txn (and
+      * not re-set after) reads as absent; otherwise the snapshot answers.
+      * Throws NoSuchElementException like the session's getValue.
+      */
+    def getValue(n: Long): V = {
+      checkRef(n, "getValue")
+      val local = ops.reverseIterator.collectFirst {
+        case GraphOp.NewNode(r, v) if r == n => Some(v)
+        case GraphOp.SetValue(m, v) if m == n => Some(v)
+        case GraphOp.RemoveNode(m) if m == n => None
+      }
+      local match {
+        case Some(Some(v)) => v
+        case Some(None) =>
+          throw new NoSuchElementException(s"node $n removed in this txn")
+        case None =>
+          reads.flatMap(_.getValue(n)).getOrElse(
+            throw new NoSuchElementException(
+              if (reads.isEmpty)
+                s"unknown node $n (no snapshot attached — use submitWithReads)"
+              else s"unknown node $n"))
+      }
+    }
+
+    /** The targets `src` would have if this txn committed now: snapshot
+      * edges (tx-local refs start empty) with this txn's add/remove ops
+      * replayed in order; removing a node clears its edge list and hides
+      * it from every other list, as the server-side remove does.
+      */
+    def targets(src: Long): Seq[Long] = {
+      checkRef(src, "targets")
+      val base =
+        if (src >= 0) reads.map(_.targets(src).toVector).getOrElse(Vector.empty)
+        else Vector.empty
+      ops.foldLeft(base) { (acc, op) =>
+        op match {
+          case GraphOp.AddTarget(s, d) if s == src =>
+            if (acc.contains(d)) acc else acc :+ d
+          case GraphOp.RemoveTarget(s, d) if s == src => acc.filterNot(_ == d)
+          case GraphOp.RemoveNode(m) if m == src => Vector.empty
+          case GraphOp.RemoveNode(m) => acc.filterNot(_ == m)
+          case _ => acc
+        }
+      }
     }
   }
 
@@ -180,8 +269,20 @@ object RemoteWrite {
       * (the server) sees the whole txn or nothing, the same staged-publish
       * rule as the WAL (GraphStore.writeWalBatch).
       */
-    def submit(build: RemoteTxn[V] => Unit): String = {
-      val txn = new RemoteTxn[V]()
+    def submit(build: RemoteTxn[V] => Unit): String =
+      submitTxn(new RemoteTxn[V](), build)
+
+    /** [[submit]] with a snapshot attached: the builder can interleave
+      * [[RemoteTxn.getValue]]/[[RemoteTxn.targets]] reads that see this
+      * txn's own uncommitted ops overlaid on `reads` — the reference
+      * client's mid-transaction read-then-branch pattern
+      * (Client.hs:71-117), without its held write lock.
+      */
+    def submitWithReads(reads: TxnReads[V])(build: RemoteTxn[V] => Unit): String =
+      submitTxn(new RemoteTxn[V](Some(reads)), build)
+
+    private def submitTxn(txn: RemoteTxn[V],
+        build: RemoteTxn[V] => Unit): String = {
       build(txn)
       require(txn.ops.nonEmpty, "empty transaction")
       // the server orders txns lexicographically by dir name; a seq wider

@@ -227,17 +227,37 @@ object Wire {
           val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
           val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
           try {
-            while (running) {
-              val (h, fs) = readFrame(in)
-              val resp =
-                try handle(h, fs)
+            var alive = true
+            while (running && alive) {
+              // a frame that violates the framing bounds (header/file-count/
+              // file-size limits) leaves the byte stream desynchronized —
+              // there is no way to find the next frame boundary — so the
+              // refusal is written and THIS connection closes; the accept
+              // loop (and every other connection) lives on. A truncated
+              // frame (peer died mid-write) surfaces as EOF below: nothing
+              // to answer, and no inbox artifact was laid (files only land
+              // after the whole frame parses).
+              val frame =
+                try Some(readFrame(in))
                 catch {
-                  case e: Throwable =>
-                    (s"""{"kind": "error", "message": "${esc(
-                      s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")}"}""",
-                      Seq.empty[(String, Array[Byte])])
+                  case e: IllegalArgumentException =>
+                    writeFrame(out, s"""{"kind": "error", "message": "${esc(
+                      s"malformed frame: ${Option(e.getMessage).getOrElse("")}")}"}""",
+                      Seq.empty)
+                    alive = false
+                    None
                 }
-              writeFrame(out, resp._1, resp._2)
+              frame.foreach { case (h, fs) =>
+                val resp =
+                  try handle(h, fs)
+                  catch {
+                    case e: Throwable =>
+                      (s"""{"kind": "error", "message": "${esc(
+                        s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")}"}""",
+                        Seq.empty[(String, Array[Byte])])
+                  }
+                writeFrame(out, resp._1, resp._2)
+              }
             }
           } catch {
             case _: EOFException => ()
@@ -359,6 +379,12 @@ object Wire {
     def getStats(from: Long = 0L, timeoutMs: Long = 30000L): (Long, Long, Long) =
       guarded(inner.getStats(from, timeoutMs))
 
+    /** This client as the snapshot leg of a WriteClient's mid-txn reads
+      * (`writeClient.submitWithReads(readClient.txnReads) { txn => ... }`).
+      */
+    def txnReads: RemoteWrite.TxnReads[V] =
+      RemoteWrite.TxnReads.fromRemoteRead(inner)
+
     def close(): Unit = pump.close()
   }
 
@@ -385,6 +411,13 @@ object Wire {
 
     def submit(build: RemoteWrite.RemoteTxn[V] => Unit): String =
       inner.submit(build)
+    /** Mid-txn reads over the wire: pair with a wire ReadClient's snapshot
+      * (RemoteWrite.TxnReads.fromRemoteRead over its wrapped client) — the
+      * reference's interleaved read/write txn window, lock-free.
+      */
+    def submitWithReads(reads: RemoteWrite.TxnReads[V])(
+        build: RemoteWrite.RemoteTxn[V] => Unit): String =
+      inner.submitWithReads(reads)(build)
     def ack(txnId: String): Option[RemoteWrite.TxnAck] = {
       pump.checkFailed(); inner.ack(txnId)
     }

@@ -284,6 +284,72 @@ class RemoteWriteSpec extends AnyFunSuite {
     store.close()
   }
 
+  test("mid-txn reads: read-your-uncommitted-writes overlay, then the commit matches") {
+    // the reference client's interleaved read/write transaction window
+    // (Server.hs:17-69, Client.hs:71-117): reads inside the open txn see
+    // its own uncommitted state. Here: pending ops overlaid on a replica
+    // snapshot — no held lock, same answers under the single-writer rule.
+    val dir = Files.createTempDirectory("graft-rw-midtxn-").toString
+    val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val mj = store.session.newNode(Artist(1, "Michael Jackson"))
+    store.session.addTarget(store.session.root, mj)
+    store.commit()
+    val replica = GraphReplica.bootstrap(spark, CatalogueModel, dir)
+    replica.catchUp()
+    val inbox = freshInbox()
+    val client = new Client(spark, CatalogueModel, inbox, "mtx")
+
+    var pRef = 0L
+    val t = client.submitWithReads(TxnReads.fromReplica(replica)) { txn =>
+      // snapshot pass-through before any op touches the node
+      assert(txn.getValue(mj) === Artist(1, "Michael Jackson"))
+      assert(txn.targets(0L) === Seq(mj))
+      // a node created IN this txn is readable via its negative ref
+      pRef = txn.newNode(Artist(9, "Prince"))
+      assert(txn.getValue(pRef) === Artist(9, "Prince"))
+      // uncommitted setValue shadows the snapshot
+      txn.setValue(mj, Artist(1, "MJ"))
+      assert(txn.getValue(mj) === Artist(1, "MJ"))
+      // edges: snapshot + this txn's adds, removes applied in order
+      txn.addTarget(0L, pRef)
+      assert(txn.targets(0L) === Seq(mj, pRef))
+      txn.removeTarget(0L, mj)
+      assert(txn.targets(0L) === Seq(pRef))
+      // the read-then-branch pattern the reference client runs mid-txn
+      if (txn.targets(0L).contains(pRef)) txn.addTarget(pRef, mj)
+      // removing a tx-local node hides it from reads again
+      val tmp = txn.newNode(Song("Scratch"))
+      txn.remove(tmp)
+      intercept[NoSuchElementException](txn.getValue(tmp))
+      assert(txn.targets(0L) === Seq(pRef))
+    }
+    assert(RemoteWrite.applyPending(store, inbox).map(_.txnId) === Seq(t))
+    val ack = client.await(t)
+    assert(ack.applied && ack.error.isEmpty)
+    val p = ack.assigned(pRef)
+    // the committed state is exactly what the overlay reads predicted
+    assert(store.session.getValue(mj) === Artist(1, "MJ"))
+    assert(store.session.targets(store.session.root) === Seq(p))
+    assert(store.session.targets(p) === Seq(mj))
+    store.close()
+  }
+
+  test("mid-txn reads without a snapshot: local refs readable, globals refused loudly") {
+    val inbox = freshInbox()
+    val client = new Client(spark, CatalogueModel, inbox, "mtx2")
+    intercept[IllegalArgumentException] { // empty txn refused as always
+      client.submit { txn =>
+        val r = txn.newNode(Artist(3, "Sade"))
+        assert(txn.getValue(r) === Artist(3, "Sade"))
+        assert(txn.targets(r) === Seq.empty)
+        // a global id cannot be answered without a snapshot — loud, typed
+        val e = intercept[NoSuchElementException](txn.getValue(0L))
+        assert(e.getMessage.contains("no snapshot"))
+        txn.ops.clear() // leave it empty to end via the empty-txn require
+      }
+    }
+  }
+
   test("unknown global id is refused up front: typed ack, no poison, serve continues") {
     val (store, _) = freshStore()
     val inbox = freshInbox()

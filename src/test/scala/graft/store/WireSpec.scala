@@ -166,4 +166,124 @@ class WireSpec extends AnyFunSuite {
       c1.close(); c2.close(); server.close(); store.close()
     }
   }
+
+  // ------------------------------------------------ malformed-frame bounds
+
+  private def rawSocket(server: Wire.Server[_]) = {
+    val s = new java.net.Socket(server.host, server.port)
+    (s,
+      new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(s.getOutputStream)),
+      new java.io.DataInputStream(
+        new java.io.BufferedInputStream(s.getInputStream)))
+  }
+
+  /** Read one response frame's header, skipping its files. */
+  private def readRespHeader(in: java.io.DataInputStream): String = {
+    val hl = in.readInt()
+    val hb = new Array[Byte](hl); in.readFully(hb)
+    val n = in.readInt()
+    (0 until n).foreach { _ =>
+      val pl = in.readInt()
+      in.skipNBytes(pl.toLong)
+      val sz = in.readLong()
+      in.skipNBytes(sz)
+    }
+    new String(hb, "UTF-8")
+  }
+
+  private def writeHeader(out: java.io.DataOutputStream, h: String): Unit = {
+    val hb = h.getBytes("UTF-8")
+    out.writeInt(hb.length); out.write(hb)
+  }
+
+  test("frames violating each framing bound get a typed refusal; accept loop survives") {
+    val server = new Wire.Server[Unit](None, None)
+    try {
+      // (1) header length past MaxHeaderBytes — refused before any read
+      locally {
+        val (s, out, in) = rawSocket(server)
+        out.writeInt((1 << 20) + 1); out.flush()
+        val h = readRespHeader(in)
+        assert(h.contains("\"kind\": \"error\"") && h.contains("header length"), h)
+        assert(in.read() === -1, "the desynced connection must be closed")
+        s.close()
+      }
+      // (2) file count past MaxFilesPerFrame
+      locally {
+        val (s, out, in) = rawSocket(server)
+        writeHeader(out, """{"kind": "read"}""")
+        out.writeInt(4097); out.flush()
+        val h = readRespHeader(in)
+        assert(h.contains("\"kind\": \"error\"") && h.contains("file count"), h)
+        assert(in.read() === -1)
+        s.close()
+      }
+      // (3) file size past MaxFileBytes
+      locally {
+        val (s, out, in) = rawSocket(server)
+        writeHeader(out, """{"kind": "read"}""")
+        out.writeInt(1)
+        val pb = "a.req.json".getBytes("UTF-8")
+        out.writeInt(pb.length); out.write(pb)
+        out.writeLong((256L << 20) + 1L); out.flush()
+        val h = readRespHeader(in)
+        assert(h.contains("\"kind\": \"error\"") && h.contains("file size"), h)
+        assert(in.read() === -1)
+        s.close()
+      }
+      // (4) truncated frame: peer dies mid-frame — nothing to answer, no
+      // artifact laid (files land only after the whole frame parses), and
+      // the server must keep accepting
+      locally {
+        val (s, out, _) = rawSocket(server)
+        out.writeInt(100); out.write(Array.fill[Byte](10)(7)); out.flush()
+        s.close()
+      }
+      // liveness after all four: a NEW connection gets a well-formed
+      // answer, and a refused-but-synced frame (unknown kind) does NOT
+      // kill its connection — the next frame on the same socket answers
+      locally {
+        val (s, out, in) = rawSocket(server)
+        writeHeader(out, """{"kind": "zap"}"""); out.writeInt(0); out.flush()
+        val h1 = readRespHeader(in)
+        assert(h1.contains("\"kind\": \"error\"") && h1.contains("unknown frame kind"), h1)
+        writeHeader(out, """{"kind": "zap"}"""); out.writeInt(0); out.flush()
+        val h2 = readRespHeader(in)
+        assert(h2.contains("\"kind\": \"error\""), h2)
+        s.close()
+      }
+    } finally server.close()
+  }
+
+  test("unsafe artifact path is refused in-frame; the connection stays usable") {
+    val (store, dir, mj, _) = storeWithData()
+    val replica = GraphReplica.bootstrap(spark, CatalogueModel, dir)
+    replica.catchUp()
+    val server = Wire.serveRead(replica)
+    try {
+      val (s, out, in) = rawSocket(server)
+      // a path-traversal artifact must be refused (never laid outside the
+      // inbox) and must not desynchronize the connection
+      writeHeader(out, """{"kind": "read"}""")
+      out.writeInt(1)
+      val pb = "../evil.req.json".getBytes("UTF-8")
+      out.writeInt(pb.length); out.write(pb)
+      val payload = "{}".getBytes("UTF-8")
+      out.writeLong(payload.length.toLong); out.write(payload); out.flush()
+      val h1 = readRespHeader(in)
+      assert(h1.contains("\"kind\": \"error\"") && h1.contains("unsafe path"), h1)
+      // same socket, well-formed empty read frame → clean ack
+      writeHeader(out, """{"kind": "read"}""")
+      out.writeInt(0); out.flush()
+      val h2 = readRespHeader(in)
+      assert(h2.contains("\"kind\": \"ack\""), h2)
+      s.close()
+      // and the real client path still works end to end on this server
+      val client = new Wire.ReadClient(spark, CatalogueModel,
+        server.host, server.port, "wu")
+      try assert(client.getValue(mj) === Artist(1, "Michael Jackson"))
+      finally client.close()
+    } finally { server.close(); store.close() }
+  }
 }
