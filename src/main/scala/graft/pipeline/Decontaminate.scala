@@ -92,8 +92,17 @@ object Decontaminate {
     *
     * The broadcast is GUARDED like [[overlap]]'s: an unconditional hint
     * overrides Spark's size protection, so a caller passing a huge
-    * "bench" would OOM every executor — above `maxBroadcastBenchRows`
-    * the plain (shuffled nested-loop) join gives identical answers.
+    * "bench" would OOM every executor — above `maxBroadcastBenchBytes`
+    * the plain (shuffled nested-loop) join gives identical answers. The
+    * guard reads Catalyst's OWN size estimate for the bench plan
+    * (`optimizedPlan.stats.sizeInBytes` — file-size-derived for scans,
+    * conservatively large when unknown, so the fallback is the safe
+    * side), which costs ZERO jobs at plan-construction time — the same
+    * one-job-per-call contract the lexical guard keeps by folding its
+    * count into the cap aggregation, and the same mechanism Spark's
+    * autoBroadcastJoinThreshold itself decides with. (An eager
+    * `bench.count()` here was one extra job per call — measured and
+    * replaced in r15.)
     *
     * `excludeSameId` (default true) skips corpus-vs-bench comparisons
     * whose ids coincide — correct when the bench is carved OUT OF the
@@ -104,11 +113,13 @@ object Decontaminate {
     */
   def semanticOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
       vecCol: String, threshold: Double, excludeSameId: Boolean = true,
-      maxBroadcastBenchRows: Long = 2000000L): DataFrame = {
+      maxBroadcastBenchBytes: Long = 512L << 20): DataFrame = {
     val c = corpus.select(col(idCol), col(vecCol).as("_cv"))
     val b = bench.select(col(idCol).as("_bid"), col(vecCol).as("_bv"))
     val benchSide =
-      if (b.count() <= maxBroadcastBenchRows) broadcast(b) else b
+      if (b.queryExecution.optimizedPlan.stats.sizeInBytes
+            <= maxBroadcastBenchBytes) broadcast(b)
+      else b
     val cond =
       if (excludeSameId) col(idCol) =!= col("_bid") else lit(true)
     c.join(benchSide, cond)

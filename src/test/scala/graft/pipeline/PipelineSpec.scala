@@ -1258,6 +1258,16 @@ class PipelineSpec extends AnyFunSuite {
       actions.set(0)
       Decontaminate.overlap(probe, hotBench, "doc_id", "text", n = 3)
       assert(settledCount() === 1, "uncapped guard must cost ONE count job")
+      // the SEMANTIC guard reads Catalyst's size estimate — zero jobs at
+      // plan-construction time (it used to pay an eager bench.count())
+      actions.set(0)
+      import spark.implicits._
+      val benchV = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+      val corpusV = Seq((2L, Array(0f, 1f))).toDF("vec_id", "embedding")
+      Decontaminate.semanticOverlap(corpusV, benchV,
+        "vec_id", "embedding", threshold = 0.9)
+      assert(settledCount() === 0,
+        "semantic guard must not run any job at plan-construction time")
     } finally spark.listenerManager.unregister(listener)
   }
 
