@@ -1,0 +1,200 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Similarity
+
+/** ANN serving receipts over a persisted two-level index:
+  *
+  *  1. the BATCH AMORTIZATION curve — wall-clock and queries/sec for
+  *     query batches of 1, 64 and 1024 served in ONE pass each (px64's
+  *     one-scan-answers-all posture; the ANN analog of SERVE_r14's
+  *     batched_speedup story), and
+  *  2. the SCAN-BYTE REDUCTION of quantized serving (px63) — executor
+  *     input bytes of the int8-codes scan vs the float-vector scan for
+  *     the same probes, measured by a task-metrics listener.
+  *
+  * Reads `embeddings.parquet` under the given data dir (use a
+  * ScaleRehearsal output dir for the 30× corpus) WITHOUT touching its
+  * _DONE stamp. Emits ONE JSON line; record it in SERVE_r{N}.json.
+  *
+  * Usage: runMain graft.tools.AnnServeRehearsal [dataDir] [k]
+  */
+object AnnServeRehearsal {
+
+  def main(args: Array[String]): Unit = {
+    val dataDir = args.headOption.getOrElse("/tmp/graft_sf3_r13")
+    val k = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // probed-partition serving (px62/px63/px64): with the default
+      // reuseBroadcastOnly=true the planner degrades the cells scan's
+      // dynamicpruning filters to literal TRUE when it cannot reuse the
+      // probe-side broadcast (measured: 484/484 files read at batch=1);
+      // standalone DPP subqueries re-run only the tiny probes plan and
+      // cut the scan to the probed cells (measured: 8/484 files)
+      .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+        "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val corpus = graft.Tables.load(spark, dataDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val n = corpus.count()
+    // occupancy-sized total cell count, split √/√ across the two levels —
+    // the sizing rule autoNlist/twoLevelCentroids document
+    val side = math.max(4,
+      math.ceil(math.sqrt(Similarity.autoNlist(n).toDouble)).toInt)
+
+    val dir = Files.createTempDirectory("graft_ann_serve_").toString
+    val tTrain0 = System.nanoTime()
+    Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", dir,
+      nlist1 = side, k2 = side, iters = 1)
+    val trainSec = (System.nanoTime() - tTrain0) / 1e9
+
+    // executor input bytes, accumulated per measured window
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) { bytesRead.addAndGet(m.inputMetrics.bytesRead); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // the listener bus is async — settle (value stable across 3 polls)
+    // before reading or resetting the counter
+    def settled(): Long = {
+      var prev = -1L; var cur = bytesRead.get(); var spins = 0
+      while (cur != prev || spins < 3) {
+        prev = cur; Thread.sleep(200); cur = bytesRead.get(); spins += 1
+      }
+      cur
+    }
+    // files/bytes the CELLS scan actually read, from the executed plan's
+    // own scan metrics: `numFiles`/`filesSize` are post-dynamic-pruning,
+    // `staticFilesNum`/`staticFilesSize` (present when a dynamicpruning
+    // filter applies) are the pre-pruning totals — together they receipt
+    // BOTH levers: partition pruning (files skipped) and column pruning
+    // (bytes per file read, vs the task-level input bytes)
+    def cellScanStats(df: DataFrame): (Long, Long, Long, Long) = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      // SparkPlan.collect does NOT descend into AQE query stages (they are
+      // leaf nodes wrapping their materialized subplan) — walk explicitly
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: QueryStageExec => q +: allNodes(q.plan)
+        case r: ReusedExchangeExec => r +: allNodes(r.child)
+        case other => other +: other.children.flatMap(allNodes)
+      }
+      val scans = allNodes(df.queryExecution.executedPlan).collect {
+        case s: FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("/cells")) => s
+      }
+      def m(s: FileSourceScanExec, k: String): Long =
+        s.metrics.get(k).map(_.value).getOrElse(0L)
+      (scans.map(m(_, "numFiles")).sum, scans.map(m(_, "filesSize")).sum,
+        scans.map(m(_, "staticFilesNum")).sum,
+        scans.map(m(_, "staticFilesSize")).sum)
+    }
+
+    // per-column ON-DISK bytes of the cells table, from the parquet
+    // footers: at production file sizes the scan stream reads only the
+    // projected column's chunks, so codes-vs-cv chunk totals ARE the
+    // quantized path's byte reduction. (Stream-level input bytes cannot
+    // show it at this toy scale — occupancy-sized cell files are ~40 KB
+    // and the reader's buffer swallows whole files regardless of
+    // projection; measured and documented here rather than assumed.)
+    def columnBytes(dir: String): Map[String, Long] = {
+      import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = FileSystem.get(conf)
+      val acc = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      val it = fs.listFiles(new HPath(dir), true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) {
+          val md = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+            conf, f.getPath,
+            org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+          md.getBlocks.forEach(b => b.getColumns.forEach { c =>
+            acc(c.getPath.toDotString) += c.getTotalSize; ()
+          })
+        }
+      }
+      acc.toMap
+    }
+    final case class Point(sec: Double, rows: Long, taskBytes: Long,
+      files: Long, fileBytes: Long, staticFiles: Long, staticBytes: Long)
+    def measured(df: DataFrame): Point = {
+      settled(); bytesRead.set(0L)
+      val t0 = System.nanoTime()
+      val rows = df.collect().length.toLong
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (nf, fb, snf, sfb) = cellScanStats(df)
+      Point(sec, rows, settled(), nf, fb, snf, sfb)
+    }
+
+    // query batches are materialized OUTSIDE the measured window — the
+    // serve receipts must not pay (or count scan bytes for) the query
+    // selection itself
+    val batches = Seq(1, 64, 1024).filter(_ <= n)
+    val queryBatch: Map[Int, DataFrame] = batches.map(b =>
+      b -> corpus.orderBy("vec_id").limit(b).localCheckpoint(true)).toMap
+    def queriesOf(b: Int): DataFrame = queryBatch(b)
+
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    // warmup: touch both columns once so first-scan costs (footer reads,
+    // codegen) don't pollute the batch-1 point
+    measured(Similarity.twoLevelTopKFromIndex(
+      Similarity.loadTwoLevelIndex(spark, dir), queriesOf(1),
+      "vec_id", "embedding", k = k))
+    measured(Similarity.quantizedTopKFromIndex(spark, dir, queriesOf(1),
+      "vec_id", "embedding", k = k))
+
+    val floatCurve = batches.map { b =>
+      val idx = Similarity.loadTwoLevelIndex(spark, dir)
+      b -> measured(Similarity.twoLevelTopKFromIndex(idx, queriesOf(b),
+        "vec_id", "embedding", k = k))
+    }
+    val quantCurve = batches.map { b =>
+      b -> measured(Similarity.quantizedTopKFromIndex(spark, dir, queriesOf(b),
+        "vec_id", "embedding", k = k))
+    }
+
+    def curveJson(c: Seq[(Int, Point)]): String =
+      c.map { case (b, p) =>
+        s"""{"batch":$b,"sec":${fmt(p.sec)},"qps":${fmt(b / p.sec)},""" +
+          s""""rows":${p.rows},"task_input_bytes":${p.taskBytes},""" +
+          s""""cells_files_read":${p.files},"cells_bytes_read":${p.fileBytes},""" +
+          s""""cells_files_total":${p.staticFiles},""" +
+          s""""cells_bytes_total":${p.staticBytes}}"""
+      }.mkString("[", ",", "]")
+
+    val colBytes = columnBytes(s"$dir/cells")
+    val cvB = colBytes.getOrElse("cv.list.element", colBytes.getOrElse("cv", 0L))
+    val codesB = colBytes.getOrElse("codes", 0L)
+    println(
+      s"""{"metric":"ann_serve","n_vectors":$n,"nlist1":$side,"k2":$side,""" +
+        s""""k":$k,"train_sec":${fmt(trainSec)},""" +
+        s""""float":${curveJson(floatCurve)},""" +
+        s""""quantized":${curveJson(quantCurve)},""" +
+        s""""cv_bytes_on_disk":$cvB,"codes_bytes_on_disk":$codesB,""" +
+        s""""column_byte_ratio":${fmt(cvB.toDouble / math.max(codesB, 1L))},""" +
+        s""""column_bytes":${colBytes.toSeq.sortBy(_._1).map { case (c, b) =>
+          s"""{"column":"$c","bytes":$b}""" }.mkString("[", ",", "]")}}""")
+    spark.stop()
+  }
+}

@@ -59,6 +59,8 @@ object ScaleRehearsal {
     "px60_sim_ivf_twolevel" -> Set("embeddings"),
     "px61_semantic_prune_append" -> Set("embeddings"),
     "px62_sim_twolevel_persist" -> Set("embeddings"),
+    "px63_sim_pq_serve" -> Set("embeddings"),
+    "px64_sim_batch_serve" -> Set("embeddings"),
     "px11_embed_neardup" -> Set("embeddings"),
     "px15_vocab_topk" -> Set("documents"),
     "px18_dedup_representatives" -> Set("documents"),
@@ -125,6 +127,14 @@ object ScaleRehearsal {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // probed-partition serving (px62/px63/px64): with the default
+      // reuseBroadcastOnly=true the planner degrades the cells scan's
+      // dynamicpruning filters to literal TRUE when it cannot reuse the
+      // probe-side broadcast (measured: 484/484 files read at batch=1);
+      // standalone DPP subqueries re-run only the tiny probes plan and
+      // cut the scan to the probed cells (measured: 8/484 files)
+      .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+        "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
