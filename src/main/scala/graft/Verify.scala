@@ -207,7 +207,7 @@ object Verify {
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px13_probes")
       }
       auxExport("px60_sim_ivf_twolevel", "px62_sim_twolevel_persist",
-          "px63_sim_pq_serve")(
+          "px63_sim_pq_serve", "px65_sim_pq_rerank")(
           Seq("px60_cells", "px60_probes")) {
         // px60: the two-level model is deterministic end-to-end (hash
         // seeds, decimal refinement, tie-broken argmax), so exporting the
@@ -222,12 +222,15 @@ object Verify {
         probes.select(col("qid"), col("_c1"), col("_c2"))
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px60_probes")
       }
-      auxExport("px64_sim_batch_serve")(Seq("px64_probes")) {
-        // px64: probed (c1,c2) pairs for the WHOLE corpus as the query
-        // batch, computed against the same persisted index the declared
-        // query serves from (shared memoized builder — the px55 pattern)
+      auxExport("px64_sim_batch_serve")(Seq("px64_cells", "px64_probes")) {
+        // px64: the OCCUPANCY-SIZED index's cell assignments plus the
+        // probed (c1,c2) pairs for the WHOLE corpus as the query batch —
+        // both from the same persisted index the declared query serves
+        // from (shared memoized builder — the px55 pattern)
         val idx = pipeline.Similarity.loadTwoLevelIndex(spark,
-          pipeline.PipelineQueries.twoLevelIndexDir(spark, sfDir))
+          pipeline.PipelineQueries.twoLevelIndexDirSized(spark, sfDir))
+        idx.cells.select(col("nbr"), col("_c1"), col("_c2"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px64_cells")
         pipeline.Similarity.twoLevelProbes(
           embs.select(col("vec_id"), col("embedding")),
           "vec_id", "embedding",

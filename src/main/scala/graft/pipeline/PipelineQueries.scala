@@ -137,6 +137,28 @@ object PipelineQueries {
       k
     })
 
+  /** px64's index: like [[twoLevelIndexDir]] but OCCUPANCY-SIZED
+    * (autoNlist split √/√ across the levels) instead of the fixed 4×4 the
+    * px60/px62/px63 oracle exports pin. The whole-corpus batch workload
+    * is the reason: with a FIXED cell count, occupancy grows with the
+    * corpus and the batch's candidate join does n²·nprobe/cells work —
+    * measured 104× at 30× (SCALE_r15) before this; occupancy-sized it is
+    * n·nprobe·occupancy, linear in the corpus. At the oracle scales
+    * (sf0.01/sf0.1) autoNlist floors at 16 cells so the parameters — and
+    * therefore the exports — coincide with the 4×4 index; they diverge
+    * exactly where they must, when the corpus outgrows 16 cells.
+    */
+  private[graft] def twoLevelIndexDirSized(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    ivfSaved.computeIfAbsent(indexDir("graft_ivf2_sized_", d), k => {
+      val corpus = embs(s, d).select(col("vec_id"), col("embedding"))
+      val side = math.max(4, math.ceil(math.sqrt(
+        Similarity.autoNlist(corpus.count()).toDouble)).toInt)
+      Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", k,
+        nlist1 = side, k2 = side, iters = 1)
+      k
+    })
+
   val all: Seq[Q] = Seq(
     // -------------------------------------------------------- exact dedup
     Q("px1_dedup_exact",
@@ -672,6 +694,67 @@ object PipelineQueries {
              |SELECT qid, nbr, dot, rank FROM ranked WHERE rank <= 5
              |ORDER BY qid, rank""".stripMargin)),
 
+    // ------------------- similarity: quantized serve + exact re-rank
+    // The full PQ-then-refine pipeline: integer-dot top-25 candidates per
+    // query from the codes column of the probed partitions (px63's scan),
+    // then ONLY those 25 rows' float vectors fetched back on the
+    // (partition, id) key and exact-cosine re-ranked to the final top-5.
+    // The oracle replays both stages: px44's quantization + integer
+    // ranking to 25, then DuckDB's own cosine over the survivors — every
+    // stage deterministic (integer dots; 6dp rounding before ranking;
+    // nbr tie-breaks).
+    Q("px65_sim_pq_rerank",
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.quantizedTopKFromIndex(s, twoLevelIndexDir(s, d),
+          e.where(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
+          idCol = "vec_id", vecCol = "embedding", k = 5, p1 = 2, nprobe = 4,
+          rerank = 25)
+          .select("qid", "nbr", "rank")
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH cells AS (
+             |  SELECT * FROM '${AuxToken}/px60_cells/*.parquet'),
+             |probes AS (
+             |  SELECT * FROM '${AuxToken}/px60_probes/*.parquet'),
+             |v AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             |), mx AS (
+             |  SELECT vec_id, e,
+             |    list_max(list_transform(e, x -> abs(x))) AS ma
+             |  FROM v
+             |), c AS (
+             |  SELECT vec_id,
+             |    CASE WHEN ma > 0 THEN list_transform(e,
+             |           x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT))
+             |         ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END
+             |      AS codes
+             |  FROM mx
+             |), cand AS (
+             |  SELECT DISTINCT p.qid, cl.nbr
+             |  FROM probes p JOIN cells cl
+             |    ON cl._c1 = p._c1 AND cl._c2 = p._c2
+             |  WHERE p.qid <> cl.nbr
+             |), coarse AS (
+             |  SELECT qid, nbr,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY CAST(list_dot_product(cq.codes, cn.codes) AS BIGINT)
+             |        DESC, nbr) AS crank
+             |  FROM cand
+             |  JOIN c cq ON cq.vec_id = qid
+             |  JOIN c cn ON cn.vec_id = nbr
+             |), refined AS (
+             |  SELECT qid, nbr,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY ROUND(list_cosine_similarity(eq.e, ec.e), 6) DESC,
+             |               nbr) AS rank
+             |  FROM coarse
+             |  JOIN v eq ON eq.vec_id = qid
+             |  JOIN v ec ON ec.vec_id = nbr
+             |  WHERE crank <= 25)
+             |SELECT qid, nbr, rank FROM refined WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin)),
+
     // ---------------------- similarity: whole-corpus batched ANN serving
     // The one-scan-answers-all-queries posture (px48's proof pattern) for
     // ANN: EVERY corpus vector queries the persisted two-level index in
@@ -683,7 +766,7 @@ object PipelineQueries {
     Q("px64_sim_batch_serve",
       (s, d) => {
         val e = embs(s, d)
-        val idx = Similarity.loadTwoLevelIndex(s, twoLevelIndexDir(s, d))
+        val idx = Similarity.loadTwoLevelIndex(s, twoLevelIndexDirSized(s, d))
         Similarity.twoLevelTopKFromIndex(idx,
           e.select(col("vec_id"), col("embedding")),
           idCol = "vec_id", vecCol = "embedding", k = 3, p1 = 2, nprobe = 4)
@@ -691,7 +774,7 @@ object PipelineQueries {
           .orderBy("qid", "rank")
       },
       Some(s"""WITH cells AS (
-             |  SELECT * FROM '${AuxToken}/px60_cells/*.parquet'),
+             |  SELECT * FROM '${AuxToken}/px64_cells/*.parquet'),
              |probes AS (
              |  SELECT * FROM '${AuxToken}/px64_probes/*.parquet'),
              |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

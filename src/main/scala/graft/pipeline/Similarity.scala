@@ -649,8 +649,17 @@ object Similarity {
         col("dot"), col("rank"))
     if (rerank <= 0) top.select("qid", "nbr", "dot", "rank")
     else {
+      // restrict the float fetch by the PROBED cells first: joining the
+      // scan with the (small, broadcast) distinct probe cells is the same
+      // shape that gives the coarse codes scan its runtime dynamic
+      // partition pruning — joined directly against the window-derived
+      // candidates the planner degrades the pruning filter to TRUE and
+      // the fetch reads the whole cv column (plan-audited in r15); the
+      // candidate restriction then lands in the second, row-level join
+      val probedCells = probes.select("_c1", "_c2").distinct()
       val floats = spark.read.parquet(s"$dir/cells")
         .select(col("nbr"), col("cv"), col("_c1"), col("_c2"))
+        .join(broadcast(probedCells), Seq("_c1", "_c2"))
       topKPerQuery(
         floats.join(broadcast(top.drop("dot", "rank")),
             Seq("_c1", "_c2", "nbr"))

@@ -61,6 +61,7 @@ object ScaleRehearsal {
     "px62_sim_twolevel_persist" -> Set("embeddings"),
     "px63_sim_pq_serve" -> Set("embeddings"),
     "px64_sim_batch_serve" -> Set("embeddings"),
+    "px65_sim_pq_rerank" -> Set("embeddings"),
     "px11_embed_neardup" -> Set("embeddings"),
     "px15_vocab_topk" -> Set("documents"),
     "px18_dedup_representatives" -> Set("documents"),
