@@ -342,6 +342,70 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime partition pruning: a single-query serve READS fewer cell files than exist") {
+    // regression guard for the r15 finding: with Spark's default
+    // reuseBroadcastOnly=true the cells scan's dynamicpruning filters
+    // silently degrade to literal TRUE — the STATIC plan still prints
+    // them, so only the executed scan's own metrics can prove pruning.
+    // TestSpark (like every session builder) sets the standalone-DPP conf.
+    val corpus = embs.select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf2_dpp").toString
+    // at THIS fixture's size Spark's benefit estimate correctly rejects
+    // the standalone pruning subquery (the scan is a few hundred KB);
+    // force the estimate so the spec exercises the MECHANISM — the 30×
+    // receipt (SERVE_r15: 8/484 files) covers the realistic sizes
+    val prevRatio = spark.conf.getOption(
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    val prevStats = spark.conf.getOption(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10000")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", dir,
+        nlist1 = 4, k2 = 4, iters = 1)
+      val idx = Similarity.loadTwoLevelIndex(spark, dir)
+      val one = embs.where(col("vec_id") === 0).select(col("vec_id"), col("embedding"))
+      val served = Similarity.twoLevelTopKFromIndex(idx, one,
+        "vec_id", "embedding", k = 5, p1 = 1, nprobe = 2)
+      served.collect()
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: QueryStageExec => q +: allNodes(q.plan)
+        case r: ReusedExchangeExec => r +: allNodes(r.child)
+        case other => other +: other.children.flatMap(allNodes)
+      }
+      val scans = allNodes(served.queryExecution.executedPlan).collect {
+        case s: FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("/cells")) => s
+      }
+      assert(scans.nonEmpty)
+      val read = scans.map(_.metrics("numFiles").value).sum
+      val total = scans.map(s =>
+        s.metrics.get("staticFilesNum").map(_.value).getOrElse(0L)).sum
+      assert(total > 0,
+        "staticFilesNum missing — the dynamic filter was dropped before execution")
+      assert(read < total,
+        s"scan read $read of $total cell files — runtime pruning is not happening")
+    } finally {
+      def restore(k: String, prev: Option[String]): Unit = prev match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
+      restore("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio",
+        prevRatio)
+      restore("spark.sql.optimizer.dynamicPartitionPruning.useStats", prevStats)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("two-level persisted index: save→load→serve == refit, compound-pruned scan") {
     val corpus = embs.select(col("vec_id"), col("embedding"))
     val queries = embs.where(col("vec_id") < 10).select(col("vec_id"), col("embedding"))

@@ -660,6 +660,18 @@ class StreamingSpec extends AnyFunSuite {
       "vec_id", "embedding")
     assert(serve(streamIdx) === before,
       "re-appended rows must dedupe, not duplicate")
+    // the QUANTIZED path is maintained by the same appends (codes are
+    // written per batch): rerank-all over the streamed index == the float
+    // serve — the px63/px65 serving surface stays correct as data arrives
+    val corpusSize = base.count() + rest.count()
+    val quantized = Similarity.quantizedTopKFromIndex(spark, streamIdx,
+      queries, "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4,
+      rerank = corpusSize.toInt)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(quantized === before.map(t => (t._1, t._2, t._3)),
+      "quantized rerank-all over the streamed index must equal the float serve")
   }
 
   test("px59 semantic prune re-curates incrementally (every streamed prefix == batch)") {
