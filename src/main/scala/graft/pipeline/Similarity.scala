@@ -304,7 +304,9 @@ object Similarity {
 
   /** ANN search served from a persisted index — [[ivfTopK]] minus the
     * training cost. The cells scan prunes to the probed partitions
-    * (dynamic partition pruning on `_cell`).
+    * (dynamic partition pruning on `_cell`; set the session conf noted on
+    * [[twoLevelTopKFromIndex]] or runtime pruning silently degrades to a
+    * full scan).
     */
   def ivfTopKFromIndex(index: IvfIndex, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
@@ -577,6 +579,16 @@ object Similarity {
   /** ANN top-k served from a persisted two-level index — [[twoLevelTopK]]
     * minus the training cost; the cells scan prunes to the probed
     * compound partitions.
+    *
+    * Session requirement: set
+    * `spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly=false`.
+    * With Spark's default (true) the planner silently degrades the cells
+    * scan's dynamicpruning filters to literal TRUE whenever it cannot
+    * reuse the probe-side broadcast — the STATIC plan still prints the
+    * filters, but the executed scan reads every partition (measured:
+    * 484/484 files at batch=1 vs 8/484 with the conf; PipelineSpec pins
+    * the runtime metrics). The standalone pruning subquery re-runs only
+    * the tiny probes plan — always worth it against a corpus-sized scan.
     */
   def twoLevelTopKFromIndex(index: TwoLevelIndex, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, p1: Int = 2,
