@@ -167,6 +167,40 @@ class WireSpec extends AnyFunSuite {
     }
   }
 
+  test("mid-txn reads over the wire: read-then-branch against a wire snapshot") {
+    // the reference's interactive txn window, composed across transports:
+    // a wire WriteClient's open txn reads through a wire ReadClient's
+    // snapshot (plus its own pending ops) and branches on what it sees
+    val (store, dir, mj, _) = storeWithData()
+    val replica = GraphReplica.bootstrap(spark, CatalogueModel, dir)
+    replica.catchUp()
+    val server = Wire.serve(replica, store)
+    val rc = new Wire.ReadClient(spark, CatalogueModel, server.host, server.port)
+    val wc = new Wire.WriteClient(spark, CatalogueModel, server.host, server.port)
+    try {
+      var pRef = 0L
+      val t = wc.submitWithReads(rc.txnReads) { txn =>
+        // snapshot read over TCP, inside the open txn
+        assert(txn.getValue(mj) === Artist(1, "Michael Jackson"))
+        pRef = txn.newNode(Artist(9, "Prince"))
+        txn.setValue(mj, Artist(1, "MJ"))
+        // overlay beats the wire snapshot
+        assert(txn.getValue(mj) === Artist(1, "MJ"))
+        // branch on a wire-read edge list merged with pending adds
+        txn.addTarget(0L, pRef)
+        if (txn.targets(0L).contains(pRef)) txn.addTarget(pRef, mj)
+      }
+      val ack = wc.await(t)
+      assert(ack.applied && ack.error.isEmpty)
+      val p = ack.assigned(pRef)
+      assert(store.session.getValue(p) === Artist(9, "Prince"))
+      assert(store.session.getValue(mj) === Artist(1, "MJ"))
+      assert(store.session.targets(p) === Seq(mj))
+    } finally {
+      rc.close(); wc.close(); server.close(); store.close()
+    }
+  }
+
   // ------------------------------------------------ malformed-frame bounds
 
   private def rawSocket(server: Wire.Server[_]) = {
