@@ -634,6 +634,14 @@ object Similarity {
     * probed candidate set the result EQUALS the float serving path row for
     * row (PipelineSpec pins it); smaller values trade recall for reading
     * fewer float rows, the standard PQ-then-refine tradeoff.
+    *
+    * Same session requirement as [[twoLevelTopKFromIndex]]
+    * (reuseBroadcastOnly=false), or both scans here degrade to full
+    * reads at runtime. The probes side (batch × nprobe rows, each
+    * carrying the query vector and its packed codes) is broadcast —
+    * right for the query-serving shape this implements (batch ≪
+    * corpus); a corpus-sized batch belongs on [[twoLevelTopKFromIndex]]
+    * (px64's path), which leaves the join strategy to Spark.
     */
   def quantizedTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, queries: DataFrame, idCol: String, vecCol: String,
