@@ -206,8 +206,19 @@ object Verify {
         probes.select(col("qid"), col("_cell"))
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px13_probes")
       }
+      auxExport("px66_sim_pq_adc")(Seq("px66_codes", "px66_cb")) {
+        // px66: the long-form PQ codes and the INT8-QUANTIZED codebook
+        // entries (the exact integers the ADC LUT dots against) from the
+        // same memoized artifacts the declared query serves with
+        val (cb, codes) = pipeline.PipelineQueries.pqArtifacts(spark, sfDir)
+        codes.select(col("nbr"), col("sub"), col("code"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px66_codes")
+        cb.select(col("sub"), col("code"),
+          pipeline.Similarity.intCodes(col("cent")).as("cc"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px66_cb")
+      }
       auxExport("px60_sim_ivf_twolevel", "px62_sim_twolevel_persist",
-          "px63_sim_pq_serve", "px65_sim_pq_rerank")(
+          "px63_sim_pq_serve", "px65_sim_pq_rerank", "px66_sim_pq_adc")(
           Seq("px60_cells", "px60_probes")) {
         // px60: the two-level model is deterministic end-to-end (hash
         // seeds, decimal refinement, tie-broken argmax), so exporting the

@@ -159,6 +159,27 @@ object PipelineQueries {
       k
     })
 
+  /** px66's PQ artifacts (per-subspace codebook + long-form codes),
+    * trained ONCE per (JVM, data dir) against the shared two-level index
+    * dir and round-tripped through parquet so the declared query and
+    * graft.Verify's exports consume bit-identical artifacts.
+    */
+  private[graft] def pqArtifacts(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val base = twoLevelIndexDir(s, d)
+    ivfSaved.computeIfAbsent(base + "__pq", _ => {
+      val corpus = embs(s, d).select(col("vec_id"), col("embedding"))
+      Similarity.pqCodebook(corpus, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 16, iters = 1)
+        .write.mode("overwrite").parquet(s"$base/pq_cb")
+      Similarity.pqEncode(corpus, "vec_id", "embedding",
+        s.read.parquet(s"$base/pq_cb"), dim = 64, m = 8)
+        .write.mode("overwrite").parquet(s"$base/pq_codes")
+      base
+    })
+    (s.read.parquet(s"$base/pq_cb"), s.read.parquet(s"$base/pq_codes"))
+  }
+
   val all: Seq[Q] = Seq(
     // -------------------------------------------------------- exact dedup
     Q("px1_dedup_exact",
@@ -753,6 +774,80 @@ object PipelineQueries {
              |  JOIN v ec ON ec.vec_id = nbr
              |  WHERE crank <= 25)
              |SELECT qid, nbr, rank FROM refined WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin)),
+
+    // -------------------- similarity: IVF-PQ with integer ADC (px66)
+    // TRUE product quantization over the persisted two-level index: the
+    // vector splits into 8 subspaces, each with its own 16-entry trained
+    // codebook (8 codes = 8 bytes/vector — 8x smaller than the scalar
+    // int8 codes, 32x smaller than the floats); candidates come from the
+    // probed (c1,c2) partitions (an ids-only scan — no vector column is
+    // ever read), and scoring is asymmetric distance: each query's int8
+    // slices dot the int8-quantized codebook entries into an INTEGER
+    // m×ksub lookup table, and a candidate's score is the sum of its m
+    // codes' LUT entries. Every post-training step is integer arithmetic,
+    // so the oracle replays scoring + ranking exactly from the exported
+    // codes and quantized codebook (training determinism is spec-pinned,
+    // the px60 pattern).
+    Q("px66_sim_pq_adc",
+      (s, d) => {
+        val e = embs(s, d)
+        val (cb, codes) = pqArtifacts(s, d)
+        Similarity.pqAdcTopKFromIndex(s, twoLevelIndexDir(s, d), cb, codes,
+          e.where(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
+          idCol = "vec_id", vecCol = "embedding", k = 5,
+          dim = 64, m = 8, p1 = 2, nprobe = 4)
+          .select("qid", "nbr", "score", "rank")
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH cells AS (
+             |  SELECT * FROM '${AuxToken}/px60_cells/*.parquet'),
+             |probes AS (
+             |  SELECT * FROM '${AuxToken}/px60_probes/*.parquet'),
+             |codes AS (
+             |  SELECT * FROM '${AuxToken}/px66_codes/*.parquet'),
+             |cb AS (
+             |  SELECT * FROM '${AuxToken}/px66_cb/*.parquet'),
+             |v AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             |), cand AS (
+             |  SELECT DISTINCT p.qid, c.nbr
+             |  FROM probes p JOIN cells c
+             |    ON c._c1 = p._c1 AND c._c2 = p._c2
+             |  WHERE p.qid <> c.nbr
+             |), qsl AS (
+             |  SELECT vec_id, s.sub,
+             |    e[CAST(s.sub * 8 + 1 AS BIGINT):CAST(s.sub * 8 + 8 AS BIGINT)] AS sv
+             |  FROM v, (SELECT UNNEST(range(8)) AS sub) s
+             |  WHERE vec_id < 20
+             |), qm AS (
+             |  SELECT vec_id, sub, sv,
+             |    list_max(list_transform(sv, x -> abs(x))) AS ma
+             |  FROM qsl
+             |), qc AS (
+             |  SELECT vec_id, sub,
+             |    CASE WHEN ma > 0 THEN list_transform(sv,
+             |           x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT))
+             |         ELSE list_transform(sv, x -> CAST(0 AS BIGINT)) END
+             |      AS qcodes
+             |  FROM qm
+             |), lut AS (
+             |  SELECT q.vec_id AS qid, cb.sub, cb.code,
+             |    CAST(list_dot_product(q.qcodes, cb.cc) AS BIGINT) AS part
+             |  FROM qc q JOIN cb ON cb.sub = q.sub
+             |), scored AS (
+             |  SELECT cand.qid, cand.nbr, CAST(SUM(l.part) AS BIGINT) AS score
+             |  FROM cand
+             |  JOIN codes ON codes.nbr = cand.nbr
+             |  JOIN lut l ON l.qid = cand.qid AND l.sub = codes.sub
+             |    AND l.code = codes.code
+             |  GROUP BY 1, 2
+             |), ranked AS (
+             |  SELECT qid, nbr, score,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY score DESC, nbr) AS rank
+             |  FROM scored)
+             |SELECT qid, nbr, score, rank FROM ranked WHERE rank <= 5
              |ORDER BY qid, rank""".stripMargin)),
 
     // ---------------------- similarity: whole-corpus batched ANN serving

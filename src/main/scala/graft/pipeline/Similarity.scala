@@ -609,14 +609,8 @@ object Similarity {
     * codes), so codes packed at index-build time equal codes the px44
     * oracle re-derives from the floats.
     */
-  private[pipeline] def packedCodes(vec: Column): Column = {
-    val v = transform(vec, x => x.cast("double"))
-    val ma = array_max(transform(v, x => abs(x)))
-    graft.functions.PackI8(
-      when(ma > 0d,
-        transform(v, x => floor(x * lit(127.0d) / ma + lit(0.5d))))
-        .otherwise(transform(v, _ => lit(0L))))
-  }
+  private[pipeline] def packedCodes(vec: Column): Column =
+    graft.functions.PackI8(intCodes(vec))
 
   /** ANN top-k served from the QUANTIZED codes inside a persisted
     * two-level index — the IVF-PQ serving shape for a 100 TB store: the
@@ -686,6 +680,150 @@ object Similarity {
           .withColumn("sim", round(cosine(col("qv"), col("cv")), 6)),
         k)
     }
+  }
+
+  // ------------------------------------------------ product quantization
+
+  /** Per-vector slice rows (`id, sub, sv`): the vector split into `m`
+    * contiguous subspaces of `dim / m` dims each — the decomposition PQ
+    * codebooks train on. `dim % m == 0` is required loudly.
+    */
+  private def pqSlices(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, subLen: Int): DataFrame =
+    df.select(col(idCol).as("nbr"), col(vecCol).as("v"))
+      .select(col("nbr"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("v"))
+      .select(col("nbr"), col("sub"),
+        expr(s"slice(v, sub * $subLen + 1, $subLen)").as("sv"))
+
+  /** Assign each slice to its best codebook entry WITHIN its subspace —
+    * the per-subspace analog of [[assignToL2]]: a join on `sub`
+    * replicates each slice ksub times (bounded — ksub is a constant),
+    * cosine-scored, argmax with smaller-code tie-breaks. Zero-norm
+    * slices (cosine NULL) coalesce below any real score and land in
+    * code 0 deterministically.
+    */
+  private def pqAssign(slices: DataFrame, codebook: DataFrame): DataFrame =
+    slices.join(codebook, Seq("sub"))
+      .withColumn("_s", coalesce(cosine(col("sv"), col("cent")), lit(-2d)))
+      .groupBy(col("nbr"), col("sub"))
+      .agg(first(col("sv")).as("sv"),
+        max(struct(col("_s").as("s"), (-col("code")).as("n"))).as("_b"))
+      .select(col("nbr"), col("sub"), col("sv"), (-col("_b.n")).as("code"))
+
+  /** Train per-subspace PQ codebooks — TRUE product quantization (the
+    * FAISS PQ shape), vs [[quantizeInt8]]'s scalar quantization: the
+    * vector splits into `m` subspaces and each subspace learns its own
+    * `ksub`-entry codebook, so a vector compresses to m small codes
+    * (log2(ksub) bits each) instead of dim scalars. Training is the same
+    * deterministic discipline as [[ivfCentroids]] — hash-ordered seeds
+    * with id tie-breaks per subspace, `iters` decimal-Lloyd refinements
+    * as ONE groupBy across all subspaces (the codebook is model-sized:
+    * m × ksub × dim/m = dim × ksub floats) — so a refit reproduces the
+    * codebook exactly (spec-pinned). Entries left empty by a refinement
+    * pass are dropped, as in [[twoLevelCentroids]].
+    */
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int = 8, ksub: Int = 16, iters: Int = 1): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    require(ksub >= 1 && ksub <= 127, s"ksub $ksub outside [1, 127] (codes pack to int8)")
+    val subLen = dim / m
+    val slices = pqSlices(corpus, idCol, vecCol, m, subLen)
+    val seeds = slices.withColumn("_rn", row_number().over(
+        Window.partitionBy("sub").orderBy(xxhash64(col("nbr")), col("nbr"))))
+      .where(col("_rn") <= ksub)
+      .select(col("sub"), (col("_rn") - 1).as("code"), col("sv").as("cent"))
+    var cb = seeds
+    for (_ <- 1 to math.max(iters, 0)) {
+      cb = pqAssign(slices, cb)
+        .select(col("sub"), col("code"),
+          posexplode(col("sv")).as(Seq("_dim", "_x")))
+        .groupBy("sub", "code", "_dim")
+        .agg(avg(col("_x").cast("decimal(38,18)")).as("_m"))
+        .groupBy("sub", "code")
+        .agg(array_sort(collect_list(struct(col("_dim"), col("_m")))).as("_dm"))
+        .select(col("sub"), col("code"),
+          expr("transform(_dm, p -> cast(p._m as float))").as("cent"))
+    }
+    cb
+  }
+
+  /** PQ-encode a corpus against a trained codebook: long-form
+    * (`id, sub, code`) rows — m rows per vector, each code < ksub. The
+    * long form is what the integer-ADC join consumes and what the oracle
+    * export pins; pack to m bytes with [[graft.functions.PackI8]] when a
+    * columnar layout is wanted.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, dim: Int, m: Int = 8): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    pqAssign(pqSlices(corpus, idCol, vecCol, m, dim / m), codebook)
+      .select(col("nbr"), col("sub"), col("code"))
+  }
+
+  /** The int8 quantization of a float vector column as `array<bigint>`
+    * codes — the arithmetic [[packedCodes]] packs; factored out so PQ's
+    * per-slice quantization shares the exact (px44-replayable) numerics.
+    */
+  private[graft] def intCodes(vec: Column): Column = {
+    val v = transform(vec, x => x.cast("double"))
+    val ma = array_max(transform(v, x => abs(x)))
+    when(ma > 0d,
+      transform(v, x => floor(x * lit(127.0d) / ma + lit(0.5d))))
+      .otherwise(transform(v, _ => lit(0L)))
+  }
+
+  /** Integer asymmetric-distance (ADC) top-k over the PROBED cells of a
+    * persisted two-level index — IVF-PQ proper: the coarse quantizer
+    * prunes candidates to the probed (c1,c2) partitions (an ids-only
+    * column scan), and scoring never touches a corpus vector — each
+    * query builds an INTEGER lookup table (its int8-quantized slices
+    * dotted against the int8-quantized codebook entries, m × ksub
+    * longs), and a candidate's score is the sum of its m codes' LUT
+    * entries. Everything after training is integer arithmetic in a
+    * fixed order, so the px66 oracle replays scoring and ranking exactly
+    * from the exported codes + quantized codebook (the px44 discipline
+    * at PQ depth). Same session requirement as [[twoLevelTopKFromIndex]].
+    *
+    * Scale shape: candidates ≈ batch × nprobe × occupancy rows; the
+    * codes join fans them × m but the (qid, nbr) hash-agg combines
+    * map-side, and both the LUT and the codebook are broadcast
+    * (model-sized). The corpus's float column is never read.
+    */
+  def pqAdcTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, codebook: DataFrame, codes: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      dim: Int, m: Int = 8, p1: Int = 2, nprobe: Int = 4): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val idx = loadTwoLevelIndex(spark, dir)
+    val probes = twoLevelProbes(queries, idCol, vecCol,
+      TwoLevelModel(idx.l1, idx.l2), p1, nprobe)
+    val cand = spark.read.parquet(s"$dir/cells")
+      .select(col("nbr"), col("_c1"), col("_c2"))
+      .join(broadcast(probes.select("qid", "_c1", "_c2")), Seq("_c1", "_c2"))
+      .where(col("qid") =!= col("nbr"))
+      .select("qid", "nbr")
+    val lut = pqSlices(queries, idCol, vecCol, m, dim / m)
+      .select(col("nbr").as("qid"), col("sub"), intCodes(col("sv")).as("qc"))
+      .join(broadcast(codebook.select(col("sub"), col("code"),
+        intCodes(col("cent")).as("cc"))), Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"),
+        graft.functions.DotI64(col("qc"), col("cc")).as("part"))
+    val scored = cand.join(codes, Seq("nbr"))
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .groupBy("qid", "nbr")
+      .agg(sum("part").as("score"))
+    val wLocal = Window.partitionBy(col("qid"), col("_part"))
+      .orderBy(col("score").desc, col("nbr"))
+    val wGlobal = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("nbr"))
+    scored
+      .withColumn("_part", spark_partition_id())
+      .withColumn("_lr", row_number().over(wLocal))
+      .where(col("_lr") <= k)
+      .withColumn("rank", row_number().over(wGlobal).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nbr"), col("score"), col("rank"))
   }
 
   /** Signature width that targets a constant expected bucket occupancy:

@@ -62,6 +62,7 @@ object ScaleRehearsal {
     "px63_sim_pq_serve" -> Set("embeddings"),
     "px64_sim_batch_serve" -> Set("embeddings"),
     "px65_sim_pq_rerank" -> Set("embeddings"),
+    "px66_sim_pq_adc" -> Set("embeddings"),
     "px11_embed_neardup" -> Set("embeddings"),
     "px15_vocab_topk" -> Set("documents"),
     "px18_dedup_representatives" -> Set("documents"),

@@ -541,6 +541,85 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("product quantization: deterministic codebook, complete codes, exact full-coverage ADC") {
+    val corpus = embs.select(col("vec_id"), col("embedding"))
+    val n = corpus.count()
+    // refit determinism — the px60 discipline at PQ depth (hash seeds,
+    // decimal Lloyd, tie-broken argmax)
+    def cbOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getInt(0), r.getInt(1)),
+        r.getSeq[Float](2).toSeq)).toMap
+    val cb1 = Similarity.pqCodebook(corpus, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16, iters = 1)
+    assert(cbOf(cb1) === cbOf(Similarity.pqCodebook(corpus, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16, iters = 1)))
+    // every vector encodes to exactly m codes, all inside the codebook
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", cb1,
+      dim = 64, m = 8)
+    assert(codes.count() === n * 8)
+    assert(codes.groupBy("nbr").count().where(col("count") =!= 8).count() === 0L)
+    assert(codes.where(col("code") < 0 || col("code") >= 16).count() === 0L)
+    // exact ADC check: with a FULL-COVERAGE codebook (ksub = n, iters = 0
+    // — the seeds ARE the corpus slices) every slice's entry is an exact
+    // copy of itself, so the ADC score must equal the per-slice-quantized
+    // integer dot computed directly, with no codebook in the loop
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_adc").toString
+    try {
+      // full coverage needs ksub = |corpus| ≤ 127 (the int8 pack bound) —
+      // use the first 100 vectors as the corpus for this part
+      val sub = embs.where(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.saveTwoLevelIndex(sub, "vec_id", "embedding", dir,
+        nlist1 = 4, k2 = 4, iters = 1)
+      val cbFull = Similarity.pqCodebook(sub, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = sub.count().toInt, iters = 0)
+      val codesFull = Similarity.pqEncode(sub, "vec_id", "embedding",
+        cbFull, dim = 64, m = 8)
+      val queries = embs.where(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding"))
+      val served = Similarity.pqAdcTopKFromIndex(spark, dir, cbFull,
+        codesFull, queries, "vec_id", "embedding", k = 5,
+        dim = 64, m = 8, p1 = 2, nprobe = 4)
+        .select("qid", "nbr", "score", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq
+      // the direct computation: same probed candidates, per-slice int8
+      // quantization on BOTH sides, integer dot per slice, exact sum
+      val idx = Similarity.loadTwoLevelIndex(spark, dir)
+      val probes = Similarity.twoLevelProbes(queries, "vec_id", "embedding",
+        Similarity.TwoLevelModel(idx.l1, idx.l2), p1 = 2, nprobe = 4)
+      def sliced(df: org.apache.spark.sql.DataFrame, id: String) =
+        df.select(col(id), explode(sequence(lit(0), lit(7))).as("sub"),
+          col("embedding").as("v"))
+          .select(col(id), col("sub"),
+            Similarity.intCodes(expr("slice(v, sub * 8 + 1, 8)")).as("c"))
+      val qs = sliced(embs.where(col("vec_id") < 5), "vec_id")
+        .withColumnRenamed("vec_id", "qid").withColumnRenamed("c", "qc")
+      val cs = sliced(embs.where(col("vec_id") < 100), "vec_id")
+        .withColumnRenamed("vec_id", "nbr").withColumnRenamed("c", "cc")
+      val expected = idx.cells.select("nbr", "_c1", "_c2")
+        .join(probes.select("qid", "_c1", "_c2"), Seq("_c1", "_c2"))
+        .where(col("qid") =!= col("nbr")).select("qid", "nbr").distinct()
+        .join(cs, Seq("nbr")).join(qs, Seq("qid", "sub"))
+        .groupBy("qid", "nbr")
+        .agg(sum(graft.functions.DotI64(col("qc"), col("cc"))).as("score"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("qid")
+            .orderBy(col("score").desc, col("nbr"))).cast("bigint"))
+        .where(col("rank") <= 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq
+      assert(served === expected,
+        "full-coverage ADC must equal the direct per-slice integer score")
+      assert(served.nonEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("two-level incremental append: union served == same-quantizer full assignment") {
     val partA = embs.where(col("vec_id") % 2 === 0).select(col("vec_id"), col("embedding"))
     val partB = embs.where(col("vec_id") % 2 === 1).select(col("vec_id"), col("embedding"))
