@@ -112,7 +112,16 @@ object GraftExtensions {
     (new FunctionIdentifier("minhash_bands"),
       new ExpressionInfo("graft.functions.MinHashBands", "minhash_bands"),
       (children: Seq[Expression]) => MinHashBands(children.head,
-        intArg(children(1), "minhash_bands"), intArg(children(2), "minhash_bands"))))
+        intArg(children(1), "minhash_bands"), intArg(children(2), "minhash_bands"))),
+    (new FunctionIdentifier("dot_i64"),
+      new ExpressionInfo("graft.functions.DotI64", "dot_i64"),
+      (children: Seq[Expression]) => DotI64(children.head, children(1))),
+    (new FunctionIdentifier("pack_i8"),
+      new ExpressionInfo("graft.functions.PackI8", "pack_i8"),
+      (children: Seq[Expression]) => PackI8(children.head)),
+    (new FunctionIdentifier("dot_i8"),
+      new ExpressionInfo("graft.functions.DotI8", "dot_i8"),
+      (children: Seq[Expression]) => DotI8(children.head, children(1))))
   // NearestCentroid/CentroidDots (centroid matrix), HyperplaneSig (plane
   // matrix) and StopLang (stopword sets) carry non-SQL-literal payloads
   // and are Column-API-only.

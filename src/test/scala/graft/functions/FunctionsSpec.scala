@@ -153,6 +153,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("SQL surface == Column API for pack_i8 / dot_i8 / dot_i64") {
+    import spark.implicits._
+    Seq((Seq(1L, -2L, 127L), Seq(3L, 5L, -1L)), (Seq.empty[Long], Seq.empty[Long]))
+      .toDF("a", "b").createOrReplaceTempView("fx_codes")
+    val viaSql = spark.sql(
+      "SELECT dot_i8(pack_i8(a), pack_i8(b)) AS d8, dot_i64(a, b) AS d64 FROM fx_codes")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaCol = spark.table("fx_codes")
+      .select(DotI8(PackI8(col("a")), PackI8(col("b"))).as("d8"),
+        DotI64(col("a"), col("b")).as("d64"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql === viaCol && viaSql === Seq((1L * 3 - 2 * 5 - 127, 1L * 3 - 2 * 5 - 127), (0L, 0L)))
+  }
+
   test("cosine_sim is NULL for ragged or zero-norm vectors (no silent garbage)") {
     import spark.implicits._
     val df = Seq(
