@@ -86,42 +86,58 @@ object GraftExtensions {
       s"$fn expects a literal integer argument, got $other")
   }
 
+  /** Arity gate for the SQL builders: positional `children(i)` access
+    * would otherwise turn a wrong argument count into an
+    * IndexOutOfBoundsException (or silently ignore extras) instead of the
+    * engine's standard WRONG_NUM_ARGS analysis error.
+    */
+  private def arity(fn: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.length != n)
+        throw GraftShim.wrongNumArgs(fn, n, children.length)
+      build(children)
+    }
+
   private[functions] val descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("simhash64"),
       new ExpressionInfo("graft.functions.SimHash64", "simhash64"),
-      (children: Seq[Expression]) => SimHash64(children.head)),
+      arity("simhash64", 1)(children => SimHash64(children.head))),
     (new FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo("graft.functions.MinHashSigs", "minhash_sigs"),
-      (children: Seq[Expression]) =>
-        MinHashSigs(children.head, intArg(children(1), "minhash_sigs"))),
+      arity("minhash_sigs", 2)(children =>
+        MinHashSigs(children.head, intArg(children(1), "minhash_sigs")))),
     (new FunctionIdentifier("shingles"),
       new ExpressionInfo("graft.functions.Shingles", "shingles"),
-      (children: Seq[Expression]) =>
-        Shingles(children.head, intArg(children(1), "shingles"))),
+      arity("shingles", 2)(children =>
+        Shingles(children.head, intArg(children(1), "shingles")))),
     (new FunctionIdentifier("shingles_bag"),
       new ExpressionInfo("graft.functions.ShinglesBag", "shingles_bag"),
-      (children: Seq[Expression]) =>
-        ShinglesBag(children.head, intArg(children(1), "shingles_bag"))),
+      arity("shingles_bag", 2)(children =>
+        ShinglesBag(children.head, intArg(children(1), "shingles_bag")))),
     (new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo("graft.functions.CosineSim", "cosine_sim"),
-      (children: Seq[Expression]) => CosineSim(children.head, children(1))),
+      arity("cosine_sim", 2)(children => CosineSim(children.head, children(1)))),
     (new FunctionIdentifier("hash_sketch"),
       new ExpressionInfo("graft.functions.HashSketch", "hash_sketch"),
-      (children: Seq[Expression]) => HashSketch(children.head)),
+      arity("hash_sketch", 1)(children => HashSketch(children.head))),
     (new FunctionIdentifier("minhash_bands"),
       new ExpressionInfo("graft.functions.MinHashBands", "minhash_bands"),
-      (children: Seq[Expression]) => MinHashBands(children.head,
-        intArg(children(1), "minhash_bands"), intArg(children(2), "minhash_bands"))),
+      arity("minhash_bands", 3)(children => MinHashBands(children.head,
+        intArg(children(1), "minhash_bands"), intArg(children(2), "minhash_bands")))),
     (new FunctionIdentifier("dot_i64"),
       new ExpressionInfo("graft.functions.DotI64", "dot_i64"),
-      (children: Seq[Expression]) => DotI64(children.head, children(1))),
+      arity("dot_i64", 2)(children => DotI64(children.head, children(1)))),
     (new FunctionIdentifier("pack_i8"),
       new ExpressionInfo("graft.functions.PackI8", "pack_i8"),
-      (children: Seq[Expression]) => PackI8(children.head)),
+      arity("pack_i8", 1)(children => PackI8(children.head))),
+    (new FunctionIdentifier("unpack_i8"),
+      new ExpressionInfo("graft.functions.UnpackI8", "unpack_i8"),
+      arity("unpack_i8", 1)(children => UnpackI8(children.head))),
     (new FunctionIdentifier("dot_i8"),
       new ExpressionInfo("graft.functions.DotI8", "dot_i8"),
-      (children: Seq[Expression]) => DotI8(children.head, children(1))))
+      arity("dot_i8", 2)(children => DotI8(children.head, children(1)))))
   // NearestCentroid/CentroidDots (centroid matrix), HyperplaneSig (plane
   // matrix) and StopLang (stopword sets) carry non-SQL-literal payloads
   // and are Column-API-only.

@@ -313,6 +313,48 @@ object PackI8 {
     GraftShim.column(PackI8(GraftShim.expression(col)))
 }
 
+/** Inverse of [[PackI8]]: a packed-int8 binary column back to
+  * `array<bigint>` codes — the export/explode shape (e.g. unpacking the
+  * per-subspace PQ codes stored inside a persisted index's cells table
+  * into the long form an ADC lookup join consumes). Total: every byte is
+  * a valid signed int8.
+  */
+case class UnpackI8(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "unpack_i8"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"unpack_i8 requires binary, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    UnpackI8.unpack(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UnpackI8.unpack($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): UnpackI8 =
+    copy(child = newChild)
+}
+
+object UnpackI8 {
+
+  /** Static helper invoked from generated code — must stay public. */
+  def unpack(bytes: Array[Byte]): ArrayData = {
+    val out = new Array[Long](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = bytes(i).toLong; i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  def apply(col: Column): Column =
+    GraftShim.column(UnpackI8(GraftShim.expression(col)))
+}
+
 /** Integer dot product of two packed-int8 binary columns (NULL on ragged
   * pairs, like [[DotI64]]) — the scoring kernel for serving from a
   * quantized index: the whole loop is signed-byte multiplies accumulated

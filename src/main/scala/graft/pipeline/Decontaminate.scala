@@ -28,6 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
+  /** On-disk→in-memory expansion multiplier the broadcast guard applies to
+    * Catalyst's `sizeInBytes` (file-size-derived for scans). 8× covers
+    * parquet encoding + compression of float-array columns plus the
+    * UnsafeRow/broadcast-relation overhead with margin; the cost of
+    * overestimating is only a shuffled join that returns the same rows.
+    */
+  val BroadcastExpansionFactor: Long = 8L
+
   /** Per-corpus-document maximum shingle overlap with any single benchmark
     * document: `(idCol, max_overlap)`, one row per corpus document with at
     * least one shared shingle. `contaminated` policy thresholds belong to
@@ -116,9 +124,17 @@ object Decontaminate {
       maxBroadcastBenchBytes: Long = 512L << 20): DataFrame = {
     val c = corpus.select(col(idCol), col(vecCol).as("_cv"))
     val b = bench.select(col(idCol).as("_bid"), col(vecCol).as("_bv"))
+    // sizeInBytes for a parquet scan is the ON-DISK (compressed, encoded)
+    // size; the broadcast hashed relation holds DESERIALIZED rows —
+    // UnsafeRow array payloads plus per-row/object overhead — which for a
+    // float-array table runs several × the file bytes. Compare the
+    // estimate × a conservative expansion factor against the cap, so a
+    // near-threshold compressed table cannot sail past the guard and
+    // OOM every executor (Spark's own autoBroadcastJoinThreshold defaults
+    // to 10 MB for exactly this reason).
     val benchSide =
       if (b.queryExecution.optimizedPlan.stats.sizeInBytes
-            <= maxBroadcastBenchBytes) broadcast(b)
+            * BroadcastExpansionFactor <= maxBroadcastBenchBytes) broadcast(b)
       else b
     val cond =
       if (excludeSameId) col(idCol) =!= col("_bid") else lit(true)

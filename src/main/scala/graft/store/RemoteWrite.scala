@@ -192,34 +192,38 @@ object RemoteWrite {
     }
 
     /** The value `n` would have if this txn committed now: the latest
-      * NewNode/SetValue in THIS txn wins; a node removed in this txn (and
-      * not re-set after) reads as absent; otherwise the snapshot answers.
+      * NewNode/SetValue in THIS txn wins; otherwise the snapshot answers.
       * Throws NoSuchElementException like the session's getValue.
+      *
+      * LAZY-REMOVE PARITY: a RemoveNode does NOT hide the value here,
+      * because it does not hide it on the server either —
+      * GraphState.withoutNodes strips only INCOMING edges and index
+      * entries; the value row (and outgoing edges) survive until vacuum,
+      * so committed-state getValue(removed) still answers. The overlay
+      * reproduces exactly that, keeping "caught-up snapshot ⇒ reads equal
+      * committed-state reads" true for the remove case too (spec-pinned
+      * against a post-commit replica read).
       */
     def getValue(n: Long): V = {
       checkRef(n, "getValue")
       val local = ops.reverseIterator.collectFirst {
-        case GraphOp.NewNode(r, v) if r == n => Some(v)
-        case GraphOp.SetValue(m, v) if m == n => Some(v)
-        case GraphOp.RemoveNode(m) if m == n => None
+        case GraphOp.NewNode(r, v) if r == n => v
+        case GraphOp.SetValue(m, v) if m == n => v
       }
-      local match {
-        case Some(Some(v)) => v
-        case Some(None) =>
-          throw new NoSuchElementException(s"node $n removed in this txn")
-        case None =>
-          reads.flatMap(_.getValue(n)).getOrElse(
-            throw new NoSuchElementException(
-              if (reads.isEmpty)
-                s"unknown node $n (no snapshot attached — use submitWithReads)"
-              else s"unknown node $n"))
-      }
+      local.getOrElse(
+        reads.flatMap(_.getValue(n)).getOrElse(
+          throw new NoSuchElementException(
+            if (reads.isEmpty)
+              s"unknown node $n (no snapshot attached — use submitWithReads)"
+            else s"unknown node $n")))
     }
 
     /** The targets `src` would have if this txn committed now: snapshot
       * edges (tx-local refs start empty) with this txn's add/remove ops
-      * replayed in order; removing a node clears its edge list and hides
-      * it from every other list, as the server-side remove does.
+      * replayed in order. Removing a node hides it from every OTHER
+      * node's list but keeps its own outgoing list readable — the
+      * server's lazy-remove semantics (GraphState.withoutNodes strips
+      * incoming edges only; outgoing rows survive until vacuum).
       */
     def targets(src: Long): Seq[Long] = {
       checkRef(src, "targets")
@@ -231,7 +235,7 @@ object RemoteWrite {
           case GraphOp.AddTarget(s, d) if s == src =>
             if (acc.contains(d)) acc else acc :+ d
           case GraphOp.RemoveTarget(s, d) if s == src => acc.filterNot(_ == d)
-          case GraphOp.RemoveNode(m) if m == src => Vector.empty
+          case GraphOp.RemoveNode(m) if m == src => acc // lazy remove: outgoing kept
           case GraphOp.RemoveNode(m) => acc.filterNot(_ == m)
           case _ => acc
         }

@@ -16,4 +16,10 @@ object GraftShim {
     */
   def sessionUUID(s: SparkSession): String =
     s.asInstanceOf[classic.SparkSession].sessionUUID
+
+  /** Spark's standard WRONG_NUM_ARGS analysis error — the builder-side
+    * arity refusal (`QueryCompilationErrors` is `private[sql]`).
+    */
+  def wrongNumArgs(fn: String, expected: Int, actual: Int): Throwable =
+    errors.QueryCompilationErrors.wrongNumArgsError(fn, Seq(expected), actual)
 }

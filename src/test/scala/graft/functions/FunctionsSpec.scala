@@ -167,6 +167,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql === viaCol && viaSql === Seq((1L * 3 - 2 * 5 - 127, 1L * 3 - 2 * 5 - 127), (0L, 0L)))
   }
 
+  test("SQL builders refuse wrong argument counts with a typed analysis error") {
+    import spark.implicits._
+    Seq(Tuple1(Seq(1L, 2L))).toDF("a").createOrReplaceTempView("fx_arity")
+    // positional children(i) access would throw IndexOutOfBounds (or
+    // silently ignore extras) without the arity gate — every registered
+    // function must raise Spark's standard WRONG_NUM_ARGS analysis error
+    for (sql <- Seq(
+        "SELECT dot_i8(pack_i8(a)) FROM fx_arity",          // too few
+        "SELECT dot_i64(a, a, a) FROM fx_arity",            // too many
+        "SELECT pack_i8(a, a) FROM fx_arity",
+        "SELECT simhash64() FROM fx_arity",
+        "SELECT cosine_sim(a) FROM fx_arity",
+        "SELECT minhash_bands(a, 4) FROM fx_arity")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(sql))
+      assert(e.getMessage.toUpperCase.contains("WRONG_NUM_ARGS") ||
+        e.getMessage.toLowerCase.contains("requires"),
+        s"expected a wrong-arg-count analysis error for: $sql, got: ${e.getMessage}")
+    }
+  }
+
   test("cosine_sim is NULL for ragged or zero-norm vectors (no silent garbage)") {
     import spark.implicits._
     val df = Seq(

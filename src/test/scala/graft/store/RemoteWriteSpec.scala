@@ -300,6 +300,7 @@ class RemoteWriteSpec extends AnyFunSuite {
     val client = new Client(spark, CatalogueModel, inbox, "mtx")
 
     var pRef = 0L
+    var tmpRef = 0L
     val t = client.submitWithReads(TxnReads.fromReplica(replica)) { txn =>
       // snapshot pass-through before any op touches the node
       assert(txn.getValue(mj) === Artist(1, "Michael Jackson"))
@@ -317,20 +318,31 @@ class RemoteWriteSpec extends AnyFunSuite {
       assert(txn.targets(0L) === Seq(pRef))
       // the read-then-branch pattern the reference client runs mid-txn
       if (txn.targets(0L).contains(pRef)) txn.addTarget(pRef, mj)
-      // removing a tx-local node hides it from reads again
-      val tmp = txn.newNode(Song("Scratch"))
-      txn.remove(tmp)
-      intercept[NoSuchElementException](txn.getValue(tmp))
+      // removing a node: LAZY-REMOVE PARITY with the server
+      // (GraphState.withoutNodes strips incoming edges only) — the value
+      // and the node's own outgoing list stay readable until vacuum,
+      // while the node disappears from every OTHER node's list
+      tmpRef = txn.newNode(Song("Scratch"))
+      txn.addTarget(0L, tmpRef)
+      txn.addTarget(tmpRef, mj)
+      txn.remove(tmpRef)
+      assert(txn.getValue(tmpRef) === Song("Scratch"))
+      assert(txn.targets(tmpRef) === Seq(mj))
       assert(txn.targets(0L) === Seq(pRef))
     }
     assert(RemoteWrite.applyPending(store, inbox).map(_.txnId) === Seq(t))
     val ack = client.await(t)
     assert(ack.applied && ack.error.isEmpty)
     val p = ack.assigned(pRef)
-    // the committed state is exactly what the overlay reads predicted
+    // the committed state is exactly what the overlay reads predicted —
+    // including the lazy-removed node: its value and outgoing edges still
+    // answer on the server (pre-vacuum), exactly as the overlay said
+    val tmpG = ack.assigned(tmpRef)
     assert(store.session.getValue(mj) === Artist(1, "MJ"))
     assert(store.session.targets(store.session.root) === Seq(p))
     assert(store.session.targets(p) === Seq(mj))
+    assert(store.session.getValue(tmpG) === Song("Scratch"))
+    assert(store.session.targets(tmpG) === Seq(mj))
     store.close()
   }
 
