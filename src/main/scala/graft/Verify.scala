@@ -207,14 +207,14 @@ object Verify {
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px13_probes")
       }
       auxExport("px66_sim_pq_adc")(Seq("px66_codes", "px66_cb")) {
-        // px66: the long-form PQ codes and the INT8-QUANTIZED codebook
-        // entries (the exact integers the ADC LUT dots against) from the
-        // same memoized artifacts the declared query serves with
-        val (cb, codes) = pipeline.PipelineQueries.pqArtifacts(spark, sfDir)
-        codes.select(col("nbr"), col("sub"), col("code"))
+        // px66: the long-form PQ codes (unpacked back out of the
+        // persisted index's own cells table — the exact bytes the query
+        // serves from) and the FLOAT codebook the per-query LUT dots
+        // against, read from the same index dir
+        val dir = pipeline.PipelineQueries.twoLevelIndexDir(spark, sfDir)
+        pipeline.Similarity.pqCodesFromIndex(spark, dir)
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px66_codes")
-        cb.select(col("sub"), col("code"),
-          pipeline.Similarity.intCodes(col("cent")).as("cc"))
+        spark.read.parquet(s"$dir/pq_cb").select("sub", "code", "cent")
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px66_cb")
       }
       auxExport("px60_sim_ivf_twolevel", "px62_sim_twolevel_persist",
@@ -223,11 +223,14 @@ object Verify {
         // px60: the two-level model is deterministic end-to-end (hash
         // seeds, decimal refinement, tie-broken argmax), so exporting the
         // compound (c1, c2) cells and probes lets the oracle recompute
-        // the probed-cell search quadratically
+        // the probed-cell search quadratically. Same occupancy-scaled
+        // side as the declared query and the shared persisted index
+        // (floors to 4×4 at oracle scales).
+        val side = pipeline.PipelineQueries.twoLevelSideFor(spark, sfDir)
         val (cells, probes) = pipeline.Similarity.twoLevelModelFor(
           embs.select(col("vec_id"), col("embedding")),
           embs.where(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
-          "vec_id", "embedding", nlist1 = 4, k2 = 4, p1 = 2, nprobe = 4)
+          "vec_id", "embedding", nlist1 = side, k2 = side, p1 = 2, nprobe = 4)
         cells.select(col("nbr"), col("_c1"), col("_c2"))
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px60_cells")
         probes.select(col("qid"), col("_c1"), col("_c2"))
@@ -239,7 +242,7 @@ object Verify {
         // both from the same persisted index the declared query serves
         // from (shared memoized builder — the px55 pattern)
         val idx = pipeline.Similarity.loadTwoLevelIndex(spark,
-          pipeline.PipelineQueries.twoLevelIndexDirSized(spark, sfDir))
+          pipeline.PipelineQueries.twoLevelIndexDir(spark, sfDir))
         idx.cells.select(col("nbr"), col("_c1"), col("_c2"))
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px64_cells")
         pipeline.Similarity.twoLevelProbes(

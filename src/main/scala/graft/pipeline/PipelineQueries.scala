@@ -123,62 +123,38 @@ object PipelineQueries {
   private def embs(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.Tables.load(s, d, "embeddings")
 
-  /** The px62/px63/px64 persisted two-level index: built ONCE per
-    * (JVM, data dir) over the full embeddings corpus, shared between the
-    * declared queries and graft.Verify's aux exports so the served index
-    * and the oracle's exports can never drift apart (the px55 pattern).
+  /** The ONE persisted two-level index px60/px62/px63/px64/px65/px66 all
+    * key off: built ONCE per (JVM, data dir) over the full embeddings
+    * corpus, OCCUPANCY-SIZED (Similarity.twoLevelSide — the px64 fix:
+    * fixed cell counts make whole-corpus batch joins n²·nprobe/cells,
+    * measured 104× at 30×), shared between the declared queries and
+    * graft.Verify's aux exports so the served index and the oracle's
+    * exports can never drift apart (the px55 pattern). At the driver's
+    * oracle scales the sizing floors at side 4, i.e. the historical
+    * fixed 4×4 index — which is what let r16 collapse the two separate
+    * builds (fixed + sized) Verify/Bench used to pay into this one. The
+    * PQ codebook + packed codes are part of the same build
+    * (saveTwoLevelIndex trains and persists them in-dir).
     */
   private[graft] def twoLevelIndexDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     ivfSaved.computeIfAbsent(indexDir("graft_ivf2_index_", d), k => {
-      Similarity.saveTwoLevelIndex(
-        embs(s, d).select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", k, nlist1 = 4, k2 = 4, iters = 1)
-      k
-    })
-
-  /** px64's index: like [[twoLevelIndexDir]] but OCCUPANCY-SIZED
-    * (autoNlist split √/√ across the levels) instead of the fixed 4×4 the
-    * px60/px62/px63 oracle exports pin. The whole-corpus batch workload
-    * is the reason: with a FIXED cell count, occupancy grows with the
-    * corpus and the batch's candidate join does n²·nprobe/cells work —
-    * measured 104× at 30× (SCALE_r15) before this; occupancy-sized it is
-    * n·nprobe·occupancy, linear in the corpus. At the oracle scales
-    * (sf0.01/sf0.1) autoNlist floors at 16 cells so the parameters — and
-    * therefore the exports — coincide with the 4×4 index; they diverge
-    * exactly where they must, when the corpus outgrows 16 cells.
-    */
-  private[graft] def twoLevelIndexDirSized(s: org.apache.spark.sql.SparkSession,
-      d: String): String =
-    ivfSaved.computeIfAbsent(indexDir("graft_ivf2_sized_", d), k => {
       val corpus = embs(s, d).select(col("vec_id"), col("embedding"))
-      val side = math.max(4, math.ceil(math.sqrt(
-        Similarity.autoNlist(corpus.count()).toDouble)).toInt)
+      val side = Similarity.twoLevelSide(corpus.count())
       Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", k,
         nlist1 = side, k2 = side, iters = 1)
       k
     })
 
-  /** px66's PQ artifacts (per-subspace codebook + long-form codes),
-    * trained ONCE per (JVM, data dir) against the shared two-level index
-    * dir and round-tripped through parquet so the declared query and
-    * graft.Verify's exports consume bit-identical artifacts.
+  /** The occupancy-scaled side the shared index (and px60's refit query)
+    * uses for this data dir — memoized next to the dir itself so the
+    * count job is paid once per (JVM, data dir).
     */
-  private[graft] def pqArtifacts(s: org.apache.spark.sql.SparkSession,
-      d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val base = twoLevelIndexDir(s, d)
-    ivfSaved.computeIfAbsent(base + "__pq", _ => {
-      val corpus = embs(s, d).select(col("vec_id"), col("embedding"))
-      Similarity.pqCodebook(corpus, "vec_id", "embedding",
-        dim = 64, m = 8, ksub = 16, iters = 1)
-        .write.mode("overwrite").parquet(s"$base/pq_cb")
-      Similarity.pqEncode(corpus, "vec_id", "embedding",
-        s.read.parquet(s"$base/pq_cb"), dim = 64, m = 8)
-        .write.mode("overwrite").parquet(s"$base/pq_codes")
-      base
-    })
-    (s.read.parquet(s"$base/pq_cb"), s.read.parquet(s"$base/pq_codes"))
-  }
+  private[graft] def twoLevelSideFor(s: org.apache.spark.sql.SparkSession,
+      d: String): Int =
+    ivfSaved.computeIfAbsent(indexDir("graft_ivf2_side_", d), _ =>
+      Similarity.twoLevelSide(
+        embs(s, d).select(col("vec_id")).count()).toString).toInt
 
   val all: Seq[Q] = Seq(
     // -------------------------------------------------------- exact dedup
@@ -592,11 +568,16 @@ object PipelineQueries {
     Q("px60_sim_ivf_twolevel",
       (s, d) => {
         val e = embs(s, d)
+        // occupancy-scaled side (floors to the historical 4×4 at oracle
+        // scales) — the SAME parameters the shared persisted index and
+        // the Verify exports use, so px60's refit answer, px62's served
+        // answer, and the oracle exports stay one model at any scale
+        val side = twoLevelSideFor(s, d)
         Similarity.twoLevelTopK(
           corpus = e.select(col("vec_id"), col("embedding")),
           queries = e.where(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
           idCol = "vec_id", vecCol = "embedding", k = 5,
-          nlist1 = 4, k2 = 4, p1 = 2, nprobe = 4)
+          nlist1 = side, k2 = side, p1 = 2, nprobe = 4)
           .select("qid", "nbr", "rank")
           .orderBy("qid", "rank")
       },
@@ -660,23 +641,26 @@ object PipelineQueries {
              |SELECT qid, nbr, rank FROM scored WHERE rank <= 5
              |ORDER BY qid, rank""".stripMargin)),
 
-    // --------------------- similarity: quantized serving (IVF-PQ shape)
+    // ------------------ similarity: quantized serving (IVF-SQ shape)
     // Serve top-k from the int8 codes stored INSIDE px62's persisted
     // two-level index: the probed partitions' scan reads the packed
-    // binary `codes` column (1 byte/dim — ~4× fewer bytes than the
-    // float32 `cv` the px62 path reads; parquet column pruning makes the
-    // two modes coexist in ONE cells table), and scoring is the
-    // all-integer DotI8 kernel — exact, so the oracle replays
-    // quantization (px44's half-up rounding, bit-identical across
-    // engines) and ranking with no rounding class anywhere. Same index
-    // dir, same (cells, probes) exports as px60/px62.
+    // binary `codes` column plus the 8-byte `qscale` correction (~4×
+    // fewer bytes than the float32 `cv` the px62 path reads; parquet
+    // column pruning makes the modes coexist in ONE cells table).
+    // Scoring is the all-integer DotI8 kernel; RANKING is on the
+    // scale-corrected qsim = round(dot·qscale_c·qscale_q, 6) ≈ cosine —
+    // raw integer dots of per-vector-scaled codes are not mutually
+    // comparable across candidates (the r15 ADVICE finding). The oracle
+    // replays quantization (px44's half-up rounding), the stored scale
+    // (ma/(127·‖v‖), recomputed from the same floats), and the corrected
+    // ranking. Same index dir, same (cells, probes) exports as px60/px62.
     Q("px63_sim_pq_serve",
       (s, d) => {
         val e = embs(s, d)
         Similarity.quantizedTopKFromIndex(s, twoLevelIndexDir(s, d),
           e.where(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
           idCol = "vec_id", vecCol = "embedding", k = 5, p1 = 2, nprobe = 4)
-          .select("qid", "nbr", "dot", "rank")
+          .select("qid", "nbr", "qsim", "rank")
           .orderBy("qid", "rank")
       },
       Some(s"""WITH cells AS (
@@ -694,7 +678,10 @@ object PipelineQueries {
              |    CASE WHEN ma > 0 THEN list_transform(e,
              |           x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT))
              |         ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END
-             |      AS codes
+             |      AS codes,
+             |    CASE WHEN ma > 0 THEN ma / (127.0 * sqrt(
+             |           list_sum(list_transform(e, x -> x * x))))
+             |         ELSE 0.0 END AS qs
              |  FROM mx
              |), cand AS (
              |  SELECT DISTINCT p.qid, cl.nbr
@@ -703,27 +690,28 @@ object PipelineQueries {
              |  WHERE p.qid <> cl.nbr
              |), scored AS (
              |  SELECT qid, nbr,
-             |    CAST(list_dot_product(cq.codes, cn.codes) AS BIGINT) AS dot
+             |    ROUND((CAST(list_dot_product(cq.codes, cn.codes) AS DOUBLE)
+             |           * cn.qs) * cq.qs, 6) AS qsim
              |  FROM cand
              |  JOIN c cq ON cq.vec_id = qid
              |  JOIN c cn ON cn.vec_id = nbr
              |), ranked AS (
-             |  SELECT qid, nbr, dot,
+             |  SELECT qid, nbr, qsim,
              |    ROW_NUMBER() OVER (PARTITION BY qid
-             |      ORDER BY dot DESC, nbr) AS rank
+             |      ORDER BY qsim DESC, nbr) AS rank
              |  FROM scored)
-             |SELECT qid, nbr, dot, rank FROM ranked WHERE rank <= 5
+             |SELECT qid, nbr, qsim, rank FROM ranked WHERE rank <= 5
              |ORDER BY qid, rank""".stripMargin)),
 
     // ------------------- similarity: quantized serve + exact re-rank
-    // The full PQ-then-refine pipeline: integer-dot top-25 candidates per
-    // query from the codes column of the probed partitions (px63's scan),
-    // then ONLY those 25 rows' float vectors fetched back on the
-    // (partition, id) key and exact-cosine re-ranked to the final top-5.
-    // The oracle replays both stages: px44's quantization + integer
-    // ranking to 25, then DuckDB's own cosine over the survivors — every
-    // stage deterministic (integer dots; 6dp rounding before ranking;
-    // nbr tie-breaks).
+    // The full quantize-then-refine pipeline: scale-corrected integer-dot
+    // top-25 candidates per query from the codes+qscale columns of the
+    // probed partitions (px63's scan), then ONLY those 25 rows' float
+    // vectors fetched back on the (partition, id) key and exact-cosine
+    // re-ranked to the final top-5. The oracle replays both stages:
+    // px44's quantization + the corrected-score ranking to 25, then
+    // DuckDB's own cosine over the survivors — every stage deterministic
+    // (6dp rounding before each ranking; nbr tie-breaks).
     Q("px65_sim_pq_rerank",
       (s, d) => {
         val e = embs(s, d)
@@ -749,7 +737,10 @@ object PipelineQueries {
              |    CASE WHEN ma > 0 THEN list_transform(e,
              |           x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT))
              |         ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END
-             |      AS codes
+             |      AS codes,
+             |    CASE WHEN ma > 0 THEN ma / (127.0 * sqrt(
+             |           list_sum(list_transform(e, x -> x * x))))
+             |         ELSE 0.0 END AS qs
              |  FROM mx
              |), cand AS (
              |  SELECT DISTINCT p.qid, cl.nbr
@@ -759,8 +750,8 @@ object PipelineQueries {
              |), coarse AS (
              |  SELECT qid, nbr,
              |    ROW_NUMBER() OVER (PARTITION BY qid
-             |      ORDER BY CAST(list_dot_product(cq.codes, cn.codes) AS BIGINT)
-             |        DESC, nbr) AS crank
+             |      ORDER BY ROUND((CAST(list_dot_product(cq.codes, cn.codes)
+             |          AS DOUBLE) * cn.qs) * cq.qs, 6) DESC, nbr) AS crank
              |  FROM cand
              |  JOIN c cq ON cq.vec_id = qid
              |  JOIN c cn ON cn.vec_id = nbr
@@ -777,26 +768,25 @@ object PipelineQueries {
              |ORDER BY qid, rank""".stripMargin)),
 
     // -------------------- similarity: IVF-PQ with integer ADC (px66)
-    // TRUE product quantization over the persisted two-level index: the
-    // vector splits into 8 subspaces, each with its own 16-entry trained
-    // codebook (8 codes = 8 bytes/vector — 8x smaller than the scalar
-    // int8 codes, 32x smaller than the floats); candidates come from the
-    // probed (c1,c2) partitions (an ids-only scan — no vector column is
-    // ever read), and scoring is asymmetric distance: each query's int8
-    // slices dot the int8-quantized codebook entries into an INTEGER
-    // m×ksub lookup table, and a candidate's score is the sum of its m
-    // codes' LUT entries. Every post-training step is integer arithmetic,
-    // so the oracle replays scoring + ranking exactly from the exported
-    // codes and quantized codebook (training determinism is spec-pinned,
-    // the px60 pattern).
+    // TRUE product quantization served from the persisted index's OWN
+    // artifacts: the vector splits into 8 subspaces, each with its own
+    // 16-entry trained codebook (8 codes = 8 bytes/vector — 8x smaller
+    // than the scalar int8 codes, 32x smaller than the floats), persisted
+    // in-dir at build and maintained on append with the frozen codebook;
+    // candidates come from the probed (c1,c2) partitions' (nbr, pqcodes)
+    // scan — no vector column is ever read. Scoring is asymmetric
+    // distance with the r15 ADVICE fix: each query's LUT entries are
+    // FLOAT dots (slice · centroid, rounded 6dp), and the finished
+    // m×ksub table is integer-quantized with ONE shared scale — entries
+    // of different codes are mutually comparable, and everything after
+    // the rounded dots is exact integer arithmetic the oracle replays
+    // from the exported float codebook + codes.
     Q("px66_sim_pq_adc",
       (s, d) => {
         val e = embs(s, d)
-        val (cb, codes) = pqArtifacts(s, d)
-        Similarity.pqAdcTopKFromIndex(s, twoLevelIndexDir(s, d), cb, codes,
+        Similarity.pqAdcTopKFromIndex(s, twoLevelIndexDir(s, d),
           e.where(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
-          idCol = "vec_id", vecCol = "embedding", k = 5,
-          dim = 64, m = 8, p1 = 2, nprobe = 4)
+          idCol = "vec_id", vecCol = "embedding", k = 5, p1 = 2, nprobe = 4)
           .select("qid", "nbr", "score", "rank")
           .orderBy("qid", "rank")
       },
@@ -807,7 +797,8 @@ object PipelineQueries {
              |codes AS (
              |  SELECT * FROM '${AuxToken}/px66_codes/*.parquet'),
              |cb AS (
-             |  SELECT * FROM '${AuxToken}/px66_cb/*.parquet'),
+             |  SELECT sub, code, cent::DOUBLE[] AS cent
+             |  FROM '${AuxToken}/px66_cb/*.parquet'),
              |v AS (
              |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
              |), cand AS (
@@ -820,21 +811,18 @@ object PipelineQueries {
              |    e[CAST(s.sub * 8 + 1 AS BIGINT):CAST(s.sub * 8 + 8 AS BIGINT)] AS sv
              |  FROM v, (SELECT UNNEST(range(8)) AS sub) s
              |  WHERE vec_id < 20
-             |), qm AS (
-             |  SELECT vec_id, sub, sv,
-             |    list_max(list_transform(sv, x -> abs(x))) AS ma
-             |  FROM qsl
-             |), qc AS (
-             |  SELECT vec_id, sub,
-             |    CASE WHEN ma > 0 THEN list_transform(sv,
-             |           x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT))
-             |         ELSE list_transform(sv, x -> CAST(0 AS BIGINT)) END
-             |      AS qcodes
-             |  FROM qm
-             |), lut AS (
+             |), lutf AS (
              |  SELECT q.vec_id AS qid, cb.sub, cb.code,
-             |    CAST(list_dot_product(q.qcodes, cb.cc) AS BIGINT) AS part
-             |  FROM qc q JOIN cb ON cb.sub = q.sub
+             |    ROUND(list_dot_product(q.sv, cb.cent), 6) AS fpart
+             |  FROM qsl q JOIN cb ON cb.sub = q.sub
+             |), lmax AS (
+             |  SELECT qid, MAX(ABS(fpart)) AS lm FROM lutf GROUP BY qid
+             |), lut AS (
+             |  SELECT l.qid, l.sub, l.code,
+             |    CASE WHEN m.lm > 0
+             |      THEN CAST(floor(l.fpart * 127.0 / m.lm + 0.5) AS BIGINT)
+             |      ELSE 0 END AS part
+             |  FROM lutf l JOIN lmax m ON m.qid = l.qid
              |), scored AS (
              |  SELECT cand.qid, cand.nbr, CAST(SUM(l.part) AS BIGINT) AS score
              |  FROM cand
@@ -861,7 +849,7 @@ object PipelineQueries {
     Q("px64_sim_batch_serve",
       (s, d) => {
         val e = embs(s, d)
-        val idx = Similarity.loadTwoLevelIndex(s, twoLevelIndexDirSized(s, d))
+        val idx = Similarity.loadTwoLevelIndex(s, twoLevelIndexDir(s, d))
         Similarity.twoLevelTopKFromIndex(idx,
           e.select(col("vec_id"), col("embedding")),
           idCol = "vec_id", vecCol = "embedding", k = 3, p1 = 2, nprobe = 4)

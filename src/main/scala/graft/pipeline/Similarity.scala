@@ -462,8 +462,19 @@ object Similarity {
     * table is written by the CLUSTER (it was never on the driver) —
     * at nlist = 10⁶ it is a 10⁶-row parquet, not a driver matrix.
     */
+  /** The number of PQ subspaces actually used for a given dim and
+    * requested `pqM`: the largest divisor of `dim` that is ≤ `pqM`
+    * (slices must split the vector evenly), or 0 when `pqM ≤ 0` (PQ
+    * disabled). Always ≥ 1 for positive requests — m = 1 is one
+    * whole-vector subspace, still a valid (degenerate) codebook.
+    */
+  def pqSubspaces(dim: Int, pqM: Int): Int =
+    if (pqM <= 0) 0
+    else (math.min(pqM, dim) to 1 by -1).find(dim % _ == 0).getOrElse(1)
+
   def saveTwoLevelIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      dir: String, nlist1: Int = 4, k2: Int = 4, iters: Int = 1): Unit = {
+      dir: String, nlist1: Int = 4, k2: Int = 4, iters: Int = 1,
+      pqM: Int = 8, pqKsub: Int = 16, pqIters: Int = -1): Unit = {
     import graft.functions.NearestCentroid
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -473,13 +484,35 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/l1")
     m.l2.select(col("_c1"), col("_c2"), col("_cent"))
       .write.mode("overwrite").parquet(s"$dir/l2")
+    // PQ is part of the index LIFECYCLE, not an aux artifact: the trained
+    // per-subspace codebook persists next to l1/l2, the packed codes live
+    // as a column INSIDE the cells table (exactly like the scalar int8
+    // `codes`), and appendToTwoLevelIndex encodes arriving vectors with
+    // the FROZEN codebook — the reference's index-maintained-on-write
+    // posture (/root/reference/library/GraphDB/Graph.hs:57-61). The
+    // codebook is round-tripped through parquet BEFORE encoding so the
+    // codes in the cells table are derived from exactly the floats a
+    // later load (or append) will read.
+    val dim = m.l1.head.length
+    val mSub = pqSubspaces(dim, pqM)
+    val codebook =
+      if (mSub == 0) None
+      else {
+        // pqIters < 0 → inherit the coarse trainer's iteration count
+        pqCodebook(corpus, idCol, vecCol, dim, mSub, pqKsub,
+          if (pqIters < 0) iters else pqIters)
+          .write.mode("overwrite").parquet(s"$dir/pq_cb")
+        Some(spark.read.parquet(s"$dir/pq_cb"))
+      }
     val assigned = corpus.select(col(idCol).as("nbr"), col(vecCol).as("cv"))
       .withColumn("_c1", NearestCentroid(col("cv"), m.l1))
-    // the cells table carries BOTH precisions: `cv` (float32) for exact
-    // scoring / re-rank and `codes` (packed int8, 1 byte/dim) for the
-    // quantized serving path ([[quantizedTopKFromIndex]]). Parquet is
-    // columnar, so each serving mode's scan reads only its own column —
-    // the integer path never pays for the floats it skips.
+    // the cells table carries THREE precisions: `cv` (float32) for exact
+    // scoring / re-rank, `codes` + `qscale` (packed int8, 1 byte/dim,
+    // plus the per-row scale correction) for the scalar-quantized serving
+    // path ([[quantizedTopKFromIndex]]), and `pqcodes` (m bytes/vector)
+    // for the PQ-ADC path ([[pqAdcTopKFromIndex]]). Parquet is columnar,
+    // so each serving mode's scan reads only its own columns — the
+    // integer paths never pay for the floats they skip.
     //
     // repartition on the partition columns BEFORE the partitioned write:
     // without it every write task emits a file into every cell it holds
@@ -488,12 +521,29 @@ object Similarity {
     // pruning and file-listing dominates the serve; at 10⁶ cells × 1000
     // tasks it is fatal metadata pressure). Hash-clustered, each cell is
     // exactly ONE file sized by its occupancy.
-    assignToL2(assigned, m.l2)
+    val base = assignToL2(assigned, m.l2)
       .withColumn("codes", packedCodes(col("cv")))
+      .withColumn("qscale", qscaleOf(col("cv")))
+    codebook.fold(base) { cb =>
+      base.join(
+        packedPqCodes(pqEncode(base.select(col("nbr"), col("cv")),
+          "nbr", "cv", cb, dim, mSub)),
+        Seq("nbr"))
+    }
       .repartition(col("_c1"), col("_c2"))
       .write.mode("overwrite").partitionBy("_c1", "_c2")
       .parquet(s"$dir/cells")
   }
+
+  /** Long-form PQ codes (`nbr, sub, code`) packed to one `pqcodes` binary
+    * per id — codes ordered by subspace, one signed byte each (`ksub ≤
+    * 127` is enforced at train time, [[pqCodebook]]).
+    */
+  private[pipeline] def packedPqCodes(longForm: DataFrame): DataFrame =
+    longForm.groupBy("nbr")
+      .agg(graft.functions.PackI8(
+        expr("transform(array_sort(collect_list(struct(sub, code))), " +
+          "p -> cast(p.code as bigint))")).as("pqcodes"))
 
   /** Reload a persisted two-level index. Floats round-trip parquet
     * bit-exactly — level-1, level-2, AND the assigned cells are
@@ -564,7 +614,7 @@ object Similarity {
     require(populated.nonEmpty,
       s"two-level index at $dir has no level-2 cells")
     val l1p = populated.map(idx.l1)
-    assignToL2(
+    val assigned = assignToL2(
       fresh.withColumn("_c1p", NearestCentroid(col("cv"), l1p))
         .withColumn("_c1",
           element_at(array(populated.toSeq.map(c => lit(c)): _*),
@@ -572,6 +622,30 @@ object Similarity {
         .drop("_c1p"),
       idx.l2)
       .withColumn("codes", packedCodes(col("cv")))
+      .withColumn("qscale", qscaleOf(col("cv")))
+    // PQ maintenance-on-write: arriving vectors are encoded with the
+    // FROZEN codebook persisted at train time — exactly how the scalar
+    // codes above are packed with the frozen quantizer arithmetic — so an
+    // appended vector is immediately servable by the ADC path and its
+    // codes equal a direct pqEncode against the same codebook
+    // (append-parity spec-pinned). Codebook staleness is the same
+    // documented tradeoff as the centroids': re-train on the occupancy
+    // cadence above. Indexes saved with pqM = 0 carry no codebook and
+    // append without the column.
+    val withPq =
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/pq_cb")))
+        assigned
+      else {
+        val cb = spark.read.parquet(s"$dir/pq_cb")
+        val meta = cb.agg(max(col("sub")), min(size(col("cent")))).head()
+        val mSub = meta.getInt(0) + 1
+        val dim = mSub * meta.getInt(1)
+        assigned.join(
+          packedPqCodes(pqEncode(assigned.select(col("nbr"), col("cv")),
+            "nbr", "cv", cb, dim, mSub)),
+          Seq("nbr"))
+      }
+    withPq
       .repartition(col("_c1"), col("_c2")) // one file per touched cell
       .write.mode("append").partitionBy("_c1", "_c2").parquet(s"$dir/cells")
   }
@@ -612,56 +686,126 @@ object Similarity {
   private[pipeline] def packedCodes(vec: Column): Column =
     graft.functions.PackI8(intCodes(vec))
 
+  /** Double dot product of two float-array columns — sequential
+    * left-to-right accumulation, the operand order DuckDB's
+    * `list_dot_product` reproduces; consumers round to 6dp before any
+    * comparison/ranking so residual last-ulp differences collapse (the
+    * cosine convention, [[topKPerQuery]]'s rounding note).
+    */
+  private[pipeline] def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(transform(a, x => x.cast("double")),
+      transform(b, x => x.cast("double")), (x, y) => x * y),
+      lit(0d), _ + _)
+
+  /** Per-row scale correction for the packed int8 codes:
+    * `maxAbs/(127·‖v‖)` (0 for zero vectors, whose codes are all zero).
+    * The quantizer scales EACH vector by its own `127/maxAbs`, so a raw
+    * `DotI8(qc, cc)` of two vectors' codes carries BOTH per-vector
+    * factors — integer scores of DIFFERENT candidates are not mutually
+    * comparable, and ranking on them is biased toward small-maxAbs
+    * vectors (the r15 ADVICE finding). Multiplying the integer dot by
+    * both rows' `qscale` divides the factors back out AND normalizes:
+    * `dot · qscale_c · qscale_q ≈ cosine(q, c)` up to quantization
+    * noise, which is the quantity the serving path should rank on.
+    * Stored as a column next to `codes` at index build/append time —
+    * 8 bytes/row against the 4·dim-byte float column the integer path
+    * exists to avoid reading.
+    */
+  private[pipeline] def qscaleOf(vec: Column): Column = {
+    val v = transform(vec, x => x.cast("double"))
+    val ma = array_max(transform(v, x => abs(x)))
+    when(ma > 0d,
+      ma / (lit(127.0d) * sqrt(aggregate(transform(v, x => x * x),
+        lit(0d), _ + _))))
+      .otherwise(lit(0d))
+  }
+
   /** ANN top-k served from the QUANTIZED codes inside a persisted
-    * two-level index — the IVF-PQ serving shape for a 100 TB store: the
-    * probed partitions' scan reads the packed int8 `codes` column
-    * (1 byte/dim — ~4× fewer bytes than the float32 `cv` column the
-    * float path reads), scoring is the all-integer [[graft.functions.DotI8]]
-    * kernel (exact, no rounding class anywhere — what makes the px63
-    * oracle replay value-identical), and ranking ties break on `nbr`.
+    * two-level index — the IVF-SQ serving shape for a 100 TB store: the
+    * probed partitions' scan reads the packed int8 `codes` column plus
+    * the 8-byte `qscale` correction (1 byte/dim + 8 — ~4× fewer bytes
+    * than the float32 `cv` column the float path reads), scoring is the
+    * all-integer [[graft.functions.DotI8]] kernel, and RANKING is on the
+    * scale-corrected `qsim = round(dot · qscale_c · qscale_q, 6)` —
+    * ≈ cosine up to quantization noise. Ranking on the raw integer dot
+    * would compare scores carrying each candidate's own 127/maxAbs
+    * quantizer factor (systematically biased toward small-maxAbs
+    * vectors — the r15 ADVICE finding); the stored per-row scale divides
+    * that factor back out and normalizes, so scores of different
+    * candidates are mutually comparable. Determinism: the integer dot is
+    * exact; the correction is two IEEE multiplies in a fixed order on
+    * parquet-round-tripped doubles, collapsed to 6dp before ranking (the
+    * cosine convention), so the px63 oracle replays value-identically.
     *
-    * `rerank > 0` adds the optional exact re-rank: the integer top-`rerank`
-    * candidates per query are joined back against the SAME cells table on
-    * the full (partition, id) key — so the float fetch also prunes to the
-    * probed partitions — and the final top-k ranks on float cosine exactly
-    * as [[twoLevelTopKFromIndex]] does. With `rerank` covering the whole
-    * probed candidate set the result EQUALS the float serving path row for
-    * row (PipelineSpec pins it); smaller values trade recall for reading
-    * fewer float rows, the standard PQ-then-refine tradeoff.
+    * `rerank > 0` adds the optional exact re-rank: the corrected-score
+    * top-`rerank` candidates per query are joined back against the SAME
+    * cells table on the full (partition, id) key — so the float fetch
+    * also prunes to the probed partitions — and the final top-k ranks on
+    * float cosine exactly as [[twoLevelTopKFromIndex]] does. With
+    * `rerank` covering the whole probed candidate set the result EQUALS
+    * the float serving path row for row (PipelineSpec pins it); smaller
+    * values trade recall for reading fewer float rows, the standard
+    * quantize-then-refine tradeoff.
+    *
+    * MEASURED operating points (SERVE_r16 recall ladder, recall@10 vs
+    * exact brute force, 64 queries, p1=2/nprobe=4, 2000×64f corpus):
+    * float serving 0.503 at 256 B/vec (the coarse probe budget is the
+    * ceiling — all IVF modes share it); THIS path (rerank=0) 0.503 at
+    * 72 B/vec — the scale-corrected integer ranking matched the float
+    * path's top-10 EXACTLY, i.e. int8+scale costs no recall here, so
+    * rerank buys nothing at this scale and the recommendation is
+    * rerank=0 for serving, rerank≈25 as cheap insurance when the
+    * corpus's dynamic range is wider than the driver fixtures'.
     *
     * Same session requirement as [[twoLevelTopKFromIndex]]
     * (reuseBroadcastOnly=false), or both scans here degrade to full
     * reads at runtime. The probes side (batch × nprobe rows, each
     * carrying the query vector and its packed codes) is broadcast —
     * right for the query-serving shape this implements (batch ≪
-    * corpus); a corpus-sized batch belongs on [[twoLevelTopKFromIndex]]
-    * (px64's path), which leaves the join strategy to Spark.
+    * corpus), and GUARDED: above `maxBroadcastProbesBytes` (Catalyst's
+    * own size estimate × the deserialization factor, the semanticOverlap
+    * pattern) the hint is dropped and Spark picks the join — same
+    * answer, no executor OOM; corpus-sized batches belong on
+    * [[twoLevelTopKFromIndex]] (px64's path) anyway.
     */
   def quantizedTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, p1: Int = 2, nprobe: Int = 4, rerank: Int = 0): DataFrame = {
+      k: Int, p1: Int = 2, nprobe: Int = 4, rerank: Int = 0,
+      maxBroadcastProbesBytes: Long = 512L << 20): DataFrame = {
     val idx = loadTwoLevelIndex(spark, dir)
     val codes = spark.read.parquet(s"$dir/cells")
-      .select(col("nbr"), col("codes"), col("_c1"), col("_c2"))
-    val probes = twoLevelProbes(queries, idCol, vecCol,
+      .select(col("nbr"), col("codes"), col("qscale"), col("_c1"), col("_c2"))
+    val probes0 = twoLevelProbes(queries, idCol, vecCol,
       TwoLevelModel(idx.l1, idx.l2), p1, nprobe)
       .withColumn("_qc", packedCodes(col("qv")))
+      .withColumn("_qs", qscaleOf(col("qv")))
+    // ONE guard decision from the probes plan's own size estimate covers
+    // every batch-sized broadcast below (the rerank candidate set `top`
+    // is ≤ batch × rerank rows — same scaling dimension; its own stats
+    // pass through two windows and are not trustworthy). Zero jobs at
+    // plan time, the semanticOverlap mechanism.
+    val bcastOk = probes0.queryExecution.optimizedPlan.stats.sizeInBytes *
+      Decontaminate.BroadcastExpansionFactor <= maxBroadcastProbesBytes
+    def guarded(df: DataFrame): DataFrame = if (bcastOk) broadcast(df) else df
+    val probes = guarded(probes0)
     val m = if (rerank > 0) math.max(rerank, k) else k
     val wLocal = Window.partitionBy(col("qid"), col("_part"))
-      .orderBy(col("dot").desc, col("nbr"))
+      .orderBy(col("qsim").desc, col("nbr"))
     val wGlobal = Window.partitionBy("qid")
-      .orderBy(col("dot").desc, col("nbr"))
-    val top = codes.join(broadcast(probes), Seq("_c1", "_c2"))
+      .orderBy(col("qsim").desc, col("nbr"))
+    val top = codes.join(probes, Seq("_c1", "_c2"))
       .where(col("qid") =!= col("nbr"))
       .withColumn("dot", graft.functions.DotI8(col("_qc"), col("codes")))
+      .withColumn("qsim",
+        round((col("dot").cast("double") * col("qscale")) * col("_qs"), 6))
       .withColumn("_part", spark_partition_id())
       .withColumn("_lr", row_number().over(wLocal))
       .where(col("_lr") <= m)
       .withColumn("rank", row_number().over(wGlobal).cast("bigint"))
       .where(col("rank") <= m)
       .select(col("qid"), col("qv"), col("nbr"), col("_c1"), col("_c2"),
-        col("dot"), col("rank"))
-    if (rerank <= 0) top.select("qid", "nbr", "dot", "rank")
+        col("qsim"), col("rank"))
+    if (rerank <= 0) top.select("qid", "nbr", "qsim", "rank")
     else {
       // restrict the float fetch by the PROBED cells first: joining the
       // scan with the (small, broadcast) distinct probe cells is the same
@@ -670,12 +814,12 @@ object Similarity {
       // candidates the planner degrades the pruning filter to TRUE and
       // the fetch reads the whole cv column (plan-audited in r15); the
       // candidate restriction then lands in the second, row-level join
-      val probedCells = probes.select("_c1", "_c2").distinct()
+      val probedCells = probes0.select("_c1", "_c2").distinct()
       val floats = spark.read.parquet(s"$dir/cells")
         .select(col("nbr"), col("cv"), col("_c1"), col("_c2"))
         .join(broadcast(probedCells), Seq("_c1", "_c2"))
       topKPerQuery(
-        floats.join(broadcast(top.drop("dot", "rank")),
+        floats.join(guarded(top.drop("qsim", "rank")),
             Seq("_c1", "_c2", "nbr"))
           .withColumn("sim", round(cosine(col("qv"), col("cv")), 6)),
         k)
@@ -773,44 +917,81 @@ object Similarity {
       .otherwise(transform(v, _ => lit(0L)))
   }
 
-  /** Integer asymmetric-distance (ADC) top-k over the PROBED cells of a
-    * persisted two-level index — IVF-PQ proper: the coarse quantizer
-    * prunes candidates to the probed (c1,c2) partitions (an ids-only
-    * column scan), and scoring never touches a corpus vector — each
-    * query builds an INTEGER lookup table (its int8-quantized slices
-    * dotted against the int8-quantized codebook entries, m × ksub
-    * longs), and a candidate's score is the sum of its m codes' LUT
-    * entries. Everything after training is integer arithmetic in a
-    * fixed order, so the px66 oracle replays scoring and ranking exactly
-    * from the exported codes + quantized codebook (the px44 discipline
-    * at PQ depth). Same session requirement as [[twoLevelTopKFromIndex]].
+  /** Integer asymmetric-distance (ADC) top-k served from a persisted
+    * two-level index's OWN PQ artifacts — IVF-PQ proper: the coarse
+    * quantizer prunes candidates to the probed (c1,c2) partitions, whose
+    * scan reads ONLY (nbr, pqcodes) — m bytes of codes per vector, never
+    * a float vector — and scoring is table lookup: each query builds an
+    * m × ksub lookup table and a candidate's score is the sum of its m
+    * codes' LUT entries.
+    *
+    * LUT numerics (the r15 ADVICE fix): entries are computed as FLOAT
+    * dots (query slice · codebook centroid, rounded to 6dp — the
+    * cross-engine collapse), then the finished per-query table is
+    * quantized with ONE shared scale, `floor(x·127/max|table| + 0.5)` —
+    * so entries for different codes are on the SAME scale and the summed
+    * ADC score preserves the float ranking up to LUT quantization noise.
+    * (The previous form int8-quantized each codebook entry by its own
+    * 127/maxAbs before an integer dot — per-entry scales made LUT values
+    * mutually incomparable within a subspace.) Everything downstream of
+    * the rounded float dots is deterministic integer arithmetic, so the
+    * px66 oracle replays LUT construction, scoring, and ranking exactly
+    * from the exported float codebook + codes.
+    *
+    * The codebook + codes come from the index dir itself ([[
+    * saveTwoLevelIndex]] trains and persists them; [[
+    * appendToTwoLevelIndex]] encodes arrivals with the frozen codebook),
+    * so a vector appended to the index is immediately servable here —
+    * no side-channel DataFrames. Same session requirement as
+    * [[twoLevelTopKFromIndex]].
     *
     * Scale shape: candidates ≈ batch × nprobe × occupancy rows; the
-    * codes join fans them × m but the (qid, nbr) hash-agg combines
-    * map-side, and both the LUT and the codebook are broadcast
-    * (model-sized). The corpus's float column is never read.
+    * UnpackI8 explode fans them × m but the (qid, nbr) hash-agg combines
+    * map-side, and both the LUT and the probes are broadcast
+    * (model/batch-sized). The corpus's float column is never read.
+    *
+    * MEASURED operating points (SERVE_r16 recall ladder, recall@10 vs
+    * exact brute force, 64 queries, p1=2/nprobe=4, 2000×64f corpus;
+    * float/int8 serving reach the 0.503 probe-budget ceiling): m=8/
+    * ksub=16 → 0.120 at 8 B/vec, m=16/ksub=16 → 0.241 at 16 B/vec. PQ
+    * at these code sizes is a CANDIDATE-PRUNING stage, not a final
+    * ranking: serve with [[quantizedTopKFromIndex]] (72 B/vec, zero
+    * recall loss vs float) unless storage is the binding constraint, and
+    * treat ADC top-k as the input to an exact refine (fetch k' ≫ k and
+    * rerank) when it is.
     */
   def pqAdcTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, codebook: DataFrame, codes: DataFrame,
-      queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      dim: Int, m: Int = 8, p1: Int = 2, nprobe: Int = 4): DataFrame = {
-    require(m > 0 && dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+      dir: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, p1: Int = 2, nprobe: Int = 4): DataFrame = {
     val idx = loadTwoLevelIndex(spark, dir)
+    val codebook = spark.read.parquet(s"$dir/pq_cb")
+    // m and the slice width from the (model-sized) codebook itself
+    val meta = codebook.agg(max(col("sub")), min(size(col("cent")))).head()
+    val mSub = meta.getInt(0) + 1
+    val subLen = meta.getInt(1)
     val probes = twoLevelProbes(queries, idCol, vecCol,
       TwoLevelModel(idx.l1, idx.l2), p1, nprobe)
     val cand = spark.read.parquet(s"$dir/cells")
-      .select(col("nbr"), col("_c1"), col("_c2"))
+      .select(col("nbr"), col("pqcodes"), col("_c1"), col("_c2"))
       .join(broadcast(probes.select("qid", "_c1", "_c2")), Seq("_c1", "_c2"))
       .where(col("qid") =!= col("nbr"))
-      .select("qid", "nbr")
-    val lut = pqSlices(queries, idCol, vecCol, m, dim / m)
-      .select(col("nbr").as("qid"), col("sub"), intCodes(col("sv")).as("qc"))
-      .join(broadcast(codebook.select(col("sub"), col("code"),
-        intCodes(col("cent")).as("cc"))), Seq("sub"))
+      .select(col("qid"), col("nbr"),
+        posexplode(graft.functions.UnpackI8(col("pqcodes")))
+          .as(Seq("sub", "code")))
+    val lutF = pqSlices(queries, idCol, vecCol, mSub, subLen)
+      .select(col("nbr").as("qid"), col("sub"), col("sv"))
+      .join(broadcast(codebook.select(col("sub"), col("code"), col("cent"))),
+        Seq("sub"))
       .select(col("qid"), col("sub"), col("code"),
-        graft.functions.DotI64(col("qc"), col("cc")).as("part"))
-    val scored = cand.join(codes, Seq("nbr"))
-      .join(broadcast(lut), Seq("qid", "sub", "code"))
+        round(dotD(col("sv"), col("cent")), 6).as("fpart"))
+    val lut = lutF
+      .join(lutF.groupBy("qid").agg(max(abs(col("fpart"))).as("_lm")),
+        Seq("qid"))
+      .select(col("qid"), col("sub"), col("code").cast("long").as("code"),
+        when(col("_lm") > 0d,
+          floor(col("fpart") * lit(127.0d) / col("_lm") + lit(0.5d)))
+          .otherwise(lit(0L)).cast("long").as("part"))
+    val scored = cand.join(broadcast(lut), Seq("qid", "sub", "code"))
       .groupBy("qid", "nbr")
       .agg(sum("part").as("score"))
     val wLocal = Window.partitionBy(col("qid"), col("_part"))
@@ -825,6 +1006,29 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("qid"), col("nbr"), col("score"), col("rank"))
   }
+
+  /** Long-form PQ codes (`nbr, sub, code`) unpacked back out of a
+    * persisted index's cells table — the oracle-export / audit shape.
+    * Codes round-trip PackI8 → parquet → UnpackI8 exactly (signed bytes),
+    * so this equals the pqEncode long form the index was built from.
+    */
+  def pqCodesFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(s"$dir/cells")
+      .select(col("nbr"),
+        posexplode(graft.functions.UnpackI8(col("pqcodes")))
+          .as(Seq("sub", "code")))
+
+  /** Per-level side of an occupancy-scaled √/√ two-level split: each
+    * level gets ⌈√autoNlist(n)⌉ cells (floor 4), so total cell count
+    * tracks the corpus and per-cell occupancy stays ~constant — the px64
+    * fix (fixed cell count made the whole-corpus batch join n²·nprobe/
+    * cells; MEASURED 104× at 30× before sizing, 17.1× after,
+    * SCALE_r15). At the oracle scales (≤ 2048 vectors) autoNlist floors
+    * at 16 → side 4, coinciding with the historical fixed 4×4 index.
+    */
+  def twoLevelSide(n: Long): Int =
+    math.max(4, math.ceil(math.sqrt(autoNlist(n).toDouble)).toInt)
 
   /** Signature width that targets a constant expected bucket occupancy:
     * bits = log2(n / target), clamped. With FIXED bits the bucket count is

@@ -126,10 +126,12 @@ object Wire {
     * connections' pumps).
     */
   final class Server[V] private[store] (read: Option[GraphReplica[V]],
-      write: Option[GraphStore[V]]) extends AutoCloseable {
+      write: Option[GraphStore[V]],
+      ann: Option[(SparkSession, String)] = None) extends AutoCloseable {
 
     private val readDir = Files.createTempDirectory("graft-wire-sread-")
     private val writeDir = Files.createTempDirectory("graft-wire-swrite-")
+    private val annDir = Files.createTempDirectory("graft-wire-sann-")
     private val server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
     @volatile private var running = true
     private val execLock = new Object
@@ -212,11 +214,51 @@ object Wire {
       }
     }
 
+    /** ANN point-serving over the wire: the client ships a query batch as
+      * parquet, the server runs the quantized serving path against its
+      * persisted index dir and ships the top-k answer back as parquet —
+      * the RemoteRead shape (request artifacts in, answer artifacts out)
+      * for the px63/px65 serving surface, so the IVF-SQ read path is
+      * reachable by the thin client without shared storage. Answer
+      * fidelity is parquet's, like every other frame.
+      */
+    private def handleAnn(header: String, files: Seq[(String, Array[Byte])])
+        : Seq[(String, Array[Byte])] = {
+      val (spark, idxDir) = ann.getOrElse(
+        throw new IllegalStateException("this server has no ann index"))
+      def str(k: String): Option[String] =
+        (s""""$k":\\s*"([A-Za-z0-9_-]+)"""").r.findFirstMatchIn(header)
+          .map(_.group(1))
+      def num(k: String, default: Int): Int =
+        (s""""$k":\\s*(-?\\d+)""").r.findFirstMatchIn(header)
+          .map(_.group(1).toInt).getOrElse(default)
+      val reqId = str("reqId").getOrElse(
+        throw new IllegalArgumentException("ann frame missing reqId"))
+      val idCol = str("idCol").getOrElse("vec_id")
+      val vecCol = str("vecCol").getOrElse("embedding")
+      val base = annDir.resolve(reqId)
+      Try(RemoteRead.deleteRecursivelyForTest(base))
+      lay(base, files)
+      require(Files.isDirectory(base.resolve("queries")),
+        "ann frame carried no queries/ parquet")
+      val answer = graft.pipeline.Similarity.quantizedTopKFromIndex(
+        spark, idxDir,
+        spark.read.parquet(base.resolve("queries").toString),
+        idCol, vecCol, k = num("k", 10), p1 = num("p1", 2),
+        nprobe = num("nprobe", 4), rerank = num("rerank", 0))
+      answer.coalesce(1).write.mode("overwrite")
+        .parquet(base.resolve("answer").toString)
+      val ansDir = base.resolve("answer")
+      regularFilesUnder(ansDir).map(f =>
+        (s"answer/${ansDir.relativize(f)}", Files.readAllBytes(f)))
+    }
+
     private def handle(header: String, files: Seq[(String, Array[Byte])])
         : (String, Seq[(String, Array[Byte])]) = execLock.synchronized {
       kindOf(header) match {
         case "read" => ("""{"kind": "ack"}""", handleRead(files))
         case "write" => ("""{"kind": "ack"}""", handleWrite(files))
+        case "ann" => ("""{"kind": "ack"}""", handleAnn(header, files))
         case k => throw new IllegalArgumentException(s"unknown frame kind '$k'")
       }
     }
@@ -278,6 +320,15 @@ object Wire {
 
   def serve[V](replica: GraphReplica[V], store: GraphStore[V]): Server[V] =
     new Server(Some(replica), Some(store))
+
+  /** Serve quantized ANN top-k over the wire from a persisted two-level
+    * index dir. The session must carry the serving conf
+    * (`dynamicPartitionPruning.reuseBroadcastOnly=false` — see
+    * Similarity.twoLevelTopKFromIndex) or every served scan silently
+    * degrades to a full read.
+    */
+  def serveAnn(spark: SparkSession, indexDir: String): Server[Nothing] =
+    new Server[Nothing](None, None, Some((spark, indexDir)))
 
   // ------------------------------------------------------------ clients
 
@@ -426,5 +477,51 @@ object Wire {
       catch { case e: Throwable => pump.checkFailed(); throw e }
 
     def close(): Unit = pump.close()
+  }
+
+  /** Thin network ANN client: ships a query batch (parquet) as one frame
+    * to a [[serveAnn]] server and returns its quantized top-k answer as a
+    * DataFrame — the reference client's synchronous per-request round
+    * trip, for the IVF-SQ serving surface. One connection per instance;
+    * calls are serialized on it (open several clients for concurrency,
+    * the RemoteRead posture).
+    */
+  final class AnnClient(spark: SparkSession, host: String, port: Int)
+      extends AutoCloseable {
+    private val sock = new Socket(host, port)
+    private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    private val base = Files.createTempDirectory("graft-wire-cann-")
+
+    def topK(queries: org.apache.spark.sql.DataFrame,
+        idCol: String = "vec_id", vecCol: String = "embedding",
+        k: Int = 10, p1: Int = 2, nprobe: Int = 4,
+        rerank: Int = 0): org.apache.spark.sql.DataFrame = synchronized {
+      Seq(idCol, vecCol).foreach(c => require(c.matches("[A-Za-z0-9_-]+"),
+        s"column name '$c' must be [A-Za-z0-9_-]+ (it rides a json header)"))
+      val reqId = freshClientId()
+      val reqDir = base.resolve(reqId)
+      val qDir = reqDir.resolve("queries")
+      queries.coalesce(1).write.mode("overwrite").parquet(qDir.toString)
+      val files = regularFilesUnder(qDir).map(f =>
+        (s"queries/${qDir.relativize(f)}", Files.readAllBytes(f)))
+      writeFrame(out,
+        s"""{"kind": "ann", "reqId": "$reqId", "idCol": "$idCol", """ +
+          s""""vecCol": "$vecCol", "k": $k, "p1": $p1, "nprobe": $nprobe, """ +
+          s""""rerank": $rerank}""",
+        files)
+      val (h, ansFiles) = readFrame(in)
+      if (kindOf(h) == "error")
+        throw new IllegalStateException(s"ann request refused: $h")
+      ansFiles.foreach { case (rel, bytes) =>
+        require(rel.startsWith("answer/"), s"unexpected ann answer artifact $rel")
+        val t = reqDir.resolve(requireSafe(rel))
+        Files.createDirectories(t.getParent)
+        Files.write(t, bytes)
+      }
+      spark.read.parquet(reqDir.resolve("answer").toString)
+    }
+
+    def close(): Unit = { Try(sock.close()); () }
   }
 }

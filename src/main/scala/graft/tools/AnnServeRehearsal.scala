@@ -13,10 +13,16 @@ import graft.pipeline.Similarity
   *  1. the BATCH AMORTIZATION curve — wall-clock and queries/sec for
   *     query batches of 1, 64 and 1024 served in ONE pass each (px64's
   *     one-scan-answers-all posture; the ANN analog of SERVE_r14's
-  *     batched_speedup story), and
+  *     batched_speedup story),
   *  2. the SCAN-BYTE REDUCTION of quantized serving (px63) — executor
   *     input bytes of the int8-codes scan vs the float-vector scan for
-  *     the same probes, measured by a task-metrics listener.
+  *     the same probes, measured by a task-metrics listener, and
+  *  3. the RECALL LADDER — recall@10 vs exact brute-force cosine for
+  *     every serving mode at its DECLARED operating points (p1=2,
+  *     nprobe=4): px62 float IVF, px63 scale-corrected int8 (rerank=0),
+  *     px65 at rerank ∈ {10, 25, 100}, px66 PQ-ADC at (m=8, ksub=16)
+  *     and (m=16, ksub=16) — each next to its bytes-per-vector, the
+  *     number that justifies (or refuses) each compression step.
   *
   * Reads `embeddings.parquet` under the given data dir (use a
   * ScaleRehearsal output dir for the 30× corpus) WITHOUT touching its
@@ -183,6 +189,51 @@ object AnnServeRehearsal {
           s""""cells_bytes_total":${p.staticBytes}}"""
       }.mkString("[", ",", "]")
 
+    // ---- recall ladder: every serving mode vs exact brute force @10 ----
+    val rk = 10
+    val rQueries = queriesOf(batches.filter(_ <= 64).max)
+    val nQ = rQueries.count()
+    def topSets(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "nbr").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exactTop = topSets(Similarity.bruteForceTopK(corpus, rQueries,
+      "vec_id", "embedding", k = rk))
+    def recallOf(df: DataFrame): Double = {
+      val got = topSets(df)
+      val per = exactTop.map { case (q, truth) =>
+        got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      per.sum / math.max(per.size, 1)
+    }
+    val idxR = Similarity.loadTwoLevelIndex(spark, dir)
+    val rFloat = recallOf(Similarity.twoLevelTopKFromIndex(idxR, rQueries,
+      "vec_id", "embedding", k = rk))
+    val rInt8 = recallOf(Similarity.quantizedTopKFromIndex(spark, dir,
+      rQueries, "vec_id", "embedding", k = rk))
+    val rRerank = Seq(10, 25, 100).map { r =>
+      r -> recallOf(Similarity.quantizedTopKFromIndex(spark, dir, rQueries,
+        "vec_id", "embedding", k = rk, rerank = r))
+    }
+    val rPq8 = recallOf(Similarity.pqAdcTopKFromIndex(spark, dir,
+      rQueries, "vec_id", "embedding", k = rk))
+    // a second index whose PQ uses 16 subspaces (4-dim slices, 16 B/vec)
+    val dir16 = Files.createTempDirectory("graft_ann_serve16_").toString
+    Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", dir16,
+      nlist1 = side, k2 = side, iters = 1, pqM = 16, pqKsub = 16)
+    val rPq16 = recallOf(Similarity.pqAdcTopKFromIndex(spark, dir16,
+      rQueries, "vec_id", "embedding", k = rk))
+    val dim = idxR.l1.head.length
+    val recallJson =
+      s"""{"k":$rk,"queries":$nQ,"p1":2,"nprobe":4,""" +
+        s""""px62_float":{"recall":${fmt(rFloat)},"bytes_per_vec":${4 * dim}},""" +
+        s""""px63_int8":{"recall":${fmt(rInt8)},"bytes_per_vec":${dim + 8}},""" +
+        rRerank.map { case (r, v) =>
+          s""""px65_rerank$r":{"recall":${fmt(v)},"bytes_per_vec":${dim + 8}}"""
+        }.mkString("", ",", ",") +
+        s""""px66_pq_m8":{"recall":${fmt(rPq8)},"bytes_per_vec":8},""" +
+        s""""px66_pq_m16":{"recall":${fmt(rPq16)},"bytes_per_vec":16}}"""
+
     val colBytes = columnBytes(s"$dir/cells")
     val cvB = colBytes.getOrElse("cv.list.element", colBytes.getOrElse("cv", 0L))
     val codesB = colBytes.getOrElse("codes", 0L)
@@ -191,6 +242,7 @@ object AnnServeRehearsal {
         s""""k":$k,"train_sec":${fmt(trainSec)},""" +
         s""""float":${curveJson(floatCurve)},""" +
         s""""quantized":${curveJson(quantCurve)},""" +
+        s""""recall":$recallJson,""" +
         s""""cv_bytes_on_disk":$cvB,"codes_bytes_on_disk":$codesB,""" +
         s""""column_byte_ratio":${fmt(cvB.toDouble / math.max(codesB, 1L))},""" +
         s""""column_bytes":${colBytes.toSeq.sortBy(_._1).map { case (c, b) =>

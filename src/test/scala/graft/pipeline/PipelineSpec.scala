@@ -460,13 +460,44 @@ class PipelineSpec extends AnyFunSuite {
     try {
       Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", dir,
         nlist1 = 4, k2 = 4, iters = 1)
-      // integer serving ranks by the exact int8 dot (ties on nbr) — spot
-      // check one query's order against a driver-side replay from cv
+      // integer serving scores with the exact int8 dot and RANKS on the
+      // scale-corrected qsim ≈ cosine (ties on nbr)
       val served = Similarity.quantizedTopKFromIndex(spark, dir, queries,
         "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4)
         .orderBy("qid", "rank").collect().toSeq
       assert(served.nonEmpty)
       assert(served.forall(_.getLong(3) <= 5L))
+      // qsim approximates cosine: every served score within quantization
+      // noise of the true cosine of that (query, neighbor) pair
+      val vecs = corpus.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0d; var na = 0d; var nb = 0d
+        for (i <- a.indices) {
+          d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i)
+        }
+        d / math.sqrt(na * nb)
+      }
+      served.foreach { r =>
+        val err = math.abs(r.getDouble(2) -
+          cos(vecs(r.getLong(0)), vecs(r.getLong(1))))
+        assert(err < 0.02,
+          s"qsim must track cosine (err $err for ${r.getLong(0)}->${r.getLong(1)})")
+      }
+      // RECALL of the pure integer path (rerank = 0) vs the float serving
+      // path over the same probed candidates — the corrected ranking must
+      // recover nearly all of the float path's top-5 (per-vector-scaled
+      // raw dots, the r15 ADVICE finding, lose systematically here)
+      val idxR = Similarity.loadTwoLevelIndex(spark, dir)
+      val floatTop = Similarity.twoLevelTopKFromIndex(idxR, queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4)
+        .select("qid", "nbr").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val intTop = served.map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (floatTop & intTop).size.toDouble / floatTop.size
+      assert(recall >= 0.9,
+        s"corrected integer ranking recall@5 vs float path = $recall (< 0.9)")
       // the rerank-covering-all-candidates variant EQUALS the float path:
       // same candidate set (same probes, same cells), same cosine ranking
       val idx = Similarity.loadTwoLevelIndex(spark, dir)
@@ -479,8 +510,9 @@ class PipelineSpec extends AnyFunSuite {
         .select("qid", "nbr", "rank").orderBy("qid", "rank").collect().toSeq
       assert(rerankAll === full,
         "exact re-rank over the full probed candidate set must equal the float serving path")
-      // the integer path's cells scan reads the packed codes column, NOT
-      // the float vectors, and prunes to the probed compound partitions
+      // the integer path's cells scan reads the packed codes column and
+      // its 8-byte scale correction, NOT the float vectors, and prunes
+      // to the probed compound partitions
       val plan = Similarity.quantizedTopKFromIndex(spark, dir, queries,
         "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4)
         .queryExecution.executedPlan.toString
@@ -491,8 +523,9 @@ class PipelineSpec extends AnyFunSuite {
         .filter(l => l.contains("ReadSchema") && l.contains("/cells"))
         .toSeq
       assert(cellScans.nonEmpty && cellScans.forall(l =>
-        l.contains("codes:binary") && !l.contains("cv:")),
-        s"integer serving must scan codes, never cv:\n${cellScans.mkString("\n")}")
+        l.contains("codes:binary") && l.contains("qscale:double") &&
+          !l.contains("cv:")),
+        s"integer serving must scan codes+qscale, never cv:\n${cellScans.mkString("\n")}")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
@@ -559,10 +592,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(codes.count() === n * 8)
     assert(codes.groupBy("nbr").count().where(col("count") =!= 8).count() === 0L)
     assert(codes.where(col("code") < 0 || col("code") >= 16).count() === 0L)
-    // exact ADC check: with a FULL-COVERAGE codebook (ksub = n, iters = 0
-    // — the seeds ARE the corpus slices) every slice's entry is an exact
-    // copy of itself, so the ADC score must equal the per-slice-quantized
-    // integer dot computed directly, with no codebook in the loop
+    // exact ADC check: with a FULL-COVERAGE codebook (ksub = n, pqIters =
+    // 0 — the seeds ARE the corpus slices) every slice's entry is an
+    // exact copy of itself, so each candidate's LUT entries are the
+    // rounded float dots against its OWN slices and the ADC score must
+    // equal the same formula computed directly, with no codebook in the
+    // loop: per-slice round(dot, 6), ONE shared per-query scale over the
+    // whole LUT domain (all m × ksub entries — i.e. all corpus slices,
+    // not just the probed candidates'), floor(·127/max + 0.5), sum
     val dir = java.nio.file.Files.createTempDirectory("graft_pq_adc").toString
     try {
       // full coverage needs ksub = |corpus| ≤ 127 (the int8 pack bound) —
@@ -570,39 +607,45 @@ class PipelineSpec extends AnyFunSuite {
       val sub = embs.where(col("vec_id") < 100)
         .select(col("vec_id"), col("embedding"))
       Similarity.saveTwoLevelIndex(sub, "vec_id", "embedding", dir,
-        nlist1 = 4, k2 = 4, iters = 1)
-      val cbFull = Similarity.pqCodebook(sub, "vec_id", "embedding",
-        dim = 64, m = 8, ksub = sub.count().toInt, iters = 0)
-      val codesFull = Similarity.pqEncode(sub, "vec_id", "embedding",
-        cbFull, dim = 64, m = 8)
+        nlist1 = 4, k2 = 4, iters = 1,
+        pqM = 8, pqKsub = sub.count().toInt, pqIters = 0)
       val queries = embs.where(col("vec_id") < 5)
         .select(col("vec_id"), col("embedding"))
-      val served = Similarity.pqAdcTopKFromIndex(spark, dir, cbFull,
-        codesFull, queries, "vec_id", "embedding", k = 5,
-        dim = 64, m = 8, p1 = 2, nprobe = 4)
+      val served = Similarity.pqAdcTopKFromIndex(spark, dir,
+        queries, "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4)
         .select("qid", "nbr", "score", "rank")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq
-      // the direct computation: same probed candidates, per-slice int8
-      // quantization on BOTH sides, integer dot per slice, exact sum
+      // the direct computation: same probed candidates, rounded float
+      // slice dots, shared per-query LUT scale, integer floor, exact sum
       val idx = Similarity.loadTwoLevelIndex(spark, dir)
       val probes = Similarity.twoLevelProbes(queries, "vec_id", "embedding",
         Similarity.TwoLevelModel(idx.l1, idx.l2), p1 = 2, nprobe = 4)
       def sliced(df: org.apache.spark.sql.DataFrame, id: String) =
         df.select(col(id), explode(sequence(lit(0), lit(7))).as("sub"),
           col("embedding").as("v"))
-          .select(col(id), col("sub"),
-            Similarity.intCodes(expr("slice(v, sub * 8 + 1, 8)")).as("c"))
+          .select(col(id), col("sub"), expr("slice(v, sub * 8 + 1, 8)").as("c"))
       val qs = sliced(embs.where(col("vec_id") < 5), "vec_id")
         .withColumnRenamed("vec_id", "qid").withColumnRenamed("c", "qc")
       val cs = sliced(embs.where(col("vec_id") < 100), "vec_id")
         .withColumnRenamed("vec_id", "nbr").withColumnRenamed("c", "cc")
+      // LUT domain = every (query slice, corpus slice) pair — the shared
+      // scale is the max over the WHOLE per-query table
+      val parts = qs.join(cs, Seq("sub"))
+        .select(col("qid"), col("nbr"), col("sub"),
+          round(Similarity.dotD(col("qc"), col("cc")), 6).as("fpart"))
+      val lm = parts.groupBy("qid").agg(max(abs(col("fpart"))).as("_lm"))
+      val quant = parts.join(lm, Seq("qid"))
+        .select(col("qid"), col("nbr"), col("sub"),
+          when(col("_lm") > 0d,
+            floor(col("fpart") * lit(127.0d) / col("_lm") + lit(0.5d)))
+            .otherwise(lit(0L)).cast("long").as("part"))
       val expected = idx.cells.select("nbr", "_c1", "_c2")
         .join(probes.select("qid", "_c1", "_c2"), Seq("_c1", "_c2"))
         .where(col("qid") =!= col("nbr")).select("qid", "nbr").distinct()
-        .join(cs, Seq("nbr")).join(qs, Seq("qid", "sub"))
+        .join(quant, Seq("qid", "nbr"))
         .groupBy("qid", "nbr")
-        .agg(sum(graft.functions.DotI64(col("qc"), col("cc"))).as("score"))
+        .agg(sum(col("part")).as("score"))
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy("qid")
             .orderBy(col("score").desc, col("nbr"))).cast("bigint"))
@@ -610,7 +653,7 @@ class PipelineSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq
       assert(served === expected,
-        "full-coverage ADC must equal the direct per-slice integer score")
+        "full-coverage ADC must equal the direct per-slice quantized-LUT score")
       assert(served.nonEmpty)
     } finally {
       def rm(f: java.io.File): Unit = {
@@ -654,6 +697,50 @@ class PipelineSpec extends AnyFunSuite {
       Similarity.appendToTwoLevelIndex(spark, dir, partB, "vec_id", "embedding")
       assert(Similarity.loadTwoLevelIndex(spark, dir).cells.count()
         === embs.count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("PQ codes are index-lifecycle state: append encodes with the frozen codebook") {
+    val partA = embs.where(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val partB = embs.where(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf2_pqapp").toString
+    try {
+      Similarity.saveTwoLevelIndex(partA, "vec_id", "embedding", dir,
+        nlist1 = 4, k2 = 4, iters = 1)
+      val frozen = spark.read.parquet(s"$dir/pq_cb")
+      Similarity.appendToTwoLevelIndex(spark, dir, partB, "vec_id", "embedding")
+      // every row's in-index codes (build-time for partA, append-time for
+      // partB) equal a direct pqEncode of the full corpus against the
+      // FROZEN half-trained codebook — appends encode with exactly the
+      // persisted artifacts, the scalar-codes discipline at PQ depth
+      val fromIndex = Similarity.pqCodesFromIndex(spark, dir)
+        .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+      val direct = Similarity.pqEncode(
+        embs.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+        frozen, dim = 64, m = 8)
+        .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getInt(2).toLong)).toMap
+      assert(fromIndex.size === embs.count() * 8)
+      assert(fromIndex === direct,
+        "in-index PQ codes must equal a direct encode with the frozen codebook")
+      // an appended vector is immediately servable by the ADC path
+      val served = Similarity.pqAdcTopKFromIndex(spark, dir,
+        embs.where(col("vec_id") < 5).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4)
+        .collect()
+      assert(served.nonEmpty)
+      assert(served.exists(_.getLong(1) % 2 === 1),
+        "appended (odd-id) vectors must be reachable by ADC serving")
+      // retry idempotence covers the PQ column too: re-append changes nothing
+      val before = Similarity.pqCodesFromIndex(spark, dir).count()
+      Similarity.appendToTwoLevelIndex(spark, dir, partB, "vec_id", "embedding")
+      assert(Similarity.pqCodesFromIndex(spark, dir).count() === before)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

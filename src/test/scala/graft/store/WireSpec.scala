@@ -231,6 +231,36 @@ class WireSpec extends AnyFunSuite {
     out.writeInt(hb.length); out.write(hb)
   }
 
+  test("quantized ANN top-k served through the wire == in-process serve") {
+    import org.apache.spark.sql.functions.col
+    val embs = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val idxDir = Files.createTempDirectory("graft-wire-annidx-").toString
+    graft.pipeline.Similarity.saveTwoLevelIndex(embs, "vec_id", "embedding",
+      idxDir, nlist1 = 4, k2 = 4, iters = 1)
+    val queries = embs.where(col("vec_id") < 5)
+    val server = Wire.serveAnn(spark, idxDir)
+    val client = new Wire.AnnClient(spark, server.host, server.port)
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("qid", "nbr", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._3)).toSeq
+      // the wire answer IS the in-process quantized serve (parquet
+      // round-trip is exact; the server runs the same entry point)
+      val direct = rows(graft.pipeline.Similarity.quantizedTopKFromIndex(
+        spark, idxDir, queries, "vec_id", "embedding", k = 5))
+      assert(rows(client.topK(queries, k = 5)) === direct)
+      assert(direct.nonEmpty)
+      // rerank rides the same header; a second request reuses the socket
+      val rdirect = rows(graft.pipeline.Similarity.quantizedTopKFromIndex(
+        spark, idxDir, queries, "vec_id", "embedding", k = 5, rerank = 25))
+      assert(rows(client.topK(queries, k = 5, rerank = 25)) === rdirect)
+    } finally {
+      client.close(); server.close()
+    }
+  }
+
   test("frames violating each framing bound get a typed refusal; accept loop survives") {
     val server = new Wire.Server[Unit](None, None)
     try {
