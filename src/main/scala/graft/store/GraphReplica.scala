@@ -204,6 +204,19 @@ final class GraphReplica[V] private (
     */
   private var appliedMark: (Long, Long) = (Long.MinValue, Long.MinValue)
 
+  /** The WAL coverage of the current replica state, as an
+    * (eventsIndex, batchSeq) stamp: every batch dir ≤ this mark is folded
+    * in — via the bootstrap checkpoint (which covers all events dirs ≤
+    * [[bootstrapIndex]]) or an applied micro-batch. Mid-txn reads stamp
+    * their snapshot with this so the write server can detect at apply
+    * time whether anything the txn read was mutated after it
+    * (RemoteWrite's stale-read conflict check).
+    */
+  def watermark: (Long, Long) = {
+    val boot = (bootstrapIndex, Long.MaxValue)
+    if (Ordering[(Long, Long)].gt(appliedMark, boot)) appliedMark else boot
+  }
+
   /** Fold one micro-batch of WAL rows into the follower state, in WAL
     * order. Rows from event dirs ≤ [[bootstrapIndex]] are already folded
     * into the bootstrap checkpoint and are dropped (permanently — the file

@@ -251,6 +251,65 @@ final class GraphStore[V] private (
       txnTagCache = txnTagCache.toMap
         .updated(txnId, json.replaceAll("[\r\n]+", " ").trim)
 
+  /** Node ids mutated by WAL batches COMMITTED AFTER `mark` (an
+    * (eventsIndex, batchSeq) coverage stamp, GraphReplica.watermark),
+    * plus whether any of them removed a node — the server side of the
+    * stale-read conflict check (RemoteWrite): a shipped txn whose
+    * snapshot reads predate these mutations is refused instead of
+    * silently applying a lost update. Mutations: `set`/`rm` touch their
+    * id; `add`/`rmt` touch the SOURCE's target list; `new` touches
+    * nothing pre-existing. Scans only the batch dirs beyond the mark
+    * (live + archive) — bounded in practice by snapshot freshness; a
+    * window larger than the replay bound returns Left (the caller
+    * refuses the txn with "retry on a fresh snapshot" rather than
+    * collecting unbounded state onto the driver).
+    */
+  private[store] def mutatedSince(mark: (Long, Long))
+      : Either[String, (Set[Long], Boolean)] = {
+    val BatchRe = """batch-(\d+)(-bulk)?""".r
+    def evDirs(base: Path): Seq[Path] =
+      if (!Files.isDirectory(base)) Seq.empty
+      else GraphStore.listDirs(base, _.endsWith(".events"))
+    val dirs = (evDirs(path) ++ evDirs(path.resolve("archive"))).flatMap { ev =>
+      Try(ev.getFileName.toString.stripSuffix(".events").toLong).toOption
+        .toSeq.flatMap { eidx =>
+          GraphStore.listDirs(ev, _.startsWith("batch-")).flatMap { b =>
+            b.getFileName.toString match {
+              case BatchRe(k, _)
+                  if Ordering[(Long, Long)].gt((eidx, k.toLong), mark) &&
+                    Files.exists(b.resolve("_SUCCESS")) => Some(b)
+              case _ => None
+            }
+          }
+        }
+    }
+    if (dirs.isEmpty) Right((Set.empty, false))
+    else Try {
+      val rows = spark.read.parquet(dirs.map(_.toString): _*)
+        .where(org.apache.spark.sql.functions.col("op")
+          .isin("set", "add", "rmt", "rm"))
+        .select(org.apache.spark.sql.functions.col("op"),
+          org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("src"))
+        .limit(GraphStore.maxReplayBatchRows + 1)
+        .collect()
+      if (rows.length > GraphStore.maxReplayBatchRows)
+        Left(s"more than ${GraphStore.maxReplayBatchRows} mutations since " +
+          "the snapshot mark")
+      else {
+        val mutated = rows.iterator.map { r =>
+          r.getString(0) match {
+            case "set" | "rm" => r.getLong(1)
+            case _ => r.getLong(2)
+          }
+        }.toSet
+        Right((mutated, rows.exists(_.getString(0) == "rm")))
+      }
+    }.toEither.left.map(e =>
+      s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+      .flatten
+  }
+
   /** Test-only fault injection: the next [[writeWalBatch]] throws AFTER the
     * staging write, exercising the failure-cleanup path.
     */

@@ -146,6 +146,16 @@ object RemoteRead {
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
 
+    /** The serving replica's WAL-coverage stamp (GraphReplica.watermark)
+      * — fetched once when a mid-txn-read snapshot is constructed, so the
+      * write server can refuse stale reads at apply time.
+      */
+    def watermark(timeoutMs: Long = 30000L): (Long, Long) = {
+      val reqId = submit(s""""op": "watermark"""")
+      val r = rows(await(reqId, timeoutMs)).head
+      (r.getLong(0), r.getLong(1))
+    }
+
     private def rows(ack: ReadAck) = ack.result match {
       case Right(df) => df.collect().toSeq
       case Left(err) => throw new NoSuchElementException(
@@ -317,6 +327,13 @@ object RemoteRead {
           val (n, e, i) = replica.getStats(fld(req, "id").fold(0L)(_.toLong))
           import spark.implicits._
           Seq((n, e, i)).toDF("nodes", "edges", "index")
+        case "watermark" =>
+          // the replica state's WAL coverage stamp — what a mid-txn-read
+          // snapshot carries so the write server can conflict-check at
+          // apply time (RemoteWrite stale-read detection)
+          val (we, wb) = replica.watermark
+          import spark.implicits._
+          Seq((we, wb)).toDF("eidx", "bseq")
         case other =>
           throw new IllegalArgumentException(s"unknown read op '$other'")
       }

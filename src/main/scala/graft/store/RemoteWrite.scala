@@ -114,28 +114,43 @@ object RemoteWrite {
   /** Snapshot reads an open [[RemoteTxn]] overlays its pending ops on —
     * the base leg of read-your-uncommitted-writes. Adapters below wrap the
     * existing read surfaces; `getValue` is total (None for unknown ids).
+    *
+    * `mark` is the snapshot's WAL-coverage stamp (GraphReplica.watermark,
+    * captured ONCE at construction — conservative: reads can only observe
+    * newer state, so conflict-checking against the construction-time mark
+    * never misses a conflict). `None` (legacy adapters) disables the
+    * apply-time staleness check — the txn applies optimistically, the
+    * pre-r16 behavior.
     */
   trait TxnReads[V] {
     def getValue(n: Long): Option[V]
     def targets(n: Long): Seq[Long]
+    def mark: Option[(Long, Long)] = None
   }
 
   object TxnReads {
     /** Mid-txn reads against a thin read client (shared-storage or wire —
-      * the wire's ReadClient wraps this same class).
+      * the wire's ReadClient wraps this same class). Fetches the serving
+      * replica's watermark once, up front, as the snapshot stamp.
       */
-    def fromRemoteRead[V](c: RemoteRead.Client[V]): TxnReads[V] =
+    def fromRemoteRead[V](c: RemoteRead.Client[V]): TxnReads[V] = {
+      val m = c.watermark()
       new TxnReads[V] {
         def getValue(n: Long): Option[V] = c.getValues(Seq(n)).get(n)
         def targets(n: Long): Seq[Long] = c.targets(n)
+        override def mark: Option[(Long, Long)] = Some(m)
       }
+    }
 
     /** Mid-txn reads against a local follower replica. */
-    def fromReplica[V](r: GraphReplica[V]): TxnReads[V] =
+    def fromReplica[V](r: GraphReplica[V]): TxnReads[V] = {
+      val m = r.watermark
       new TxnReads[V] {
         def getValue(n: Long): Option[V] = r.getValues(Seq(n)).get(n)
         def targets(n: Long): Seq[Long] = r.targets(n)
+        override def mark: Option[(Long, Long)] = Some(m)
       }
+    }
   }
 
   /** Transaction builder — the client-side action DSL (Client.hs:53-60).
@@ -153,16 +168,34 @@ object RemoteWrite {
     * ([[TxnReads]]) — no lock is held across the wire. Under the
     * single-writer discipline the group-commit server enforces, a
     * caught-up snapshot makes these reads exactly what the reference's
-    * lock-holding reads return; with concurrent writers they are
-    * optimistic (the snapshot can be stale — the documented difference,
-    * and the reason the reference itself flags its held write lock as a
-    * hazard).
+    * lock-holding reads return. With concurrent writers the reads are
+    * VALIDATED AT APPLY TIME instead of locked: the txn ships its
+    * snapshot's WAL mark plus the ids it read, and the server refuses
+    * with a typed stale-read conflict if any of them was mutated by a
+    * later-committed txn (see applyOne) — optimistic concurrency where
+    * the reference holds a lock, with the lost-update shape turned from
+    * a silent apply into a retry signal.
     */
   final class RemoteTxn[V] private[store] (
       reads: Option[TxnReads[V]] = None) {
     private[store] val ops = mutable.ArrayBuffer[GraphOp[V]]()
     private val defined = mutable.Set[Long]()
     private var locals = 0
+    // global ids whose SNAPSHOT state this txn's reads depended on —
+    // shipped with the txn (plus the snapshot's WAL mark) so the server
+    // can refuse at apply time if any of them was mutated by a
+    // later-committed txn: the lock-free stand-in for the reference's
+    // reads-under-the-held-write-lock serializability (GraphDB.hs:288-289)
+    private[store] val valueReads = mutable.Set[Long]()
+    private[store] val targetReads = mutable.Set[Long]()
+
+    /** (snapshot mark, value-read ids, targets-read ids) when this txn
+      * performed snapshot-dependent reads against a stamped snapshot.
+      */
+    private[store] def readsInfo: Option[((Long, Long), Set[Long], Set[Long])] =
+      reads.flatMap(_.mark)
+        .map(m => (m, valueReads.toSet, targetReads.toSet))
+        .filter { case (_, v, t) => v.nonEmpty || t.nonEmpty }
 
     private def checkRef(x: Long, what: String): Unit =
       require(x >= 0 || defined(x),
@@ -210,12 +243,16 @@ object RemoteWrite {
         case GraphOp.NewNode(r, v) if r == n => v
         case GraphOp.SetValue(m, v) if m == n => v
       }
-      local.getOrElse(
+      local.getOrElse {
+        // the answer depends on the SNAPSHOT (no local override) — record
+        // the dependency for the apply-time staleness check
+        if (n >= 0 && reads.isDefined) valueReads += n
         reads.flatMap(_.getValue(n)).getOrElse(
           throw new NoSuchElementException(
             if (reads.isEmpty)
               s"unknown node $n (no snapshot attached — use submitWithReads)"
-            else s"unknown node $n")))
+            else s"unknown node $n"))
+      }
     }
 
     /** The targets `src` would have if this txn committed now: snapshot
@@ -227,6 +264,7 @@ object RemoteWrite {
       */
     def targets(src: Long): Seq[Long] = {
       checkRef(src, "targets")
+      if (src >= 0 && reads.isDefined) targetReads += src
       val base =
         if (src >= 0) reads.map(_.targets(src).toVector).getOrElse(Vector.empty)
         else Vector.empty
@@ -303,10 +341,21 @@ object RemoteWrite {
       }
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), GraphStore.opSchema(model))
+      // snapshot-read dependencies ride the txn meta so the server can
+      // conflict-check at apply time; bounded — interactive reads are
+      // handfuls, and an unbounded list would be driver/meta pressure
+      val readsJson = txn.readsInfo.map { case ((me, mb), vr, tr) =>
+        require(vr.size + tr.size <= 10000,
+          s"txn read ${vr.size + tr.size} distinct nodes; the stale-read " +
+            "check ships read ids in the txn meta and caps them at 10000")
+        s""", "readMark": [$me, $mb]""" +
+          s""", "valueReads": [${vr.toSeq.sorted.mkString(", ")}]""" +
+          s""", "targetReads": [${tr.toSeq.sorted.mkString(", ")}]"""
+      }.getOrElse("")
       try {
         df.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
         Files.writeString(staging.resolve(MetaName),
-          s"""{"formatVersion": ${GraphStore.FormatVersion}, "txnId": "$txnId", "ops": ${txn.ops.size}}""")
+          s"""{"formatVersion": ${GraphStore.FormatVersion}, "txnId": "$txnId", "ops": ${txn.ops.size}$readsJson}""")
         Files.createDirectories(target.getParent)
         Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
       } catch {
@@ -484,6 +533,13 @@ object RemoteWrite {
       }
     val createdThisPoll = mutable.Set[Long]()
     val removedThisPoll = mutable.Set[Long]()
+    // ids mutated by txns applied EARLIER IN THIS POLL (their WAL batch is
+    // not yet flushed, so mutatedSince cannot see them) — the intra-poll
+    // leg of the stale-read conflict check
+    val mutatedThisPoll = mutable.Set[Long]()
+    // one WAL-suffix scan per distinct snapshot mark per poll
+    val mutatedSinceCache =
+      mutable.Map[(Long, Long), Either[String, (Set[Long], Boolean)]]()
     val tApply0 = System.nanoTime()
     var flushNanos = 0L
     var flushCommitNanos = 0L
@@ -565,7 +621,8 @@ object RemoteWrite {
     }
     todo.foreach { case (dir, txnId) =>
       val ack = applyOne(store, inbox, txnId, loaded(txnId),
-        existsAtStart, createdThisPoll, removedThisPoll)
+        existsAtStart, createdThisPoll, removedThisPoll,
+        mutatedThisPoll, mutatedSinceCache)
       if (ack.applied) {
         group += ((dir, txnId, ack))
         groupOps += loaded(txnId).toOption.map(_.size).getOrElse(0)
@@ -708,11 +765,31 @@ object RemoteWrite {
     }
   }
 
+  /** Parse the optional snapshot-read stamp out of a shipped txn's meta:
+    * (mark, value-read ids, targets-read ids). Absent for txns built
+    * without reads (or against an unstamped snapshot) — those apply
+    * optimistically, the pre-r16 contract.
+    */
+  private[store] def parseReadInfo(meta: String)
+      : Option[((Long, Long), Set[Long], Set[Long])] = {
+    def ids(k: String): Set[Long] =
+      (s""""$k":\\s*\\[([^\\]]*)\\]""").r.findFirstMatchIn(meta)
+        .map(m => """-?\d+""".r.findAllIn(m.group(1)).map(_.toLong).toSet)
+        .getOrElse(Set.empty)
+    """"readMark":\s*\[\s*(-?\d+)\s*,\s*(-?\d+)\s*\]""".r
+      .findFirstMatchIn(meta)
+      .map(m => ((m.group(1).toLong, m.group(2).toLong),
+        ids("valueReads"), ids("targetReads")))
+  }
+
   private def applyOne[V](store: GraphStore[V], inbox: Path, txnId: String,
       loaded: Either[String, Seq[GraphOp[V]]],
       existsAtStart: Set[Long],
       createdThisPoll: mutable.Set[Long],
-      removedThisPoll: mutable.Set[Long]): TxnAck = {
+      removedThisPoll: mutable.Set[Long],
+      mutatedThisPoll: mutable.Set[Long],
+      mutatedSinceCache: mutable.Map[(Long, Long),
+        Either[String, (Set[Long], Boolean)]]): TxnAck = {
     def refused(msg: String) = TxnAck(txnId, applied = false, Map.empty, Some(msg))
     loaded match {
       case Left(msg) => refused(msg)
@@ -772,6 +849,39 @@ object RemoteWrite {
           return refused(s"ops reference unknown or removed global ids: " +
             missing.take(8).mkString(", "))
 
+        // STALE-READ CONFLICT CHECK (the apply-time stand-in for the
+        // reference's reads-under-the-held-write-lock serializability,
+        // GraphDB.hs:288-289): a txn that shipped snapshot-read
+        // dependencies is refused if any node it READ was mutated by a
+        // txn committed after its snapshot mark — the lost-update shape
+        // that previously applied silently. Value reads conflict with
+        // set/rm of the read id (and add/rmt of its target list);
+        // targets reads additionally conflict with ANY node removal
+        // (a removed node disappears from every other node's list
+        // without naming it — conservative, and removals are rare).
+        val meta = Try(Files.readString(
+          inbox.resolve(s"$txnId.txn").resolve(MetaName))).getOrElse("")
+        parseReadInfo(meta).foreach { case (mark, vReads, tReads) =>
+          mutatedSinceCache.getOrElseUpdate(mark, store.mutatedSince(mark)) match {
+            case Left(msg) =>
+              return refused(s"stale-read conflict check failed ($msg); " +
+                "rebuild the txn from a fresh snapshot")
+            case Right((mutated, removedAny)) =>
+              val mutAll = mutated ++ mutatedThisPoll
+              val hit = (vReads ++ tReads).filter(r =>
+                mutAll(r) || removedThisPoll(r))
+              if (hit.nonEmpty)
+                return refused("stale-read conflict: node(s) " +
+                  hit.toSeq.sorted.take(8).mkString(", ") +
+                  " mutated after the snapshot this txn read from — " +
+                  "rebuild the txn from a fresh snapshot")
+              if (tReads.nonEmpty && (removedAny || removedThisPoll.nonEmpty))
+                return refused("stale-read conflict: a node was removed " +
+                  "after the snapshot this txn's targets reads saw — " +
+                  "rebuild the txn from a fresh snapshot")
+          }
+        }
+
         // apply as one local txn (the reference worker's interpret loop),
         // resolving ordinals to fresh global ids as newNode executes.
         // IMPORTANT: from the first session mutation on, failures are
@@ -807,6 +917,12 @@ object RemoteWrite {
           // parquet publish, not N
           createdThisPoll ++= mapping.values
           removedThisPoll ++= ops.collect { case GraphOp.RemoveNode(id) => resolve(id) }
+          mutatedThisPoll ++= ops.collect {
+            case GraphOp.SetValue(id, _) => resolve(id)
+            case GraphOp.AddTarget(s, _) => resolve(s)
+            case GraphOp.RemoveTarget(s, _) => resolve(s)
+            case GraphOp.RemoveNode(id) => resolve(id)
+          }
           ack
         } catch {
           case scala.util.control.NonFatal(e) =>

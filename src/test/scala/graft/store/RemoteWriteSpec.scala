@@ -284,6 +284,76 @@ class RemoteWriteSpec extends AnyFunSuite {
     store.close()
   }
 
+  test("stale-read conflict: a lost update is refused at apply time; fresh snapshot retries") {
+    // THE lost-update shape: writer A reads node n from a snapshot,
+    // writer B commits a newer value, then A's read-derived write
+    // arrives. Pre-r16 this applied silently (A's write clobbers B's,
+    // derived from a value that no longer exists); now the txn ships its
+    // snapshot mark + read ids and the server refuses with a typed
+    // conflict — the apply-time stand-in for the reference's reads under
+    // the held write lock (GraphDB.hs:288-289).
+    val dir = Files.createTempDirectory("graft-rw-conflict-").toString
+    val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val n = store.session.newNode(Artist(1, "v0"))
+    store.session.addTarget(store.session.root, n)
+    store.commit()
+    val replica = GraphReplica.bootstrap(spark, CatalogueModel, dir)
+    replica.catchUp()
+    val inbox = freshInbox()
+    val staleSnap = RemoteWrite.TxnReads.fromReplica(replica)
+    assert(staleSnap.mark.isDefined, "replica snapshots must carry a mark")
+    // B commits between A's snapshot and A's apply
+    val clientB = new Client(spark, CatalogueModel, inbox, "wb")
+    val tB = clientB.submit(txn => txn.setValue(n, Artist(1, "B")))
+    RemoteWrite.applyPending(store, inbox)
+    assert(clientB.await(tB).applied)
+    // A builds a read-derived write against the STALE snapshot
+    val clientA = new Client(spark, CatalogueModel, inbox, "wa")
+    val tA = clientA.submitWithReads(staleSnap) { txn =>
+      val v = txn.getValue(n).asInstanceOf[Artist]
+      txn.setValue(n, Artist(1, v.name + "+A"))
+    }
+    RemoteWrite.applyPending(store, inbox)
+    val ack = clientA.await(tA)
+    assert(!ack.applied, "the lost update must not apply silently")
+    assert(ack.error.exists(_.contains("stale-read conflict")), ack.error)
+    assert(store.session.getValue(n) === Artist(1, "B"),
+      "B's committed write must survive")
+    // retry on a FRESH snapshot sees B's value and applies
+    replica.catchUp()
+    val tA2 = clientA.submitWithReads(RemoteWrite.TxnReads.fromReplica(replica)) { txn =>
+      val v = txn.getValue(n).asInstanceOf[Artist]
+      txn.setValue(n, Artist(1, v.name + "+A"))
+    }
+    RemoteWrite.applyPending(store, inbox)
+    assert(clientA.await(tA2).applied)
+    assert(store.session.getValue(n) === Artist(1, "B+A"))
+    // INTRA-poll leg: a same-poll EARLIER txn's mutation is not yet
+    // WAL-flushed (group commit), so mutatedSince cannot see it — the
+    // driver-side mutatedThisPoll tracking must catch it. Txns apply in
+    // lexicographic dir order, so the writer's clientId ("w0") sorts
+    // before the reader's ("wa"): writer applies first, reader conflicts.
+    replica.catchUp()
+    val snap2 = RemoteWrite.TxnReads.fromReplica(replica)
+    val clientW0 = new Client(spark, CatalogueModel, inbox, "w0")
+    val t1 = clientW0.submit(txn => txn.setValue(n, Artist(1, "C")))
+    val t2 = clientA.submitWithReads(snap2) { txn =>
+      val v = txn.getValue(n).asInstanceOf[Artist]
+      txn.setValue(n, Artist(1, v.name + "+D"))
+    }
+    RemoteWrite.applyPending(store, inbox)
+    assert(clientW0.await(t1).applied)
+    val a2 = clientA.await(t2)
+    assert(!a2.applied, "same-poll mutation must also conflict")
+    assert(a2.error.exists(_.contains("stale-read conflict")), a2.error)
+    assert(store.session.getValue(n) === Artist(1, "C"))
+    // a txn WITHOUT reads still applies optimistically (no false refusal)
+    val tPlain = clientB.submit(txn => txn.setValue(n, Artist(1, "E")))
+    RemoteWrite.applyPending(store, inbox)
+    assert(clientB.await(tPlain).applied)
+    store.close()
+  }
+
   test("mid-txn reads: read-your-uncommitted-writes overlay, then the commit matches") {
     // the reference client's interleaved read/write transaction window
     // (Server.hs:17-69, Client.hs:71-117): reads inside the open txn see

@@ -201,6 +201,36 @@ class WireSpec extends AnyFunSuite {
     }
   }
 
+  test("stale-read conflict composes over the wire: later write, typed refusal") {
+    // the wire snapshot is stamped with the server replica's watermark
+    // (one watermark request at construction); a write committed between
+    // the snapshot and the apply turns the read-derived txn into a typed
+    // stale-read refusal — the lost update never lands
+    val (store, dir, mj, _) = storeWithData()
+    val replica = GraphReplica.bootstrap(spark, CatalogueModel, dir)
+    replica.catchUp()
+    val server = Wire.serve(replica, store)
+    val rc = new Wire.ReadClient(spark, CatalogueModel, server.host, server.port)
+    val wc = new Wire.WriteClient(spark, CatalogueModel, server.host, server.port)
+    try {
+      val staleSnap = rc.txnReads
+      assert(staleSnap.mark.isDefined,
+        "wire snapshots must carry the server replica's watermark")
+      val t0 = wc.submit(txn => txn.setValue(mj, Artist(1, "B")))
+      assert(wc.await(t0).applied)
+      val t1 = wc.submitWithReads(staleSnap) { txn =>
+        val v = txn.getValue(mj).asInstanceOf[Artist]
+        txn.setValue(mj, Artist(1, v.name + "+A"))
+      }
+      val ack = wc.await(t1)
+      assert(!ack.applied, "the lost update must not apply over the wire")
+      assert(ack.error.exists(_.contains("stale-read conflict")), ack.error)
+      assert(store.session.getValue(mj) === Artist(1, "B"))
+    } finally {
+      rc.close(); wc.close(); server.close(); store.close()
+    }
+  }
+
   // ------------------------------------------------ malformed-frame bounds
 
   private def rawSocket(server: Wire.Server[_]) = {
