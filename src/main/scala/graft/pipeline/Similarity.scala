@@ -755,7 +755,11 @@ object Similarity {
     * path's top-10 EXACTLY, i.e. int8+scale costs no recall here, so
     * rerank buys nothing at this scale and the recommendation is
     * rerank=0 for serving, rerank≈25 as cheap insurance when the
-    * corpus's dynamic range is wider than the driver fixtures'.
+    * corpus's dynamic range is wider than the driver fixtures'. The
+    * parity held again at 100× (200k vectors, 1600 cells: 0.056 ==
+    * 0.056) — there the low absolute recall is the fixed probe budget
+    * (nprobe=4 probes 0.25% of cells), so operationally `nprobe` is the
+    * recall/cost knob and should scale with the cell count.
     *
     * Same session requirement as [[twoLevelTopKFromIndex]]
     * (reuseBroadcastOnly=false), or both scans here degrade to full

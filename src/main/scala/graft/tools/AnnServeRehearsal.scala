@@ -234,6 +234,24 @@ object AnnServeRehearsal {
         s""""px66_pq_m8":{"recall":${fmt(rPq8)},"bytes_per_vec":8},""" +
         s""""px66_pq_m16":{"recall":${fmt(rPq16)},"bytes_per_vec":16}}"""
 
+    // ---- wire serving: the same quantized path through serveAnn/TCP ----
+    // one warmup round trip (socket + codegen), then batch 1 and 64 —
+    // the marginal wire cost vs the in-process curve is the receipt that
+    // the thin-client path is usable, not just reachable
+    val wireCurve = {
+      val server = graft.store.Wire.serveAnn(spark, dir)
+      val client = new graft.store.Wire.AnnClient(spark, server.host, server.port)
+      try {
+        client.topK(queriesOf(1), k = k).collect()
+        batches.filter(_ <= 64).map { b =>
+          val t0 = System.nanoTime()
+          val rows = client.topK(queriesOf(b), k = k).collect().length
+          val sec = (System.nanoTime() - t0) / 1e9
+          s"""{"batch":$b,"sec":${fmt(sec)},"qps":${fmt(b / sec)},"rows":$rows}"""
+        }.mkString("[", ",", "]")
+      } finally { client.close(); server.close() }
+    }
+
     val colBytes = columnBytes(s"$dir/cells")
     val cvB = colBytes.getOrElse("cv.list.element", colBytes.getOrElse("cv", 0L))
     val codesB = colBytes.getOrElse("codes", 0L)
@@ -243,6 +261,7 @@ object AnnServeRehearsal {
         s""""float":${curveJson(floatCurve)},""" +
         s""""quantized":${curveJson(quantCurve)},""" +
         s""""recall":$recallJson,""" +
+        s""""wire":$wireCurve,""" +
         s""""cv_bytes_on_disk":$cvB,"codes_bytes_on_disk":$codesB,""" +
         s""""column_byte_ratio":${fmt(cvB.toDouble / math.max(codesB, 1L))},""" +
         s""""column_bytes":${colBytes.toSeq.sortBy(_._1).map { case (c, b) =>

@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   *
   * `targetsCsv` restricts the run to a subset of [[Targets]] (the 100×
   * stretch uses the 4 hottest); only the tables that subset reads are
-  * synthesized, and K ≥ 64 is allowed when the subset needs no embeddings
-  * (the rotation trick needs K < dim = 64).
+  * synthesized. Embedding copies are orthogonal transforms (rotation ×
+  * Walsh sign flips), so K up to 64·64 = 4096 keeps copies disjoint.
   *
   * Text copies suffix every token with the copy index and embedding copies
   * rotate the vector, so each copy is a DISJOINT shard with the original's
@@ -121,8 +121,9 @@ object ScaleRehearsal {
     require(targets.forall(TablesOf.contains),
       s"unknown targets: ${targets.filterNot(TablesOf.contains).mkString(",")}")
     val tables = targets.flatMap(TablesOf).toSet ++ Set("region", "nation")
-    require(K >= 2 && (K < 64 || !tables("embeddings")),
-      s"blowup $K out of range (embedding rotation needs K < dim = 64)")
+    require(K >= 2 && (K <= 4096 || !tables("embeddings")),
+      s"blowup $K out of range (embedding copies = rotations × sign " +
+        "patterns cover K ≤ 64·64)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -252,13 +253,27 @@ object ScaleRehearsal {
            |  filter(split(trim(text), '\\\\s+'), x -> x <> ''),
            |  x -> concat(x, '_$i')), ' ')""".stripMargin))
     }.reduce(_ unionByName _), "documents")
-    // embeddings: copy i rotates the vector by i positions — norm-preserving,
-    // near-orthogonal to the original for these synthetic vectors
+    // embeddings: copy i applies an ORTHOGONAL transform — rotate by
+    // (i mod 64) positions, then flip signs by the Walsh pattern of
+    // s = i / 64 (element j negated iff popcount(j & s) is odd; s = 0 is
+    // the identity). Each copy is norm-preserving with the original's
+    // internal cluster structure intact, distinct copies are
+    // near-orthogonal shards (rotation alone capped K < 64 — the r15
+    // bound; the sign dimension extends the family to 64·64 copies for
+    // the 100× ANN receipts)
     write((0 until K).map { i =>
       val d = rd("embeddings").withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
-      if (i == 0) d
-      else d.withColumn("embedding",
-        expr(s"concat(slice(embedding, ${i + 1}, ${64 - i}), slice(embedding, 1, $i))"))
+      val r = i % 64
+      val s = i / 64
+      val rotated =
+        if (r == 0) d
+        else d.withColumn("embedding",
+          expr(s"concat(slice(embedding, ${r + 1}, ${64 - r}), slice(embedding, 1, $r))"))
+      if (s == 0) rotated
+      else rotated.withColumn("embedding", expr(
+        s"""transform(embedding,
+           |  (x, j) -> CASE WHEN bit_count(j & $s) % 2 = 1
+           |            THEN -x ELSE x END)""".stripMargin))
     }.reduce(_ unionByName _), "embeddings")
     Files.writeString(done, stamp)
   }

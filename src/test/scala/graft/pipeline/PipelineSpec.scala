@@ -510,6 +510,18 @@ class PipelineSpec extends AnyFunSuite {
         .select("qid", "nbr", "rank").orderBy("qid", "rank").collect().toSeq
       assert(rerankAll === full,
         "exact re-rank over the full probed candidate set must equal the float serving path")
+      // the broadcast guard: a probes side whose size estimate exceeds
+      // the cap loses the FORCED broadcast hint (Spark's own size
+      // protection then decides the join) — same answer either way, and
+      // a corpus-sized batch can no longer OOM executors through the
+      // unconditional hint
+      val guardedOff = Similarity.quantizedTopKFromIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4,
+        maxBroadcastProbesBytes = 0L)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(guardedOff.map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+        === served.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))),
+        "dropping the broadcast hint must not change the answer")
       // the integer path's cells scan reads the packed codes column and
       // its 8-byte scale correction, NOT the float vectors, and prunes
       // to the probed compound partitions
