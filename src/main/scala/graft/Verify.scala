@@ -206,7 +206,8 @@ object Verify {
         probes.select(col("qid"), col("_cell"))
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px13_probes")
       }
-      auxExport("px66_sim_pq_adc")(Seq("px66_codes", "px66_cb")) {
+      auxExport("px66_sim_pq_adc", "px67_sim_adc_rerank")(
+          Seq("px66_codes", "px66_cb")) {
         // px66: the long-form PQ codes (unpacked back out of the
         // persisted index's own cells table — the exact bytes the query
         // serves from) and the FLOAT codebook the per-query LUT dots
@@ -218,7 +219,8 @@ object Verify {
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px66_cb")
       }
       auxExport("px60_sim_ivf_twolevel", "px62_sim_twolevel_persist",
-          "px63_sim_pq_serve", "px65_sim_pq_rerank", "px66_sim_pq_adc")(
+          "px63_sim_pq_serve", "px65_sim_pq_rerank", "px66_sim_pq_adc",
+          "px67_sim_adc_rerank")(
           Seq("px60_cells", "px60_probes")) {
         // px60: the two-level model is deterministic end-to-end (hash
         // seeds, decimal refinement, tie-broken argmax), so exporting the

@@ -838,6 +838,82 @@ object PipelineQueries {
              |SELECT qid, nbr, score, rank FROM ranked WHERE rank <= 5
              |ORDER BY qid, rank""".stripMargin)),
 
+    // ---------------- similarity: PQ-ADC prune + exact refine (px67)
+    // The measured recommendation of SERVE_r16's recall ladder made an
+    // operator: raw ADC ranking at 8 bytes/vector is lossy (recall 0.12
+    // vs the float path's 0.503 at sf0.1), so the ADC top-25 per query
+    // is treated as a PRUNING stage and only those survivors' float
+    // vectors are fetched back (probed-cells pre-join keeps the fetch
+    // partition-pruned — the px65 lesson) and exact-cosine re-ranked to
+    // the final top-5. The oracle replays both stages: the px66 integer
+    // ADC to crank ≤ 25, then DuckDB's own cosine over the survivors.
+    Q("px67_sim_adc_rerank",
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.pqAdcTopKFromIndex(s, twoLevelIndexDir(s, d),
+          e.where(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
+          idCol = "vec_id", vecCol = "embedding", k = 5, p1 = 2, nprobe = 4,
+          rerank = 25)
+          .select("qid", "nbr", "rank")
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH cells AS (
+             |  SELECT * FROM '${AuxToken}/px60_cells/*.parquet'),
+             |probes AS (
+             |  SELECT * FROM '${AuxToken}/px60_probes/*.parquet'),
+             |codes AS (
+             |  SELECT * FROM '${AuxToken}/px66_codes/*.parquet'),
+             |cb AS (
+             |  SELECT sub, code, cent::DOUBLE[] AS cent
+             |  FROM '${AuxToken}/px66_cb/*.parquet'),
+             |v AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             |), cand AS (
+             |  SELECT DISTINCT p.qid, c.nbr
+             |  FROM probes p JOIN cells c
+             |    ON c._c1 = p._c1 AND c._c2 = p._c2
+             |  WHERE p.qid <> c.nbr
+             |), qsl AS (
+             |  SELECT vec_id, s.sub,
+             |    e[CAST(s.sub * 8 + 1 AS BIGINT):CAST(s.sub * 8 + 8 AS BIGINT)] AS sv
+             |  FROM v, (SELECT UNNEST(range(8)) AS sub) s
+             |  WHERE vec_id < 20
+             |), lutf AS (
+             |  SELECT q.vec_id AS qid, cb.sub, cb.code,
+             |    ROUND(list_dot_product(q.sv, cb.cent), 6) AS fpart
+             |  FROM qsl q JOIN cb ON cb.sub = q.sub
+             |), lmax AS (
+             |  SELECT qid, MAX(ABS(fpart)) AS lm FROM lutf GROUP BY qid
+             |), lut AS (
+             |  SELECT l.qid, l.sub, l.code,
+             |    CASE WHEN m.lm > 0
+             |      THEN CAST(floor(l.fpart * 127.0 / m.lm + 0.5) AS BIGINT)
+             |      ELSE 0 END AS part
+             |  FROM lutf l JOIN lmax m ON m.qid = l.qid
+             |), scored AS (
+             |  SELECT cand.qid, cand.nbr, CAST(SUM(l.part) AS BIGINT) AS score
+             |  FROM cand
+             |  JOIN codes ON codes.nbr = cand.nbr
+             |  JOIN lut l ON l.qid = cand.qid AND l.sub = codes.sub
+             |    AND l.code = codes.code
+             |  GROUP BY 1, 2
+             |), coarse AS (
+             |  SELECT qid, nbr,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY score DESC, nbr) AS crank
+             |  FROM scored
+             |), refined AS (
+             |  SELECT qid, nbr,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY ROUND(list_cosine_similarity(eq.e, ec.e), 6) DESC,
+             |               nbr) AS rank
+             |  FROM coarse
+             |  JOIN v eq ON eq.vec_id = qid
+             |  JOIN v ec ON ec.vec_id = nbr
+             |  WHERE crank <= 25)
+             |SELECT qid, nbr, rank FROM refined WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin)),
+
     // ---------------------- similarity: whole-corpus batched ANN serving
     // The one-scan-answers-all-queries posture (px48's proof pattern) for
     // ANN: EVERY corpus vector queries the persisted two-level index in

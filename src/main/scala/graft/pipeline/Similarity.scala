@@ -757,9 +757,11 @@ object Similarity {
     * rerank=0 for serving, rerank≈25 as cheap insurance when the
     * corpus's dynamic range is wider than the driver fixtures'. The
     * parity held again at 100× (200k vectors, 1600 cells: 0.056 ==
-    * 0.056) — there the low absolute recall is the fixed probe budget
-    * (nprobe=4 probes 0.25% of cells), so operationally `nprobe` is the
-    * recall/cost knob and should scale with the cell count.
+    * 0.056) — there the low absolute recall is the fixed probe budget,
+    * which has TWO knobs: scaling nprobe alone to 25% of cells
+    * ([[autoNprobe]]) lifted recall to 0.206, and scaling p1 to the
+    * same fraction (p1 ≈ side/4) restored and exceeded the small-index
+    * law at 0.664 — both knobs must track the cell count (SERVE_r16).
     *
     * Same session requirement as [[twoLevelTopKFromIndex]]
     * (reuseBroadcastOnly=false), or both scans here degrade to full
@@ -960,13 +962,15 @@ object Similarity {
     * ksub=16 → 0.120 at 8 B/vec, m=16/ksub=16 → 0.241 at 16 B/vec. PQ
     * at these code sizes is a CANDIDATE-PRUNING stage, not a final
     * ranking: serve with [[quantizedTopKFromIndex]] (72 B/vec, zero
-    * recall loss vs float) unless storage is the binding constraint, and
-    * treat ADC top-k as the input to an exact refine (fetch k' ≫ k and
-    * rerank) when it is.
+    * recall loss vs float) unless storage is the binding constraint —
+    * and when it is, pass `rerank` (the px67 form): the ADC top-`rerank`
+    * survivors per query are exact-cosine refined from a float fetch
+    * that reads ONLY those rows of the probed partitions, recovering the
+    * float path's recall at 8-byte scan cost for everything pruned.
     */
   def pqAdcTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, p1: Int = 2, nprobe: Int = 4): DataFrame = {
+      k: Int, p1: Int = 2, nprobe: Int = 4, rerank: Int = 0): DataFrame = {
     val idx = loadTwoLevelIndex(spark, dir)
     val codebook = spark.read.parquet(s"$dir/pq_cb")
     // m and the slice width from the (model-sized) codebook itself
@@ -979,7 +983,7 @@ object Similarity {
       .select(col("nbr"), col("pqcodes"), col("_c1"), col("_c2"))
       .join(broadcast(probes.select("qid", "_c1", "_c2")), Seq("_c1", "_c2"))
       .where(col("qid") =!= col("nbr"))
-      .select(col("qid"), col("nbr"),
+      .select(col("qid"), col("nbr"), col("_c1"), col("_c2"),
         posexplode(graft.functions.UnpackI8(col("pqcodes")))
           .as(Seq("sub", "code")))
     val lutF = pqSlices(queries, idCol, vecCol, mSub, subLen)
@@ -996,19 +1000,43 @@ object Similarity {
           floor(col("fpart") * lit(127.0d) / col("_lm") + lit(0.5d)))
           .otherwise(lit(0L)).cast("long").as("part"))
     val scored = cand.join(broadcast(lut), Seq("qid", "sub", "code"))
-      .groupBy("qid", "nbr")
+      // the partition cols are functionally dependent on nbr — grouping
+      // by them costs nothing and keeps the (c1,c2,nbr) key the optional
+      // float fetch below joins (and prunes) on, the px65 lesson
+      .groupBy("qid", "nbr", "_c1", "_c2")
       .agg(sum("part").as("score"))
+    val m = if (rerank > 0) math.max(rerank, k) else k
     val wLocal = Window.partitionBy(col("qid"), col("_part"))
       .orderBy(col("score").desc, col("nbr"))
     val wGlobal = Window.partitionBy("qid")
       .orderBy(col("score").desc, col("nbr"))
-    scored
+    val top = scored
       .withColumn("_part", spark_partition_id())
       .withColumn("_lr", row_number().over(wLocal))
-      .where(col("_lr") <= k)
+      .where(col("_lr") <= m)
       .withColumn("rank", row_number().over(wGlobal).cast("bigint"))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("nbr"), col("score"), col("rank"))
+      .where(col("rank") <= m)
+    if (rerank <= 0) top.select(col("qid"), col("nbr"), col("score"), col("rank"))
+    else {
+      // exact refine — the measured recommendation above: ADC prunes the
+      // probed candidates to `rerank` survivors per query, and ONLY those
+      // rows' float vectors are read back, on the full (partition, id)
+      // key with the probed-cells pre-join so the fetch's dynamic
+      // partition pruning survives (joined directly against the
+      // window-derived candidates the planner degrades it to literal
+      // TRUE — the px65 plan audit). Final ranking is exact cosine.
+      val probedCells = probes.select("_c1", "_c2").distinct()
+      val floats = spark.read.parquet(s"$dir/cells")
+        .select(col("nbr"), col("cv"), col("_c1"), col("_c2"))
+        .join(broadcast(probedCells), Seq("_c1", "_c2"))
+      val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      topKPerQuery(
+        floats.join(broadcast(top.select("qid", "nbr", "_c1", "_c2")),
+            Seq("_c1", "_c2", "nbr"))
+          .join(broadcast(q), Seq("qid"))
+          .withColumn("sim", round(cosine(col("qv"), col("cv")), 6)),
+        k)
+    }
   }
 
   /** Long-form PQ codes (`nbr, sub, code`) unpacked back out of a
@@ -1022,6 +1050,24 @@ object Similarity {
       .select(col("nbr"),
         posexplode(graft.functions.UnpackI8(col("pqcodes")))
           .as(Seq("sub", "code")))
+
+  /** Probe budget for a target fraction of the index's cells —
+    * the recall/cost knob the r16 ladder measured (SERVE_r16): with
+    * nprobe FIXED, recall falls as the occupancy-sized cell count grows
+    * with the corpus (4/16 cells = 25% probed → recall 0.503; 4/1600 =
+    * 0.25% → 0.056 on the same data law). Probing a constant FRACTION
+    * holds the probed-mass — and therefore the recall law — constant at
+    * any corpus size, at candidate cost fraction·n per query; smaller
+    * fractions trade recall for cost exactly like nprobe itself.
+    * MEASURED caveat (SERVE_r16): on a two-level index the LEVEL-1
+    * budget `p1` caps reachable mass at p1/side regardless of nprobe —
+    * scale BOTH to the fraction (p1 ≈ side·fraction, nprobe =
+    * autoNprobe): at 200k vectors that took recall@10 from 0.206
+    * (nprobe only) to 0.664, above the small-index 0.503. The declared
+    * oracle queries pin (p1=2, nprobe=4) for export determinism.
+    */
+  def autoNprobe(totalCells: Int, fraction: Double = 0.25): Int =
+    math.max(1, math.ceil(totalCells * fraction).toInt)
 
   /** Per-level side of an occupancy-scaled √/√ two-level split: each
     * level gets ⌈√autoNlist(n)⌉ cells (floor 4), so total cell count

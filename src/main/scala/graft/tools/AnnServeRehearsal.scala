@@ -215,8 +215,24 @@ object AnnServeRehearsal {
       r -> recallOf(Similarity.quantizedTopKFromIndex(spark, dir, rQueries,
         "vec_id", "embedding", k = rk, rerank = r))
     }
+    // the recall-restoration points: the probe budget has TWO knobs —
+    // nprobe (sub-cells) and p1 (level-1 cells). Scaling nprobe alone to
+    // a constant fraction (autoNprobe) lifts recall but p1=2 still caps
+    // the reachable mass at 2/side of the corpus; scaling BOTH to the
+    // same fraction holds the probed-mass (and the recall law) constant
+    // as the index grows
+    val autoNp = Similarity.autoNprobe(side * side)
+    val rInt8Auto = recallOf(Similarity.quantizedTopKFromIndex(spark, dir,
+      rQueries, "vec_id", "embedding", k = rk, nprobe = autoNp))
+    val autoP1 = math.max(2, math.ceil(side / 4.0).toInt)
+    val rInt8AutoP1 = recallOf(Similarity.quantizedTopKFromIndex(spark, dir,
+      rQueries, "vec_id", "embedding", k = rk, p1 = autoP1, nprobe = autoNp))
     val rPq8 = recallOf(Similarity.pqAdcTopKFromIndex(spark, dir,
       rQueries, "vec_id", "embedding", k = rk))
+    // px67: ADC prune to 25, exact refine — the 8-byte codes' recall
+    // recovery path (reads 25 float rows/query instead of zero)
+    val rPq8r25 = recallOf(Similarity.pqAdcTopKFromIndex(spark, dir,
+      rQueries, "vec_id", "embedding", k = rk, rerank = 25))
     // a second index whose PQ uses 16 subspaces (4-dim slices, 16 B/vec)
     val dir16 = Files.createTempDirectory("graft_ann_serve16_").toString
     Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", dir16,
@@ -228,10 +244,13 @@ object AnnServeRehearsal {
       s"""{"k":$rk,"queries":$nQ,"p1":2,"nprobe":4,""" +
         s""""px62_float":{"recall":${fmt(rFloat)},"bytes_per_vec":${4 * dim}},""" +
         s""""px63_int8":{"recall":${fmt(rInt8)},"bytes_per_vec":${dim + 8}},""" +
+        s""""px63_int8_autonprobe":{"recall":${fmt(rInt8Auto)},"nprobe":$autoNp,"bytes_per_vec":${dim + 8}},""" +
+        s""""px63_int8_autop1_autonprobe":{"recall":${fmt(rInt8AutoP1)},"p1":$autoP1,"nprobe":$autoNp,"bytes_per_vec":${dim + 8}},""" +
         rRerank.map { case (r, v) =>
           s""""px65_rerank$r":{"recall":${fmt(v)},"bytes_per_vec":${dim + 8}}"""
         }.mkString("", ",", ",") +
         s""""px66_pq_m8":{"recall":${fmt(rPq8)},"bytes_per_vec":8},""" +
+        s""""px67_adc_rerank25":{"recall":${fmt(rPq8r25)},"bytes_per_vec":8},""" +
         s""""px66_pq_m16":{"recall":${fmt(rPq16)},"bytes_per_vec":16}}"""
 
     // ---- wire serving: the same quantized path through serveAnn/TCP ----

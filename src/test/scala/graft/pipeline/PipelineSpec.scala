@@ -753,6 +753,23 @@ class PipelineSpec extends AnyFunSuite {
       val before = Similarity.pqCodesFromIndex(spark, dir).count()
       Similarity.appendToTwoLevelIndex(spark, dir, partB, "vec_id", "embedding")
       assert(Similarity.pqCodesFromIndex(spark, dir).count() === before)
+      // ADC + exact refine covering the whole probed candidate set EQUALS
+      // the float serving path (same probes, same candidates, same final
+      // cosine ranking) — the px67 rerank-all invariant
+      val q5 = embs.where(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding"))
+      def rows3(df: org.apache.spark.sql.DataFrame) =
+        df.select("qid", "nbr", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._3)).toSeq
+      val fullFloat = rows3(Similarity.twoLevelTopKFromIndex(
+        Similarity.loadTwoLevelIndex(spark, dir), q5,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4))
+      val adcAll = rows3(Similarity.pqAdcTopKFromIndex(spark, dir, q5,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4,
+        rerank = embs.count().toInt))
+      assert(adcAll === fullFloat,
+        "ADC rerank over the full probed candidate set must equal the float path")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
