@@ -253,19 +253,22 @@ final class GraphStore[V] private (
 
   /** Node ids mutated by WAL batches COMMITTED AFTER `mark` (an
     * (eventsIndex, batchSeq) coverage stamp, GraphReplica.watermark),
-    * plus whether any of them removed a node — the server side of the
+    * plus the subset that were REMOVED — the server side of the
     * stale-read conflict check (RemoteWrite): a shipped txn whose
     * snapshot reads predate these mutations is refused instead of
     * silently applying a lost update. Mutations: `set`/`rm` touch their
     * id; `add`/`rmt` touch the SOURCE's target list; `new` touches
-    * nothing pre-existing. Scans only the batch dirs beyond the mark
-    * (live + archive) — bounded in practice by snapshot freshness; a
-    * window larger than the replay bound returns Left (the caller
-    * refuses the txn with "retry on a fresh snapshot" rather than
-    * collecting unbounded state onto the driver).
+    * nothing pre-existing. The removed set is what lets a targets read
+    * conflict only with removals of members it actually OBSERVED (a
+    * removal hides the node from every other list without naming it).
+    * Scans only the batch dirs beyond the mark (live + archive) —
+    * bounded in practice by snapshot freshness; a window larger than
+    * the replay bound returns Left (the caller refuses the txn with
+    * "retry on a fresh snapshot" rather than collecting unbounded state
+    * onto the driver).
     */
   private[store] def mutatedSince(mark: (Long, Long))
-      : Either[String, (Set[Long], Boolean)] = {
+      : Either[String, (Set[Long], Set[Long])] = {
     val BatchRe = """batch-(\d+)(-bulk)?""".r
     def evDirs(base: Path): Seq[Path] =
       if (!Files.isDirectory(base)) Seq.empty
@@ -283,7 +286,7 @@ final class GraphStore[V] private (
           }
         }
     }
-    if (dirs.isEmpty) Right((Set.empty, false))
+    if (dirs.isEmpty) Right((Set.empty, Set.empty))
     else Try {
       val rows = spark.read.parquet(dirs.map(_.toString): _*)
         .where(org.apache.spark.sql.functions.col("op")
@@ -303,7 +306,9 @@ final class GraphStore[V] private (
             case _ => r.getLong(2)
           }
         }.toSet
-        Right((mutated, rows.exists(_.getString(0) == "rm")))
+        val removed = rows.iterator
+          .filter(_.getString(0) == "rm").map(_.getLong(1)).toSet
+        Right((mutated, removed))
       }
     }.toEither.left.map(e =>
       s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")

@@ -188,14 +188,22 @@ object RemoteWrite {
     // reads-under-the-held-write-lock serializability (GraphDB.hs:288-289)
     private[store] val valueReads = mutable.Set[Long]()
     private[store] val targetReads = mutable.Set[Long]()
+    // members the snapshot ANSWERED for targets reads: a later-committed
+    // RemoveNode(m) changes a targets(src) result only when m was in the
+    // observed list (removals strip incoming edges) — shipping the
+    // observed members lets the server conflict-check removals precisely
+    // instead of refusing on ANY removal after the mark
+    private[store] val targetMembers = mutable.Set[Long]()
 
-    /** (snapshot mark, value-read ids, targets-read ids) when this txn
-      * performed snapshot-dependent reads against a stamped snapshot.
+    /** (snapshot mark, value-read ids, targets-read ids, observed
+      * members) when this txn performed snapshot-dependent reads against
+      * a stamped snapshot.
       */
-    private[store] def readsInfo: Option[((Long, Long), Set[Long], Set[Long])] =
+    private[store] def readsInfo
+        : Option[((Long, Long), Set[Long], Set[Long], Set[Long])] =
       reads.flatMap(_.mark)
-        .map(m => (m, valueReads.toSet, targetReads.toSet))
-        .filter { case (_, v, t) => v.nonEmpty || t.nonEmpty }
+        .map(m => (m, valueReads.toSet, targetReads.toSet, targetMembers.toSet))
+        .filter { case (_, v, t, _) => v.nonEmpty || t.nonEmpty }
 
     private def checkRef(x: Long, what: String): Unit =
       require(x >= 0 || defined(x),
@@ -268,6 +276,7 @@ object RemoteWrite {
       val base =
         if (src >= 0) reads.map(_.targets(src).toVector).getOrElse(Vector.empty)
         else Vector.empty
+      if (src >= 0 && reads.isDefined) targetMembers ++= base
       ops.foldLeft(base) { (acc, op) =>
         op match {
           case GraphOp.AddTarget(s, d) if s == src =>
@@ -344,13 +353,15 @@ object RemoteWrite {
       // snapshot-read dependencies ride the txn meta so the server can
       // conflict-check at apply time; bounded — interactive reads are
       // handfuls, and an unbounded list would be driver/meta pressure
-      val readsJson = txn.readsInfo.map { case ((me, mb), vr, tr) =>
-        require(vr.size + tr.size <= 10000,
-          s"txn read ${vr.size + tr.size} distinct nodes; the stale-read " +
-            "check ships read ids in the txn meta and caps them at 10000")
+      val readsJson = txn.readsInfo.map { case ((me, mb), vr, tr, tm) =>
+        require(vr.size + tr.size + tm.size <= 10000,
+          s"txn read ${vr.size + tr.size + tm.size} distinct nodes; the " +
+            "stale-read check ships read ids in the txn meta and caps them " +
+            "at 10000")
         s""", "readMark": [$me, $mb]""" +
           s""", "valueReads": [${vr.toSeq.sorted.mkString(", ")}]""" +
-          s""", "targetReads": [${tr.toSeq.sorted.mkString(", ")}]"""
+          s""", "targetReads": [${tr.toSeq.sorted.mkString(", ")}]""" +
+          s""", "targetMembers": [${tm.toSeq.sorted.mkString(", ")}]"""
       }.getOrElse("")
       try {
         df.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
@@ -539,7 +550,7 @@ object RemoteWrite {
     val mutatedThisPoll = mutable.Set[Long]()
     // one WAL-suffix scan per distinct snapshot mark per poll
     val mutatedSinceCache =
-      mutable.Map[(Long, Long), Either[String, (Set[Long], Boolean)]]()
+      mutable.Map[(Long, Long), Either[String, (Set[Long], Set[Long])]]()
     val tApply0 = System.nanoTime()
     var flushNanos = 0L
     var flushCommitNanos = 0L
@@ -766,12 +777,12 @@ object RemoteWrite {
   }
 
   /** Parse the optional snapshot-read stamp out of a shipped txn's meta:
-    * (mark, value-read ids, targets-read ids). Absent for txns built
-    * without reads (or against an unstamped snapshot) — those apply
-    * optimistically, the pre-r16 contract.
+    * (mark, value-read ids, targets-read ids, observed target members).
+    * Absent for txns built without reads (or against an unstamped
+    * snapshot) — those apply optimistically, the pre-r16 contract.
     */
   private[store] def parseReadInfo(meta: String)
-      : Option[((Long, Long), Set[Long], Set[Long])] = {
+      : Option[((Long, Long), Set[Long], Set[Long], Set[Long])] = {
     def ids(k: String): Set[Long] =
       (s""""$k":\\s*\\[([^\\]]*)\\]""").r.findFirstMatchIn(meta)
         .map(m => """-?\d+""".r.findAllIn(m.group(1)).map(_.toLong).toSet)
@@ -779,7 +790,7 @@ object RemoteWrite {
     """"readMark":\s*\[\s*(-?\d+)\s*,\s*(-?\d+)\s*\]""".r
       .findFirstMatchIn(meta)
       .map(m => ((m.group(1).toLong, m.group(2).toLong),
-        ids("valueReads"), ids("targetReads")))
+        ids("valueReads"), ids("targetReads"), ids("targetMembers")))
   }
 
   private def applyOne[V](store: GraphStore[V], inbox: Path, txnId: String,
@@ -789,7 +800,7 @@ object RemoteWrite {
       removedThisPoll: mutable.Set[Long],
       mutatedThisPoll: mutable.Set[Long],
       mutatedSinceCache: mutable.Map[(Long, Long),
-        Either[String, (Set[Long], Boolean)]]): TxnAck = {
+        Either[String, (Set[Long], Set[Long])]]): TxnAck = {
     def refused(msg: String) = TxnAck(txnId, applied = false, Map.empty, Some(msg))
     loaded match {
       case Left(msg) => refused(msg)
@@ -856,28 +867,27 @@ object RemoteWrite {
         // txn committed after its snapshot mark — the lost-update shape
         // that previously applied silently. Value reads conflict with
         // set/rm of the read id (and add/rmt of its target list);
-        // targets reads additionally conflict with ANY node removal
-        // (a removed node disappears from every other node's list
-        // without naming it — conservative, and removals are rare).
+        // targets reads additionally conflict with removals of members
+        // the read actually OBSERVED (a removed node disappears from
+        // every other node's list without naming it; the observed
+        // members ship with the txn, so an unrelated removal elsewhere
+        // in the graph does NOT refuse the txn).
         val meta = Try(Files.readString(
           inbox.resolve(s"$txnId.txn").resolve(MetaName))).getOrElse("")
-        parseReadInfo(meta).foreach { case (mark, vReads, tReads) =>
+        parseReadInfo(meta).foreach { case (mark, vReads, tReads, tMembers) =>
           mutatedSinceCache.getOrElseUpdate(mark, store.mutatedSince(mark)) match {
             case Left(msg) =>
               return refused(s"stale-read conflict check failed ($msg); " +
                 "rebuild the txn from a fresh snapshot")
-            case Right((mutated, removedAny)) =>
+            case Right((mutated, removed)) =>
               val mutAll = mutated ++ mutatedThisPoll
-              val hit = (vReads ++ tReads).filter(r =>
-                mutAll(r) || removedThisPoll(r))
+              val removedAll = removed ++ removedThisPoll
+              val hit = (vReads ++ tReads).filter(mutAll) ++
+                tMembers.filter(removedAll)
               if (hit.nonEmpty)
                 return refused("stale-read conflict: node(s) " +
                   hit.toSeq.sorted.take(8).mkString(", ") +
                   " mutated after the snapshot this txn read from — " +
-                  "rebuild the txn from a fresh snapshot")
-              if (tReads.nonEmpty && (removedAny || removedThisPoll.nonEmpty))
-                return refused("stale-read conflict: a node was removed " +
-                  "after the snapshot this txn's targets reads saw — " +
                   "rebuild the txn from a fresh snapshot")
           }
         }

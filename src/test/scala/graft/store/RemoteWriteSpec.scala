@@ -351,6 +351,41 @@ class RemoteWriteSpec extends AnyFunSuite {
     val tPlain = clientB.submit(txn => txn.setValue(n, Artist(1, "E")))
     RemoteWrite.applyPending(store, inbox)
     assert(clientB.await(tPlain).applied)
+    // REMOVAL GRANULARITY: a targets read ships its OBSERVED members, so
+    // an unrelated removal elsewhere in the graph does NOT refuse the
+    // txn — only removing a member the read actually saw does
+    var xRef = 0L
+    val tX = clientB.submit { txn =>
+      xRef = txn.newNode(Song("tmp")); txn.addTarget(xRef, n)
+    }
+    RemoteWrite.applyPending(store, inbox)
+    val x = clientB.await(tX).assigned(xRef)
+    replica.catchUp()
+    val snapU = RemoteWrite.TxnReads.fromReplica(replica)
+    val tRmX = clientB.submit(txn => txn.remove(x)) // unrelated removal
+    RemoteWrite.applyPending(store, inbox)
+    assert(clientB.await(tRmX).applied)
+    val tOk = clientA.submitWithReads(snapU) { txn =>
+      assert(txn.targets(0L).contains(n)) // observed members: root's list
+      txn.addTarget(0L, txn.newNode(Song("fine")))
+    }
+    RemoteWrite.applyPending(store, inbox)
+    assert(clientA.await(tOk).applied,
+      "an unrelated removal must not refuse a targets-reading txn")
+    // ...but removing an OBSERVED member conflicts
+    replica.catchUp()
+    val snapV = RemoteWrite.TxnReads.fromReplica(replica)
+    val tRmN = clientB.submit(txn => txn.remove(n))
+    RemoteWrite.applyPending(store, inbox)
+    assert(clientB.await(tRmN).applied)
+    val tBad = clientA.submitWithReads(snapV) { txn =>
+      assert(txn.targets(0L).contains(n)) // stale: n observed in the list
+      txn.addTarget(0L, txn.newNode(Song("late")))
+    }
+    RemoteWrite.applyPending(store, inbox)
+    val aBad = clientA.await(tBad)
+    assert(!aBad.applied && aBad.error.exists(_.contains("stale-read conflict")),
+      "removing an observed member must refuse the stale targets read")
     store.close()
   }
 
