@@ -389,6 +389,40 @@ class RemoteWriteSpec extends AnyFunSuite {
     store.close()
   }
 
+  test("stale-read conflict survives store close/reopen: archived WAL is still scanned") {
+    // close() archives the events dirs into archive/ and the reopened
+    // store starts a new events index — the conflict check's WAL-suffix
+    // scan must keep seeing mutations that happened before the reopen,
+    // or a bounce of the server would silently re-admit lost updates
+    val dir = Files.createTempDirectory("graft-rw-conflict2-").toString
+    val store = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    val n = store.session.newNode(Artist(1, "v0"))
+    store.session.addTarget(store.session.root, n)
+    store.commit()
+    val replica = GraphReplica.bootstrap(spark, CatalogueModel, dir)
+    replica.catchUp()
+    val staleSnap = RemoteWrite.TxnReads.fromReplica(replica)
+    val inbox = freshInbox()
+    val clientB = new Client(spark, CatalogueModel, inbox, "rb")
+    val tB = clientB.submit(txn => txn.setValue(n, Artist(1, "B")))
+    RemoteWrite.applyPending(store, inbox)
+    assert(clientB.await(tB).applied)
+    store.close() // archives the events dirs, checkpoints, releases
+    val store2 = GraphStore.open(spark, CatalogueModel, CatRoot: Cat, dir)
+    try {
+      val clientA = new Client(spark, CatalogueModel, inbox, "ra")
+      val tA = clientA.submitWithReads(staleSnap) { txn =>
+        val v = txn.getValue(n).asInstanceOf[Artist]
+        txn.setValue(n, Artist(1, v.name + "+A"))
+      }
+      RemoteWrite.applyPending(store2, inbox)
+      val ack = clientA.await(tA)
+      assert(!ack.applied, "the reopen must not launder the stale read")
+      assert(ack.error.exists(_.contains("stale-read conflict")), ack.error)
+      assert(store2.session.getValue(n) === Artist(1, "B"))
+    } finally store2.close()
+  }
+
   test("mid-txn reads: read-your-uncommitted-writes overlay, then the commit matches") {
     // the reference client's interleaved read/write transaction window
     // (Server.hs:17-69, Client.hs:71-117): reads inside the open txn see
