@@ -458,7 +458,11 @@ object RemoteWrite {
     // archive; tagged dirs (applied, ack lost in the crash window) replay
     // their RECORDED ack; repeat poison pills quarantine; version
     // mismatches refuse. Everything else proceeds to the batched load.
-    val todo = mutable.ArrayBuffer[(Path, String)]()
+    // The meta string read here rides along to applyOne — the stale-read
+    // conflict check parses it from THIS read, so an IO error at apply
+    // time can never silently skip the check (fail-closed: a triage-time
+    // read failure already refused via the version gate below).
+    val todo = mutable.ArrayBuffer[(Path, String, String)]()
     committed.foreach { dir =>
       val txnId = dir.getFileName.toString.stripSuffix(".txn")
       val ackFile = acksDir.resolve(s"$txnId.json")
@@ -509,14 +513,14 @@ object RemoteWrite {
             writeJsonAtomic(ackFile, ackJson(ack))
             archive(dir, appliedDir)
             acks += ack
-          } else todo += ((dir, txnId))
+          } else todo += ((dir, txnId, meta))
       }
     }
     if (todo.isEmpty) return acks.toSeq
     val tLoad0 = System.nanoTime()
 
     // phase 2 — ONE parquet load over every todo dir (fallback: per-dir)
-    val loaded = loadTxns(store, todo.toSeq)
+    val loaded = loadTxns(store, todo.toSeq.map(t => (t._1, t._2)))
     val tExists0 = System.nanoTime()
 
     // phase 3 — one existence-check job for ALL global refs in the poll;
@@ -630,8 +634,8 @@ object RemoteWrite {
       groupOps = 0
       flushNanos += System.nanoTime() - tF0
     }
-    todo.foreach { case (dir, txnId) =>
-      val ack = applyOne(store, inbox, txnId, loaded(txnId),
+    todo.foreach { case (dir, txnId, meta) =>
+      val ack = applyOne(store, inbox, txnId, meta, loaded(txnId),
         existsAtStart, createdThisPoll, removedThisPoll,
         mutatedThisPoll, mutatedSinceCache)
       if (ack.applied) {
@@ -794,7 +798,7 @@ object RemoteWrite {
   }
 
   private def applyOne[V](store: GraphStore[V], inbox: Path, txnId: String,
-      loaded: Either[String, Seq[GraphOp[V]]],
+      meta: String, loaded: Either[String, Seq[GraphOp[V]]],
       existsAtStart: Set[Long],
       createdThisPoll: mutable.Set[Long],
       removedThisPoll: mutable.Set[Long],
@@ -871,9 +875,10 @@ object RemoteWrite {
         // the read actually OBSERVED (a removed node disappears from
         // every other node's list without naming it; the observed
         // members ship with the txn, so an unrelated removal elsewhere
-        // in the graph does NOT refuse the txn).
-        val meta = Try(Files.readString(
-          inbox.resolve(s"$txnId.txn").resolve(MetaName))).getOrElse("")
+        // in the graph does NOT refuse the txn). The meta string is the
+        // one phase-1 triage read — never re-read here, so there is no
+        // apply-time IO failure mode that could silently SKIP this check
+        // (the previous Try(readString).getOrElse("") failed OPEN).
         parseReadInfo(meta).foreach { case (mark, vReads, tReads, tMembers) =>
           mutatedSinceCache.getOrElseUpdate(mark, store.mutatedSince(mark)) match {
             case Left(msg) =>
