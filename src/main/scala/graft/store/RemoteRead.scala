@@ -561,10 +561,11 @@ object RemoteRead {
     }
   }
 
-  private def deleteRecursively(p: Path): Unit = {
+  /** Recursive delete shared by the store layer — Wire's request-dir
+    * cleanup and the specs use it too (a production serving path must not
+    * ride a test-named helper, the r16 ADVICE). */
+  private[store] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) GraphStore.listPaths(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
-
-  private[store] def deleteRecursivelyForTest(p: Path): Unit = deleteRecursively(p)
 }

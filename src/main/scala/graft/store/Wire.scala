@@ -198,7 +198,7 @@ object Wire {
       byTxn.foreach { case (dirName, fs) =>
         require(dirName.endsWith(".txn"), s"unexpected write artifact $dirName")
         val staging = writeDir.resolve("_wirestaging").resolve(dirName)
-        Try(RemoteRead.deleteRecursivelyForTest(staging))
+        Try(RemoteRead.deleteRecursively(staging))
         lay(staging.getParent, fs.map { case (p, b) => (p, b) })
         val target = writeDir.resolve(dirName)
         if (!Files.exists(target))
@@ -215,12 +215,17 @@ object Wire {
     }
 
     /** ANN point-serving over the wire: the client ships a query batch as
-      * parquet, the server runs the quantized serving path against its
+      * parquet, the server runs the requested serving path against its
       * persisted index dir and ships the top-k answer back as parquet —
       * the RemoteRead shape (request artifacts in, answer artifacts out)
-      * for the px63/px65 serving surface, so the IVF-SQ read path is
-      * reachable by the thin client without shared storage. Answer
-      * fidelity is parquet's, like every other frame.
+      * for the px63/px65/px66/px67 serving surface, so the IVF read paths
+      * are reachable by the thin client without shared storage. The `op`
+      * field selects the path: `"quantized"` (default — scalar-int8,
+      * optional exact rerank) or `"adc"` (PQ asymmetric-distance, px66;
+      * with `rerank` the px67 prune+refine form). Non-positive p1/nprobe
+      * self-size from the index (Similarity.probeKnobs) — the measured
+      * two-knob rule rides the wire too. Answer fidelity is parquet's,
+      * like every other frame.
       */
     private def handleAnn(header: String, files: Seq[(String, Array[Byte])])
         : Seq[(String, Array[Byte])] = {
@@ -237,15 +242,23 @@ object Wire {
       val idCol = str("idCol").getOrElse("vec_id")
       val vecCol = str("vecCol").getOrElse("embedding")
       val base = annDir.resolve(reqId)
-      Try(RemoteRead.deleteRecursivelyForTest(base))
+      Try(RemoteRead.deleteRecursively(base))
       lay(base, files)
       require(Files.isDirectory(base.resolve("queries")),
         "ann frame carried no queries/ parquet")
-      val answer = graft.pipeline.Similarity.quantizedTopKFromIndex(
-        spark, idxDir,
-        spark.read.parquet(base.resolve("queries").toString),
-        idCol, vecCol, k = num("k", 10), p1 = num("p1", 2),
-        nprobe = num("nprobe", 4), rerank = num("rerank", 0))
+      val queries = spark.read.parquet(base.resolve("queries").toString)
+      val answer = str("op").getOrElse("quantized") match {
+        case "quantized" => graft.pipeline.Similarity.quantizedTopKFromIndex(
+          spark, idxDir, queries,
+          idCol, vecCol, k = num("k", 10), p1 = num("p1", 2),
+          nprobe = num("nprobe", 4), rerank = num("rerank", 0))
+        case "adc" => graft.pipeline.Similarity.pqAdcTopKFromIndex(
+          spark, idxDir, queries,
+          idCol, vecCol, k = num("k", 10), p1 = num("p1", 2),
+          nprobe = num("nprobe", 4), rerank = num("rerank", 0))
+        case other => throw new IllegalArgumentException(
+          s"unknown ann op '$other' (quantized | adc)")
+      }
       answer.coalesce(1).write.mode("overwrite")
         .parquet(base.resolve("answer").toString)
       val ansDir = base.resolve("answer")
@@ -493,12 +506,17 @@ object Wire {
     private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     private val base = Files.createTempDirectory("graft-wire-cann-")
 
+    /** `op = "quantized"` (scalar-int8 serving, px63/px65) or `"adc"`
+      * (PQ asymmetric distance, px66; with rerank the px67 form).
+      * Non-positive `p1`/`nprobe` self-size from the server's index.
+      */
     def topK(queries: org.apache.spark.sql.DataFrame,
         idCol: String = "vec_id", vecCol: String = "embedding",
         k: Int = 10, p1: Int = 2, nprobe: Int = 4,
-        rerank: Int = 0): org.apache.spark.sql.DataFrame = synchronized {
-      Seq(idCol, vecCol).foreach(c => require(c.matches("[A-Za-z0-9_-]+"),
-        s"column name '$c' must be [A-Za-z0-9_-]+ (it rides a json header)"))
+        rerank: Int = 0,
+        op: String = "quantized"): org.apache.spark.sql.DataFrame = synchronized {
+      Seq(idCol, vecCol, op).foreach(c => require(c.matches("[A-Za-z0-9_-]+"),
+        s"value '$c' must be [A-Za-z0-9_-]+ (it rides a json header)"))
       val reqId = freshClientId()
       val reqDir = base.resolve(reqId)
       val qDir = reqDir.resolve("queries")
@@ -508,7 +526,7 @@ object Wire {
       writeFrame(out,
         s"""{"kind": "ann", "reqId": "$reqId", "idCol": "$idCol", """ +
           s""""vecCol": "$vecCol", "k": $k, "p1": $p1, "nprobe": $nprobe, """ +
-          s""""rerank": $rerank}""",
+          s""""rerank": $rerank, "op": "$op"}""",
         files)
       val (h, ansFiles) = readFrame(in)
       if (kindOf(h) == "error")

@@ -315,7 +315,7 @@ class RemoteReadSpec extends AnyFunSuite {
     // a restarted client must get its seq from the compacted map ALONE —
     // even with every acks artifact consumed and cleared, seq 0..5 are
     // burned and the next request must be cp-000006
-    RemoteRead.deleteRecursivelyForTest(inbox.resolve("acks"))
+    RemoteRead.deleteRecursively(inbox.resolve("acks"))
     val c2 = new RemoteRead.Client(spark, CatalogueModel, inbox.toString, "cp")
     val answerer = new Thread(() => {
       Thread.sleep(100L); RemoteRead.answerPending(replica, inbox.toString); ()

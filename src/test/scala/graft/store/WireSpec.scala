@@ -286,6 +286,27 @@ class WireSpec extends AnyFunSuite {
       val rdirect = rows(graft.pipeline.Similarity.quantizedTopKFromIndex(
         spark, idxDir, queries, "vec_id", "embedding", k = 5, rerank = 25))
       assert(rows(client.topK(queries, k = 5, rerank = 25)) === rdirect)
+      // the ADC path (px66) and its prune+refine form (px67) ride the
+      // same frame via the op field — wire parity for the whole PQ
+      // serving family, not just the scalar path
+      val adcDirect = rows(graft.pipeline.Similarity.pqAdcTopKFromIndex(
+        spark, idxDir, queries, "vec_id", "embedding", k = 5))
+      assert(rows(client.topK(queries, k = 5, op = "adc")) === adcDirect)
+      assert(adcDirect.nonEmpty)
+      val adcRerank = rows(graft.pipeline.Similarity.pqAdcTopKFromIndex(
+        spark, idxDir, queries, "vec_id", "embedding", k = 5, rerank = 25))
+      assert(rows(client.topK(queries, k = 5, rerank = 25, op = "adc"))
+        === adcRerank)
+      // self-sized probe knobs ride the wire: non-positive p1/nprobe
+      // derive from the server's index (== pinned (2,4) at this scale,
+      // the probeKnobs coincidence property)
+      assert(rows(client.topK(queries, k = 5, p1 = -1, nprobe = -1)) === direct)
+      // an unknown op is a typed refusal, not a dead connection
+      val refused = intercept[IllegalStateException](
+        client.topK(queries, k = 5, op = "bogus"))
+      assert(refused.getMessage.contains("unknown ann op"))
+      // and the connection still serves after the refusal
+      assert(rows(client.topK(queries, k = 5)) === direct)
     } finally {
       client.close(); server.close()
     }
