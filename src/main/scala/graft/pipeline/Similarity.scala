@@ -35,6 +35,181 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSim(a, b)
 
+  /** Existence check through the session's Hadoop FileSystem — the same
+    * path resolution every index read/write uses (`spark.read.parquet`
+    * accepts any Hadoop URI), so probing for an optional index artifact
+    * answers correctly for `hdfs://`/`s3a://`-style dirs too. A raw
+    * `java.nio.file.Files.exists` on the dir STRING is silently false for
+    * any non-local URI — the silent-wrong-data shape this exists to close.
+    */
+  private[pipeline] def hadoopExists(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+      path: String): (org.apache.hadoop.fs.FileSystem,
+        org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** The cells table's current GENERATION inside a persisted two-level
+    * index dir: the `_cells` pointer file names it; absent (every index
+    * that was never compacted) → `cells`. Generations exist so
+    * [[compactTwoLevelIndex]] can publish a rewritten table ATOMICALLY —
+    * the new generation is written COMPLETELY beside the old one and one
+    * tiny pointer rename switches readers over (a directory cannot be
+    * replaced atomically on any Hadoop filesystem; a one-line file can).
+    */
+  private[pipeline] def cellsSubdir(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val (fs, p) = hadoopFs(spark, s"$dir/_cells")
+    if (!fs.exists(p)) "cells"
+    else {
+      val in = fs.open(p)
+      val s =
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](256)
+          var n = in.read(buf)
+          while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+          out.toString("UTF-8").trim
+        } finally in.close()
+      require(s.matches("cells(_g\\d+)?"),
+        s"corrupt cells-generation pointer '$s' in $dir")
+      s
+    }
+  }
+
+  /** Absolute path of the index's CURRENT cells table — every reader and
+    * maintainer of the table resolves through this (one FS metadata probe
+    * per serve; the pointer file is a few bytes).
+    */
+  private[pipeline] def cellsPath(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    s"$dir/${cellsSubdir(spark, dir)}"
+
+  /** Atomically point the index at generation `gen`: write beside, then
+    * one FileContext rename with OVERWRITE — atomic on local FS and HDFS,
+    * so a reader sees either the old pointer or the new, never a torn
+    * one (the GraphStore staged-publish rule, applied to the one object
+    * here that must REPLACE in place).
+    */
+  private def writeCellsPointer(spark: org.apache.spark.sql.SparkSession,
+      dir: String, gen: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (fs, dst0) = hadoopFs(spark, s"$dir/_cells")
+    val dst = fs.makeQualified(dst0)
+    val tmp = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(s"$dir/_cells.tmp"))
+    val out = fs.create(tmp, true)
+    try out.write(gen.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Rewrite the cells table into a fresh generation with exactly ONE
+    * file per cell and atomically switch readers to it — the compaction
+    * [[appendToTwoLevelIndex]] schedules: each append writes one file per
+    * TOUCHED cell per batch, so after K batches a hot cell holds K files
+    * and the tasks×cells file-count pathology the build path eliminated
+    * (7.7k 4 KB files; file listing + footer overhead dominating the
+    * serve — measured 3.9 → 0.7 s in r15) re-accumulates incrementally.
+    * Run it on the append cadence (e.g. alongside the occupancy-skew
+    * retrain check, [[appendToTwoLevelIndex]]'s scaladoc).
+    *
+    * Retry-safe at every step: the new generation is written with
+    * overwrite semantics (a re-run after a crash rewrites it), the
+    * pointer swap is atomic, and the superseded generation is deleted
+    * only after the swap (best-effort — a leftover stale generation is
+    * unreachable garbage, reclaimed by the next compaction or save).
+    * Floats round-trip parquet bit-exactly, so serving from the
+    * compacted generation equals serving from the fragmented one row
+    * for row (spec-pinned). Reference anchor: checkpoint-and-archive
+    * compaction, /root/reference/library/GraphDB/Storage.hs:171-207.
+    */
+  def compactTwoLevelIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val cur = cellsSubdir(spark, dir)
+    val gen =
+      if (cur == "cells") 2 else cur.stripPrefix("cells_g").toInt + 1
+    val next = s"cells_g$gen"
+    spark.read.parquet(s"$dir/$cur")
+      .repartition(col("_c1"), col("_c2"))
+      .write.mode("overwrite").partitionBy("_c1", "_c2")
+      .parquet(s"$dir/$next")
+    writeCellsPointer(spark, dir, next)
+    val (fs, p) = hadoopFs(spark, s"$dir/$cur")
+    scala.util.Try(fs.delete(p, true))
+    ()
+  }
+
+  /** Remove vectors from a persisted two-level index WITHOUT retraining —
+    * the maintenance-on-unlink half of the lifecycle (the reference
+    * deletes index keys on removeTarget, /root/reference/library/
+    * GraphDB/Graph.hs:63-67; here a vector pruned by dedup — px59's
+    * verdicts — or a removed graph node leaves the ANN index the same
+    * way): the ids' own cell assignments name the TOUCHED cells (one
+    * column-pruned (nbr, c1, c2) scan against the id set), survivors of
+    * only those cells are staged, and a dynamic partition overwrite
+    * replaces exactly the touched partitions — untouched cells are never
+    * read or rewritten. Serving after a remove equals serving an index
+    * whose cells table never contained the ids (same quantizer — the
+    * centroids are untouched; spec-pinned), and every code column
+    * (`codes`, `qscale`, `pqcodes`) survives for the kept rows.
+    *
+    * Retry-idempotent: a re-run of the same remove finds the ids gone
+    * (touched = ∅) and no-ops; a crash AFTER the overwrite but before
+    * the emptied-cell cleanup is repaired by the re-run (the ids are
+    * still present in those cells, so they are re-touched and
+    * re-emptied). The one non-atomic window is parquet's own
+    * partition-replace commit — the same documented caveat as
+    * [[appendToTwoLevelIndex]]'s crash-mid-append; `_rm_staging` (the
+    * staged survivors) is deleted only on success and retains the data
+    * for manual repair. Driver footprint: the touched (c1, c2) list —
+    * bounded by the id count; removals of a large corpus fraction
+    * belong to a rebuild ([[saveTwoLevelIndex]]), which also refreshes
+    * the then-stale centroids.
+    */
+  def removeFromTwoLevelIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame, idCol: String): Unit = {
+    import spark.implicits._
+    val path = cellsPath(spark, dir)
+    val cells = spark.read.parquet(path)
+    val rm = ids.select(col(idCol).as("nbr")).distinct()
+    val touched = cells.select("nbr", "_c1", "_c2")
+      .join(rm, Seq("nbr")).select("_c1", "_c2").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    if (touched.isEmpty) return
+    val touchedDf = broadcast(touched.toDF("_c1", "_c2"))
+    val staging = s"$dir/_rm_staging"
+    // stage the survivors OUTSIDE the table (a write cannot read its own
+    // target path; _c1/_c2 ride as plain columns and read back as the
+    // ints the partitioned write needs)
+    cells.join(touchedDf, Seq("_c1", "_c2"))
+      .join(rm, Seq("nbr"), "left_anti")
+      .write.mode("overwrite").parquet(staging)
+    val survivors = spark.read.parquet(staging)
+    survivors
+      .repartition(col("_c1"), col("_c2"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_c1", "_c2").parquet(path)
+    // dynamic overwrite replaces only partitions the write PRODUCES — a
+    // cell whose every row was removed writes nothing and would keep its
+    // old file; drop those partition dirs explicitly
+    val alive = survivors.select("_c1", "_c2").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val (fs, _) = hadoopFs(spark, path)
+    touched.filterNot(alive).foreach { case (c1, c2) =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_c1=$c1/_c2=$c2"), true)
+    }
+    scala.util.Try(fs.delete(new org.apache.hadoop.fs.Path(staging), true))
+    ()
+  }
+
   /** Two-phase top-k per query over scored candidates (`qid, nbr, sim`) —
     * the px15 vocabulary pattern: rank within (qid, PHYSICAL partition)
     * first and keep ≤ k per bucket, so no single task ever sorts one
@@ -474,10 +649,32 @@ object Similarity {
 
   def saveTwoLevelIndex(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, nlist1: Int = 4, k2: Int = 4, iters: Int = 1,
-      pqM: Int = 8, pqKsub: Int = 16, pqIters: Int = -1): Unit = {
+      pqM: Int = 8, pqKsub: Int = 16, pqIters: Int = -1,
+      pqResidual: Boolean = true): Unit = {
     import graft.functions.NearestCentroid
     val spark = corpus.sparkSession
     import spark.implicits._
+    // a SAVE defines generation 1: reset the cells-generation pointer and
+    // reclaim any stale generations/PQ artifacts a previous index at this
+    // dir left behind (a lingering pq_cb after a pqM = 0 re-save would
+    // make appends encode with a DEAD codebook — silent wrong data)
+    locally {
+      val (fs, _) = hadoopFs(spark, dir)
+      def del(p: String, recursive: Boolean): Unit = {
+        scala.util.Try(
+          fs.delete(new org.apache.hadoop.fs.Path(p), recursive)); ()
+      }
+      del(s"$dir/_cells", false)
+      del(s"$dir/_cells.tmp", false)
+      scala.util.Try(
+        fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/cells_g*"))
+          .foreach(st => del(st.getPath.toString, true)))
+      // pqSubspaces(dim, pqM) == 0 ⟺ pqM <= 0 — PQ disabled
+      if (pqM <= 0) {
+        del(s"$dir/pq_cb", true)
+        del(s"$dir/pq_meta", true)
+      }
+    }
     val m = twoLevelCentroids(corpus, idCol, vecCol, nlist1, k2, iters)
     m.l1.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("_c1", "centroid")
@@ -493,17 +690,22 @@ object Similarity {
     // codebook is round-tripped through parquet BEFORE encoding so the
     // codes in the cells table are derived from exactly the floats a
     // later load (or append) will read.
+    //
+    // `pqResidual` (the default) trains and encodes on the RESIDUAL
+    // `cv − centroid(c1, c2)` instead of the raw vector — IVF-PQ proper
+    // (the published FAISS shape, Jégou et al. 2011, "Product
+    // quantization for nearest neighbor search"): the coarse quantizer
+    // already explains the centroid component, so the codebook's m×ksub
+    // entries spend their precision on the (much smaller) remainder —
+    // which is where PQ's recall at small m comes from. The serve side
+    // ([[pqAdcTopKFromIndex]]) adds the per-(query, probed cell)
+    // centroid dot back: dot(q, v) = dot(q, c) + dot(q, v − c), exact in
+    // the decomposition — the approximation stays confined to the
+    // codebook. The flag persists in-dir (`pq_meta`) so append and serve
+    // read the encoding they must reproduce; `false` keeps the r16 raw
+    // encoding (and a dir with no pq_meta — an older index — serves raw).
     val dim = m.l1.head.length
     val mSub = pqSubspaces(dim, pqM)
-    val codebook =
-      if (mSub == 0) None
-      else {
-        // pqIters < 0 → inherit the coarse trainer's iteration count
-        pqCodebook(corpus, idCol, vecCol, dim, mSub, pqKsub,
-          if (pqIters < 0) iters else pqIters)
-          .write.mode("overwrite").parquet(s"$dir/pq_cb")
-        Some(spark.read.parquet(s"$dir/pq_cb"))
-      }
     val assigned = corpus.select(col(idCol).as("nbr"), col(vecCol).as("cv"))
       .withColumn("_c1", NearestCentroid(col("cv"), m.l1))
     // the cells table carries THREE precisions: `cv` (float32) for exact
@@ -524,16 +726,53 @@ object Similarity {
     val base = assignToL2(assigned, m.l2)
       .withColumn("codes", packedCodes(col("cv")))
       .withColumn("qscale", qscaleOf(col("cv")))
-    codebook.fold(base) { cb =>
+    val codebook =
+      if (mSub == 0) None
+      else {
+        val pqInput =
+          if (pqResidual) pqResiduals(base, m.l2)
+          else base.select(col("nbr"), col("cv").as("_pqv"))
+        // pqIters < 0 → inherit the coarse trainer's iteration count
+        pqCodebook(pqInput, "nbr", "_pqv", dim, mSub, pqKsub,
+          if (pqIters < 0) iters else pqIters)
+          .write.mode("overwrite").parquet(s"$dir/pq_cb")
+        Seq(pqResidual).toDF("residual")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_meta")
+        Some((spark.read.parquet(s"$dir/pq_cb"), pqInput))
+      }
+    codebook.fold(base) { case (cb, pqInput) =>
       base.join(
-        packedPqCodes(pqEncode(base.select(col("nbr"), col("cv")),
-          "nbr", "cv", cb, dim, mSub)),
+        packedPqCodes(pqEncode(pqInput, "nbr", "_pqv", cb, dim, mSub)),
         Seq("nbr"))
     }
       .repartition(col("_c1"), col("_c2"))
       .write.mode("overwrite").partitionBy("_c1", "_c2")
       .parquet(s"$dir/cells")
   }
+
+  /** Residual rows (`nbr, _pqv = cv − centroid(c1, c2)`) for PQ training
+    * and encoding — the IVF-PQ decomposition: the coarse cell's centroid
+    * is subtracted BEFORE quantization, in float32 (both operands are
+    * parquet-round-trip-exact floats, so residuals computed at save time
+    * from the in-memory centroids equal residuals computed at append
+    * time from the loaded ones, bit for bit — the append-parity spec
+    * pins it). One bounded join against the model-sized level-2 table.
+    */
+  private def pqResiduals(cells: DataFrame, l2: DataFrame): DataFrame =
+    cells.join(l2.select(col("_c1"), col("_c2"), col("_cent")),
+        Seq("_c1", "_c2"))
+      .select(col("nbr"),
+        zip_with(col("cv"), col("_cent"), (a, b) => a - b).as("_pqv"))
+
+  /** Whether a persisted index's PQ codes are RESIDUAL-encoded — read
+    * from the in-dir `pq_meta` written at save time; an index persisted
+    * before the flag existed (no pq_meta) is raw-encoded by construction.
+    */
+  private[pipeline] def pqIsResidual(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
+    hadoopExists(spark, s"$dir/pq_meta") &&
+      spark.read.parquet(s"$dir/pq_meta")
+        .select("residual").head().getBoolean(0)
 
   /** Long-form PQ codes (`nbr, sub, code`) packed to one `pqcodes` binary
     * per id — codes ordered by subspace, one signed byte each (`ksub ≤
@@ -559,7 +798,7 @@ object Similarity {
       .select("_c1", "centroid").orderBy("_c1").collect()
       .map(_.getSeq[Float](1).toArray)
     val l2 = spark.read.parquet(s"$dir/l2").select("_c1", "_c2", "_cent")
-    val raw = spark.read.parquet(s"$dir/cells")
+    val raw = spark.read.parquet(cellsPath(spark, dir))
     Seq("_c1", "_c2").foreach { c =>
       require(raw.schema(c).dataType ==
         org.apache.spark.sql.types.IntegerType,
@@ -631,28 +870,45 @@ object Similarity {
     // (append-parity spec-pinned). Codebook staleness is the same
     // documented tradeoff as the centroids': re-train on the occupancy
     // cadence above. Indexes saved with pqM = 0 carry no codebook and
-    // append without the column.
+    // append without the column. The existence check goes through the
+    // session's Hadoop FileSystem — every other index artifact resolves
+    // its path that way, and a java.nio check against an hdfs://-style
+    // dir would silently answer "no codebook" and append rows WITHOUT
+    // pqcodes (the r16 silent-wrong-data finding).
     val withPq =
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/pq_cb")))
+      if (!hadoopExists(spark, s"$dir/pq_cb"))
         assigned
       else {
         val cb = spark.read.parquet(s"$dir/pq_cb")
         val meta = cb.agg(max(col("sub")), min(size(col("cent")))).head()
         val mSub = meta.getInt(0) + 1
         val dim = mSub * meta.getInt(1)
+        // residual-encoded indexes subtract the (loaded, round-trip-exact)
+        // assigned cell centroid before encoding — the same decomposition
+        // the save path used, so appended codes equal save-time codes for
+        // the same vector (append-parity spec)
+        val pqInput =
+          if (pqIsResidual(spark, dir)) pqResiduals(assigned, idx.l2)
+          else assigned.select(col("nbr"), col("cv").as("_pqv"))
         assigned.join(
-          packedPqCodes(pqEncode(assigned.select(col("nbr"), col("cv")),
-            "nbr", "cv", cb, dim, mSub)),
+          packedPqCodes(pqEncode(pqInput, "nbr", "_pqv", cb, dim, mSub)),
           Seq("nbr"))
       }
     withPq
       .repartition(col("_c1"), col("_c2")) // one file per touched cell
-      .write.mode("append").partitionBy("_c1", "_c2").parquet(s"$dir/cells")
+      .write.mode("append").partitionBy("_c1", "_c2")
+      .parquet(cellsPath(spark, dir))
   }
 
   /** ANN top-k served from a persisted two-level index — [[twoLevelTopK]]
     * minus the training cost; the cells scan prunes to the probed
     * compound partitions.
+    *
+    * Pass `p1 ≤ 0` / `nprobe ≤ 0` to SELF-SIZE that knob from the loaded
+    * index ([[probeKnobs]] at [[DefaultProbeFraction]]) — the measured
+    * two-knob rule as the default path; positive values pin the budget
+    * (the declared oracle queries use (2, 4) for export determinism,
+    * which IS the derived point at oracle scales).
     *
     * Session requirement: set
     * `spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly=false`.
@@ -667,8 +923,9 @@ object Similarity {
   def twoLevelTopKFromIndex(index: TwoLevelIndex, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, p1: Int = 2,
       nprobe: Int = 4): DataFrame = {
+    val (p1R, nprobeR) = resolvedKnobs(index, p1, nprobe)
     val probes = twoLevelProbes(queries, idCol, vecCol,
-      TwoLevelModel(index.l1, index.l2), p1, nprobe)
+      TwoLevelModel(index.l1, index.l2), p1R, nprobeR)
     topKPerQuery(
       index.cells.join(probes, Seq("_c1", "_c2"))
         .where(col("qid") =!= col("nbr"))
@@ -747,6 +1004,9 @@ object Similarity {
     * values trade recall for reading fewer float rows, the standard
     * quantize-then-refine tradeoff.
     *
+    * Pass `p1 ≤ 0` / `nprobe ≤ 0` to SELF-SIZE that knob from the loaded
+    * index ([[probeKnobs]]) — see [[twoLevelTopKFromIndex]].
+    *
     * MEASURED operating points (SERVE_r16 recall ladder, recall@10 vs
     * exact brute force, 64 queries, p1=2/nprobe=4, 2000×64f corpus):
     * float serving 0.503 at 256 B/vec (the coarse probe budget is the
@@ -779,10 +1039,11 @@ object Similarity {
       k: Int, p1: Int = 2, nprobe: Int = 4, rerank: Int = 0,
       maxBroadcastProbesBytes: Long = 512L << 20): DataFrame = {
     val idx = loadTwoLevelIndex(spark, dir)
-    val codes = spark.read.parquet(s"$dir/cells")
+    val (p1R, nprobeR) = resolvedKnobs(idx, p1, nprobe)
+    val codes = spark.read.parquet(cellsPath(spark, dir))
       .select(col("nbr"), col("codes"), col("qscale"), col("_c1"), col("_c2"))
     val probes0 = twoLevelProbes(queries, idCol, vecCol,
-      TwoLevelModel(idx.l1, idx.l2), p1, nprobe)
+      TwoLevelModel(idx.l1, idx.l2), p1R, nprobeR)
       .withColumn("_qc", packedCodes(col("qv")))
       .withColumn("_qs", qscaleOf(col("qv")))
     // ONE guard decision from the probes plan's own size estimate covers
@@ -821,7 +1082,7 @@ object Similarity {
       // the fetch reads the whole cv column (plan-audited in r15); the
       // candidate restriction then lands in the second, row-level join
       val probedCells = probes0.select("_c1", "_c2").distinct()
-      val floats = spark.read.parquet(s"$dir/cells")
+      val floats = spark.read.parquet(cellsPath(spark, dir))
         .select(col("nbr"), col("cv"), col("_c1"), col("_c2"))
         .join(broadcast(probedCells), Seq("_c1", "_c2"))
       topKPerQuery(
@@ -951,6 +1212,17 @@ object Similarity {
     * no side-channel DataFrames. Same session requirement as
     * [[twoLevelTopKFromIndex]].
     *
+    * RESIDUAL indexes (the [[saveTwoLevelIndex]] default, flagged in-dir
+    * by `pq_meta`): the codes approximate `v − centroid(c1, c2)`, so the
+    * ADC score adds the exact per-(query, probed cell) centroid dot back
+    * — `dot(q, v) = dot(q, c) + dot(q, v − c)` — quantized on the same
+    * shared per-query scale as the LUT parts. The coarse quantizer
+    * explains the centroid component exactly and the m×ksub codebook
+    * spends its precision on the (much smaller) remainder — the
+    * published IVF-PQ shape and where PQ recall at small m comes from.
+    * Raw-encoded dirs (pqResidual = false, or saved before the flag
+    * existed) serve exactly as before.
+    *
     * Scale shape: candidates ≈ batch × nprobe × occupancy rows; the
     * UnpackI8 explode fans them × m but the (qid, nbr) hash-agg combines
     * map-side, and both the LUT and the probes are broadcast
@@ -967,24 +1239,52 @@ object Similarity {
     * survivors per query are exact-cosine refined from a float fetch
     * that reads ONLY those rows of the probed partitions, recovering the
     * float path's recall at 8-byte scan cost for everything pruned.
+    *
+    * Pass `p1 ≤ 0` / `nprobe ≤ 0` to SELF-SIZE that knob from the loaded
+    * index ([[probeKnobs]]) — see [[twoLevelTopKFromIndex]].
     */
   def pqAdcTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, p1: Int = 2, nprobe: Int = 4, rerank: Int = 0): DataFrame = {
+      k: Int, p1: Int = 2, nprobe: Int = 4, rerank: Int = 0,
+      maxBroadcastProbesBytes: Long = 512L << 20): DataFrame = {
     val idx = loadTwoLevelIndex(spark, dir)
     val codebook = spark.read.parquet(s"$dir/pq_cb")
     // m and the slice width from the (model-sized) codebook itself
     val meta = codebook.agg(max(col("sub")), min(size(col("cent")))).head()
     val mSub = meta.getInt(0) + 1
     val subLen = meta.getInt(1)
+    val (p1R, nprobeR) = resolvedKnobs(idx, p1, nprobe)
     val probes = twoLevelProbes(queries, idCol, vecCol,
-      TwoLevelModel(idx.l1, idx.l2), p1, nprobe)
-    val cand = spark.read.parquet(s"$dir/cells")
+      TwoLevelModel(idx.l1, idx.l2), p1R, nprobeR)
+    // ONE guard decision from the probes plan's size estimate covers every
+    // batch-scaled broadcast below — probes themselves, the per-query LUT
+    // (batch × m × ksub rows), and the rerank candidates/queries (≤ batch ×
+    // rerank rows). All scale with the SAME dimension (the batch), so the
+    // probes estimate × the deserialization expansion factor is the one
+    // plan-time decision (zero jobs — the quantizedTopKFromIndex pattern);
+    // above the cap the hints are dropped and Spark picks the join — same
+    // answer, no executor OOM. The codebook broadcast stays unconditional:
+    // it is model-sized (dim × ksub floats) by construction.
+    val bcastOk = probes.queryExecution.optimizedPlan.stats.sizeInBytes *
+      Decontaminate.BroadcastExpansionFactor <= maxBroadcastProbesBytes
+    def guarded(df: DataFrame): DataFrame = if (bcastOk) broadcast(df) else df
+    // fail LOUDLY on a cells row without PQ codes: a null pqcodes row
+    // (e.g. rows appended by a build that could not see the codebook)
+    // would otherwise posexplode to zero rows and silently VANISH from
+    // ADC serving — the worst failure shape. raise_error surfaces the
+    // first offending id instead.
+    val checkedCodes = when(col("pqcodes").isNull,
+      raise_error(concat(lit("cells row "), col("nbr").cast("string"),
+        lit(s" has no pqcodes — the index at $dir was appended to without " +
+          "its PQ codebook; re-encode (or rebuild) before ADC serving")))
+        .cast("binary"))
+      .otherwise(col("pqcodes"))
+    val cand = spark.read.parquet(cellsPath(spark, dir))
       .select(col("nbr"), col("pqcodes"), col("_c1"), col("_c2"))
-      .join(broadcast(probes.select("qid", "_c1", "_c2")), Seq("_c1", "_c2"))
+      .join(guarded(probes.select("qid", "_c1", "_c2")), Seq("_c1", "_c2"))
       .where(col("qid") =!= col("nbr"))
       .select(col("qid"), col("nbr"), col("_c1"), col("_c2"),
-        posexplode(graft.functions.UnpackI8(col("pqcodes")))
+        posexplode(graft.functions.UnpackI8(checkedCodes))
           .as(Seq("sub", "code")))
     val lutF = pqSlices(queries, idCol, vecCol, mSub, subLen)
       .select(col("nbr").as("qid"), col("sub"), col("sv"))
@@ -992,19 +1292,49 @@ object Similarity {
         Seq("sub"))
       .select(col("qid"), col("sub"), col("code"),
         round(dotD(col("sv"), col("cent")), 6).as("fpart"))
+    val lm = lutF.groupBy("qid").agg(max(abs(col("fpart"))).as("_lm"))
     val lut = lutF
-      .join(lutF.groupBy("qid").agg(max(abs(col("fpart"))).as("_lm")),
-        Seq("qid"))
+      .join(lm, Seq("qid"))
       .select(col("qid"), col("sub"), col("code").cast("long").as("code"),
         when(col("_lm") > 0d,
           floor(col("fpart") * lit(127.0d) / col("_lm") + lit(0.5d)))
           .otherwise(lit(0L)).cast("long").as("part"))
-    val scored = cand.join(broadcast(lut), Seq("qid", "sub", "code"))
+    val partSums = cand.join(guarded(lut), Seq("qid", "sub", "code"))
       // the partition cols are functionally dependent on nbr — grouping
       // by them costs nothing and keeps the (c1,c2,nbr) key the optional
       // float fetch below joins (and prunes) on, the px65 lesson
       .groupBy("qid", "nbr", "_c1", "_c2")
-      .agg(sum("part").as("score"))
+      .agg(sum("part").as("_sp"))
+    val scored =
+      if (!pqIsResidual(spark, dir)) partSums.withColumnRenamed("_sp", "score")
+      else {
+        // RESIDUAL decomposition: dot(q, v) = dot(q, centroid) +
+        // dot(q, v − centroid); the LUT parts approximate the second
+        // term, and the first is EXACT — one float dot per (query,
+        // probed cell), batch × nprobe rows against the model-sized
+        // level-2 table. The offset is quantized with the SAME shared
+        // per-query scale as the LUT parts (integer sums stay mutually
+        // comparable and the oracle replays everything after the rounded
+        // float dots exactly); offsets may exceed ±127 — they are longs,
+        // and keeping the scale parts-derived preserves the parts' full
+        // 7-bit precision instead of ceding it to the larger centroid
+        // term. lm = 0 (every residual dot zero) degenerates ALL scores
+        // to 0 deterministically — ranking falls to the nbr tie-break,
+        // same rule both engines.
+        val offQ = probes.select(col("qid"), col("qv"), col("_c1"), col("_c2"))
+          .join(idx.l2.select(col("_c1"), col("_c2"), col("_cent")),
+            Seq("_c1", "_c2"))
+          .select(col("qid"), col("_c1"), col("_c2"),
+            round(dotD(col("qv"), col("_cent")), 6).as("_foff"))
+          .join(lm, Seq("qid"))
+          .select(col("qid"), col("_c1"), col("_c2"),
+            when(col("_lm") > 0d,
+              floor(col("_foff") * lit(127.0d) / col("_lm") + lit(0.5d)))
+              .otherwise(lit(0L)).cast("long").as("_op"))
+        partSums.join(guarded(offQ), Seq("qid", "_c1", "_c2"))
+          .select(col("qid"), col("nbr"), col("_c1"), col("_c2"),
+            (col("_sp") + col("_op")).as("score"))
+      }
     val m = if (rerank > 0) math.max(rerank, k) else k
     val wLocal = Window.partitionBy(col("qid"), col("_part"))
       .orderBy(col("score").desc, col("nbr"))
@@ -1026,14 +1356,14 @@ object Similarity {
       // window-derived candidates the planner degrades it to literal
       // TRUE — the px65 plan audit). Final ranking is exact cosine.
       val probedCells = probes.select("_c1", "_c2").distinct()
-      val floats = spark.read.parquet(s"$dir/cells")
+      val floats = spark.read.parquet(cellsPath(spark, dir))
         .select(col("nbr"), col("cv"), col("_c1"), col("_c2"))
         .join(broadcast(probedCells), Seq("_c1", "_c2"))
       val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       topKPerQuery(
-        floats.join(broadcast(top.select("qid", "nbr", "_c1", "_c2")),
+        floats.join(guarded(top.select("qid", "nbr", "_c1", "_c2")),
             Seq("_c1", "_c2", "nbr"))
-          .join(broadcast(q), Seq("qid"))
+          .join(guarded(q), Seq("qid"))
           .withColumn("sim", round(cosine(col("qv"), col("cv")), 6)),
         k)
     }
@@ -1046,7 +1376,7 @@ object Similarity {
     */
   def pqCodesFromIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    spark.read.parquet(s"$dir/cells")
+    spark.read.parquet(cellsPath(spark, dir))
       .select(col("nbr"),
         posexplode(graft.functions.UnpackI8(col("pqcodes")))
           .as(Seq("sub", "code")))
@@ -1068,6 +1398,43 @@ object Similarity {
     */
   def autoNprobe(totalCells: Int, fraction: Double = 0.25): Int =
     math.max(1, math.ceil(totalCells * fraction).toInt)
+
+  /** The default probed fraction for self-sized serving — the operating
+    * point the r16 ladder measured at 200k vectors (both knobs at 25% →
+    * recall 0.664, above the small-index 0.503; nprobe-only 0.206;
+    * neither 0.056). */
+  val DefaultProbeFraction: Double = 0.25
+
+  /** BOTH probe knobs derived from the index's own cell structure for a
+    * target probed fraction — the measured two-knob sizing rule made the
+    * default path (the r16 verdict: every serve signature defaulted to
+    * the oracle-pinned (2,4), so a caller serving a grown index got
+    * 0.056 recall unless they read the scaladoc). `p1` scales with the
+    * level-1 side (p1 ≈ side·fraction, floored at 2 — below that the
+    * reachable mass cap p1/side dominates nprobe entirely), `nprobe`
+    * with the total cell count ([[autoNprobe]]). At the occupancy floor
+    * (side 4, 16 cells) the derived knobs ARE the historical pinned
+    * (2, 4) — so the declared oracle queries and a self-sized caller
+    * coincide exactly at oracle scales.
+    */
+  def probeKnobs(nlist1: Int, totalCells: Int,
+      fraction: Double = DefaultProbeFraction): (Int, Int) =
+    (math.max(2, math.ceil(nlist1 * fraction).toInt),
+      autoNprobe(totalCells, fraction))
+
+  /** Resolve a serve call's (p1, nprobe): positive values pass through
+    * (the declared queries pin (2, 4) for export determinism); any
+    * non-positive knob is derived from the LOADED index via
+    * [[probeKnobs]] — one model-sized count over the level-2 centroid
+    * table, only when actually needed.
+    */
+  private def resolvedKnobs(idx: TwoLevelIndex, p1: Int,
+      nprobe: Int): (Int, Int) =
+    if (p1 > 0 && nprobe > 0) (p1, nprobe)
+    else {
+      val (ap1, anp) = probeKnobs(idx.l1.length, idx.l2.count().toInt)
+      (if (p1 > 0) p1 else ap1, if (nprobe > 0) nprobe else anp)
+    }
 
   /** Per-level side of an occupancy-scaled √/√ two-level split: each
     * level gets ⌈√autoNlist(n)⌉ cells (floor 4), so total cell count
