@@ -207,16 +207,20 @@ object Verify {
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px13_probes")
       }
       auxExport("px66_sim_pq_adc", "px67_sim_adc_rerank")(
-          Seq("px66_codes", "px66_cb")) {
+          Seq("px66_codes", "px66_cb", "px66_l2")) {
         // px66: the long-form PQ codes (unpacked back out of the
         // persisted index's own cells table — the exact bytes the query
-        // serves from) and the FLOAT codebook the per-query LUT dots
-        // against, read from the same index dir
+        // serves from), the FLOAT codebook the per-query LUT dots
+        // against, and the level-2 centroids the residual decomposition's
+        // per-(query, probed cell) offset dots against — all read from
+        // the same index dir
         val dir = pipeline.PipelineQueries.twoLevelIndexDir(spark, sfDir)
         pipeline.Similarity.pqCodesFromIndex(spark, dir)
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px66_codes")
         spark.read.parquet(s"$dir/pq_cb").select("sub", "code", "cent")
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px66_cb")
+        spark.read.parquet(s"$dir/l2").select("_c1", "_c2", "_cent")
+          .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px66_l2")
       }
       auxExport("px60_sim_ivf_twolevel", "px62_sim_twolevel_persist",
           "px63_sim_pq_serve", "px65_sim_pq_rerank", "px66_sim_pq_adc",
@@ -267,6 +271,14 @@ object Verify {
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px61_cells_base")
         cn.select(col("_id"), col("_cell"))
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px61_cells_new")
+      }
+      auxExport("px68_sim_index_remove")(Seq("px68_removed")) {
+        // px68: the removed-id set — px59's deterministic prune verdicts
+        // through the SAME shared helper the removal-index builder used,
+        // so the oracle excludes exactly the ids the query removed; the
+        // oracle's candidate base stays px60's independent cells export
+        pipeline.PipelineQueries.px59PrunedIds(spark, sfDir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px68_removed")
       }
       auxExport("px59_semantic_prune")(Seq("px59_cells")) {
         // px59: the deterministic (id, cell) k-means assignment — same

@@ -156,6 +156,40 @@ object PipelineQueries {
       Similarity.twoLevelSide(
         embs(s, d).select(col("vec_id")).count()).toString).toInt
 
+  /** px59's deterministic prune verdicts as an id set — shared by the
+    * px68 removal-index builder and graft.Verify's px68_removed export so
+    * the removed set the query served and the one the oracle excludes
+    * cannot drift (same params as the px59 declared query).
+    */
+  private[graft] def px59PrunedIds(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Similarity.semanticClusterPrune(
+      embs(s, d).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", threshold = 0.35)
+      .where(col("pruned")).select(col("vec_id"))
+
+  /** The px68 removal index: a COPY of the shared two-level index with
+    * px59's pruned ids REMOVED via Similarity.removeFromTwoLevelIndex —
+    * dedup verdicts composed with index maintenance, the
+    * curate-then-serve lifecycle. Copied (cheap at oracle scales, one
+    * recursive Hadoop FileUtil pass) so the shared index every OTHER
+    * declared query serves from is never mutated; built once per
+    * (JVM, data dir) like every persisted index here.
+    */
+  private[graft] def removalIndexDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    ivfSaved.computeIfAbsent(indexDir("graft_ivf2_rmidx_", d), k => {
+      val conf = s.sparkContext.hadoopConfiguration
+      val sp = new org.apache.hadoop.fs.Path(twoLevelIndexDir(s, d))
+      val dp = new org.apache.hadoop.fs.Path(k)
+      val fs = dp.getFileSystem(conf)
+      if (fs.exists(dp)) fs.delete(dp, true)
+      org.apache.hadoop.fs.FileUtil.copy(
+        sp.getFileSystem(conf), sp, fs, dp, false, conf)
+      Similarity.removeFromTwoLevelIndex(s, k, px59PrunedIds(s, d), "vec_id")
+      k
+    })
+
   val all: Seq[Q] = Seq(
     // -------------------------------------------------------- exact dedup
     Q("px1_dedup_exact",
@@ -781,6 +815,12 @@ object PipelineQueries {
     // of different codes are mutually comparable, and everything after
     // the rounded dots is exact integer arithmetic the oracle replays
     // from the exported float codebook + codes.
+    //
+    // r17: the codes are RESIDUAL-encoded (IVF-PQ proper — the codebook
+    // approximates v − centroid(c1,c2)), so the score adds the exact
+    // per-(query, probed cell) centroid dot back, quantized on the same
+    // shared per-query scale; the oracle replays the offset from the
+    // exported level-2 centroids + the same rounded-float-dot recipe.
     Q("px66_sim_pq_adc",
       (s, d) => {
         val e = embs(s, d)
@@ -799,10 +839,13 @@ object PipelineQueries {
              |cb AS (
              |  SELECT sub, code, cent::DOUBLE[] AS cent
              |  FROM '${AuxToken}/px66_cb/*.parquet'),
+             |l2c AS (
+             |  SELECT _c1, _c2, _cent::DOUBLE[] AS cent
+             |  FROM '${AuxToken}/px66_l2/*.parquet'),
              |v AS (
              |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
              |), cand AS (
-             |  SELECT DISTINCT p.qid, c.nbr
+             |  SELECT DISTINCT p.qid, c.nbr, c._c1, c._c2
              |  FROM probes p JOIN cells c
              |    ON c._c1 = p._c1 AND c._c2 = p._c2
              |  WHERE p.qid <> c.nbr
@@ -823,13 +866,26 @@ object PipelineQueries {
              |      THEN CAST(floor(l.fpart * 127.0 / m.lm + 0.5) AS BIGINT)
              |      ELSE 0 END AS part
              |  FROM lutf l JOIN lmax m ON m.qid = l.qid
+             |), offq AS (
+             |  SELECT p.qid, p._c1, p._c2,
+             |    CASE WHEN m.lm > 0
+             |      THEN CAST(floor(ROUND(list_dot_product(q.e, l2c.cent), 6)
+             |        * 127.0 / m.lm + 0.5) AS BIGINT)
+             |      ELSE 0 END AS opart
+             |  FROM probes p
+             |  JOIN v q ON q.vec_id = p.qid
+             |  JOIN l2c ON l2c._c1 = p._c1 AND l2c._c2 = p._c2
+             |  JOIN lmax m ON m.qid = p.qid
              |), scored AS (
-             |  SELECT cand.qid, cand.nbr, CAST(SUM(l.part) AS BIGINT) AS score
+             |  SELECT cand.qid, cand.nbr,
+             |    oq.opart + CAST(SUM(l.part) AS BIGINT) AS score
              |  FROM cand
              |  JOIN codes ON codes.nbr = cand.nbr
              |  JOIN lut l ON l.qid = cand.qid AND l.sub = codes.sub
              |    AND l.code = codes.code
-             |  GROUP BY 1, 2
+             |  JOIN offq oq ON oq.qid = cand.qid AND oq._c1 = cand._c1
+             |    AND oq._c2 = cand._c2
+             |  GROUP BY cand.qid, cand.nbr, oq.opart
              |), ranked AS (
              |  SELECT qid, nbr, score,
              |    ROW_NUMBER() OVER (PARTITION BY qid
@@ -846,7 +902,8 @@ object PipelineQueries {
     // vectors are fetched back (probed-cells pre-join keeps the fetch
     // partition-pruned — the px65 lesson) and exact-cosine re-ranked to
     // the final top-5. The oracle replays both stages: the px66 integer
-    // ADC to crank ≤ 25, then DuckDB's own cosine over the survivors.
+    // ADC (residual-encoded since r17 — centroid-dot offset + LUT parts)
+    // to crank ≤ 25, then DuckDB's own cosine over the survivors.
     Q("px67_sim_adc_rerank",
       (s, d) => {
         val e = embs(s, d)
@@ -866,10 +923,13 @@ object PipelineQueries {
              |cb AS (
              |  SELECT sub, code, cent::DOUBLE[] AS cent
              |  FROM '${AuxToken}/px66_cb/*.parquet'),
+             |l2c AS (
+             |  SELECT _c1, _c2, _cent::DOUBLE[] AS cent
+             |  FROM '${AuxToken}/px66_l2/*.parquet'),
              |v AS (
              |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
              |), cand AS (
-             |  SELECT DISTINCT p.qid, c.nbr
+             |  SELECT DISTINCT p.qid, c.nbr, c._c1, c._c2
              |  FROM probes p JOIN cells c
              |    ON c._c1 = p._c1 AND c._c2 = p._c2
              |  WHERE p.qid <> c.nbr
@@ -890,13 +950,26 @@ object PipelineQueries {
              |      THEN CAST(floor(l.fpart * 127.0 / m.lm + 0.5) AS BIGINT)
              |      ELSE 0 END AS part
              |  FROM lutf l JOIN lmax m ON m.qid = l.qid
+             |), offq AS (
+             |  SELECT p.qid, p._c1, p._c2,
+             |    CASE WHEN m.lm > 0
+             |      THEN CAST(floor(ROUND(list_dot_product(q.e, l2c.cent), 6)
+             |        * 127.0 / m.lm + 0.5) AS BIGINT)
+             |      ELSE 0 END AS opart
+             |  FROM probes p
+             |  JOIN v q ON q.vec_id = p.qid
+             |  JOIN l2c ON l2c._c1 = p._c1 AND l2c._c2 = p._c2
+             |  JOIN lmax m ON m.qid = p.qid
              |), scored AS (
-             |  SELECT cand.qid, cand.nbr, CAST(SUM(l.part) AS BIGINT) AS score
+             |  SELECT cand.qid, cand.nbr,
+             |    oq.opart + CAST(SUM(l.part) AS BIGINT) AS score
              |  FROM cand
              |  JOIN codes ON codes.nbr = cand.nbr
              |  JOIN lut l ON l.qid = cand.qid AND l.sub = codes.sub
              |    AND l.code = codes.code
-             |  GROUP BY 1, 2
+             |  JOIN offq oq ON oq.qid = cand.qid AND oq._c1 = cand._c1
+             |    AND oq._c2 = cand._c2
+             |  GROUP BY cand.qid, cand.nbr, oq.opart
              |), coarse AS (
              |  SELECT qid, nbr,
              |    ROW_NUMBER() OVER (PARTITION BY qid
@@ -912,6 +985,52 @@ object PipelineQueries {
              |  JOIN v ec ON ec.vec_id = nbr
              |  WHERE crank <= 25)
              |SELECT qid, nbr, rank FROM refined WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin)),
+
+    // ------------- similarity: remove from the persisted index (px68)
+    // The maintenance-on-unlink half of the index lifecycle (the
+    // reference deletes index keys on removeTarget, Graph.hs:63-67),
+    // composed with dedup curation: px59's semantic prune verdicts are
+    // REMOVED from (a copy of) the shared persisted index — an anti-join
+    // rewrite of ONLY the cells the pruned ids live in — and the float
+    // path serves the survivors. The oracle recomputes the probed-cell
+    // search quadratically over px60's INDEPENDENT cells export minus
+    // the exported removed-id set: serving after a remove must equal an
+    // index that never contained the ids.
+    Q("px68_sim_index_remove",
+      (s, d) => {
+        val e = embs(s, d)
+        val idx = Similarity.loadTwoLevelIndex(s, removalIndexDir(s, d))
+        Similarity.twoLevelTopKFromIndex(idx,
+          e.where(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
+          idCol = "vec_id", vecCol = "embedding", k = 5, p1 = 2, nprobe = 4)
+          .select("qid", "nbr", "rank")
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH cells AS (
+             |  SELECT * FROM '${AuxToken}/px60_cells/*.parquet'),
+             |probes AS (
+             |  SELECT * FROM '${AuxToken}/px60_probes/*.parquet'),
+             |removed AS (
+             |  SELECT * FROM '${AuxToken}/px68_removed/*.parquet'),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |kept AS (
+             |  SELECT c.nbr, c._c1, c._c2 FROM cells c
+             |  WHERE c.nbr NOT IN (SELECT vec_id FROM removed)),
+             |cand AS (
+             |  SELECT DISTINCT p.qid, k.nbr
+             |  FROM probes p JOIN kept k
+             |    ON k._c1 = p._c1 AND k._c2 = p._c2
+             |  WHERE p.qid <> k.nbr),
+             |scored AS (
+             |  SELECT qid, nbr,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY ROUND(list_cosine_similarity(eq.v, ec.v), 6) DESC,
+             |               nbr) AS rank
+             |  FROM cand
+             |  JOIN e eq ON eq.vec_id = qid
+             |  JOIN e ec ON ec.vec_id = nbr)
+             |SELECT qid, nbr, rank FROM scored WHERE rank <= 5
              |ORDER BY qid, rank""".stripMargin)),
 
     // ---------------------- similarity: whole-corpus batched ANN serving

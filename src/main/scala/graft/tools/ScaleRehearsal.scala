@@ -63,6 +63,8 @@ object ScaleRehearsal {
     "px64_sim_batch_serve" -> Set("embeddings"),
     "px65_sim_pq_rerank" -> Set("embeddings"),
     "px66_sim_pq_adc" -> Set("embeddings"),
+    "px67_sim_adc_rerank" -> Set("embeddings"),
+    "px68_sim_index_remove" -> Set("embeddings"),
     "px11_embed_neardup" -> Set("embeddings"),
     "px15_vocab_topk" -> Set("documents"),
     "px18_dedup_representatives" -> Set("documents"),

@@ -618,9 +618,12 @@ class PipelineSpec extends AnyFunSuite {
       // use the first 100 vectors as the corpus for this part
       val sub = embs.where(col("vec_id") < 100)
         .select(col("vec_id"), col("embedding"))
+      // pqResidual = false: this check pins the RAW encoding's exact ADC
+      // arithmetic (the residual form has its own lifecycle spec)
       Similarity.saveTwoLevelIndex(sub, "vec_id", "embedding", dir,
         nlist1 = 4, k2 = 4, iters = 1,
-        pqM = 8, pqKsub = sub.count().toInt, pqIters = 0)
+        pqM = 8, pqKsub = sub.count().toInt, pqIters = 0,
+        pqResidual = false)
       val queries = embs.where(col("vec_id") < 5)
         .select(col("vec_id"), col("embedding"))
       val served = Similarity.pqAdcTopKFromIndex(spark, dir,
@@ -724,8 +727,11 @@ class PipelineSpec extends AnyFunSuite {
       .select(col("vec_id"), col("embedding"))
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf2_pqapp").toString
     try {
+      // pqResidual = false: the direct-pqEncode comparison below is
+      // against the RAW vectors (the residual form's append parity is
+      // spec-pinned separately)
       Similarity.saveTwoLevelIndex(partA, "vec_id", "embedding", dir,
-        nlist1 = 4, k2 = 4, iters = 1)
+        nlist1 = 4, k2 = 4, iters = 1, pqResidual = false)
       val frozen = spark.read.parquet(s"$dir/pq_cb")
       Similarity.appendToTwoLevelIndex(spark, dir, partB, "vec_id", "embedding")
       // every row's in-index codes (build-time for partA, append-time for
@@ -775,6 +781,370 @@ class PipelineSpec extends AnyFunSuite {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
       rm(new java.io.File(dir))
+    }
+  }
+
+  test("ADC serving: broadcast guard drops hints above the cap, same answer; pq_cb resolves through Hadoop paths") {
+    val corpus = embs.select(col("vec_id"), col("embedding"))
+    val queries = embs.where(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf2_guard").toString
+    try {
+      Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", dir,
+        nlist1 = 4, k2 = 4, iters = 1)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("qid", "nbr", "rank").orderBy("qid", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      // the guard: a probes estimate above the cap loses EVERY forced
+      // broadcast hint on the ADC path (probes, LUT, rerank candidates,
+      // rerank queries — the four r16 unguarded hints); Spark then picks
+      // the join itself — same answer, no executor-OOM shape left
+      val default0 = rows(Similarity.pqAdcTopKFromIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4))
+      val guarded0 = rows(Similarity.pqAdcTopKFromIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4,
+        maxBroadcastProbesBytes = 0L))
+      assert(guarded0 === default0,
+        "dropping the ADC broadcast hints must not change the rerank=0 answer")
+      val defaultR = rows(Similarity.pqAdcTopKFromIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4, rerank = 25))
+      val guardedR = rows(Similarity.pqAdcTopKFromIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4, rerank = 25,
+        maxBroadcastProbesBytes = 0L))
+      assert(guardedR === defaultR,
+        "dropping the ADC broadcast hints must not change the rerank answer")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("self-sizing probe knobs: non-positive p1/nprobe derive from the index and lift recall on a grown index") {
+    // the coincidence property: at the occupancy floor (side 4 → 16
+    // cells) the derived knobs ARE the oracle-pinned (2, 4)
+    assert(Similarity.probeKnobs(4, 16) === ((2, 4)))
+    val corpus = embs.select(col("vec_id"), col("embedding"))
+    val queries = embs.where(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding"))
+    // a GROWN index (side 8 → 64 cells): the pinned (2, 4) budget probes
+    // 4/16 of the reachable sub-cells — the shape the r16 ladder measured
+    // recall collapse on; the derived knobs hold the probed fraction
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf2_knobs").toString
+    try {
+      Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", dir,
+        nlist1 = 8, k2 = 8, iters = 1)
+      val idx = Similarity.loadTwoLevelIndex(spark, dir)
+      val (ap1, anp) = Similarity.probeKnobs(8, idx.l2.count().toInt)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("qid", "nbr", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._3)).toSeq
+      // resolution is exact: self-sized == the same knobs passed explicitly
+      assert(rows(Similarity.twoLevelTopKFromIndex(idx, queries,
+        "vec_id", "embedding", k = 5, p1 = -1, nprobe = -1))
+        === rows(Similarity.twoLevelTopKFromIndex(idx, queries,
+          "vec_id", "embedding", k = 5, p1 = ap1, nprobe = anp)))
+      assert(rows(Similarity.quantizedTopKFromIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 5, p1 = 0, nprobe = 0))
+        === rows(Similarity.quantizedTopKFromIndex(spark, dir, queries,
+          "vec_id", "embedding", k = 5, p1 = ap1, nprobe = anp)))
+      assert(rows(Similarity.pqAdcTopKFromIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 5, p1 = 0, nprobe = 0, rerank = 25))
+        === rows(Similarity.pqAdcTopKFromIndex(spark, dir, queries,
+          "vec_id", "embedding", k = 5, p1 = ap1, nprobe = anp, rerank = 25)))
+      // and the derived budget beats (or at worst matches) the pinned one
+      // on recall@5 vs exact brute force — the point of self-sizing
+      val truth = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", k = 5)
+        .select("qid", "nbr").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      def recall(df: org.apache.spark.sql.DataFrame): Double = {
+        val got = df.select("qid", "nbr").collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        truth.map { case (q, t) =>
+          got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+        }.sum / truth.size
+      }
+      val pinned = recall(Similarity.twoLevelTopKFromIndex(idx, queries,
+        "vec_id", "embedding", k = 5))
+      val derived = recall(Similarity.twoLevelTopKFromIndex(idx, queries,
+        "vec_id", "embedding", k = 5, p1 = -1, nprobe = -1))
+      assert(derived >= pinned,
+        s"derived-knob recall $derived must be >= pinned-knob recall $pinned")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("append detects pq_cb through the Hadoop FileSystem: a file:-scheme dir still encodes pqcodes") {
+    val partA = embs.where(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val partB = embs.where(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf2_uri").toString
+    try {
+      Similarity.saveTwoLevelIndex(partA, "vec_id", "embedding", dir,
+        nlist1 = 4, k2 = 4, iters = 1)
+      // append through a NON-plain-path dir string: a java.nio existence
+      // probe on "file:/..." answers false (the r16 finding) and would
+      // silently append rows WITHOUT pqcodes — which ADC serving then
+      // silently drops. Through the Hadoop FileSystem the codebook is
+      // found and every appended row is encoded.
+      Similarity.appendToTwoLevelIndex(spark, s"file:$dir", partB,
+        "vec_id", "embedding")
+      val n = embs.count()
+      assert(Similarity.loadTwoLevelIndex(spark, dir).cells.count() === n)
+      assert(Similarity.pqCodesFromIndex(spark, dir).count() === n * 8,
+        "every appended row must carry PQ codes when the dir is a file: URI")
+      assert(spark.read.parquet(s"$dir/cells")
+        .where(col("pqcodes").isNull).count() === 0L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("compactTwoLevelIndex: appends fragment cells into many files; compaction restores one per cell, serving unchanged") {
+    val base = embs.where(col("vec_id") % 4 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val queries = embs.where(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf2_compact").toString
+    def filesPerCell(): Map[String, Int] = {
+      val cells = new java.io.File(Similarity.cellsPath(spark, dir))
+      Option(cells.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("_c1="))
+        .flatMap(c1 => Option(c1.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("_c2="))
+          .map(c2 => s"${c1.getName}/${c2.getName}" ->
+            c2.listFiles().count(_.getName.endsWith(".parquet"))))
+        .toMap
+    }
+    def serveAll() = (
+      Similarity.twoLevelTopKFromIndex(
+        Similarity.loadTwoLevelIndex(spark, dir), queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4)
+        .orderBy("qid", "rank").collect().toSeq,
+      Similarity.quantizedTopKFromIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4)
+        .orderBy("qid", "rank").collect().toSeq,
+      Similarity.pqAdcTopKFromIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4, rerank = 10)
+        .orderBy("qid", "rank").collect().toSeq)
+    try {
+      Similarity.saveTwoLevelIndex(base, "vec_id", "embedding", dir,
+        nlist1 = 4, k2 = 4, iters = 1)
+      (1 to 3).foreach { b =>
+        Similarity.appendToTwoLevelIndex(spark, dir,
+          embs.where(col("vec_id") % 4 === b)
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding")
+      }
+      assert(filesPerCell().values.exists(_ > 1),
+        "precondition: appends must have fragmented at least one cell")
+      val before = serveAll()
+      Similarity.compactTwoLevelIndex(spark, dir)
+      assert(Similarity.cellsSubdir(spark, dir) === "cells_g2")
+      assert(!new java.io.File(s"$dir/cells").exists(),
+        "the superseded generation must be reclaimed")
+      val fpc = filesPerCell()
+      assert(fpc.nonEmpty && fpc.values.forall(_ === 1),
+        s"every cell must hold exactly one file after compaction: $fpc")
+      assert(serveAll() === before,
+        "serving from the compacted generation must be row-identical")
+      assert(Similarity.loadTwoLevelIndex(spark, dir).cells.count()
+        === embs.count())
+      // appends land in the CURRENT generation and chain into the next
+      // compaction (generation 3)
+      val extra = embs.where(col("vec_id") < 4)
+        .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+      Similarity.appendToTwoLevelIndex(spark, dir, extra,
+        "vec_id", "embedding")
+      assert(Similarity.loadTwoLevelIndex(spark, dir).cells.count()
+        === embs.count() + 4)
+      val afterAppend = serveAll()
+      Similarity.compactTwoLevelIndex(spark, dir)
+      assert(Similarity.cellsSubdir(spark, dir) === "cells_g3")
+      assert(serveAll() === afterAppend)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("removeFromTwoLevelIndex: touched-cells-only rewrite, serve == never-contained, retry-idempotent, re-add works") {
+    val corpus = embs.select(col("vec_id"), col("embedding"))
+    val queries = embs.where(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf2_remove").toString
+    def cellFiles(): Map[String, Set[String]] = {
+      val cells = new java.io.File(s"$dir/cells")
+      Option(cells.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("_c1="))
+        .flatMap(c1 => Option(c1.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("_c2="))
+          .map(c2 => s"${c1.getName}/${c2.getName}" ->
+            c2.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet))
+        .toMap
+    }
+    try {
+      Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", dir,
+        nlist1 = 4, k2 = 4, iters = 1)
+      val rmIds = embs.where(col("vec_id") % 7 === 0).select(col("vec_id"))
+      val rmSet = rmIds.collect().map(_.getLong(0)).toSet
+      val touchedCells = Similarity.loadTwoLevelIndex(spark, dir).cells
+        .where(col("nbr").isin(rmSet.toSeq: _*))
+        .select("_c1", "_c2").distinct().collect()
+        .map(r => s"_c1=${r.getInt(0)}/_c2=${r.getInt(1)}").toSet
+      val filesBefore = cellFiles()
+      Similarity.removeFromTwoLevelIndex(spark, dir, rmIds, "vec_id")
+      // untouched cells' FILES are bit-identical — the rewrite is
+      // partition-pruned to the ids' own cells, never a table rewrite
+      val filesAfter = cellFiles()
+      filesBefore.keySet.filterNot(touchedCells).foreach { cell =>
+        assert(filesAfter(cell) === filesBefore(cell),
+          s"untouched cell $cell must keep its exact files")
+      }
+      val idx = Similarity.loadTwoLevelIndex(spark, dir)
+      assert(idx.cells.count() === embs.count() - rmSet.size)
+      assert(idx.cells.where(col("nbr").isin(rmSet.toSeq: _*)).count() === 0L)
+      // serving == an index that NEVER contained the ids: same loaded
+      // quantizer over the kept corpus's own assignment (the append
+      // spec's proof pattern, inverted)
+      def rows3(df: org.apache.spark.sql.DataFrame) =
+        df.select("qid", "nbr", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._3)).toSeq
+      val kept = embs.where(col("vec_id") % 7 =!= 0)
+        .select(col("vec_id").as("nbr"), col("embedding").as("cv"))
+        .withColumn("_c1", graft.functions.NearestCentroid(col("cv"), idx.l1))
+      val expected = rows3(Similarity.twoLevelTopKFromIndex(
+        Similarity.TwoLevelIndex(idx.l1, idx.l2,
+          Similarity.assignToL2(kept, idx.l2)),
+        queries, "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4))
+      assert(rows3(Similarity.twoLevelTopKFromIndex(idx, queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4)) === expected)
+      // the integer serving paths see the removal too (their code
+      // columns rode the rewrite), and never surface a removed id
+      assert(Similarity.quantizedTopKFromIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 5).collect()
+        .forall(r => !rmSet(r.getLong(1))))
+      assert(Similarity.pqAdcTopKFromIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 5, rerank = 10).collect()
+        .forall(r => !rmSet(r.getLong(1))))
+      // retry idempotence: the same remove again is a no-op
+      Similarity.removeFromTwoLevelIndex(spark, dir, rmIds, "vec_id")
+      assert(Similarity.loadTwoLevelIndex(spark, dir).cells.count()
+        === embs.count() - rmSet.size)
+      // a removed id can RE-ENTER via append (the dedupe anti-join no
+      // longer sees it) and is searchable again
+      Similarity.appendToTwoLevelIndex(spark, dir,
+        embs.where(col("vec_id") % 7 === 0)
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding")
+      assert(Similarity.loadTwoLevelIndex(spark, dir).cells.count()
+        === embs.count())
+      // emptying a whole cell deletes its partition dir (dynamic
+      // overwrite alone would have kept the old file)
+      val c0 = Similarity.loadTwoLevelIndex(spark, dir).cells
+        .groupBy("_c1", "_c2").count().orderBy("_c1", "_c2").head()
+      val (c1v, c2v) = (c0.getInt(0), c0.getInt(1))
+      val cellIds = Similarity.loadTwoLevelIndex(spark, dir).cells
+        .where(col("_c1") === c1v && col("_c2") === c2v).select(col("nbr"))
+      Similarity.removeFromTwoLevelIndex(spark, dir, cellIds, "nbr")
+      assert(!new java.io.File(s"$dir/cells/_c1=$c1v/_c2=$c2v").exists(),
+        "an emptied cell's partition dir must be deleted")
+      assert(Similarity.loadTwoLevelIndex(spark, dir).cells
+        .where(col("_c1") === c1v && col("_c2") === c2v).count() === 0L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("residual PQ lifecycle: codes approximate v − centroid, appends encode residuals with the frozen codebook") {
+    val partA = embs.where(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val partB = embs.where(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf2_resid").toString
+    val rawDir = java.nio.file.Files.createTempDirectory("graft_ivf2_rawpq").toString
+    try {
+      // the DEFAULT save is residual-encoded, flagged in-dir
+      Similarity.saveTwoLevelIndex(partA, "vec_id", "embedding", dir,
+        nlist1 = 4, k2 = 4, iters = 1)
+      assert(Similarity.pqIsResidual(spark, dir),
+        "default-saved index must flag residual encoding in pq_meta")
+      val frozen = spark.read.parquet(s"$dir/pq_cb")
+      Similarity.appendToTwoLevelIndex(spark, dir, partB, "vec_id", "embedding")
+      // every row's in-index codes (build-time partA, append-time partB)
+      // equal a direct pqEncode of the RESIDUAL v − centroid(c1,c2),
+      // computed from the LOADED (parquet-round-tripped) centroids and
+      // the index's own assignments, against the frozen codebook
+      val idx = Similarity.loadTwoLevelIndex(spark, dir)
+      val resid = idx.cells
+        .join(idx.l2.select(col("_c1"), col("_c2"), col("_cent")),
+          Seq("_c1", "_c2"))
+        .select(col("nbr"),
+          zip_with(col("cv"), col("_cent"), (a, b) => a - b).as("rv"))
+      val direct = Similarity.pqEncode(resid, "nbr", "rv", frozen,
+        dim = 64, m = 8)
+        .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getInt(2).toLong)).toMap
+      val fromIndex = Similarity.pqCodesFromIndex(spark, dir)
+        .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+      assert(fromIndex.size === embs.count() * 8)
+      assert(fromIndex === direct,
+        "in-index codes must equal a direct residual encode with the frozen codebook")
+      // retry idempotence covers the residual column too
+      Similarity.appendToTwoLevelIndex(spark, dir, partB, "vec_id", "embedding")
+      assert(Similarity.pqCodesFromIndex(spark, dir).count()
+        === embs.count() * 8)
+      // ADC + exact refine covering the whole probed candidate set EQUALS
+      // the float serving path — the rerank-all invariant holds for the
+      // residual form too (the offset changes the PRUNING order only)
+      val q5 = embs.where(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding"))
+      def rows3(df: org.apache.spark.sql.DataFrame) =
+        df.select("qid", "nbr", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._3)).toSeq
+      assert(rows3(Similarity.pqAdcTopKFromIndex(spark, dir, q5,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4,
+        rerank = embs.count().toInt))
+        === rows3(Similarity.twoLevelTopKFromIndex(idx, q5,
+          "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4)),
+        "residual ADC rerank over the full candidate set must equal the float path")
+      // backward compatibility: a dir saved BEFORE the flag existed (no
+      // pq_meta) is raw-encoded by construction and must serve exactly
+      // as a pq_meta(residual=false) dir does
+      Similarity.saveTwoLevelIndex(partA, "vec_id", "embedding", rawDir,
+        nlist1 = 4, k2 = 4, iters = 1, pqResidual = false)
+      val withMeta = rows3(Similarity.pqAdcTopKFromIndex(spark, rawDir, q5,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(s"$rawDir/pq_meta"))
+      assert(!Similarity.pqIsResidual(spark, rawDir))
+      assert(rows3(Similarity.pqAdcTopKFromIndex(spark, rawDir, q5,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4)) === withMeta,
+        "a pre-flag (no pq_meta) dir must serve as raw-encoded")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir)); rm(new java.io.File(rawDir))
     }
   }
 
