@@ -227,18 +227,47 @@ object AnnServeRehearsal {
     val autoP1 = math.max(2, math.ceil(side / 4.0).toInt)
     val rInt8AutoP1 = recallOf(Similarity.quantizedTopKFromIndex(spark, dir,
       rQueries, "vec_id", "embedding", k = rk, p1 = autoP1, nprobe = autoNp))
+    // the DEFAULT index is residual-encoded (r17 — IVF-PQ proper); the
+    // raw (r16) encoding is kept as an explicit comparison point below
     val rPq8 = recallOf(Similarity.pqAdcTopKFromIndex(spark, dir,
       rQueries, "vec_id", "embedding", k = rk))
     // px67: ADC prune to 25, exact refine — the 8-byte codes' recall
     // recovery path (reads 25 float rows/query instead of zero)
     val rPq8r25 = recallOf(Similarity.pqAdcTopKFromIndex(spark, dir,
       rQueries, "vec_id", "embedding", k = rk, rerank = 25))
+    // THE r16-VERDICT receipt: px66/px67 at the SCALED two-knob probe
+    // budget (p1, nprobe both at 25% of cells — the operating point the
+    // float/int8 paths were measured at), for rerank 0/25/100 — what
+    // 8 B/vec actually buys when the probe budget is not the binding
+    // constraint
+    val rPq8Auto = recallOf(Similarity.pqAdcTopKFromIndex(spark, dir,
+      rQueries, "vec_id", "embedding", k = rk, p1 = autoP1, nprobe = autoNp))
+    val rPq8AutoR25 = recallOf(Similarity.pqAdcTopKFromIndex(spark, dir,
+      rQueries, "vec_id", "embedding", k = rk, p1 = autoP1, nprobe = autoNp,
+      rerank = 25))
+    val rPq8AutoR100 = recallOf(Similarity.pqAdcTopKFromIndex(spark, dir,
+      rQueries, "vec_id", "embedding", k = rk, p1 = autoP1, nprobe = autoNp,
+      rerank = 100))
+    // RAW (non-residual) m=8 comparison index — the r16 encoding, same
+    // coarse quantizer params: residual-vs-raw at both probe budgets
+    val dirRaw = Files.createTempDirectory("graft_ann_serveraw_").toString
+    Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", dirRaw,
+      nlist1 = side, k2 = side, iters = 1, pqResidual = false)
+    val rPq8Raw = recallOf(Similarity.pqAdcTopKFromIndex(spark, dirRaw,
+      rQueries, "vec_id", "embedding", k = rk))
+    val rPq8RawAuto = recallOf(Similarity.pqAdcTopKFromIndex(spark, dirRaw,
+      rQueries, "vec_id", "embedding", k = rk, p1 = autoP1, nprobe = autoNp))
+    val rPq8RawAutoR25 = recallOf(Similarity.pqAdcTopKFromIndex(spark, dirRaw,
+      rQueries, "vec_id", "embedding", k = rk, p1 = autoP1, nprobe = autoNp,
+      rerank = 25))
     // a second index whose PQ uses 16 subspaces (4-dim slices, 16 B/vec)
     val dir16 = Files.createTempDirectory("graft_ann_serve16_").toString
     Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", dir16,
       nlist1 = side, k2 = side, iters = 1, pqM = 16, pqKsub = 16)
     val rPq16 = recallOf(Similarity.pqAdcTopKFromIndex(spark, dir16,
       rQueries, "vec_id", "embedding", k = rk))
+    val rPq16Auto = recallOf(Similarity.pqAdcTopKFromIndex(spark, dir16,
+      rQueries, "vec_id", "embedding", k = rk, p1 = autoP1, nprobe = autoNp))
     val dim = idxR.l1.head.length
     val recallJson =
       s"""{"k":$rk,"queries":$nQ,"p1":2,"nprobe":4,""" +
@@ -249,9 +278,16 @@ object AnnServeRehearsal {
         rRerank.map { case (r, v) =>
           s""""px65_rerank$r":{"recall":${fmt(v)},"bytes_per_vec":${dim + 8}}"""
         }.mkString("", ",", ",") +
-        s""""px66_pq_m8":{"recall":${fmt(rPq8)},"bytes_per_vec":8},""" +
-        s""""px67_adc_rerank25":{"recall":${fmt(rPq8r25)},"bytes_per_vec":8},""" +
-        s""""px66_pq_m16":{"recall":${fmt(rPq16)},"bytes_per_vec":16}}"""
+        s""""px66_pq_m8_residual":{"recall":${fmt(rPq8)},"bytes_per_vec":8},""" +
+        s""""px67_adc_rerank25_residual":{"recall":${fmt(rPq8r25)},"bytes_per_vec":8},""" +
+        s""""px66_pq_m8_residual_scaled":{"recall":${fmt(rPq8Auto)},"p1":$autoP1,"nprobe":$autoNp,"bytes_per_vec":8},""" +
+        s""""px67_adc_rerank25_residual_scaled":{"recall":${fmt(rPq8AutoR25)},"p1":$autoP1,"nprobe":$autoNp,"bytes_per_vec":8},""" +
+        s""""px67_adc_rerank100_residual_scaled":{"recall":${fmt(rPq8AutoR100)},"p1":$autoP1,"nprobe":$autoNp,"bytes_per_vec":8},""" +
+        s""""px66_pq_m8_raw":{"recall":${fmt(rPq8Raw)},"bytes_per_vec":8},""" +
+        s""""px66_pq_m8_raw_scaled":{"recall":${fmt(rPq8RawAuto)},"p1":$autoP1,"nprobe":$autoNp,"bytes_per_vec":8},""" +
+        s""""px67_adc_rerank25_raw_scaled":{"recall":${fmt(rPq8RawAutoR25)},"p1":$autoP1,"nprobe":$autoNp,"bytes_per_vec":8},""" +
+        s""""px66_pq_m16_residual":{"recall":${fmt(rPq16)},"bytes_per_vec":16},""" +
+        s""""px66_pq_m16_residual_scaled":{"recall":${fmt(rPq16Auto)},"p1":$autoP1,"nprobe":$autoNp,"bytes_per_vec":16}}"""
 
     // ---- wire serving: the same quantized path through serveAnn/TCP ----
     // one warmup round trip (socket + codegen), then batch 1 and 64 —
@@ -262,12 +298,22 @@ object AnnServeRehearsal {
       val client = new graft.store.Wire.AnnClient(spark, server.host, server.port)
       try {
         client.topK(queriesOf(1), k = k).collect()
-        batches.filter(_ <= 64).map { b =>
+        (batches.filter(_ <= 64).map { b =>
           val t0 = System.nanoTime()
           val rows = client.topK(queriesOf(b), k = k).collect().length
           val sec = (System.nanoTime() - t0) / 1e9
-          s"""{"batch":$b,"sec":${fmt(sec)},"qps":${fmt(b / sec)},"rows":$rows}"""
-        }.mkString("[", ",", "]")
+          s"""{"op":"quantized","batch":$b,"sec":${fmt(sec)},""" +
+            s""""qps":${fmt(b / sec)},"rows":$rows}"""
+        } ++ batches.filter(_ <= 64).map { b =>
+          // the ADC op rides the same frame — its wire row next to the
+          // quantized one (r16 verdict item 7)
+          val t0 = System.nanoTime()
+          val rows = client.topK(queriesOf(b), k = k, rerank = 25, op = "adc")
+            .collect().length
+          val sec = (System.nanoTime() - t0) / 1e9
+          s"""{"op":"adc_rerank25","batch":$b,"sec":${fmt(sec)},""" +
+            s""""qps":${fmt(b / sec)},"rows":$rows}"""
+        }).mkString("[", ",", "]")
       } finally { client.close(); server.close() }
     }
 
