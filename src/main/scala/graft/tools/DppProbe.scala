@@ -12,12 +12,14 @@ import graft.pipeline.Similarity
   * fragment under several configs.
   *
   * Usage: runMain graft.tools.DppProbe <indexDir> [reuseOnly=true|false]
+  *                                     [op=float|quantized|adc|adc_rerank]
   */
 object DppProbe {
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val reuseOnly = if (args.length > 1) args(1) else "true"
+    val op = if (args.length > 2) args(2) else "float"
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -30,8 +32,17 @@ object DppProbe {
     val idx = Similarity.loadTwoLevelIndex(spark, dir)
     val queries = idx.cells.select(col("nbr").as("vec_id"), col("cv").as("embedding"))
       .orderBy("vec_id").limit(1).localCheckpoint(true)
-    val served = Similarity.twoLevelTopKFromIndex(idx, queries,
-      "vec_id", "embedding", k = 10)
+    val served = op match {
+      case "float" => Similarity.twoLevelTopKFromIndex(idx, queries,
+        "vec_id", "embedding", k = 10)
+      case "quantized" => Similarity.quantizedTopKFromIndex(spark, dir,
+        queries, "vec_id", "embedding", k = 10)
+      case "adc" => Similarity.pqAdcTopKFromIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 10)
+      case "adc_rerank" => Similarity.pqAdcTopKFromIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 10, rerank = 25)
+      case other => throw new IllegalArgumentException(s"unknown op $other")
+    }
     served.collect()
 
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
