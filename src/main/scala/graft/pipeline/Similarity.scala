@@ -1228,17 +1228,26 @@ object Similarity {
     * map-side, and both the LUT and the probes are broadcast
     * (model/batch-sized). The corpus's float column is never read.
     *
-    * MEASURED operating points (SERVE_r16 recall ladder, recall@10 vs
-    * exact brute force, 64 queries, p1=2/nprobe=4, 2000×64f corpus;
-    * float/int8 serving reach the 0.503 probe-budget ceiling): m=8/
-    * ksub=16 → 0.120 at 8 B/vec, m=16/ksub=16 → 0.241 at 16 B/vec. PQ
-    * at these code sizes is a CANDIDATE-PRUNING stage, not a final
-    * ranking: serve with [[quantizedTopKFromIndex]] (72 B/vec, zero
-    * recall loss vs float) unless storage is the binding constraint —
-    * and when it is, pass `rerank` (the px67 form): the ADC top-`rerank`
-    * survivors per query are exact-cosine refined from a float fetch
-    * that reads ONLY those rows of the probed partitions, recovering the
-    * float path's recall at 8-byte scan cost for everything pruned.
+    * MEASURED operating points (SERVE_r17 recall ladder, recall@10 vs
+    * exact brute force, 64 queries). At 200k vectors / 1600 cells under
+    * the SCALED two-knob budget (p1=10, nprobe=400 — [[probeKnobs]];
+    * float/int8 ceiling 0.664): residual m=8 → 0.047 (vs raw 0.027 —
+    * residual nearly doubles it), +rerank=25 → 0.081, +rerank=100 →
+    * 0.181, residual m=16 → 0.147; at 2000 vectors / 16 cells the
+    * residual gain is small (0.128 vs 0.120 raw; rerank=100 → 0.409)
+    * because 16 coarse centroids explain little variance — the residual
+    * win GROWS with cell count, the published IVF-PQ property. The
+    * operating recommendation: PQ at 8-16 B/vec is a CANDIDATE-PRUNING
+    * stage, not a final ranking — serve with [[quantizedTopKFromIndex]]
+    * (72 B/vec, zero recall loss vs float — it reaches the probe-budget
+    * ceiling exactly) unless storage/scan bytes are the binding
+    * constraint; and when they are, pass `rerank` (the px67 form) and
+    * SCALE it with the candidate pool: under a fraction-f two-knob
+    * budget each query sees ≈ n·f² candidates, and recall tracks the
+    * rerank/candidates coverage (25/12500 = 0.2% → 0.081; 100 → 0.181),
+    * so target rerank ≈ 1-2% of probed mass. The ADC top-`rerank`
+    * survivors are exact-cosine refined from a float fetch that reads
+    * ONLY those rows of the probed partitions.
     *
     * Pass `p1 ≤ 0` / `nprobe ≤ 0` to SELF-SIZE that knob from the loaded
     * index ([[probeKnobs]]) — see [[twoLevelTopKFromIndex]].
