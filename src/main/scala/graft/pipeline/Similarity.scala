@@ -647,9 +647,20 @@ object Similarity {
     if (pqM <= 0) 0
     else (math.min(pqM, dim) to 1 by -1).find(dim % _ == 0).getOrElse(1)
 
+  /** `pqKsub` defaults to 127 — the int8-pack bound: codes are stored as
+    * one signed byte PER SUBSPACE regardless of ksub, so a 16-entry
+    * codebook uses 4 of the byte's 8 bits and a 127-entry one costs the
+    * SAME 8 B/vec with 8× the resolution. MEASURED (SERVE_r17, 200k
+    * vectors, scaled probe budget): residual m8 recall@10 0.047 at
+    * ksub=16 → 0.150 at ksub=127 (= m16/ksub16's 0.147 at HALF the
+    * bytes); with the 2%-of-candidates refine 0.292 → 0.500 (75% of the
+    * float ceiling at 8 B/vec). The price is train-time only: the
+    * codebook-assignment join replicates each slice ksub times — linear
+    * in ksub, paid once at build (and re-train cadence).
+    */
   def saveTwoLevelIndex(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, nlist1: Int = 4, k2: Int = 4, iters: Int = 1,
-      pqM: Int = 8, pqKsub: Int = 16, pqIters: Int = -1,
+      pqM: Int = 8, pqKsub: Int = 127, pqIters: Int = -1,
       pqResidual: Boolean = true): Unit = {
     import graft.functions.NearestCentroid
     val spark = corpus.sparkSession
@@ -1244,10 +1255,11 @@ object Similarity {
     * constraint; and when they are, pass `rerank` (the px67 form) and
     * SCALE it with the candidate pool: under a fraction-f two-knob
     * budget each query sees ≈ n·f² candidates, and recall tracks the
-    * rerank/candidates coverage (25/12500 = 0.2% → 0.081; 100 → 0.181),
-    * so target rerank ≈ 1-2% of probed mass. The ADC top-`rerank`
-    * survivors are exact-cosine refined from a float fetch that reads
-    * ONLY those rows of the probed partitions.
+    * rerank/candidates coverage (25/12500 = 0.2% → 0.081; 100 → 0.181;
+    * 2% = 250 → 0.292; 10% = 1250 → 0.495), so size rerank with
+    * [[autoRerank]] (fraction of probed mass), not a constant. The ADC
+    * top-`rerank` survivors are exact-cosine refined from a float fetch
+    * that reads ONLY those rows of the probed partitions.
     *
     * Pass `p1 ≤ 0` / `nprobe ≤ 0` to SELF-SIZE that knob from the loaded
     * index ([[probeKnobs]]) — see [[twoLevelTopKFromIndex]].
@@ -1430,6 +1442,23 @@ object Similarity {
       fraction: Double = DefaultProbeFraction): (Int, Int) =
     (math.max(2, math.ceil(nlist1 * fraction).toInt),
       autoNprobe(totalCells, fraction))
+
+  /** Rerank budget for a target fraction of the probed candidate mass —
+    * the r17 measured rule for [[pqAdcTopKFromIndex]]'s refine stage.
+    * Under a two-knob probe budget each query sees ≈ n·(p1/side)·
+    * (nprobe/totalCells) candidates, and refine recall tracks the
+    * rerank/candidates COVERAGE, not any absolute rerank value
+    * (MEASURED at 200k vectors / 1600 cells, scaled budget, int8/float
+    * ceiling 0.664: rerank 25 → 0.081, 100 → 0.181, 2% = 250 → 0.292,
+    * 10% = 1250 → 0.495 — SERVE_r17). A fixed rerank therefore decays
+    * as the corpus grows; size it as a fraction of the probed mass.
+    * The default 2% is the knee of the measured curve (diminishing
+    * recall per float row read beyond it); pass 0.1 when the 8-byte
+    * scan savings still dominate reading 10% of candidates back.
+    */
+  def autoRerank(candidatesPerQuery: Long, fraction: Double = 0.02,
+      k: Int = 10): Int =
+    math.max(k, math.ceil(candidatesPerQuery * fraction).toInt)
 
   /** Resolve a serve call's (p1, nprobe): positive values pass through
     * (the declared queries pin (2, 4) for export determinism); any

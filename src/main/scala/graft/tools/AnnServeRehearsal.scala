@@ -63,8 +63,11 @@ object AnnServeRehearsal {
 
     val dir = Files.createTempDirectory("graft_ann_serve_").toString
     val tTrain0 = System.nanoTime()
+    // pqKsub pinned to 16 here: the primary dir's ladder rows are the
+    // historical (r16-comparable) baseline; the ksub=127 default gets
+    // its own explicit comparison index below
     Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", dir,
-      nlist1 = side, k2 = side, iters = 1)
+      nlist1 = side, k2 = side, iters = 1, pqKsub = 16)
     val trainSec = (System.nanoTime() - tTrain0) / 1e9
 
     // executor input bytes, accumulated per measured window
@@ -248,11 +251,23 @@ object AnnServeRehearsal {
     val rPq8AutoR100 = recallOf(Similarity.pqAdcTopKFromIndex(spark, dir,
       rQueries, "vec_id", "embedding", k = rk, p1 = autoP1, nprobe = autoNp,
       rerank = 100))
+    // rerank scaled WITH the probed mass (the r17 question: what must
+    // rerank scale TO) — 2% and 10% of the expected per-query candidate
+    // count n·(p1/side)·(nprobe/cells)
+    val candScaled = (n.toDouble * autoP1 / side * autoNp / (side * side)).toLong
+    val (r2pct, r10pct) = (Similarity.autoRerank(candScaled, 0.02, rk),
+      Similarity.autoRerank(candScaled, 0.10, rk))
+    val rPq8AutoR2p = recallOf(Similarity.pqAdcTopKFromIndex(spark, dir,
+      rQueries, "vec_id", "embedding", k = rk, p1 = autoP1, nprobe = autoNp,
+      rerank = r2pct))
+    val rPq8AutoR10p = recallOf(Similarity.pqAdcTopKFromIndex(spark, dir,
+      rQueries, "vec_id", "embedding", k = rk, p1 = autoP1, nprobe = autoNp,
+      rerank = r10pct))
     // RAW (non-residual) m=8 comparison index — the r16 encoding, same
     // coarse quantizer params: residual-vs-raw at both probe budgets
     val dirRaw = Files.createTempDirectory("graft_ann_serveraw_").toString
     Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", dirRaw,
-      nlist1 = side, k2 = side, iters = 1, pqResidual = false)
+      nlist1 = side, k2 = side, iters = 1, pqKsub = 16, pqResidual = false)
     val rPq8Raw = recallOf(Similarity.pqAdcTopKFromIndex(spark, dirRaw,
       rQueries, "vec_id", "embedding", k = rk))
     val rPq8RawAuto = recallOf(Similarity.pqAdcTopKFromIndex(spark, dirRaw,
@@ -268,6 +283,17 @@ object AnnServeRehearsal {
       rQueries, "vec_id", "embedding", k = rk))
     val rPq16Auto = recallOf(Similarity.pqAdcTopKFromIndex(spark, dir16,
       rQueries, "vec_id", "embedding", k = rk, p1 = autoP1, nprobe = autoNp))
+    // ksub = 127: codes are stored as one signed byte regardless, so a
+    // 16-entry codebook uses 4 of its 8 bits — 127 entries cost the SAME
+    // 8 B/vec with 8x the codebook resolution (the int8-pack bound)
+    val dir127 = Files.createTempDirectory("graft_ann_serve127_").toString
+    Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", dir127,
+      nlist1 = side, k2 = side, iters = 1, pqM = 8, pqKsub = 127)
+    val rK127 = recallOf(Similarity.pqAdcTopKFromIndex(spark, dir127,
+      rQueries, "vec_id", "embedding", k = rk, p1 = autoP1, nprobe = autoNp))
+    val rK127r2p = recallOf(Similarity.pqAdcTopKFromIndex(spark, dir127,
+      rQueries, "vec_id", "embedding", k = rk, p1 = autoP1, nprobe = autoNp,
+      rerank = r2pct))
     val dim = idxR.l1.head.length
     val recallJson =
       s"""{"k":$rk,"queries":$nQ,"p1":2,"nprobe":4,""" +
@@ -283,11 +309,15 @@ object AnnServeRehearsal {
         s""""px66_pq_m8_residual_scaled":{"recall":${fmt(rPq8Auto)},"p1":$autoP1,"nprobe":$autoNp,"bytes_per_vec":8},""" +
         s""""px67_adc_rerank25_residual_scaled":{"recall":${fmt(rPq8AutoR25)},"p1":$autoP1,"nprobe":$autoNp,"bytes_per_vec":8},""" +
         s""""px67_adc_rerank100_residual_scaled":{"recall":${fmt(rPq8AutoR100)},"p1":$autoP1,"nprobe":$autoNp,"bytes_per_vec":8},""" +
+        s""""px67_adc_rerank2pct_residual_scaled":{"recall":${fmt(rPq8AutoR2p)},"rerank":$r2pct,"p1":$autoP1,"nprobe":$autoNp,"bytes_per_vec":8},""" +
+        s""""px67_adc_rerank10pct_residual_scaled":{"recall":${fmt(rPq8AutoR10p)},"rerank":$r10pct,"p1":$autoP1,"nprobe":$autoNp,"bytes_per_vec":8},""" +
         s""""px66_pq_m8_raw":{"recall":${fmt(rPq8Raw)},"bytes_per_vec":8},""" +
         s""""px66_pq_m8_raw_scaled":{"recall":${fmt(rPq8RawAuto)},"p1":$autoP1,"nprobe":$autoNp,"bytes_per_vec":8},""" +
         s""""px67_adc_rerank25_raw_scaled":{"recall":${fmt(rPq8RawAutoR25)},"p1":$autoP1,"nprobe":$autoNp,"bytes_per_vec":8},""" +
         s""""px66_pq_m16_residual":{"recall":${fmt(rPq16)},"bytes_per_vec":16},""" +
-        s""""px66_pq_m16_residual_scaled":{"recall":${fmt(rPq16Auto)},"p1":$autoP1,"nprobe":$autoNp,"bytes_per_vec":16}}"""
+        s""""px66_pq_m16_residual_scaled":{"recall":${fmt(rPq16Auto)},"p1":$autoP1,"nprobe":$autoNp,"bytes_per_vec":16},""" +
+        s""""px66_pq_m8_ksub127_residual_scaled":{"recall":${fmt(rK127)},"p1":$autoP1,"nprobe":$autoNp,"bytes_per_vec":8},""" +
+        s""""px67_m8_ksub127_rerank2pct_residual_scaled":{"recall":${fmt(rK127r2p)},"rerank":$r2pct,"p1":$autoP1,"nprobe":$autoNp,"bytes_per_vec":8}}"""
 
     // ---- wire serving: the same quantized path through serveAnn/TCP ----
     // one warmup round trip (socket + codegen), then batch 1 and 64 —

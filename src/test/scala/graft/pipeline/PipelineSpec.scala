@@ -1073,6 +1073,55 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("remove then compact compose: the maintenance ops chain and serving stays never-contained-equal") {
+    val corpus = embs.select(col("vec_id"), col("embedding"))
+    val queries = embs.where(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf2_rmcpt").toString
+    try {
+      Similarity.saveTwoLevelIndex(
+        embs.where(col("vec_id") % 2 === 0).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", dir, nlist1 = 4, k2 = 4, iters = 1)
+      Similarity.appendToTwoLevelIndex(spark, dir,
+        embs.where(col("vec_id") % 2 === 1).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding")
+      val rmIds = embs.where(col("vec_id") % 5 === 0).select(col("vec_id"))
+      val rmSet = rmIds.collect().map(_.getLong(0)).toSet
+      Similarity.removeFromTwoLevelIndex(spark, dir, rmIds, "vec_id")
+      Similarity.compactTwoLevelIndex(spark, dir)
+      assert(Similarity.cellsSubdir(spark, dir) === "cells_g2")
+      val idx = Similarity.loadTwoLevelIndex(spark, dir)
+      assert(idx.cells.count() === embs.count() - rmSet.size)
+      assert(idx.cells.where(col("nbr").isin(rmSet.toSeq: _*)).count() === 0L)
+      // ALL THREE serving paths over the removed+compacted generation
+      // equal the never-contained construction
+      def rows3(df: org.apache.spark.sql.DataFrame) =
+        df.select("qid", "nbr", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._3)).toSeq
+      val kept = embs.where(col("vec_id") % 5 =!= 0)
+        .select(col("vec_id").as("nbr"), col("embedding").as("cv"))
+        .withColumn("_c1", graft.functions.NearestCentroid(col("cv"), idx.l1))
+      val expected = rows3(Similarity.twoLevelTopKFromIndex(
+        Similarity.TwoLevelIndex(idx.l1, idx.l2,
+          Similarity.assignToL2(kept, idx.l2)),
+        queries, "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4))
+      assert(rows3(Similarity.twoLevelTopKFromIndex(idx, queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4)) === expected)
+      // and a REMOVE against the compacted generation works too (the
+      // dynamic overwrite targets cells_g2 through the pointer)
+      val rm2 = embs.where(col("vec_id") % 5 === 1).select(col("vec_id"))
+      Similarity.removeFromTwoLevelIndex(spark, dir, rm2, "vec_id")
+      assert(Similarity.loadTwoLevelIndex(spark, dir).cells.count()
+        === embs.where(col("vec_id") % 5 >= 2).count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("residual PQ lifecycle: codes approximate v − centroid, appends encode residuals with the frozen codebook") {
     val partA = embs.where(col("vec_id") % 2 === 0)
       .select(col("vec_id"), col("embedding"))
