@@ -131,14 +131,29 @@ object Similarity {
     * compaction, /root/reference/library/GraphDB/Storage.hs:171-207.
     */
   def compactTwoLevelIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
+      dir: String): Unit =
+    compactCells(spark, dir, Seq("_c1", "_c2"))
+
+  /** [[compactTwoLevelIndex]] for the FLAT persisted index family
+    * ([[saveIndex]]/[[appendToIndex]], px53/px55) — same generation
+    * rewrite + atomic pointer swap over the single `_cell` partition
+    * column; [[loadIndex]] and [[appendToIndex]] resolve through the
+    * pointer, so serving is generation-transparent (spec-pinned with
+    * the two-level family's invariants).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    compactCells(spark, dir, Seq("_cell"))
+
+  private def compactCells(spark: org.apache.spark.sql.SparkSession,
+      dir: String, partCols: Seq[String]): Unit = {
     val cur = cellsSubdir(spark, dir)
     val gen =
       if (cur == "cells") 2 else cur.stripPrefix("cells_g").toInt + 1
     val next = s"cells_g$gen"
     spark.read.parquet(s"$dir/$cur")
-      .repartition(col("_c1"), col("_c2"))
-      .write.mode("overwrite").partitionBy("_c1", "_c2")
+      .repartition(partCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*)
       .parquet(s"$dir/$next")
     writeCellsPointer(spark, dir, next)
     val (fs, p) = hadoopFs(spark, s"$dir/$cur")
@@ -174,37 +189,59 @@ object Similarity {
     * the then-stale centroids.
     */
   def removeFromTwoLevelIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, ids: DataFrame, idCol: String): Unit = {
-    import spark.implicits._
+      dir: String, ids: DataFrame, idCol: String): Unit =
+    removeCells(spark, dir, ids, idCol, Seq("_c1", "_c2"))
+
+  /** [[removeFromTwoLevelIndex]] for the FLAT persisted index family —
+    * same touched-cells-only dynamic partition overwrite over the single
+    * `_cell` partition column, same retry-idempotence and emptied-cell
+    * reclamation. Together with [[compactIndex]] the flat family carries
+    * the full lifecycle (build / persist / append / remove / compact /
+    * serve) the two-level family has.
+    */
+  def removeFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame, idCol: String): Unit =
+    removeCells(spark, dir, ids, idCol, Seq("_cell"))
+
+  private def removeCells(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame, idCol: String,
+      partCols: Seq[String]): Unit = {
     val path = cellsPath(spark, dir)
     val cells = spark.read.parquet(path)
     val rm = ids.select(col(idCol).as("nbr")).distinct()
-    val touched = cells.select("nbr", "_c1", "_c2")
-      .join(rm, Seq("nbr")).select("_c1", "_c2").distinct()
-      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val touched = cells.select("nbr", partCols: _*)
+      .join(rm, Seq("nbr")).select(partCols.map(col): _*).distinct()
+      .collect().map(r => partCols.indices.map(r.getInt)).toSeq
     if (touched.isEmpty) return
-    val touchedDf = broadcast(touched.toDF("_c1", "_c2"))
+    val touchedDf = broadcast(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          touched.map(org.apache.spark.sql.Row.fromSeq), 1),
+        org.apache.spark.sql.types.StructType(partCols.map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.IntegerType)))))
     val staging = s"$dir/_rm_staging"
     // stage the survivors OUTSIDE the table (a write cannot read its own
-    // target path; _c1/_c2 ride as plain columns and read back as the
-    // ints the partitioned write needs)
-    cells.join(touchedDf, Seq("_c1", "_c2"))
+    // target path; the partition cols ride as plain columns and read
+    // back as the ints the partitioned write needs)
+    cells.join(touchedDf, partCols)
       .join(rm, Seq("nbr"), "left_anti")
       .write.mode("overwrite").parquet(staging)
     val survivors = spark.read.parquet(staging)
     survivors
-      .repartition(col("_c1"), col("_c2"))
+      .repartition(partCols.map(col): _*)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("_c1", "_c2").parquet(path)
+      .partitionBy(partCols: _*).parquet(path)
     // dynamic overwrite replaces only partitions the write PRODUCES — a
     // cell whose every row was removed writes nothing and would keep its
     // old file; drop those partition dirs explicitly
-    val alive = survivors.select("_c1", "_c2").distinct()
-      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val alive = survivors.select(partCols.map(col): _*).distinct()
+      .collect().map(r => partCols.indices.map(r.getInt)).toSet
     val (fs, _) = hadoopFs(spark, path)
-    touched.filterNot(alive).foreach { case (c1, c2) =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_c1=$c1/_c2=$c2"), true)
+    touched.filterNot(alive).foreach { vals =>
+      val rel = partCols.zip(vals).map { case (c, v) => s"$c=$v" }.mkString("/")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$rel"), true)
     }
     scala.util.Try(fs.delete(new org.apache.hadoop.fs.Path(staging), true))
     ()
@@ -413,6 +450,16 @@ object Similarity {
     import graft.functions.NearestCentroid
     val spark = corpus.sparkSession
     import spark.implicits._
+    // a save defines generation 1 — reset the cells pointer and reclaim
+    // stale generations (the saveTwoLevelIndex rule)
+    locally {
+      val (fs, _) = hadoopFs(spark, dir)
+      scala.util.Try(
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_cells"), false))
+      scala.util.Try(
+        fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/cells_g*"))
+          .foreach(st => fs.delete(st.getPath, true)))
+    }
     val cents = ivfCentroids(corpus, idCol, vecCol, nlist, iters)
     cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("_cell", "centroid")
@@ -433,7 +480,7 @@ object Similarity {
     val cents = spark.read.parquet(s"$dir/centroids")
       .select("_cell", "centroid").orderBy("_cell").collect()
       .map(_.getSeq[Float](1).toArray)
-    val raw = spark.read.parquet(s"$dir/cells")
+    val raw = spark.read.parquet(cellsPath(spark, dir))
     // partition-column type inference reads `_cell=N` back as int; keep
     // the attribute UNCAST so the probe join key stays the partition
     // column itself and dynamic partition pruning applies.
@@ -474,7 +521,8 @@ object Similarity {
       else base
     fresh.withColumn("_cell", NearestCentroid(col("cv"), idx.centroids))
       .repartition(col("_cell")) // one file per touched cell
-      .write.mode("append").partitionBy("_cell").parquet(s"$dir/cells")
+      .write.mode("append").partitionBy("_cell")
+      .parquet(cellsPath(spark, dir))
   }
 
   /** ANN search served from a persisted index — [[ivfTopK]] minus the

@@ -1073,6 +1073,61 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("flat-index lifecycle symmetry: removeFromIndex + compactIndex mirror the two-level family") {
+    val queries = embs.where(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_flat_lc").toString
+    try {
+      Similarity.saveIndex(
+        embs.where(col("vec_id") % 2 === 0).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", dir, nlist = 16, iters = 1)
+      Similarity.appendToIndex(spark,  dir,
+        embs.where(col("vec_id") % 2 === 1).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding")
+      val rmIds = embs.where(col("vec_id") % 5 === 0).select(col("vec_id"))
+      val rmSet = rmIds.collect().map(_.getLong(0)).toSet
+      Similarity.removeFromIndex(spark, dir, rmIds, "vec_id")
+      Similarity.compactIndex(spark, dir)
+      assert(Similarity.cellsSubdir(spark, dir) === "cells_g2")
+      val idx = Similarity.loadIndex(spark, dir)
+      assert(idx.cells.count() === embs.count() - rmSet.size)
+      assert(idx.cells.where(col("nbr").isin(rmSet.toSeq: _*)).count() === 0L)
+      // one file per cell after compaction
+      val cellDirs = Option(new java.io.File(s"$dir/cells_g2").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.startsWith("_cell="))
+      assert(cellDirs.nonEmpty && cellDirs.forall(
+        _.listFiles().count(_.getName.endsWith(".parquet")) === 1))
+      // serving == an index that never contained the removed ids (same
+      // loaded centroids over the kept corpus's own assignment)
+      def rows3(df: org.apache.spark.sql.DataFrame) =
+        df.select("qid", "nbr", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._3)).toSeq
+      val kept = embs.where(col("vec_id") % 5 =!= 0)
+        .select(col("vec_id").as("nbr"), col("embedding").as("cv"))
+        .withColumn("_cell",
+          graft.functions.NearestCentroid(col("cv"), idx.centroids))
+      val expected = rows3(Similarity.ivfTopKFromIndex(
+        Similarity.IvfIndex(idx.centroids, kept), queries,
+        "vec_id", "embedding", k = 5, nprobe = 4))
+      assert(rows3(Similarity.ivfTopKFromIndex(idx, queries,
+        "vec_id", "embedding", k = 5, nprobe = 4)) === expected)
+      // retry idempotence + re-add via append, through the pointer
+      Similarity.removeFromIndex(spark, dir, rmIds, "vec_id")
+      assert(Similarity.loadIndex(spark, dir).cells.count()
+        === embs.count() - rmSet.size)
+      Similarity.appendToIndex(spark, dir,
+        embs.where(col("vec_id") % 5 === 0).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding")
+      assert(Similarity.loadIndex(spark, dir).cells.count() === embs.count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("remove then compact compose: the maintenance ops chain and serving stays never-contained-equal") {
     val corpus = embs.select(col("vec_id"), col("embedding"))
     val queries = embs.where(col("vec_id") < 10)
