@@ -63,7 +63,7 @@ object Similarity {
     * tiny pointer rename switches readers over (a directory cannot be
     * replaced atomically on any Hadoop filesystem; a one-line file can).
     */
-  private[pipeline] def cellsSubdir(
+  private[graft] def cellsSubdir(
       spark: org.apache.spark.sql.SparkSession, dir: String): String = {
     val (fs, p) = hadoopFs(spark, s"$dir/_cells")
     if (!fs.exists(p)) "cells"

@@ -674,6 +674,72 @@ class StreamingSpec extends AnyFunSuite {
       "quantized rerank-all over the streamed index must equal the float serve")
   }
 
+  test("streaming append + periodic compaction: serving parity through generation swaps") {
+    // the production maintenance loop: micro-batches append to the
+    // persisted index and a periodic compaction (here every 2nd batch)
+    // rewrites the fragmented cells into a fresh generation UNDER the
+    // running stream's feet — the atomic pointer swap means every
+    // subsequent append/serve resolves the new generation and the final
+    // state equals a one-shot append that never fragmented at all.
+    import graft.pipeline.Similarity
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val base = emb.where(col("vec_id") % 4 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val rest = emb.where(col("vec_id") % 4 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.where(col("vec_id") < 15)
+      .select(col("vec_id"), col("embedding"))
+    def serve(dir: String) =
+      Similarity.twoLevelTopKFromIndex(
+        Similarity.loadTwoLevelIndex(spark, dir), queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val root = Files.createTempDirectory("graft-ann2-compact-stream-")
+    val streamIdx = root.resolve("stream_idx").toString
+    Similarity.saveTwoLevelIndex(base, "vec_id", "embedding", streamIdx,
+      nlist1 = 4, k2 = 4, iters = 1)
+    val inDir = root.resolve("in").toString
+    (0 until 4).foreach { i =>
+      rest.where(pmod(col("vec_id"), lit(4)) === (i + 1)).coalesce(1)
+        .write.mode("append").parquet(inDir)
+    }
+    var batches = 0
+    val q = spark.readStream.schema(rest.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        Similarity.appendToTwoLevelIndex(spark, streamIdx, batch,
+          "vec_id", "embedding")
+        if (id % 2 == 1) Similarity.compactTwoLevelIndex(spark, streamIdx)
+        batches += 1
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    assert(batches === 4)
+    // two compactions ran → generation 3
+    assert(Similarity.cellsSubdir(spark, streamIdx) === "cells_g3")
+    // the compacted, streamed index serves EXACTLY like a one-shot
+    // append that never fragmented
+    val oneShot = root.resolve("oneshot_idx").toString
+    Similarity.saveTwoLevelIndex(base, "vec_id", "embedding", oneShot,
+      nlist1 = 4, k2 = 4, iters = 1)
+    Similarity.appendToTwoLevelIndex(spark, oneShot, rest,
+      "vec_id", "embedding")
+    assert(serve(streamIdx) === serve(oneShot))
+    assert(serve(streamIdx).nonEmpty)
+    // and the PQ/ADC surface survived the swaps too (codes rode every
+    // generation rewrite; rerank-all == float)
+    val n = (base.count() + rest.count()).toInt
+    val adc = Similarity.pqAdcTopKFromIndex(spark, streamIdx, queries,
+      "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(adc === serve(streamIdx).map(t => (t._1, t._2, t._3)))
+  }
+
   test("px59 semantic prune re-curates incrementally (every streamed prefix == batch)") {
     // Semantic dedup under the px29 incremental-recuration harness:
     // embeddings arrive in chunks; foreachBatch appends each chunk to the
