@@ -42,7 +42,7 @@ object Similarity {
     * `java.nio.file.Files.exists` on the dir STRING is silently false for
     * any non-local URI — the silent-wrong-data shape this exists to close.
     */
-  private[pipeline] def hadoopExists(
+  private[graft] def hadoopExists(
       spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
