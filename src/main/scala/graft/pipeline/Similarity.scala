@@ -1099,7 +1099,11 @@ object Similarity {
       maxBroadcastProbesBytes: Long = 512L << 20): DataFrame = {
     val idx = loadTwoLevelIndex(spark, dir)
     val (p1R, nprobeR) = resolvedKnobs(idx, p1, nprobe)
-    val codes = spark.read.parquet(cellsPath(spark, dir))
+    // resolve the cells generation ONCE per call: both scans (codes +
+    // optional float fetch) must read the SAME generation even if a
+    // compaction swaps the pointer mid-call
+    val cellsP = cellsPath(spark, dir)
+    val codes = spark.read.parquet(cellsP)
       .select(col("nbr"), col("codes"), col("qscale"), col("_c1"), col("_c2"))
     val probes0 = twoLevelProbes(queries, idCol, vecCol,
       TwoLevelModel(idx.l1, idx.l2), p1R, nprobeR)
@@ -1141,7 +1145,7 @@ object Similarity {
       // the fetch reads the whole cv column (plan-audited in r15); the
       // candidate restriction then lands in the second, row-level join
       val probedCells = probes0.select("_c1", "_c2").distinct()
-      val floats = spark.read.parquet(cellsPath(spark, dir))
+      val floats = spark.read.parquet(cellsP)
         .select(col("nbr"), col("cv"), col("_c1"), col("_c2"))
         .join(broadcast(probedCells), Seq("_c1", "_c2"))
       topKPerQuery(
@@ -1323,6 +1327,8 @@ object Similarity {
     val mSub = meta.getInt(0) + 1
     val subLen = meta.getInt(1)
     val (p1R, nprobeR) = resolvedKnobs(idx, p1, nprobe)
+    // one generation resolution per call — see quantizedTopKFromIndex
+    val cellsP = cellsPath(spark, dir)
     val probes = twoLevelProbes(queries, idCol, vecCol,
       TwoLevelModel(idx.l1, idx.l2), p1R, nprobeR)
     // ONE guard decision from the probes plan's size estimate covers every
@@ -1348,7 +1354,7 @@ object Similarity {
           "its PQ codebook; re-encode (or rebuild) before ADC serving")))
         .cast("binary"))
       .otherwise(col("pqcodes"))
-    val cand = spark.read.parquet(cellsPath(spark, dir))
+    val cand = spark.read.parquet(cellsP)
       .select(col("nbr"), col("pqcodes"), col("_c1"), col("_c2"))
       .join(guarded(probes.select("qid", "_c1", "_c2")), Seq("_c1", "_c2"))
       .where(col("qid") =!= col("nbr"))
@@ -1425,7 +1431,7 @@ object Similarity {
       // window-derived candidates the planner degrades it to literal
       // TRUE — the px65 plan audit). Final ranking is exact cosine.
       val probedCells = probes.select("_c1", "_c2").distinct()
-      val floats = spark.read.parquet(cellsPath(spark, dir))
+      val floats = spark.read.parquet(cellsP)
         .select(col("nbr"), col("cv"), col("_c1"), col("_c2"))
         .join(broadcast(probedCells), Seq("_c1", "_c2"))
       val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
