@@ -168,24 +168,23 @@ object PipelineQueries {
       "vec_id", "embedding", threshold = 0.35)
       .where(col("pruned")).select(col("vec_id"))
 
-  /** The px68 removal index: a COPY of the shared two-level index with
-    * px59's pruned ids REMOVED via Similarity.removeFromTwoLevelIndex —
-    * dedup verdicts composed with index maintenance, the
-    * curate-then-serve lifecycle. Copied (cheap at oracle scales, one
-    * recursive Hadoop FileUtil pass) so the shared index every OTHER
-    * declared query serves from is never mutated; built once per
-    * (JVM, data dir) like every persisted index here.
+  /** The px68 removal index: a copy-on-write CLONE of the shared
+    * two-level index ([[Similarity.cloneIndex]] — an O(metadata)
+    * manifest publish, not a file copy) with px59's pruned ids REMOVED
+    * via Similarity.removeFromTwoLevelIndex — dedup verdicts composed
+    * with index maintenance, the curate-then-serve lifecycle. The clone
+    * mutates only its own dir, so the shared index every OTHER declared
+    * query serves from is never touched (spec-pinned byte-identical);
+    * built once per (JVM, data dir) like every persisted index here.
     */
   private[graft] def removalIndexDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     ivfSaved.computeIfAbsent(indexDir("graft_ivf2_rmidx_", d), k => {
       val conf = s.sparkContext.hadoopConfiguration
-      val sp = new org.apache.hadoop.fs.Path(twoLevelIndexDir(s, d))
       val dp = new org.apache.hadoop.fs.Path(k)
       val fs = dp.getFileSystem(conf)
       if (fs.exists(dp)) fs.delete(dp, true)
-      org.apache.hadoop.fs.FileUtil.copy(
-        sp.getFileSystem(conf), sp, fs, dp, false, conf)
+      Similarity.cloneIndex(s, twoLevelIndexDir(s, d), k)
       Similarity.removeFromTwoLevelIndex(s, k, px59PrunedIds(s, d), "vec_id")
       k
     })

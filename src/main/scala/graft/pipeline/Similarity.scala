@@ -55,91 +55,88 @@ object Similarity {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** The cells table's current GENERATION inside a persisted two-level
-    * index dir: the `_cells` pointer file names it; absent (every index
-    * that was never compacted) → `cells`. Generations exist so
-    * [[compactTwoLevelIndex]] can publish a rewritten table ATOMICALLY —
-    * the new generation is written COMPLETELY beside the old one and one
-    * tiny pointer rename switches readers over (a directory cannot be
-    * replaced atomically on any Hadoop filesystem; a one-line file can).
+  /** A save defines generation 1: drop the cells pointer, every stale
+    * generation dir except `cells` itself (the save overwrites it),
+    * every manifest file, and staging leftovers — a lingering manifest
+    * would otherwise shadow the freshly saved table.
     */
-  private[graft] def cellsSubdir(
-      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val (fs, p) = hadoopFs(spark, s"$dir/_cells")
-    if (!fs.exists(p)) "cells"
-    else {
-      val in = fs.open(p)
-      val s =
-        try {
-          val out = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](256)
-          var n = in.read(buf)
-          while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-          out.toString("UTF-8").trim
-        } finally in.close()
-      require(s.matches("cells(_g\\d+)?"),
-        s"corrupt cells-generation pointer '$s' in $dir")
-      s
+  private def resetCellsState(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val (fs, _) = hadoopFs(spark, dir)
+    def del(p: org.apache.hadoop.fs.Path, recursive: Boolean): Unit = {
+      scala.util.Try(fs.delete(p, recursive)); ()
+    }
+    del(new org.apache.hadoop.fs.Path(s"$dir/_cells"), false)
+    del(new org.apache.hadoop.fs.Path(s"$dir/_cells.tmp"), false)
+    del(new org.apache.hadoop.fs.Path(s"$dir/_rm_staging"), true)
+    del(new org.apache.hadoop.fs.Path(s"$dir/_append_staging"), true)
+    Seq(s"$dir/cells_g*", s"$dir/_manifest_g*").foreach { g =>
+      scala.util.Try(
+        fs.globStatus(new org.apache.hadoop.fs.Path(g))
+          .foreach(st => del(st.getPath, true)))
     }
   }
 
-  /** Absolute path of the index's CURRENT cells table — every reader and
-    * maintainer of the table resolves through this (one FS metadata probe
-    * per serve; the pointer file is a few bytes).
+  /** The `_cells` pointer's raw content: a legacy generation DIRECTORY
+    * name (`cells`, `cells_gN` — an index never mutated since its save)
+    * or `manifest:_manifest_gN` (an index whose mutations publish
+    * file-listing manifests, [[CellsLayout]]). Absent pointer → `cells`.
+    * One FS metadata probe per serve; the pointer file is a few bytes.
     */
-  private[pipeline] def cellsPath(
+  private[graft] def cellsSubdir(
       spark: org.apache.spark.sql.SparkSession, dir: String): String =
-    s"$dir/${cellsSubdir(spark, dir)}"
+    CellsLayout.pointer(spark, dir)
 
-  /** Atomically point the index at generation `gen`: write beside, then
-    * one FileContext rename with OVERWRITE — atomic on local FS and HDFS,
-    * so a reader sees either the old pointer or the new, never a torn
-    * one (the GraphStore staged-publish rule, applied to the one object
-    * here that must REPLACE in place).
+  /** The index's CURRENT cells table as a source of fresh DataFrames —
+    * every reader and maintainer resolves through this ONCE per call, so
+    * multi-scan serves read one consistent generation even if a
+    * maintainer publishes mid-call.
     */
-  private def writeCellsPointer(spark: org.apache.spark.sql.SparkSession,
-      dir: String, gen: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val (fs, dst0) = hadoopFs(spark, s"$dir/_cells")
-    val dst = fs.makeQualified(dst0)
-    val tmp = fs.makeQualified(
-      new org.apache.hadoop.fs.Path(s"$dir/_cells.tmp"))
-    val out = fs.create(tmp, true)
-    try out.write(gen.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
-      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+  private[pipeline] def resolveCells(
+      spark: org.apache.spark.sql.SparkSession, dir: String): CellsSource =
+    CellsLayout.resolve(spark, dir)
 
   /** Rewrite the cells table into a fresh generation with exactly ONE
     * file per cell and atomically switch readers to it — the compaction
-    * [[appendToTwoLevelIndex]] schedules: each append writes one file per
-    * TOUCHED cell per batch, so after K batches a hot cell holds K files
-    * and the tasks×cells file-count pathology the build path eliminated
-    * (7.7k 4 KB files; file listing + footer overhead dominating the
-    * serve — measured 3.9 → 0.7 s in r15) re-accumulates incrementally.
-    * Run it on the append cadence (e.g. alongside the occupancy-skew
-    * retrain check, [[appendToTwoLevelIndex]]'s scaladoc).
+    * [[appendToTwoLevelIndex]] schedules (and, by default, runs itself:
+    * `autoCompact` — see [[shouldCompact]]): each append writes one file
+    * per TOUCHED cell per batch, so after K batches a hot cell holds K
+    * files and the tasks×cells file-count pathology the build path
+    * eliminated (7.7k 4 KB files; file listing + footer overhead
+    * dominating the serve — measured 3.9 → 0.7 s in r15; 50.4k files /
+    * 25.1 s serve after 32 appends at 200k vectors, 1.9 s after one
+    * compaction — SERVE_r17) re-accumulates incrementally.
     *
-    * Retry-safe at every step: the new generation is written with
-    * overwrite semantics (a re-run after a crash rewrites it), the
-    * pointer swap is atomic, and the superseded generation is deleted
-    * only after the swap (best-effort — a leftover stale generation is
-    * unreachable garbage, reclaimed by the next compaction or save).
-    * Floats round-trip parquet bit-exactly, so serving from the
-    * compacted generation equals serving from the fragmented one row
-    * for row (spec-pinned). Reference anchor: checkpoint-and-archive
-    * compaction, /root/reference/library/GraphDB/Storage.hs:171-207.
+    * Publishes through the manifest protocol ([[CellsLayout.publish]]):
+    * the new generation is written COMPLETELY beside the live files, one
+    * atomic pointer swap switches readers, and the files it superseded
+    * are deleted one maintenance generation LATER (a reader that
+    * resolved just before the swap still finds every file it needs).
+    * On a CLONE ([[cloneIndex]]) compaction also LOCALIZES the index:
+    * the rewrite lands under the clone's own dir and the published
+    * manifest no longer references the source. Retry-safe at every
+    * step: a re-run after a crash rewrites the staged generation and
+    * publishes under a fresh generation number; orphans are reclaimed
+    * by [[vacuumIndex]] or the next save. Floats round-trip parquet
+    * bit-exactly, so serving from the compacted generation equals
+    * serving from the fragmented one row for row (spec-pinned).
+    * Reference anchor: checkpoint-and-archive compaction,
+    * /root/reference/library/GraphDB/Storage.hs:171-207.
+    *
+    * SINGLE-MAINTAINER: see [[CellsLayout]]'s concurrency contract —
+    * mutations on one index dir must be serialized by the caller;
+    * readers are always safe.
     */
   def compactTwoLevelIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit =
     compactCells(spark, dir, Seq("_c1", "_c2"))
 
   /** [[compactTwoLevelIndex]] for the FLAT persisted index family
-    * ([[saveIndex]]/[[appendToIndex]], px53/px55) — same generation
-    * rewrite + atomic pointer swap over the single `_cell` partition
-    * column; [[loadIndex]] and [[appendToIndex]] resolve through the
-    * pointer, so serving is generation-transparent (spec-pinned with
-    * the two-level family's invariants).
+    * ([[saveIndex]]/[[appendToIndex]], px53/px55) — same manifest
+    * publish over the single `_cell` partition column; [[loadIndex]] and
+    * [[appendToIndex]] resolve through the pointer, so serving is
+    * generation-transparent (spec-pinned with the two-level family's
+    * invariants).
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit =
@@ -147,19 +144,43 @@ object Similarity {
 
   private def compactCells(spark: org.apache.spark.sql.SparkSession,
       dir: String, partCols: Seq[String]): Unit = {
-    val cur = cellsSubdir(spark, dir)
-    val gen =
-      if (cur == "cells") 2 else cur.stripPrefix("cells_g").toInt + 1
-    val next = s"cells_g$gen"
-    spark.read.parquet(s"$dir/$cur")
+    val src = resolveCells(spark, dir)
+    val gen = CellsLayout.nextGen(spark, dir)
+    val outDir = s"$dir/cells_g$gen"
+    src.df(spark)
       .repartition(partCols.map(col): _*)
       .write.mode("overwrite").partitionBy(partCols: _*)
-      .parquet(s"$dir/$next")
-    writeCellsPointer(spark, dir, next)
-    val (fs, p) = hadoopFs(spark, s"$dir/$cur")
-    scala.util.Try(fs.delete(p, true))
-    ()
+      .parquet(outDir)
+    val files = CellsLayout.listRelParquet(spark, outDir)
+    CellsLayout.publish(spark, dir,
+      CellsManifest(gen, Seq(outDir -> files), gc = src.entries(spark)),
+      src.manifest)
   }
+
+  /** Whether the index's cells table has fragmented past
+    * `maxFilesPerCell` live files per live cell — the compaction trigger
+    * [[appendToIndex]]/[[appendToTwoLevelIndex]] consult when
+    * `autoCompact` is on. Manifest-mode indexes answer from the manifest
+    * alone (zero file listings); a never-mutated dir answers from one
+    * recursive listing. The default threshold is set from the measured
+    * serve-decay curve (SERVE_r17, 200k vectors: 1 file/cell → 1.9 s,
+    * ~8 append batches → 5.5 s, 32 → 25.1 s): compacting every ~8
+    * batches bounds serve latency at <3× floor for an amortized ~1/8 of
+    * a full rewrite per append.
+    */
+  def shouldCompact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxFilesPerCell: Double = DefaultCompactFilesPerCell): Boolean = {
+    val (files, cells) = resolveCells(spark, dir) match {
+      case ManifestCells(_, m) => (m.fileCount, m.cellCount)
+      case DirCells(path) =>
+        val rels = CellsLayout.listRelParquet(spark, path)
+        (rels.size, rels.map(CellsLayout.cellValuesOf).toSet.size)
+    }
+    cells > 0 && files.toDouble / cells > maxFilesPerCell
+  }
+
+  /** See [[shouldCompact]]. */
+  val DefaultCompactFilesPerCell: Double = 8.0
 
   /** Remove vectors from a persisted two-level index WITHOUT retraining —
     * the maintenance-on-unlink half of the lifecycle (the reference
@@ -168,35 +189,38 @@ object Similarity {
     * verdicts — or a removed graph node leaves the ANN index the same
     * way): the ids' own cell assignments name the TOUCHED cells (one
     * column-pruned (nbr, c1, c2) scan against the id set), survivors of
-    * only those cells are staged, and a dynamic partition overwrite
-    * replaces exactly the touched partitions — untouched cells are never
-    * read or rewritten. Serving after a remove equals serving an index
-    * whose cells table never contained the ids (same quantizer — the
-    * centroids are untouched; spec-pinned), and every code column
-    * (`codes`, `qscale`, `pqcodes`) survives for the kept rows.
+    * only those cells are staged as NEW files, and one atomic manifest
+    * publish ([[CellsLayout.publish]]) swaps exactly the touched cells'
+    * entries — untouched cells' files are never read, rewritten, or even
+    * renamed (byte-identical, spec-pinned). Serving after a remove
+    * equals serving an index whose cells table never contained the ids
+    * (same quantizer — the centroids are untouched; spec-pinned), and
+    * every code column (`codes`, `qscale`, `pqcodes`) survives for the
+    * kept rows.
     *
-    * Retry-idempotent: a re-run of the same remove finds the ids gone
-    * (touched = ∅) and no-ops; a crash AFTER the overwrite but before
-    * the emptied-cell cleanup is repaired by the re-run (the ids are
-    * still present in those cells, so they are re-touched and
-    * re-emptied). The one non-atomic window is parquet's own
-    * partition-replace commit — the same documented caveat as
-    * [[appendToTwoLevelIndex]]'s crash-mid-append; `_rm_staging` (the
-    * staged survivors) is deleted only on success and retains the data
-    * for manual repair. Driver footprint: the touched (c1, c2) list —
-    * bounded by the id count; removals of a large corpus fraction
-    * belong to a rebuild ([[saveTwoLevelIndex]]), which also refreshes
-    * the then-stale centroids.
+    * ATOMIC at every step (the r17 dynamic-partition-overwrite crash
+    * window is closed): survivors are staged outside the table, moved in
+    * under fresh names, and become visible only at the pointer swap; the
+    * superseded files are deleted one maintenance generation later. A
+    * crash anywhere leaves the previous generation fully intact —
+    * serving reads old-or-new, never a mixture. Retry-idempotent: a
+    * re-run of the same remove finds the ids gone (touched = ∅) and
+    * no-ops; a crash before publish leaves only invisible orphan files
+    * ([[vacuumIndex]] reclaims). Driver footprint: the touched (c1, c2)
+    * list — bounded by the id count; removals of a large corpus
+    * fraction belong to a rebuild ([[saveTwoLevelIndex]]), which also
+    * refreshes the then-stale centroids. SINGLE-MAINTAINER — see
+    * [[CellsLayout]]'s concurrency contract.
     */
   def removeFromTwoLevelIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, ids: DataFrame, idCol: String): Unit =
     removeCells(spark, dir, ids, idCol, Seq("_c1", "_c2"))
 
   /** [[removeFromTwoLevelIndex]] for the FLAT persisted index family —
-    * same touched-cells-only dynamic partition overwrite over the single
-    * `_cell` partition column, same retry-idempotence and emptied-cell
-    * reclamation. Together with [[compactIndex]] the flat family carries
-    * the full lifecycle (build / persist / append / remove / compact /
+    * same touched-cells-only staged rewrite + atomic manifest publish
+    * over the single `_cell` partition column, same retry-idempotence.
+    * Together with [[compactIndex]] the flat family carries the full
+    * lifecycle (build / persist / append / remove / compact / clone /
     * serve) the two-level family has.
     */
   def removeFromIndex(spark: org.apache.spark.sql.SparkSession,
@@ -206,45 +230,154 @@ object Similarity {
   private def removeCells(spark: org.apache.spark.sql.SparkSession,
       dir: String, ids: DataFrame, idCol: String,
       partCols: Seq[String]): Unit = {
-    val path = cellsPath(spark, dir)
-    val cells = spark.read.parquet(path)
+    val src = resolveCells(spark, dir)
+    val cells = src.df(spark)
     val rm = ids.select(col(idCol).as("nbr")).distinct()
     val touched = cells.select("nbr", partCols: _*)
       .join(rm, Seq("nbr")).select(partCols.map(col): _*).distinct()
-      .collect().map(r => partCols.indices.map(r.getInt)).toSeq
+      .collect().map(r => partCols.indices.map(r.getInt).toVector).toSeq
     if (touched.isEmpty) return
     val touchedDf = broadcast(
       spark.createDataFrame(
         spark.sparkContext.parallelize(
-          touched.map(org.apache.spark.sql.Row.fromSeq), 1),
+          touched.map(v => org.apache.spark.sql.Row.fromSeq(v)), 1),
         org.apache.spark.sql.types.StructType(partCols.map(c =>
           org.apache.spark.sql.types.StructField(c,
             org.apache.spark.sql.types.IntegerType)))))
     val staging = s"$dir/_rm_staging"
-    // stage the survivors OUTSIDE the table (a write cannot read its own
-    // target path; the partition cols ride as plain columns and read
-    // back as the ints the partitioned write needs)
+    // the prior entries MUST be captured before any file moves: a legacy
+    // source lists its directory on demand, and listing after the move
+    // would sweep the just-moved survivors into the gc partition below —
+    // deleting live files one generation later (caught by ManifestDebug
+    // during the r18 build; manifest sources are immutable and immune)
+    val prior = src.entries(spark)
+    // stage the touched cells' survivors OUTSIDE the table as a
+    // partitioned write (fresh task-UUID file names, partition values in
+    // the dir structure exactly as the live files carry them), then MOVE
+    // them in — renames, not copies — and publish
     cells.join(touchedDf, partCols)
       .join(rm, Seq("nbr"), "left_anti")
-      .write.mode("overwrite").parquet(staging)
-    val survivors = spark.read.parquet(staging)
-    survivors
       .repartition(partCols.map(col): _*)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCols: _*).parquet(path)
-    // dynamic overwrite replaces only partitions the write PRODUCES — a
-    // cell whose every row was removed writes nothing and would keep its
-    // old file; drop those partition dirs explicitly
-    val alive = survivors.select(partCols.map(col): _*).distinct()
-      .collect().map(r => partCols.indices.map(r.getInt)).toSet
-    val (fs, _) = hadoopFs(spark, path)
-    touched.filterNot(alive).foreach { vals =>
-      val rel = partCols.zip(vals).map { case (c, v) => s"$c=$v" }.mkString("/")
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$rel"), true)
-    }
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(staging)
+    val localRoot = s"$dir/cells"
+    val moved = CellsLayout.moveInto(spark, staging, localRoot)
+    val touchedSet = touched.toSet
+    val (gcE, keptE) = prior.map { case (root, files) =>
+      val (g, k) = files.partition(f =>
+        touchedSet.contains(CellsLayout.cellValuesOf(f)))
+      (root -> g, root -> k)
+    }.unzip
+    CellsLayout.publish(spark, dir,
+      CellsManifest(CellsLayout.nextGen(spark, dir),
+        CellsLayout.mergeRoots(keptE :+ (localRoot -> moved)),
+        gc = gcE.filter(_._2.nonEmpty)),
+      src.manifest)
+    val (fs, _) = hadoopFs(spark, staging)
     scala.util.Try(fs.delete(new org.apache.hadoop.fs.Path(staging), true))
     ()
+  }
+
+  /** Clone a persisted index in O(metadata): the model artifacts (l1/l2
+    * or centroids, pq_cb, pq_meta — KB-sized) are copied, and the cells
+    * table — the data — is cloned by publishing a manifest in `dst` that
+    * REFERENCES the source's current files (copy-on-write: a later
+    * remove/append on the clone writes only its own new files under
+    * `dst`, and a [[compactTwoLevelIndex]]/[[compactIndex]] on the clone
+    * localizes it completely). At 200k vectors this turns a multi-second
+    * recursive file copy into milliseconds of metadata (CloneRehearsal
+    * receipt, SERVE_r18).
+    *
+    * A clone is a POINT-IN-TIME SNAPSHOT: the source's own maintenance
+    * deletes superseded files after its one-generation grace window and
+    * does not know about clones, so mutate-the-source-then-serve-the-
+    * clone is undefined past that window — compact the clone first if
+    * the source stays live. The clone's own maintenance NEVER deletes
+    * files outside its dir ([[CellsLayout.publish]]), so the source is
+    * byte-identical under any clone-side mutation (spec-pinned).
+    */
+  def cloneIndex(spark: org.apache.spark.sql.SparkSession,
+      src: String, dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (dfs, dp) = hadoopFs(spark, dst)
+    require(!dfs.exists(dp), s"cloneIndex destination $dst already exists")
+    dfs.mkdirs(dp)
+    Seq("l1", "l2", "centroids", "pq_cb", "pq_meta").foreach { a =>
+      val ap = new org.apache.hadoop.fs.Path(s"$src/$a")
+      val afs = ap.getFileSystem(conf)
+      if (afs.exists(ap))
+        org.apache.hadoop.fs.FileUtil.copy(afs, ap, dfs,
+          new org.apache.hadoop.fs.Path(s"$dst/$a"), false, conf)
+    }
+    val entries = resolveCells(spark, src).entries(spark)
+    CellsLayout.publish(spark, dst,
+      CellsManifest(CellsLayout.nextGen(spark, dst), entries, gc = Nil),
+      prev = None)
+  }
+
+  /** Reclaim everything under the index dir the CURRENT manifest does
+    * not reference: orphan files from crashed mutations, superseded
+    * files whose deferred deletion was lost to a crash, stale legacy
+    * generation dirs, staging leftovers, and old manifest files. Runs
+    * under the single-maintainer rule (a concurrent mutation's staged-
+    * but-unpublished files WOULD be reclaimed — serialize with mutations
+    * exactly like compact). A dir-mode (never-mutated) index only sheds
+    * staging/stale-generation leftovers.
+    */
+  def vacuumIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val src = resolveCells(spark, dir)
+    val (fs, _) = hadoopFs(spark, dir)
+    def del(p: String, recursive: Boolean): Unit = {
+      scala.util.Try(
+        fs.delete(new org.apache.hadoop.fs.Path(p), recursive)); ()
+    }
+    del(s"$dir/_rm_staging", true)
+    del(s"$dir/_append_staging", true)
+    src match {
+      case DirCells(path) =>
+        // legacy mode: the pointer names one dir; every other cells* dir
+        // is stale
+        fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/cells*"))
+          .foreach { st =>
+            if (st.isDirectory && st.getPath.toString != fs.makeQualified(
+                new org.apache.hadoop.fs.Path(path)).toString)
+              del(st.getPath.toString, true)
+          }
+        fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/_manifest_g*"))
+          .foreach(st => del(st.getPath.toString, false))
+      case ManifestCells(_, m) =>
+        val live = m.entries.flatMap { case (root, files) =>
+          files.map(f => s"$root/$f")
+        }.map(p => fs.makeQualified(
+          new org.apache.hadoop.fs.Path(p)).toString).toSet
+        fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/cells*"))
+          .filter(_.isDirectory).foreach { st =>
+            val it = fs.listFiles(st.getPath, true)
+            val doomed = Vector.newBuilder[org.apache.hadoop.fs.Path]
+            while (it.hasNext) {
+              val f = it.next()
+              if (f.isFile && !live.contains(f.getPath.toString))
+                doomed += f.getPath
+            }
+            doomed.result().foreach(p => scala.util.Try(fs.delete(p, false)))
+            // reap emptied dirs bottom-up (partition dirs whose every
+            // file was unreferenced, then the root itself)
+            def sweep(p: org.apache.hadoop.fs.Path): Boolean = {
+              val children = fs.listStatus(p)
+              val kept = children.count { c =>
+                if (c.isDirectory) !sweep(c.getPath) else true
+              }
+              if (kept == 0) { scala.util.Try(fs.delete(p, true)); true }
+              else false
+            }
+            scala.util.Try(sweep(st.getPath))
+          }
+        fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/_manifest_g*"))
+          .foreach { st =>
+            if (st.getPath.getName != m.name)
+              del(st.getPath.toString, false)
+          }
+    }
   }
 
   /** Two-phase top-k per query over scored candidates (`qid, nbr, sim`) —
@@ -451,15 +584,9 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     // a save defines generation 1 — reset the cells pointer and reclaim
-    // stale generations (the saveTwoLevelIndex rule)
-    locally {
-      val (fs, _) = hadoopFs(spark, dir)
-      scala.util.Try(
-        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_cells"), false))
-      scala.util.Try(
-        fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/cells_g*"))
-          .foreach(st => fs.delete(st.getPath, true)))
-    }
+    // stale generations, manifests, and staging leftovers (the
+    // saveTwoLevelIndex rule)
+    resetCellsState(spark, dir)
     val cents = ivfCentroids(corpus, idCol, vecCol, nlist, iters)
     cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("_cell", "centroid")
@@ -480,7 +607,7 @@ object Similarity {
     val cents = spark.read.parquet(s"$dir/centroids")
       .select("_cell", "centroid").orderBy("_cell").collect()
       .map(_.getSeq[Float](1).toArray)
-    val raw = spark.read.parquet(cellsPath(spark, dir))
+    val raw = resolveCells(spark, dir).df(spark)
     // partition-column type inference reads `_cell=N` back as int; keep
     // the attribute UNCAST so the probe join key stays the partition
     // column itself and dynamic partition pruning applies.
@@ -503,7 +630,7 @@ object Similarity {
     */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       newRows: DataFrame, idCol: String, vecCol: String,
-      dedupeIds: Boolean = true): Unit = {
+      dedupeIds: Boolean = true, autoCompact: Boolean = true): Unit = {
     import graft.functions.NearestCentroid
     val idx = loadIndex(spark, dir)
     // Idempotence under retries: a re-submitted batch (crashed writer,
@@ -511,18 +638,54 @@ object Similarity {
     // new ids are anti-joined against the existing codes table — a
     // column-pruned scan of `nbr` only, cheap relative to the append.
     // Callers with an external exactly-once guarantee can pass false.
-    // Parquet append itself is not atomic: a crash mid-write can leave
-    // partial part-files; re-running the SAME append after such a crash
-    // is safe only with dedupeIds=true (the surviving rows are excluded,
-    // the lost rows re-written).
     val base = newRows.select(col(idCol).as("nbr"), col(vecCol).as("cv"))
     val fresh =
       if (dedupeIds) base.join(idx.cells.select("nbr"), Seq("nbr"), "left_anti")
       else base
-    fresh.withColumn("_cell", NearestCentroid(col("cv"), idx.centroids))
-      .repartition(col("_cell")) // one file per touched cell
-      .write.mode("append").partitionBy("_cell")
-      .parquet(cellsPath(spark, dir))
+    appendCells(spark, dir,
+      fresh.withColumn("_cell", NearestCentroid(col("cv"), idx.centroids)),
+      Seq("_cell"), autoCompact)
+  }
+
+  /** The shared append commit: stage the batch as a partitioned write,
+    * MOVE the staged files into the index's local root (renames — one
+    * per touched cell after the repartition), and publish the manifest
+    * that adds them ([[CellsLayout.publish]]). The batch becomes visible
+    * at the atomic pointer swap — a crash anywhere before it leaves the
+    * served table EXACTLY as it was (the r17 "parquet append is not
+    * atomic / partial part-files" caveat is gone; orphans from a crashed
+    * move are invisible and reclaimed by [[vacuumIndex]]). An empty
+    * batch (all ids deduped away) publishes nothing. With `autoCompact`
+    * (the default) the append then runs [[shouldCompact]] — one manifest
+    * read, zero listings — and compacts past the measured fragmentation
+    * threshold, so serve latency stays bounded across an append-heavy
+    * lifetime without any scheduled maintenance (receipt: SERVE_r18).
+    * SINGLE-MAINTAINER — see [[CellsLayout]]'s concurrency contract.
+    */
+  private def appendCells(spark: org.apache.spark.sql.SparkSession,
+      dir: String, rows: DataFrame, partCols: Seq[String],
+      autoCompact: Boolean): Unit = {
+    val src = resolveCells(spark, dir)
+    // capture BEFORE the move — a legacy source lists its dir on demand
+    // and must not see the staged batch (see removeCells)
+    val prior = src.entries(spark)
+    val staging = s"$dir/_append_staging"
+    rows
+      .repartition(partCols.map(col): _*) // one file per touched cell
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(staging)
+    val localRoot = s"$dir/cells"
+    val moved = CellsLayout.moveInto(spark, staging, localRoot)
+    val (fs, _) = hadoopFs(spark, staging)
+    if (moved.nonEmpty) {
+      CellsLayout.publish(spark, dir,
+        CellsManifest(CellsLayout.nextGen(spark, dir),
+          CellsLayout.mergeRoots(prior :+ (localRoot -> moved)),
+          gc = Nil),
+        src.manifest)
+    }
+    scala.util.Try(fs.delete(new org.apache.hadoop.fs.Path(staging), true))
+    if (autoCompact && moved.nonEmpty && shouldCompact(spark, dir))
+      compactCells(spark, dir, partCols)
   }
 
   /** ANN search served from a persisted index — [[ivfTopK]] minus the
@@ -717,17 +880,13 @@ object Similarity {
     // reclaim any stale generations/PQ artifacts a previous index at this
     // dir left behind (a lingering pq_cb after a pqM = 0 re-save would
     // make appends encode with a DEAD codebook — silent wrong data)
+    resetCellsState(spark, dir)
     locally {
       val (fs, _) = hadoopFs(spark, dir)
       def del(p: String, recursive: Boolean): Unit = {
         scala.util.Try(
           fs.delete(new org.apache.hadoop.fs.Path(p), recursive)); ()
       }
-      del(s"$dir/_cells", false)
-      del(s"$dir/_cells.tmp", false)
-      scala.util.Try(
-        fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/cells_g*"))
-          .foreach(st => del(st.getPath.toString, true)))
       // pqSubspaces(dim, pqM) == 0 ⟺ pqM <= 0 — PQ disabled
       if (pqM <= 0) {
         del(s"$dir/pq_cb", true)
@@ -857,7 +1016,7 @@ object Similarity {
       .select("_c1", "centroid").orderBy("_c1").collect()
       .map(_.getSeq[Float](1).toArray)
     val l2 = spark.read.parquet(s"$dir/l2").select("_c1", "_c2", "_cent")
-    val raw = spark.read.parquet(cellsPath(spark, dir))
+    val raw = resolveCells(spark, dir).df(spark)
     Seq("_c1", "_c2").foreach { c =>
       require(raw.schema(c).dataType ==
         org.apache.spark.sql.types.IntegerType,
@@ -891,7 +1050,7 @@ object Similarity {
     */
   def appendToTwoLevelIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, newRows: DataFrame, idCol: String, vecCol: String,
-      dedupeIds: Boolean = true): Unit = {
+      dedupeIds: Boolean = true, autoCompact: Boolean = true): Unit = {
     import graft.functions.NearestCentroid
     val idx = loadTwoLevelIndex(spark, dir)
     val base = newRows.select(col(idCol).as("nbr"), col(vecCol).as("cv"))
@@ -953,10 +1112,7 @@ object Similarity {
           packedPqCodes(pqEncode(pqInput, "nbr", "_pqv", cb, dim, mSub)),
           Seq("nbr"))
       }
-    withPq
-      .repartition(col("_c1"), col("_c2")) // one file per touched cell
-      .write.mode("append").partitionBy("_c1", "_c2")
-      .parquet(cellsPath(spark, dir))
+    appendCells(spark, dir, withPq, Seq("_c1", "_c2"), autoCompact)
   }
 
   /** ANN top-k served from a persisted two-level index — [[twoLevelTopK]]
@@ -1102,8 +1258,8 @@ object Similarity {
     // resolve the cells generation ONCE per call: both scans (codes +
     // optional float fetch) must read the SAME generation even if a
     // compaction swaps the pointer mid-call
-    val cellsP = cellsPath(spark, dir)
-    val codes = spark.read.parquet(cellsP)
+    val cellsSrc = resolveCells(spark, dir)
+    val codes = cellsSrc.df(spark)
       .select(col("nbr"), col("codes"), col("qscale"), col("_c1"), col("_c2"))
     val probes0 = twoLevelProbes(queries, idCol, vecCol,
       TwoLevelModel(idx.l1, idx.l2), p1R, nprobeR)
@@ -1145,7 +1301,7 @@ object Similarity {
       // the fetch reads the whole cv column (plan-audited in r15); the
       // candidate restriction then lands in the second, row-level join
       val probedCells = probes0.select("_c1", "_c2").distinct()
-      val floats = spark.read.parquet(cellsP)
+      val floats = cellsSrc.df(spark)
         .select(col("nbr"), col("cv"), col("_c1"), col("_c2"))
         .join(broadcast(probedCells), Seq("_c1", "_c2"))
       topKPerQuery(
@@ -1328,7 +1484,7 @@ object Similarity {
     val subLen = meta.getInt(1)
     val (p1R, nprobeR) = resolvedKnobs(idx, p1, nprobe)
     // one generation resolution per call — see quantizedTopKFromIndex
-    val cellsP = cellsPath(spark, dir)
+    val cellsSrc = resolveCells(spark, dir)
     val probes = twoLevelProbes(queries, idCol, vecCol,
       TwoLevelModel(idx.l1, idx.l2), p1R, nprobeR)
     // ONE guard decision from the probes plan's size estimate covers every
@@ -1354,7 +1510,7 @@ object Similarity {
           "its PQ codebook; re-encode (or rebuild) before ADC serving")))
         .cast("binary"))
       .otherwise(col("pqcodes"))
-    val cand = spark.read.parquet(cellsP)
+    val cand = cellsSrc.df(spark)
       .select(col("nbr"), col("pqcodes"), col("_c1"), col("_c2"))
       .join(guarded(probes.select("qid", "_c1", "_c2")), Seq("_c1", "_c2"))
       .where(col("qid") =!= col("nbr"))
@@ -1431,7 +1587,7 @@ object Similarity {
       // window-derived candidates the planner degrades it to literal
       // TRUE — the px65 plan audit). Final ranking is exact cosine.
       val probedCells = probes.select("_c1", "_c2").distinct()
-      val floats = spark.read.parquet(cellsP)
+      val floats = cellsSrc.df(spark)
         .select(col("nbr"), col("cv"), col("_c1"), col("_c2"))
         .join(broadcast(probedCells), Seq("_c1", "_c2"))
       val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
@@ -1451,7 +1607,7 @@ object Similarity {
     */
   def pqCodesFromIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    spark.read.parquet(cellsPath(spark, dir))
+    resolveCells(spark, dir).df(spark)
       .select(col("nbr"),
         posexplode(graft.functions.UnpackI8(col("pqcodes")))
           .as(Seq("sub", "code")))

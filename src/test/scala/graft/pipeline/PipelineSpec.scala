@@ -917,16 +917,11 @@ class PipelineSpec extends AnyFunSuite {
     val queries = embs.where(col("vec_id") < 8)
       .select(col("vec_id"), col("embedding"))
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf2_compact").toString
-    def filesPerCell(): Map[String, Int] = {
-      val cells = new java.io.File(Similarity.cellsPath(spark, dir))
-      Option(cells.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("_c1="))
-        .flatMap(c1 => Option(c1.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("_c2="))
-          .map(c2 => s"${c1.getName}/${c2.getName}" ->
-            c2.listFiles().count(_.getName.endsWith(".parquet"))))
-        .toMap
-    }
+    // files per cell from the LIVE view (manifest or legacy dir)
+    def liveFilesPerCell(): Map[Vector[Int], Int] =
+      CellsLayout.resolve(spark, dir).entries(spark)
+        .flatMap(_._2).groupBy(CellsLayout.cellValuesOf)
+        .map { case (k, v) => k -> v.size }
     def serveAll() = (
       Similarity.twoLevelTopKFromIndex(
         Similarity.loadTwoLevelIndex(spark, dir), queries,
@@ -945,34 +940,47 @@ class PipelineSpec extends AnyFunSuite {
         Similarity.appendToTwoLevelIndex(spark, dir,
           embs.where(col("vec_id") % 4 === b)
             .select(col("vec_id"), col("embedding")),
-          "vec_id", "embedding")
+          "vec_id", "embedding", autoCompact = false)
       }
-      assert(filesPerCell().values.exists(_ > 1),
+      assert(liveFilesPerCell().values.exists(_ > 1),
         "precondition: appends must have fragmented at least one cell")
+      // appends already migrated the dir to manifest mode; pick one file
+      // the compaction will supersede to observe the DEFERRED reclamation
+      val preCompactFile = CellsLayout.resolve(spark, dir).entries(spark)
+        .flatMap { case (r, fs) => fs.map(f => s"$r/$f") }.head
       val before = serveAll()
       Similarity.compactTwoLevelIndex(spark, dir)
-      assert(Similarity.cellsSubdir(spark, dir) === "cells_g2")
-      assert(!new java.io.File(s"$dir/cells").exists(),
-        "the superseded generation must be reclaimed")
-      val fpc = filesPerCell()
+      assert(Similarity.cellsSubdir(spark, dir).startsWith("manifest:"))
+      // deferred reclamation: the superseded files survive ONE further
+      // maintenance generation (a reader that resolved just before the
+      // swap still finds them), invisible to serving
+      assert(new java.io.File(preCompactFile).exists(),
+        "superseded files must survive the grace window")
+      val fpc = liveFilesPerCell()
       assert(fpc.nonEmpty && fpc.values.forall(_ === 1),
-        s"every cell must hold exactly one file after compaction: $fpc")
+        s"every cell must hold exactly one live file after compaction: $fpc")
       assert(serveAll() === before,
         "serving from the compacted generation must be row-identical")
       assert(Similarity.loadTwoLevelIndex(spark, dir).cells.count()
         === embs.count())
       // appends land in the CURRENT generation and chain into the next
-      // compaction (generation 3)
+      // compaction; the append's publish reclaims the grace-window files
       val extra = embs.where(col("vec_id") < 4)
         .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
       Similarity.appendToTwoLevelIndex(spark, dir, extra,
-        "vec_id", "embedding")
+        "vec_id", "embedding", autoCompact = false)
+      assert(!new java.io.File(preCompactFile).exists(),
+        "the next maintenance publish must reclaim the superseded files")
       assert(Similarity.loadTwoLevelIndex(spark, dir).cells.count()
         === embs.count() + 4)
       val afterAppend = serveAll()
       Similarity.compactTwoLevelIndex(spark, dir)
-      assert(Similarity.cellsSubdir(spark, dir) === "cells_g3")
       assert(serveAll() === afterAppend)
+      // after the final compaction the live view is ONE root with one
+      // file per cell again
+      assert(liveFilesPerCell().values.forall(_ === 1))
+      assert(CellsLayout.resolve(spark, dir).entries(spark)
+        .count(_._2.nonEmpty) === 1)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
@@ -986,16 +994,12 @@ class PipelineSpec extends AnyFunSuite {
     val queries = embs.where(col("vec_id") < 10)
       .select(col("vec_id"), col("embedding"))
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf2_remove").toString
-    def cellFiles(): Map[String, Set[String]] = {
-      val cells = new java.io.File(s"$dir/cells")
-      Option(cells.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("_c1="))
-        .flatMap(c1 => Option(c1.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("_c2="))
-          .map(c2 => s"${c1.getName}/${c2.getName}" ->
-            c2.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet))
-        .toMap
-    }
+    // the LIVE view: cell -> absolute live file paths (manifest-resolved)
+    def liveCellFiles(): Map[Vector[Int], Set[String]] =
+      CellsLayout.resolve(spark, dir).entries(spark)
+        .flatMap { case (r, fs) => fs.map(f => (CellsLayout.cellValuesOf(f),
+          s"$r/$f")) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
     try {
       Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", dir,
         nlist1 = 4, k2 = 4, iters = 1)
@@ -1004,15 +1008,30 @@ class PipelineSpec extends AnyFunSuite {
       val touchedCells = Similarity.loadTwoLevelIndex(spark, dir).cells
         .where(col("nbr").isin(rmSet.toSeq: _*))
         .select("_c1", "_c2").distinct().collect()
-        .map(r => s"_c1=${r.getInt(0)}/_c2=${r.getInt(1)}").toSet
-      val filesBefore = cellFiles()
+        .map(r => Vector(r.getInt(0), r.getInt(1))).toSet
+      val filesBefore = liveCellFiles()
+      val mtimesBefore = filesBefore.values.flatten
+        .map(f => f -> new java.io.File(f).lastModified()).toMap
       Similarity.removeFromTwoLevelIndex(spark, dir, rmIds, "vec_id")
-      // untouched cells' FILES are bit-identical — the rewrite is
-      // partition-pruned to the ids' own cells, never a table rewrite
-      val filesAfter = cellFiles()
+      // untouched cells keep their EXACT files — same paths, never
+      // rewritten or even re-staged (the rewrite is pruned to the ids'
+      // own cells); touched cells' superseded files survive the grace
+      // window on disk but leave the live view at the pointer swap
+      val filesAfter = liveCellFiles()
       filesBefore.keySet.filterNot(touchedCells).foreach { cell =>
         assert(filesAfter(cell) === filesBefore(cell),
           s"untouched cell $cell must keep its exact files")
+        filesAfter(cell).foreach(f =>
+          assert(new java.io.File(f).lastModified() === mtimesBefore(f),
+            s"untouched file $f must not be rewritten"))
+      }
+      touchedCells.foreach { cell =>
+        filesBefore(cell).foreach { f =>
+          assert(new java.io.File(f).exists(),
+            s"superseded file $f must survive the grace window")
+          assert(!filesAfter.getOrElse(cell, Set.empty).contains(f),
+            s"superseded file $f must leave the live view")
+        }
       }
       val idx = Similarity.loadTwoLevelIndex(spark, dir)
       assert(idx.cells.count() === embs.count() - rmSet.size)
@@ -1053,18 +1072,29 @@ class PipelineSpec extends AnyFunSuite {
         "vec_id", "embedding")
       assert(Similarity.loadTwoLevelIndex(spark, dir).cells.count()
         === embs.count())
-      // emptying a whole cell deletes its partition dir (dynamic
-      // overwrite alone would have kept the old file)
+      // emptying a whole cell drops it from the live view at the pointer
+      // swap; vacuumIndex then reclaims every unreferenced file AND the
+      // emptied partition dirs
       val c0 = Similarity.loadTwoLevelIndex(spark, dir).cells
         .groupBy("_c1", "_c2").count().orderBy("_c1", "_c2").head()
       val (c1v, c2v) = (c0.getInt(0), c0.getInt(1))
       val cellIds = Similarity.loadTwoLevelIndex(spark, dir).cells
         .where(col("_c1") === c1v && col("_c2") === c2v).select(col("nbr"))
+      val cellN = cellIds.count()
       Similarity.removeFromTwoLevelIndex(spark, dir, cellIds, "nbr")
-      assert(!new java.io.File(s"$dir/cells/_c1=$c1v/_c2=$c2v").exists(),
-        "an emptied cell's partition dir must be deleted")
+      assert(!liveCellFiles().contains(Vector(c1v, c2v)),
+        "an emptied cell must leave the live view")
       assert(Similarity.loadTwoLevelIndex(spark, dir).cells
         .where(col("_c1") === c1v && col("_c2") === c2v).count() === 0L)
+      val liveNow = liveCellFiles().values.flatten.toSet
+      Similarity.vacuumIndex(spark, dir)
+      assert(!new java.io.File(s"$dir/cells/_c1=$c1v/_c2=$c2v").exists(),
+        "vacuum must reclaim an emptied cell's partition dir")
+      // vacuum keeps every live file and the index still serves
+      liveNow.foreach(f => assert(new java.io.File(f).exists(),
+        s"vacuum must keep live file $f"))
+      assert(Similarity.loadTwoLevelIndex(spark, dir).cells.count()
+        === embs.count() - cellN)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
@@ -1088,15 +1118,16 @@ class PipelineSpec extends AnyFunSuite {
       val rmSet = rmIds.collect().map(_.getLong(0)).toSet
       Similarity.removeFromIndex(spark, dir, rmIds, "vec_id")
       Similarity.compactIndex(spark, dir)
-      assert(Similarity.cellsSubdir(spark, dir) === "cells_g2")
+      assert(Similarity.cellsSubdir(spark, dir).startsWith("manifest:"))
       val idx = Similarity.loadIndex(spark, dir)
       assert(idx.cells.count() === embs.count() - rmSet.size)
       assert(idx.cells.where(col("nbr").isin(rmSet.toSeq: _*)).count() === 0L)
-      // one file per cell after compaction
-      val cellDirs = Option(new java.io.File(s"$dir/cells_g2").listFiles())
-        .getOrElse(Array.empty).filter(_.getName.startsWith("_cell="))
-      assert(cellDirs.nonEmpty && cellDirs.forall(
-        _.listFiles().count(_.getName.endsWith(".parquet")) === 1))
+      // one live file per cell after compaction, all under one root
+      val entries = CellsLayout.resolve(spark, dir).entries(spark)
+        .filter(_._2.nonEmpty)
+      assert(entries.size === 1)
+      val perCell = entries.head._2.groupBy(CellsLayout.cellValuesOf)
+      assert(perCell.nonEmpty && perCell.values.forall(_.size === 1))
       // serving == an index that never contained the removed ids (same
       // loaded centroids over the kept corpus's own assignment)
       def rows3(df: org.apache.spark.sql.DataFrame) =
@@ -1144,7 +1175,7 @@ class PipelineSpec extends AnyFunSuite {
       val rmSet = rmIds.collect().map(_.getLong(0)).toSet
       Similarity.removeFromTwoLevelIndex(spark, dir, rmIds, "vec_id")
       Similarity.compactTwoLevelIndex(spark, dir)
-      assert(Similarity.cellsSubdir(spark, dir) === "cells_g2")
+      assert(Similarity.cellsSubdir(spark, dir).startsWith("manifest:"))
       val idx = Similarity.loadTwoLevelIndex(spark, dir)
       assert(idx.cells.count() === embs.count() - rmSet.size)
       assert(idx.cells.where(col("nbr").isin(rmSet.toSeq: _*)).count() === 0L)
@@ -1174,6 +1205,157 @@ class PipelineSpec extends AnyFunSuite {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
       rm(new java.io.File(dir))
+    }
+  }
+
+  test("cloneIndex: O(metadata) copy-on-write — clone serves identically, mutations never touch the source, compaction localizes") {
+    val corpus = embs.select(col("vec_id"), col("embedding"))
+    val queries = embs.where(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+    val src = java.nio.file.Files.createTempDirectory("graft_clone_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_clone_dst").toString + "/idx"
+    def serveAll(dir: String) = (
+      Similarity.twoLevelTopKFromIndex(
+        Similarity.loadTwoLevelIndex(spark, dir), queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4)
+        .orderBy("qid", "rank").collect().toSeq,
+      Similarity.quantizedTopKFromIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4)
+        .orderBy("qid", "rank").collect().toSeq,
+      Similarity.pqAdcTopKFromIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4, rerank = 10)
+        .orderBy("qid", "rank").collect().toSeq)
+    def fileSig(root: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(root)).map(f =>
+        f.getPath -> ((f.length(), f.lastModified()))).toMap
+    }
+    try {
+      Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", src,
+        nlist1 = 4, k2 = 4, iters = 1)
+      val srcServe = serveAll(src)
+      val srcSig = fileSig(src)
+      Similarity.cloneIndex(spark, src, dst)
+      // the clone holds NO cell data of its own — only the manifest (+
+      // copied model artifacts); the data is referenced, not copied
+      assert(CellsLayout.listRelParquet(spark, s"$dst/cells").isEmpty &&
+        !new java.io.File(s"$dst/cells").exists())
+      assert(serveAll(dst) === srcServe, "a fresh clone must serve identically")
+      // mutate the CLONE: remove a small id set (a few touched cells —
+      // most cells must stay source-referenced to exercise the
+      // multi-root read below); survivors land under dst, the source is
+      // never touched (same files, sizes, mtimes)
+      val rmIds = embs.where(col("vec_id") < 5).select(col("vec_id"))
+      val rmSet = rmIds.collect().map(_.getLong(0)).toSet
+      Similarity.removeFromTwoLevelIndex(spark, dst, rmIds, "vec_id")
+      assert(fileSig(src) === srcSig,
+        "clone-side mutation must leave the source byte-identical")
+      assert(serveAll(src) === srcServe)
+      val idx = Similarity.loadTwoLevelIndex(spark, dst)
+      assert(idx.cells.count() === embs.count() - rmSet.size)
+      assert(idx.cells.where(col("nbr").isin(rmSet.toSeq: _*)).count() === 0L)
+      // the mutated clone reads from BOTH roots (source untouched cells +
+      // its own survivors) through one partitioned relation
+      val roots = CellsLayout.resolve(spark, dst).entries(spark)
+        .filter(_._2.nonEmpty).map(_._1)
+      assert(roots.size === 2, s"expected src+dst roots, got $roots")
+      val postRemove = serveAll(dst)
+      assert(postRemove._1.nonEmpty)
+      // compaction LOCALIZES: one root under the clone's own dir, serving
+      // unchanged — and the source can now disappear entirely
+      Similarity.compactTwoLevelIndex(spark, dst)
+      val rootsAfter = CellsLayout.resolve(spark, dst).entries(spark)
+        .filter(_._2.nonEmpty).map(_._1)
+      assert(rootsAfter.size === 1 && rootsAfter.head.startsWith(dst))
+      assert(serveAll(dst) === postRemove)
+      assert(fileSig(src) === srcSig)
+      def rmAll(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmAll)); f.delete(); ()
+      }
+      rmAll(new java.io.File(src))
+      assert(serveAll(dst) === postRemove,
+        "a localized clone must survive the source's deletion")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(src)); rm(new java.io.File(dst).getParentFile)
+    }
+  }
+
+  test("manifest publish is crash-atomic: staged-but-unpublished files are invisible and vacuum reclaims them") {
+    val corpus = embs.select(col("vec_id"), col("embedding"))
+    val queries = embs.where(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash_idx").toString
+    try {
+      Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", dir,
+        nlist1 = 4, k2 = 4, iters = 1)
+      // one real append so the index is manifest-mode
+      Similarity.appendToTwoLevelIndex(spark,  dir,
+        embs.where(col("vec_id") < 4)
+          .select((col("vec_id") + 50000L).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", autoCompact = false)
+      val n0 = Similarity.loadTwoLevelIndex(spark, dir).cells.count()
+      val serve0 = Similarity.twoLevelTopKFromIndex(
+        Similarity.loadTwoLevelIndex(spark, dir), queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4)
+        .orderBy("qid", "rank").collect().toSeq
+      // SIMULATED CRASH mid-append: a batch is staged and its files moved
+      // into the local root, but the process dies BEFORE the manifest
+      // publish — exactly the window parquet's append mode used to leave
+      // half-visible partial files in
+      embs.where(col("vec_id") >= 4 && col("vec_id") < 8)
+        .select((col("vec_id") + 60000L).as("vec_id"),
+          col("embedding").as("cv"), lit(0).as("_c1"), lit(0).as("_c2"))
+        .repartition(col("_c1"), col("_c2"))
+        .write.mode("overwrite").partitionBy("_c1", "_c2")
+        .parquet(s"$dir/_append_staging")
+      val orphans = CellsLayout.moveInto(spark, s"$dir/_append_staging",
+        s"$dir/cells").map(f => s"$dir/cells/$f")
+      assert(orphans.nonEmpty)
+      orphans.foreach(f => assert(new java.io.File(f).exists()))
+      // the orphans are INVISIBLE: same count, same serve
+      assert(Similarity.loadTwoLevelIndex(spark, dir).cells.count() === n0)
+      assert(Similarity.twoLevelTopKFromIndex(
+        Similarity.loadTwoLevelIndex(spark, dir), queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4)
+        .orderBy("qid", "rank").collect().toSeq === serve0)
+      // the RETRY (same rows, fresh ids not yet visible → not deduped)
+      // appends them properly; the orphans stay invisible
+      Similarity.appendToTwoLevelIndex(spark, dir,
+        embs.where(col("vec_id") >= 4 && col("vec_id") < 8)
+          .select((col("vec_id") + 60000L).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", autoCompact = false)
+      assert(Similarity.loadTwoLevelIndex(spark, dir).cells.count() === n0 + 4)
+      // vacuum reclaims the orphan files and live serving is unaffected
+      val n1 = Similarity.loadTwoLevelIndex(spark, dir).cells.count()
+      Similarity.vacuumIndex(spark, dir)
+      orphans.foreach(f => assert(!new java.io.File(f).exists(),
+        s"vacuum must reclaim orphan $f"))
+      assert(Similarity.loadTwoLevelIndex(spark, dir).cells.count() === n1)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("cells manifest: render/parse round-trip and pointer discipline") {
+    val m = CellsManifest(7,
+      entries = Seq("/a/cells" -> Seq("_c1=0/_c2=1/x.parquet",
+        "_c1=2/_c2=3/y.parquet"), "/b/cells_g3" -> Seq("_c1=0/_c2=0/z.parquet")),
+      gc = Seq("/a/cells" -> Seq("_c1=0/_c2=1/old.parquet")))
+    val rt = CellsLayout.parse(CellsLayout.render(m))
+    assert(rt === m)
+    assert(m.fileCount === 3)
+    assert(m.cellCount === 3)
+    assert(CellsLayout.cellValuesOf("_c1=4/_c2=11/p.parquet") === Vector(4, 11))
+    intercept[IllegalArgumentException] {
+      CellsLayout.parse("not-a-manifest\n")
     }
   }
 
