@@ -280,6 +280,16 @@ object Verify {
         pipeline.PipelineQueries.px59PrunedIds(spark, sfDir)
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px68_removed")
       }
+      auxExport("px69_sim_graph_unlink")(Seq("px69_removed")) {
+        // px69: the ids the graph SESSION actually removed (returned by
+        // GraphIndexMaintenance.removeNodes and memoized with the index
+        // clone it maintained) — the oracle excludes exactly what the
+        // session unlinked, not a re-evaluated predicate
+        import spark.implicits._
+        pipeline.PipelineQueries.px69RemovedIds(spark, sfDir)
+          .toDF("vec_id")
+          .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px69_removed")
+      }
       auxExport("px59_semantic_prune")(Seq("px59_cells")) {
         // px59: the deterministic (id, cell) k-means assignment — same
         // shared code path the query clusters with — lets the oracle

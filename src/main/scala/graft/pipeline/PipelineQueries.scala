@@ -178,16 +178,82 @@ object PipelineQueries {
     * built once per (JVM, data dir) like every persisted index here.
     */
   private[graft] def removalIndexDir(s: org.apache.spark.sql.SparkSession,
-      d: String): String =
+      d: String): String = {
+    // resolve the shared index OUTSIDE the memo lambda: a nested
+    // computeIfAbsent on the same map throws "Recursive update" whenever
+    // this builder runs before the shared one (filtered Verify runs)
+    val shared = twoLevelIndexDir(s, d)
     ivfSaved.computeIfAbsent(indexDir("graft_ivf2_rmidx_", d), k => {
       val conf = s.sparkContext.hadoopConfiguration
       val dp = new org.apache.hadoop.fs.Path(k)
       val fs = dp.getFileSystem(conf)
       if (fs.exists(dp)) fs.delete(dp, true)
-      Similarity.cloneIndex(s, twoLevelIndexDir(s, d), k)
+      Similarity.cloneIndex(s, shared, k)
       Similarity.removeFromTwoLevelIndex(s, k, px59PrunedIds(s, d), "vec_id")
       k
     })
+  }
+
+  // ------------------------------------------------------------- px69
+  /** The px69 value model: graph nodes that CARRY embedding ids — the
+    * minimal shape of the reference's indexed-node posture (a node's
+    * value determines its index entries, Model.hs:36-39) with the ANN
+    * index as the index being maintained. */
+  private[graft] sealed trait VecNode
+  private[graft] case object VecRoot extends VecNode
+  private[graft] final case class VecDoc(vecId: Long) extends VecNode
+
+  private[graft] lazy val vecNodeModel: graft.graph.GraphModel[VecNode] =
+    graft.graph.GraphModel.derive[VecNode](
+      indexesFn = (t, _) => t match {
+        case VecDoc(id) => Seq(graft.graph.IndexKey("Vec_Id", id.toString))
+        case _ => Nil
+      })
+
+  private val px69RemovedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
+
+  /** The px69 index: a copy-on-write clone of the shared index whose
+    * removals flow THROUGH THE GRAPH SESSION API — a graph of 100 nodes
+    * each carrying an embedding id is built, a deterministic subset is
+    * removed with [[GraphIndexMaintenance.removeNodes]] (session remove
+    * + index remove in one gesture, the reference's
+    * maintain-indexes-on-unlink), and the clone serves the survivors.
+    * The removed ids are whatever the SESSION reported (exported for the
+    * oracle by graft.Verify — the export-replay pattern), not the
+    * predicate re-evaluated, so the query and oracle cannot drift.
+    */
+  private[graft] def graphRemovalIndexDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    // shared index resolved OUTSIDE the memo lambda — see removalIndexDir
+    val shared = twoLevelIndexDir(s, d)
+    ivfSaved.computeIfAbsent(indexDir("graft_ivf2_gxidx_", d), k => {
+      val conf = s.sparkContext.hadoopConfiguration
+      val dp = new org.apache.hadoop.fs.Path(k)
+      val fs = dp.getFileSystem(conf)
+      if (fs.exists(dp)) fs.delete(dp, true)
+      Similarity.cloneIndex(s, shared, k)
+      val g = graft.graph.GraphSession.inMemory(s, vecNodeModel,
+        VecRoot: VecNode)
+      val nodes = (0L until 100L).map(i => i -> g.newNode(VecDoc(i)))
+      nodes.foreach { case (_, n) => g.addTarget(g.root, n) }
+      val doomed = nodes.collect { case (i, n) if i % 9 == 3 => n }
+      val removed = GraphIndexMaintenance.removeNodes(g, doomed, k,
+        "vec_id") {
+        case VecDoc(id) => Some(id)
+        case _ => None
+      }
+      px69RemovedMemo.put(k, removed)
+      k
+    })
+  }
+
+  /** The ids px69's session-driven removal ACTUALLY removed — shared by
+    * the declared query's index builder and graft.Verify's px69_removed
+    * export (same JVM, same memo). */
+  private[graft] def px69RemovedIds(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[Long] =
+    px69RemovedMemo.get(graphRemovalIndexDir(s, d))
 
   val all: Seq[Q] = Seq(
     // -------------------------------------------------------- exact dedup
@@ -1012,6 +1078,52 @@ object PipelineQueries {
              |  SELECT * FROM '${AuxToken}/px60_probes/*.parquet'),
              |removed AS (
              |  SELECT * FROM '${AuxToken}/px68_removed/*.parquet'),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |kept AS (
+             |  SELECT c.nbr, c._c1, c._c2 FROM cells c
+             |  WHERE c.nbr NOT IN (SELECT vec_id FROM removed)),
+             |cand AS (
+             |  SELECT DISTINCT p.qid, k.nbr
+             |  FROM probes p JOIN kept k
+             |    ON k._c1 = p._c1 AND k._c2 = p._c2
+             |  WHERE p.qid <> k.nbr),
+             |scored AS (
+             |  SELECT qid, nbr,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY ROUND(list_cosine_similarity(eq.v, ec.v), 6) DESC,
+             |               nbr) AS rank
+             |  FROM cand
+             |  JOIN e eq ON eq.vec_id = qid
+             |  JOIN e ec ON ec.vec_id = nbr)
+             |SELECT qid, nbr, rank FROM scored WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin)),
+
+    // ---- similarity: graph-node removal maintains the ANN index (px69)
+    // The reference's maintain-indexes-on-unlink (Graph.hs:63-67,
+    // 126-127) composed END TO END from the session API: graph nodes
+    // carry embedding ids, a deterministic subset is removed THROUGH the
+    // session (GraphIndexMaintenance.removeNodes — one gesture removes
+    // the node from the graph and its vector from a clone of the shared
+    // index), and the float path serves the survivors. The oracle
+    // recomputes the probed-cell search over px60's independent exports
+    // minus the ids the SESSION reported removing (px69_removed): serve
+    // after unlink must equal an index that never contained them.
+    Q("px69_sim_graph_unlink",
+      (s, d) => {
+        val e = embs(s, d)
+        val idx = Similarity.loadTwoLevelIndex(s, graphRemovalIndexDir(s, d))
+        Similarity.twoLevelTopKFromIndex(idx,
+          e.where(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
+          idCol = "vec_id", vecCol = "embedding", k = 5, p1 = 2, nprobe = 4)
+          .select("qid", "nbr", "rank")
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH cells AS (
+             |  SELECT * FROM '${AuxToken}/px60_cells/*.parquet'),
+             |probes AS (
+             |  SELECT * FROM '${AuxToken}/px60_probes/*.parquet'),
+             |removed AS (
+             |  SELECT * FROM '${AuxToken}/px69_removed/*.parquet'),
              |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              |kept AS (
              |  SELECT c.nbr, c._c1, c._c2 FROM cells c

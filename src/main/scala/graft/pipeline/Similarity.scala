@@ -982,15 +982,41 @@ object Similarity {
       .select(col("nbr"),
         zip_with(col("cv"), col("_cent"), (a, b) => a - b).as("_pqv"))
 
+  // Point-serving caches (the r17 advice: pqIsResidual re-ran a head()
+  // job and resolvedKnobs a count() job on EVERY serve call — avoidable
+  // driver latency on the hot path Wire.handleAnn exposes per request).
+  // Keys carry the artifact's modification time, so a re-save (new
+  // pq_meta / l2) or maintenance publish (pointer rewrite) naturally
+  // invalidates without any eviction protocol; one FS metadata probe
+  // replaces one Spark job per serve.
+  private val pqResidualCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Boolean]()
+  private val l2CountCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Integer]()
+  private val corpusCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
+
+  /** mtime of `path`, −1 if absent — the cache-invalidation stamp. */
+  private def mtimeOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val (fs, p) = hadoopFs(spark, path)
+    try fs.getFileStatus(p).getModificationTime
+    catch { case _: java.io.FileNotFoundException => -1L }
+  }
+
   /** Whether a persisted index's PQ codes are RESIDUAL-encoded — read
     * from the in-dir `pq_meta` written at save time; an index persisted
     * before the flag existed (no pq_meta) is raw-encoded by construction.
+    * Cached per (dir, pq_meta mtime) — one metadata probe per serve, the
+    * head() job only on first touch or after a re-save.
     */
   private[pipeline] def pqIsResidual(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
-    hadoopExists(spark, s"$dir/pq_meta") &&
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val mt = mtimeOf(spark, s"$dir/pq_meta")
+    mt >= 0 && pqResidualCache.computeIfAbsent((dir, mt), _ =>
       spark.read.parquet(s"$dir/pq_meta")
-        .select("residual").head().getBoolean(0)
+        .select("residual").head().getBoolean(0))
+  }
 
   /** Long-form PQ codes (`nbr, sub, code`) packed to one `pqcodes` binary
     * per id — codes ordered by subspace, one signed byte each (`ksub ≤
@@ -1254,7 +1280,7 @@ object Similarity {
       k: Int, p1: Int = 2, nprobe: Int = 4, rerank: Int = 0,
       maxBroadcastProbesBytes: Long = 512L << 20): DataFrame = {
     val idx = loadTwoLevelIndex(spark, dir)
-    val (p1R, nprobeR) = resolvedKnobs(idx, p1, nprobe)
+    val (p1R, nprobeR) = resolvedKnobsFor(spark, dir, idx, p1, nprobe)
     // resolve the cells generation ONCE per call: both scans (codes +
     // optional float fetch) must read the SAME generation even if a
     // compaction swaps the pointer mid-call
@@ -1470,7 +1496,13 @@ object Similarity {
     * that reads ONLY those rows of the probed partitions.
     *
     * Pass `p1 ≤ 0` / `nprobe ≤ 0` to SELF-SIZE that knob from the loaded
-    * index ([[probeKnobs]]) — see [[twoLevelTopKFromIndex]].
+    * index ([[probeKnobs]]) — see [[twoLevelTopKFromIndex]] — and
+    * `rerank < 0` to SELF-SIZE the refine budget from the probed-mass
+    * estimate ([[autoRerank]] at its default 2%-coverage knee):
+    * n·(p1/side)·(nprobe/cells) candidates per query, every factor a
+    * cached lookup. `rerank = 0` stays "no refine" (the raw ADC
+    * ordering); positive values pin the budget (the declared oracle
+    * queries pin 25 for export determinism).
     */
   def pqAdcTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, queries: DataFrame, idCol: String, vecCol: String,
@@ -1482,9 +1514,24 @@ object Similarity {
     val meta = codebook.agg(max(col("sub")), min(size(col("cent")))).head()
     val mSub = meta.getInt(0) + 1
     val subLen = meta.getInt(1)
-    val (p1R, nprobeR) = resolvedKnobs(idx, p1, nprobe)
+    val (p1R, nprobeR) = resolvedKnobsFor(spark, dir, idx, p1, nprobe)
     // one generation resolution per call — see quantizedTopKFromIndex
     val cellsSrc = resolveCells(spark, dir)
+    // rerank < 0 → SELF-SIZE from the probed-mass estimate (the measured
+    // r17 law: refine recall tracks rerank/candidates COVERAGE, so a
+    // fixed rerank decays as the corpus grows — [[autoRerank]]'s scaladoc
+    // has the curve). candidates/query ≈ n·(p1/side)·(nprobe/cells); all
+    // three factors are cached model/state-sized lookups.
+    val rerankR =
+      if (rerank >= 0) rerank
+      else {
+        val n = corpusCountFor(spark, dir, cellsSrc)
+        val cells = cellCountFor(spark, dir, idx)
+        autoRerank(math.ceil(
+          n.toDouble * (math.min(p1R, idx.l1.length).toDouble / idx.l1.length)
+            * (math.min(nprobeR, cells).toDouble / cells)).toLong,
+          k = k)
+      }
     val probes = twoLevelProbes(queries, idCol, vecCol,
       TwoLevelModel(idx.l1, idx.l2), p1R, nprobeR)
     // ONE guard decision from the probes plan's size estimate covers every
@@ -1566,7 +1613,7 @@ object Similarity {
           .select(col("qid"), col("nbr"), col("_c1"), col("_c2"),
             (col("_sp") + col("_op")).as("score"))
       }
-    val m = if (rerank > 0) math.max(rerank, k) else k
+    val m = if (rerankR > 0) math.max(rerankR, k) else k
     val wLocal = Window.partitionBy(col("qid"), col("_part"))
       .orderBy(col("score").desc, col("nbr"))
     val wGlobal = Window.partitionBy("qid")
@@ -1577,7 +1624,7 @@ object Similarity {
       .where(col("_lr") <= m)
       .withColumn("rank", row_number().over(wGlobal).cast("bigint"))
       .where(col("rank") <= m)
-    if (rerank <= 0) top.select(col("qid"), col("nbr"), col("score"), col("rank"))
+    if (rerankR <= 0) top.select(col("qid"), col("nbr"), col("score"), col("rank"))
     else {
       // exact refine — the measured recommendation above: ADC prunes the
       // probed candidates to `rerank` survivors per query, and ONLY those
@@ -1683,6 +1730,40 @@ object Similarity {
       val (ap1, anp) = probeKnobs(idx.l1.length, idx.l2.count().toInt)
       (if (p1 > 0) p1 else ap1, if (nprobe > 0) nprobe else anp)
     }
+
+  /** The index's total cell count, cached per (dir, l2 mtime) — the
+    * count() job runs once per saved model, not per serve. */
+  private def cellCountFor(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idx: TwoLevelIndex): Int =
+    l2CountCache.computeIfAbsent((dir, mtimeOf(spark, s"$dir/l2")), _ =>
+      idx.l2.count().toInt)
+
+  /** [[resolvedKnobs]] for dir-backed serves — same semantics, the cell
+    * count cached per (dir, l2 mtime). */
+  private def resolvedKnobsFor(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idx: TwoLevelIndex, p1: Int, nprobe: Int): (Int, Int) =
+    if (p1 > 0 && nprobe > 0) (p1, nprobe)
+    else {
+      val (ap1, anp) = probeKnobs(idx.l1.length, cellCountFor(spark, dir, idx))
+      (if (p1 > 0) p1 else ap1, if (nprobe > 0) nprobe else anp)
+    }
+
+  /** The index's corpus row count, cached per (dir, cells-state stamp):
+    * the `_cells` pointer file is rewritten at every maintenance publish
+    * and absent dir-mode indexes stamp on the cells dir itself, so a
+    * mutation bumps the stamp and the count job re-runs once. Used by
+    * the [[autoRerank]] sentinel's probed-mass estimate — an estimate,
+    * so a racing concurrent publish (reader resolved old, stamp already
+    * new) only perturbs the rerank budget, never correctness.
+    */
+  private def corpusCountFor(spark: org.apache.spark.sql.SparkSession,
+      dir: String, src: CellsSource): Long = {
+    val stamp = mtimeOf(spark, s"$dir/_cells") match {
+      case -1L => mtimeOf(spark, s"$dir/cells")
+      case t => t
+    }
+    corpusCountCache.computeIfAbsent((dir, stamp), _ => src.df(spark).count())
+  }
 
   /** Per-level side of an occupancy-scaled √/√ two-level split: each
     * level gets ⌈√autoNlist(n)⌉ cells (floor 4), so total cell count

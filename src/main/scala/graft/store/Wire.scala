@@ -223,9 +223,10 @@ object Wire {
       * field selects the path: `"quantized"` (default — scalar-int8,
       * optional exact rerank) or `"adc"` (PQ asymmetric-distance, px66;
       * with `rerank` the px67 prune+refine form). Non-positive p1/nprobe
-      * self-size from the index (Similarity.probeKnobs) — the measured
-      * two-knob rule rides the wire too. Answer fidelity is parquet's,
-      * like every other frame.
+      * self-size from the index (Similarity.probeKnobs) and a negative
+      * adc rerank self-sizes the refine budget (Similarity.autoRerank) —
+      * the measured sizing rules ride the wire too. Answer fidelity is
+      * parquet's, like every other frame.
       */
     private def handleAnn(header: String, files: Seq[(String, Array[Byte])])
         : Seq[(String, Array[Byte])] = {
@@ -508,7 +509,10 @@ object Wire {
 
     /** `op = "quantized"` (scalar-int8 serving, px63/px65) or `"adc"`
       * (PQ asymmetric distance, px66; with rerank the px67 form).
-      * Non-positive `p1`/`nprobe` self-size from the server's index.
+      * Non-positive `p1`/`nprobe` self-size from the server's index;
+      * `rerank < 0` on the adc op self-sizes the refine budget from the
+      * probed-mass estimate (Similarity.autoRerank) — both sentinels
+      * ride the frame as plain numbers.
       */
     def topK(queries: org.apache.spark.sql.DataFrame,
         idCol: String = "vec_id", vecCol: String = "embedding",

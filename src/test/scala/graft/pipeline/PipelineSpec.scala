@@ -1344,6 +1344,109 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("graph-node removal maintains the ANN index: session remove unlinks the vectors, serve == never-contained") {
+    import PipelineQueries.{VecNode, VecRoot, VecDoc}
+    val corpus = embs.select(col("vec_id"), col("embedding"))
+    val queries = embs.where(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_gx_idx").toString
+    try {
+      Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", dir,
+        nlist1 = 4, k2 = 4, iters = 1)
+      val g = graft.graph.GraphSession.inMemory(spark,
+        PipelineQueries.vecNodeModel, VecRoot: VecNode)
+      val nodes = (0L until 40L).map(i => i -> g.newNode(VecDoc(i)))
+      nodes.foreach { case (_, n) => g.addTarget(g.root, n) }
+      // one node with NO embedding id — removed from the graph only
+      val plain = g.newNode(VecRoot: VecNode)
+      g.addTarget(g.root, plain)
+      val doomedIds = nodes.collect { case (i, _) if i % 6 == 1 => i }
+      val doomed = nodes.collect { case (i, n) if i % 6 == 1 => n }
+      val removed = GraphIndexMaintenance.removeNodes(g,
+        doomed :+ plain, dir, "vec_id") {
+        case VecDoc(id) => Some(id)
+        case _ => None
+      }
+      // the session reported exactly the vector-carrying nodes' ids
+      assert(removed === doomedIds.sorted)
+      // graph side: the removed nodes are detached from the root, the
+      // survivors are still linked
+      val rootTargets = g.targets(g.root).toSet
+      doomed.foreach(n => assert(!rootTargets.contains(n)))
+      assert(!rootTargets.contains(plain))
+      nodes.collect { case (i, n) if i % 6 != 1 => n }
+        .foreach(n => assert(rootTargets.contains(n)))
+      // index side: the ids are gone, serving equals an index that never
+      // contained them (same loaded quantizer over the kept assignment)
+      val idx = Similarity.loadTwoLevelIndex(spark, dir)
+      assert(idx.cells.where(col("nbr").isin(removed: _*)).count() === 0L)
+      assert(idx.cells.count() === embs.count() - removed.size)
+      def rows3(df: org.apache.spark.sql.DataFrame) =
+        df.select("qid", "nbr", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._3)).toSeq
+      val kept = embs.where(!col("vec_id").isin(removed: _*))
+        .select(col("vec_id").as("nbr"), col("embedding").as("cv"))
+        .withColumn("_c1", graft.functions.NearestCentroid(col("cv"), idx.l1))
+      val expected = rows3(Similarity.twoLevelTopKFromIndex(
+        Similarity.TwoLevelIndex(idx.l1, idx.l2,
+          Similarity.assignToL2(kept, idx.l2)),
+        queries, "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4))
+      assert(rows3(Similarity.twoLevelTopKFromIndex(idx, queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4)) === expected)
+      // a node id that does not exist refuses loudly (nothing is half-done)
+      intercept[IllegalArgumentException] {
+        GraphIndexMaintenance.removeNodes(g, Seq(999999L), dir, "vec_id") {
+          case VecDoc(id) => Some(id)
+          case _ => None
+        }
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("rerank sentinel: rerank < 0 self-sizes from the probed-mass estimate; caches invalidate on re-save") {
+    val corpus = embs.select(col("vec_id"), col("embedding"))
+    val queries = embs.where(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_autorr").toString
+    try {
+      Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", dir,
+        nlist1 = 4, k2 = 4, iters = 1)
+      // at this scale the derived budget is autoRerank(n·(2/4)·(4/16))
+      // = autoRerank(n/8) — compute it the same way and pin equality
+      val n = embs.count()
+      val expectedRerank = Similarity.autoRerank(
+        math.ceil(n.toDouble * (2.0 / 4) * (4.0 / 16)).toLong, k = 5)
+      def rows(r: Int) = Similarity.pqAdcTopKFromIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4, rerank = r)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(rows(-1) === rows(expectedRerank),
+        s"sentinel serve must equal the explicitly sized rerank=$expectedRerank")
+      // rerank = 0 stays 'no refine' — distinct output shape (score col)
+      assert(Similarity.pqAdcTopKFromIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 5, p1 = 2, nprobe = 4, rerank = 0)
+        .columns.contains("score"))
+      // cache invalidation: a re-save with PQ raw encoding flips the
+      // cached residual flag (mtime-stamped keys, no eviction protocol)
+      assert(Similarity.pqIsResidual(spark, dir))
+      Thread.sleep(1100) // local-FS mtime granularity can be 1s
+      Similarity.saveTwoLevelIndex(corpus, "vec_id", "embedding", dir,
+        nlist1 = 4, k2 = 4, iters = 1, pqResidual = false)
+      assert(!Similarity.pqIsResidual(spark, dir),
+        "re-save must invalidate the cached residual flag")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("cells manifest: render/parse round-trip and pointer discipline") {
     val m = CellsManifest(7,
       entries = Seq("/a/cells" -> Seq("_c1=0/_c2=1/x.parquet",
