@@ -31,6 +31,15 @@ object Verify {
       // cut the scan to the probed cells (measured: 8/484 files)
       .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
         "false")
+      // top-k serving (r18): per-query ranking is a bounded
+      // TypedImperativeAggregate (ObjectHashAggregateExec). The default
+      // 128-distinct-keys sort-fallback is calibrated for unbounded
+      // sketch buffers; TopKEntries buffers are ≤ k·33 B, so hash-agg a
+      // ≤ 1M-query batch per task (≤ ~400 MB at serving k ≤ 10) before
+      // falling back. Scale-independent: bounds memory by BATCH size,
+      // not corpus size.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 20).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

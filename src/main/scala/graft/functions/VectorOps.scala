@@ -409,6 +409,77 @@ object DotI8 {
     GraftShim.column(DotI8(GraftShim.expression(a), GraftShim.expression(b)))
 }
 
+/** ADC score of one packed-codes vector against a per-query lookup
+  * table: `Σ_sub parts[sub·stride + codes[sub]]` — the integer
+  * asymmetric-distance sum the (posexplode codes → join LUT rows on
+  * (qid, sub, code) → groupBy sum) pipeline computed, as ONE codegen'd
+  * pass per candidate row (r18): no m× row blowup, no 3-key hash join,
+  * no re-aggregation exchange. Exact integer arithmetic — identical
+  * sums in any order. `parts` is the query's LUT laid out positionally
+  * (sub-major, code-minor — [[graft.pipeline.Similarity]] builds it with
+  * a sorted collect over the SAME rounded-float-dot parts the join path
+  * consumed, and only uses this path when the codebook grid is dense).
+  * NULL on a NULL child; a codes/parts length mismatch fails loudly —
+  * silent truncation would mis-score every candidate.
+  */
+case class AdcSum(left: Expression, right: Expression, stride: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(stride > 0, s"adc_sum requires stride > 0, got $stride")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "adc_sum"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType,
+            ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"adc_sum requires (binary, array<bigint>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    AdcSum.compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[ArrayData],
+      stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.AdcSum.compute($a, $b, $stride)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcSum =
+    copy(left = newLeft, right = newRight)
+}
+
+object AdcSum {
+
+  /** Static helper invoked from generated code — must stay public. */
+  def compute(codes: Array[Byte], parts: ArrayData, stride: Int): Long = {
+    val p = parts.toLongArray()
+    if (p.length != codes.length * stride)
+      throw new IllegalArgumentException(
+        s"adc_sum: LUT length ${p.length} != ${codes.length} subspaces × " +
+          s"stride $stride — codebook grid and codes disagree")
+    var sum = 0L
+    var sub = 0
+    while (sub < codes.length) {
+      val code = codes(sub)
+      if (code < 0 || code >= stride)
+        throw new IllegalArgumentException(
+          s"adc_sum: code $code at subspace $sub outside [0, $stride)")
+      sum += p(sub * stride + code)
+      sub += 1
+    }
+    sum
+  }
+
+  def apply(codes: Column, parts: Column, stride: Int): Column =
+    GraftShim.column(AdcSum(GraftShim.expression(codes),
+      GraftShim.expression(parts), stride))
+}
+
 /** Random-hyperplane LSH signature: bit i of the result is set iff
   * vec · planes(i) > 0. One fused pass per row — the column composition
   * (a fold of `aggregate(zip_with(...))` per bit) evaluated `bits`

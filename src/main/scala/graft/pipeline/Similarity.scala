@@ -380,15 +380,19 @@ object Similarity {
     }
   }
 
-  /** Two-phase top-k per query over scored candidates (`qid, nbr, sim`) —
-    * the px15 vocabulary pattern: rank within (qid, PHYSICAL partition)
-    * first and keep ≤ k per bucket, so no single task ever sorts one
-    * query's full candidate set; only ≤ k×partitions survivors reach the
-    * qid-partitioned global rank. Without this the global window put a
-    * CORPUS-sized candidate list for each query on one task — the exact
-    * straggler/OOM shape a 10^9-row corpus hits at 20 queries. Results
-    * are identical (top-k of the per-bucket top-ks IS the global top-k
-    * under the same deterministic (sim desc, nbr) order).
+  /** Top-k per query over scored candidates (`qid, nbr, sim`) as ONE
+    * bounded aggregate ([[graft.functions.TopKEntries]], r18 — guide
+    * §1.2/§2.4): candidates stream through a ≤ k-entry per-query buffer
+    * with map-side partial aggregation, so no task ever SORTS a
+    * candidate set and the exchange carries ≤ k entries per (query,
+    * input partition) — strictly less data and work than the former
+    * two-phase window rank (local sort + WindowGroupLimit + exchange +
+    * global sort), whose straggler-safety argument (no single task holds
+    * one query's corpus-sized candidate list) the partial aggregation
+    * inherits. Results are row-identical: the buffer orders by exactly
+    * the window's (sim DESC NULLS LAST, nbr ASC) total order — raw IEEE
+    * double comparison semantics included — and posexplode position + 1
+    * is the row_number.
     *
     * Rounding note: `sim` is rounded to 6 digits BEFORE ranking so
     * last-ulp accumulation differences between engines collapse to the
@@ -397,18 +401,13 @@ object Similarity {
     * observed on the driver corpora, and pinned by the per-round oracle
     * gate rather than assumed.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val wLocal = Window.partitionBy(col("qid"), col("_part"))
-      .orderBy(col("sim").desc, col("nbr"))
-    val wGlobal = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))
-    scored
-      .withColumn("_part", spark_partition_id())
-      .withColumn("_lr", row_number().over(wLocal))
-      .where(col("_lr") <= k)
-      .withColumn("rank", row_number().over(wGlobal).cast("bigint"))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("nbr"), col("rank"), col("sim"))
-  }
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("qid")
+      .agg(graft.functions.TopKEntries(col("sim"), col("nbr"),
+        lit(0), lit(0), lit(0L), k).as("_top"))
+      .select(col("qid"), posexplode(col("_top")).as(Seq("_r", "_e")))
+      .select(col("qid"), col("_e.nbr").as("nbr"),
+        (col("_r") + 1).cast("bigint").as("rank"), col("_e.sim").as("sim"))
 
   /** Exact top-k neighbors per query vector. `corpus` and `queries` carry
     * (idCol, vecCol); self-matches are excluded when ids collide. The
@@ -437,24 +436,48 @@ object Similarity {
   private def signature(vec: Column, planes: Seq[Array[Double]]): Column =
     graft.functions.HyperplaneSig(vec, planes.toArray)
 
+  /** All `tables` bucket signatures of a vector in ONE projection —
+    * `posexplode` position = table index, so joining on `(_t, _b)` over
+    * this shape equals the per-table bucket join over `tables` separate
+    * passes. Signatures are bit-identical to [[signature]] per table
+    * (same seeded [[hyperplanes]]); only the PLAN shape changes: one
+    * corpus scan instead of `tables` scans, one join instead of
+    * `tables` joins (r18, guide §2.4 — the union-of-branches plan paid
+    * 8 scans + 8 joins + a SortAggregate dedup over vector payloads).
+    */
+  private def sigRows(df: DataFrame, idCol: String, vecCol: String,
+      outId: String, dim: Int, bits: Int, tables: Int): DataFrame =
+    df.select(col(idCol).as(outId),
+      posexplode(array((0 until tables).map(t =>
+        signature(col(vecCol), hyperplanes(dim, bits, t))): _*))
+        .as(Seq("_t", "_b")))
+
   /** Approximate top-k via multi-table hyperplane LSH, exact-reranked
     * within buckets. Emits ≤ k rows per query (fewer when buckets are
     * sparse — the recall/efficiency tradeoff).
+    *
+    * Plan shape (r18): candidates are generated from SKINNY signature
+    * rows (id, table, bucket) — one corpus pass computing all `tables`
+    * signatures, one equi-join on (table, bucket), pair dedup on pure
+    * (qid, nbr) pairs (hash-aggregatable — no array columns in the
+    * dedup) — and the vectors are attached to the ≤ |candidates|
+    * surviving pairs afterwards (guide §8: decide on lightweight
+    * proxies, move heavy payloads once). Candidate set and scores are
+    * identical to the former 8-branch union plan.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, bits: Int = 8,
       tables: Int = 8): DataFrame = {
-    val buckets = (0 until tables).map { t =>
-      val planes = hyperplanes(dim, bits, t)
-      val c = corpus.select(col(idCol).as("nbr"), col(vecCol).as("cv"),
-        signature(col(vecCol), planes).as("_b"))
-      val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-        signature(col(vecCol), planes).as("_b"))
-      c.join(q, Seq("_b")).where(col("qid") =!= col("nbr"))
-        .select(col("qid"), col("nbr"), col("qv"), col("cv"))
-    }.reduce(_ unionByName _).dropDuplicates("qid", "nbr")
+    val cSig = sigRows(corpus, idCol, vecCol, "nbr", dim, bits, tables)
+    val qSig = sigRows(queries, idCol, vecCol, "qid", dim, bits, tables)
+    val cand = cSig.join(qSig, Seq("_t", "_b"))
+      .where(col("qid") =!= col("nbr"))
+      .select("qid", "nbr").dropDuplicates("qid", "nbr")
+    val withVecs = cand
+      .join(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), "qid")
+      .join(corpus.select(col(idCol).as("nbr"), col(vecCol).as("cv")), "nbr")
     topKPerQuery(
-      buckets.withColumn("sim", round(cosine(col("qv"), col("cv")), 6)), k)
+      withVecs.withColumn("sim", round(cosine(col("qv"), col("cv")), 6)), k)
   }
 
   /** Per-table LSH bucket signatures as rows (id, t, b) — the audit export
@@ -552,16 +575,17 @@ object Similarity {
     * native expression and keeps its `nprobe` best cells.
     */
   def ivfProbes(queries: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Float]], nprobe: Int): DataFrame = {
-    import graft.functions.CentroidDots
+      centroids: Array[Array[Float]], nprobe: Int): DataFrame =
+    // r18: the top-nprobe selection happens INSIDE one native expression
+    // ([[graft.functions.TopPCentroids]] — same normalized matrix and
+    // dot accumulation as CentroidDots, ties to the smaller cell), so
+    // the probe side has NO exchange and NO sort at all; the former
+    // posexplode → window rank shuffled batch × nlist rows (each
+    // carrying the query vector) just to keep nprobe of them.
     queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .select(col("qid"), col("qv"),
-        posexplode(CentroidDots(col("qv"), centroids)).as(Seq("_cell", "_score")))
-      .withColumn("_pr", row_number().over(
-        Window.partitionBy("qid").orderBy(col("_score").desc, col("_cell"))))
-      .where(col("_pr") <= nprobe)
-      .select(col("qid"), col("qv"), col("_cell"))
-  }
+        explode(graft.functions.TopPCentroids(col("qv"), centroids, nprobe))
+          .as("_cell"))
 
   /** A persisted IVF index, reloaded: the driver-side centroid matrix
     * plus the cell-partitioned codes table (`nbr, cv, _cell`).
@@ -784,21 +808,33 @@ object Similarity {
     */
   def twoLevelProbes(queries: DataFrame, idCol: String, vecCol: String,
       model: TwoLevelModel, p1: Int, nprobe: Int): DataFrame = {
-    import graft.functions.CentroidDots
-    queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    // r18 probe-plan reshape (identical probes): the level-1 top-p1 is
+    // one native per-row expression ([[graft.functions.TopPCentroids]] —
+    // score- and tie-identical to the posexplode → window rank it
+    // replaces), and the level-2 top-nprobe is the bounded
+    // [[graft.functions.TopKEntries]] aggregate. The probe plan now has
+    // ONE exchange (the qid aggregation, carrying ≤ nprobe entries +
+    // one query vector per query) and ZERO sorts — the window form
+    // exchanged batch × nlist1 vector-carrying rows and sorted twice.
+    // The (c1, c2) tie order rides the single long (c1 << 32 | c2)
+    // (cells are non-negative ints, so the packed long preserves the
+    // lexicographic (_c1, _c2) order), and `first(qv)` is well-defined:
+    // qv is functionally dependent on qid.
+    val scored = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .select(col("qid"), col("qv"),
-        posexplode(CentroidDots(col("qv"), model.l1)).as(Seq("_c1", "_s1")))
-      .withColumn("_p1", row_number().over(
-        Window.partitionBy("qid").orderBy(col("_s1").desc, col("_c1"))))
-      .where(col("_p1") <= p1)
-      .select(col("qid"), col("qv"), col("_c1"))
+        explode(graft.functions.TopPCentroids(col("qv"), model.l1, p1))
+          .as("_c1"))
       .join(model.l2, Seq("_c1"))
       .withColumn("_s2", cosine(col("qv"), col("_cent")))
-      .withColumn("_p2", row_number().over(
-        Window.partitionBy("qid")
-          .orderBy(col("_s2").desc, col("_c1"), col("_c2"))))
-      .where(col("_p2") <= nprobe)
-      .select(col("qid"), col("qv"), col("_c1"), col("_c2"))
+    scored.groupBy("qid")
+      .agg(first(col("qv")).as("qv"),
+        graft.functions.TopKEntries(col("_s2"),
+          shiftleft(col("_c1").cast("long"), 32)
+            .bitwiseOR(col("_c2").cast("long")),
+          col("_c1"), col("_c2"), lit(0L), nprobe).as("_top"))
+      .select(col("qid"), col("qv"), explode(col("_top")).as("_e"))
+      .select(col("qid"), col("qv"),
+        col("_e.c1").as("_c1"), col("_e.c2").as("_c2"))
   }
 
   /** The two-level model + probe assignment underlying [[twoLevelTopK]]
@@ -1301,22 +1337,23 @@ object Similarity {
     def guarded(df: DataFrame): DataFrame = if (bcastOk) broadcast(df) else df
     val probes = guarded(probes0)
     val m = if (rerank > 0) math.max(rerank, k) else k
-    val wLocal = Window.partitionBy(col("qid"), col("_part"))
-      .orderBy(col("qsim").desc, col("nbr"))
-    val wGlobal = Window.partitionBy("qid")
-      .orderBy(col("qsim").desc, col("nbr"))
+    // r18: the two-phase window rank over the integer-scored candidates
+    // is the bounded TopKEntries aggregate (see topKPerQuery — same
+    // order key, map-side partial, zero sorts); the (c1, c2) partition
+    // key rides the entry payload so the pruned float fetch-back join
+    // below keeps its full (partition, id) key.
     val top = codes.join(probes, Seq("_c1", "_c2"))
       .where(col("qid") =!= col("nbr"))
       .withColumn("dot", graft.functions.DotI8(col("_qc"), col("codes")))
       .withColumn("qsim",
         round((col("dot").cast("double") * col("qscale")) * col("_qs"), 6))
-      .withColumn("_part", spark_partition_id())
-      .withColumn("_lr", row_number().over(wLocal))
-      .where(col("_lr") <= m)
-      .withColumn("rank", row_number().over(wGlobal).cast("bigint"))
-      .where(col("rank") <= m)
-      .select(col("qid"), col("qv"), col("nbr"), col("_c1"), col("_c2"),
-        col("qsim"), col("rank"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKEntries(col("qsim"), col("nbr"),
+        col("_c1"), col("_c2"), lit(0L), m).as("_top"))
+      .select(col("qid"), posexplode(col("_top")).as(Seq("_r", "_e")))
+      .select(col("qid"), col("_e.nbr").as("nbr"), col("_e.c1").as("_c1"),
+        col("_e.c2").as("_c2"), col("_e.sim").as("qsim"),
+        (col("_r") + 1).cast("bigint").as("rank"))
     if (rerank <= 0) top.select("qid", "nbr", "qsim", "rank")
     else {
       // restrict the float fetch by the PROBED cells first: joining the
@@ -1325,14 +1362,18 @@ object Similarity {
       // partition pruning — joined directly against the window-derived
       // candidates the planner degrades the pruning filter to TRUE and
       // the fetch reads the whole cv column (plan-audited in r15); the
-      // candidate restriction then lands in the second, row-level join
+      // candidate restriction then lands in the second, row-level join.
+      // The query vector is re-attached from the (batch-sized, guarded)
+      // queries side — the aggregate dropped it from the candidate rows.
       val probedCells = probes0.select("_c1", "_c2").distinct()
       val floats = cellsSrc.df(spark)
         .select(col("nbr"), col("cv"), col("_c1"), col("_c2"))
         .join(broadcast(probedCells), Seq("_c1", "_c2"))
+      val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       topKPerQuery(
-        floats.join(guarded(top.drop("qsim", "rank")),
+        floats.join(guarded(top.select("qid", "nbr", "_c1", "_c2")),
             Seq("_c1", "_c2", "nbr"))
+          .join(guarded(q), Seq("qid"))
           .withColumn("sim", round(cosine(col("qv"), col("cv")), 6)),
         k)
     }
@@ -1510,10 +1551,16 @@ object Similarity {
       maxBroadcastProbesBytes: Long = 512L << 20): DataFrame = {
     val idx = loadTwoLevelIndex(spark, dir)
     val codebook = spark.read.parquet(s"$dir/pq_cb")
-    // m and the slice width from the (model-sized) codebook itself
-    val meta = codebook.agg(max(col("sub")), min(size(col("cent")))).head()
+    // m, the slice width, and the grid shape from the (model-sized)
+    // codebook itself — count == m·(maxCode+1) with unique (sub, code)
+    // rows means every subspace carries the full dense code range, which
+    // is what lets serving lay the per-query LUT out POSITIONALLY (r18)
+    val meta = codebook.agg(max(col("sub")), min(size(col("cent"))),
+      count(lit(1)), max(col("code"))).head()
     val mSub = meta.getInt(0) + 1
     val subLen = meta.getInt(1)
+    val ksubStride = meta.getInt(3) + 1
+    val denseGrid = meta.getLong(2) == mSub.toLong * ksubStride
     val (p1R, nprobeR) = resolvedKnobsFor(spark, dir, idx, p1, nprobe)
     // one generation resolution per call — see quantizedTopKFromIndex
     val cellsSrc = resolveCells(spark, dir)
@@ -1557,13 +1604,6 @@ object Similarity {
           "its PQ codebook; re-encode (or rebuild) before ADC serving")))
         .cast("binary"))
       .otherwise(col("pqcodes"))
-    val cand = cellsSrc.df(spark)
-      .select(col("nbr"), col("pqcodes"), col("_c1"), col("_c2"))
-      .join(guarded(probes.select("qid", "_c1", "_c2")), Seq("_c1", "_c2"))
-      .where(col("qid") =!= col("nbr"))
-      .select(col("qid"), col("nbr"), col("_c1"), col("_c2"),
-        posexplode(graft.functions.UnpackI8(checkedCodes))
-          .as(Seq("sub", "code")))
     val lutF = pqSlices(queries, idCol, vecCol, mSub, subLen)
       .select(col("nbr").as("qid"), col("sub"), col("sv"))
       .join(broadcast(codebook.select(col("sub"), col("code"), col("cent"))),
@@ -1577,12 +1617,45 @@ object Similarity {
         when(col("_lm") > 0d,
           floor(col("fpart") * lit(127.0d) / col("_lm") + lit(0.5d)))
           .otherwise(lit(0L)).cast("long").as("part"))
-    val partSums = cand.join(guarded(lut), Seq("qid", "sub", "code"))
-      // the partition cols are functionally dependent on nbr — grouping
-      // by them costs nothing and keeps the (c1,c2,nbr) key the optional
-      // float fetch below joins (and prunes) on, the px65 lesson
-      .groupBy("qid", "nbr", "_c1", "_c2")
-      .agg(sum("part").as("_sp"))
+    val probedCand = cellsSrc.df(spark)
+      .select(col("nbr"), col("pqcodes"), col("_c1"), col("_c2"))
+      .join(guarded(probes.select("qid", "_c1", "_c2")), Seq("_c1", "_c2"))
+      .where(col("qid") =!= col("nbr"))
+    val partSums =
+      if (denseGrid) {
+        // r18 dense-grid fast path: the per-query LUT is laid out as ONE
+        // positional array (sub-major, code-minor — the sorted collect
+        // below; (sub, code) is unique per query so the order is total)
+        // and each candidate row is scored by a single codegen'd
+        // [[graft.functions.AdcSum]] pass over its packed codes. Sums
+        // are the identical exact integers the former plan produced by
+        // posexploding every candidate m× and re-aggregating through an
+        // exchange — that plan survives below only for sparse codebook
+        // grids (a refinement pass dropped entries), where positional
+        // layout has holes.
+        val lutArr = lut
+          .groupBy("qid")
+          .agg(array_sort(collect_list(
+            struct(col("sub"), col("code"), col("part")))).as("_ps"))
+          .select(col("qid"),
+            expr("transform(_ps, x -> x.part)").as("_parts"))
+        probedCand
+          .join(guarded(lutArr), Seq("qid"))
+          .select(col("qid"), col("nbr"), col("_c1"), col("_c2"),
+            graft.functions.AdcSum(checkedCodes, col("_parts"), ksubStride)
+              .as("_sp"))
+      } else {
+        val cand = probedCand
+          .select(col("qid"), col("nbr"), col("_c1"), col("_c2"),
+            posexplode(graft.functions.UnpackI8(checkedCodes))
+              .as(Seq("sub", "code")))
+        cand.join(guarded(lut), Seq("qid", "sub", "code"))
+          // the partition cols are functionally dependent on nbr — grouping
+          // by them costs nothing and keeps the (c1,c2,nbr) key the optional
+          // float fetch below joins (and prunes) on, the px65 lesson
+          .groupBy("qid", "nbr", "_c1", "_c2")
+          .agg(sum("part").as("_sp"))
+      }
     val scored =
       if (!pqIsResidual(spark, dir)) partSums.withColumnRenamed("_sp", "score")
       else {
@@ -1614,16 +1687,19 @@ object Similarity {
             (col("_sp") + col("_op")).as("score"))
       }
     val m = if (rerankR > 0) math.max(rerankR, k) else k
-    val wLocal = Window.partitionBy(col("qid"), col("_part"))
-      .orderBy(col("score").desc, col("nbr"))
-    val wGlobal = Window.partitionBy("qid")
-      .orderBy(col("score").desc, col("nbr"))
+    // r18: bounded TopKEntries aggregate instead of the two-phase window
+    // rank (see topKPerQuery). The ordering key is the integer score
+    // cast to double — exact and order-preserving (|score| ≤ m·127 +
+    // |offset| ≪ 2⁵³ by construction), while the EXACT long score rides
+    // the `aux` payload and is what the result emits.
     val top = scored
-      .withColumn("_part", spark_partition_id())
-      .withColumn("_lr", row_number().over(wLocal))
-      .where(col("_lr") <= m)
-      .withColumn("rank", row_number().over(wGlobal).cast("bigint"))
-      .where(col("rank") <= m)
+      .groupBy("qid")
+      .agg(graft.functions.TopKEntries(col("score").cast("double"),
+        col("nbr"), col("_c1"), col("_c2"), col("score"), m).as("_top"))
+      .select(col("qid"), posexplode(col("_top")).as(Seq("_r", "_e")))
+      .select(col("qid"), col("_e.nbr").as("nbr"), col("_e.c1").as("_c1"),
+        col("_e.c2").as("_c2"), col("_e.aux").as("score"),
+        (col("_r") + 1).cast("bigint").as("rank"))
     if (rerankR <= 0) top.select(col("qid"), col("nbr"), col("score"), col("rank"))
     else {
       // exact refine — the measured recommendation above: ADC prunes the
@@ -1801,16 +1877,23 @@ object Similarity {
       dim: Int, threshold: Double = 0.95, bits: Int = 0,
       tables: Int = 6): DataFrame = {
     val useBits = if (bits > 0) bits else autoBits(df.count())
-    val cands = (0 until tables).map { t =>
-      val planes = hyperplanes(dim, useBits, t)
-      val sigs = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
-        signature(col(vecCol), planes).as("_b"))
-      sigs.as("a").join(sigs.as("b"),
-        col("a._b") === col("b._b") && col("a._id") < col("b._id"))
-        .select(col("a._id").as("id1"), col("b._id").as("id2"),
-          col("a._v").as("_v1"), col("b._v").as("_v2"))
-    }.reduce(_ unionByName _).dropDuplicates("id1", "id2")
-    cands
+    // r18 plan reshape (identical pairs — see [[sigRows]]): candidates
+    // come from one skinny (id, table, bucket) self-join instead of
+    // `tables` vector-carrying self-joins unioned + SortAggregate'd;
+    // the two 256-byte vectors are attached per SURVIVING candidate
+    // pair only (guide §2.3: project before the exchange / §8: shuffle
+    // metadata, attach payloads once). The exact-cosine verify and the
+    // threshold are unchanged.
+    val sig = sigRows(df, idCol, vecCol, "_id", dim, useBits, tables)
+    val cand = sig.as("a").join(sig.as("b"),
+      col("a._t") === col("b._t") && col("a._b") === col("b._b") &&
+        col("a._id") < col("b._id"))
+      .select(col("a._id").as("id1"), col("b._id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    val v = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    cand
+      .join(v.select(col("_id").as("id1"), col("_v").as("_v1")), "id1")
+      .join(v.select(col("_id").as("id2"), col("_v").as("_v2")), "id2")
       .withColumn("sim", round(cosine(col("_v1"), col("_v2")), 6))
       .where(col("sim") >= threshold)
       .select("id1", "id2", "sim")

@@ -25,6 +25,8 @@ object DppProbe {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
         reuseOnly)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 20).toString) // bounded TopKEntries buffers (r18) — see Bench
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

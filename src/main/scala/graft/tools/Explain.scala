@@ -18,6 +18,8 @@ object Explain {
       // cut the scan to the probed cells (measured: 8/484 files)
       .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
         "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 20).toString) // bounded TopKEntries buffers (r18) — see Bench
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args(0).split(",").foreach { name =>

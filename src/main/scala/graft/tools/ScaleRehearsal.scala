@@ -140,6 +140,8 @@ object ScaleRehearsal {
       // cut the scan to the probed cells (measured: 8/484 files)
       .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
         "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 20).toString) // bounded TopKEntries buffers (r18) — see Bench
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
