@@ -120,7 +120,23 @@ object GraphAnalytics {
     * skew-tolerant (a hub's neighborhood is one group with map-side
     * partial min), no driver state beyond the convergence fingerprint.
     */
-  def connectedComponentsDF(edges: DataFrame, maxIter: Int = 64): DataFrame = {
+  /** Edge-count ceiling for [[connectedComponentsDF]]'s driver fast
+    * path: at or below it the (already materialized, distinct) pair set
+    * is union-found ON THE DRIVER — ≤ ~16 MB of (long, long) rows, the
+    * same bounded-collect class as the IVF centroid matrix and the
+    * incremental-dedup bloom bitmap — because the alternating-star loop
+    * costs a scheduler-floor-bound JOB PER ROUND regardless of input
+    * size (measured r18, sf0.1 px18: 3.05 s of CC rounds for a
+    * 256-edge pair graph, ~0 s union-find). Above the ceiling the
+    * distributed loop runs exactly as before — the 100 TB posture is
+    * unchanged (a 100× corpus measured 113M near-dup pairs, r14), and
+    * the gate is the edge COUNT the convergence fingerprint computes
+    * anyway, so the fast path costs zero extra jobs.
+    */
+  val DriverCCMaxEdges: Long = 1L << 20
+
+  def connectedComponentsDF(edges: DataFrame, maxIter: Int = 64,
+      driverMaxEdges: Long = DriverCCMaxEdges): DataFrame = {
     // ONE scan of the (possibly expensive) upstream edge plan: canonical
     // pairs are lazily checkpointed — the first fingerprint action
     // materializes them — and vertices derive from the cached pairs
@@ -168,6 +184,38 @@ object GraphAnalytics {
     }
     var e = raw.where(col("u") =!= col("v"))
     var fp = fingerprint(e)
+    if (fp._1 <= driverMaxEdges) {
+      // driver union-find over the cached pair set (bounded by the count
+      // the fingerprint just computed; `raw` is checkpoint-cached, so the
+      // collect re-reads cached blocks, not the upstream pair plan).
+      // Same output contract: every endpoint labeled with its
+      // component's MIN vertex id — identical rows to the loop below
+      // (AnalyticsSpec pins driver == loop == GraphX on the same graphs).
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) {
+          val next = parent.get(c); parent.put(c, r); c = next
+        }
+        r
+      }
+      e.collect().foreach { row =>
+        val (ru, rv) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
+      }
+      val ids = verts.collect().map(_.getLong(0))
+      val minOfRoot = new java.util.HashMap[Long, Long]()
+      ids.foreach { id =>
+        val r = find(id)
+        minOfRoot.merge(r, id, (a, b) => math.min(a, b))
+      }
+      return ids.toSeq.map(id => (id, minOfRoot.get(find(id)).longValue()))
+        .toDF("id", "component")
+    }
     var it = 0
     var converged = fp._1 == 0L // edgeless graph: nothing to iterate
     while (!converged && it < maxIter) {

@@ -205,6 +205,130 @@ object CosineSim {
     GraftShim.column(CosineSim(GraftShim.expression(a), GraftShim.expression(b)))
 }
 
+/** The Euclidean norm √(Σx²) of a float vector, accumulated in double
+  * ascending-index — EXACTLY the per-pair norm loop inside
+  * [[CosineSim.compute]], factored out so serving plans can compute each
+  * row's norm ONCE instead of once per candidate pair (r18, guide §1.2
+  * step 2: px64 scores ~25M pairs over 10k distinct vectors — the two
+  * norm loops were ⅔ of the kernel's arithmetic, recomputed ~2500× per
+  * vector). Feeding these into [[CosineSimPre]] reproduces CosineSim
+  * bit-for-bit.
+  */
+case class VecNorm(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "vec_norm"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_norm requires array<float>, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VecNorm.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecNorm.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): VecNorm =
+    copy(child = newChild)
+}
+
+object VecNorm {
+
+  /** Static helper invoked from generated code — must stay public.
+    * Identical accumulation to the norm loops in [[CosineSim.compute]].
+    */
+  def compute(vec: ArrayData): Double = {
+    val x = vec.toFloatArray()
+    var n = 0.0
+    var i = 0
+    while (i < x.length) { n += x(i).toDouble * x(i).toDouble; i += 1 }
+    math.sqrt(n)
+  }
+
+  def apply(col: Column): Column =
+    GraftShim.column(VecNorm(GraftShim.expression(col)))
+}
+
+/** [[CosineSim]] with the two norms PRE-COMPUTED per row ([[VecNorm]]):
+  * one dot loop per pair, `dot / (normA · normB)` — operands, order and
+  * null semantics identical to CosineSim (ragged pair → NULL, zero
+  * denominator → NULL), so scores are bit-for-bit unchanged and the
+  * 6-dp-rounded order keys (and every DuckDB oracle built on them)
+  * cannot move. The win is arithmetic only: candidate-pair scoring
+  * drops from 3 passes over both vectors to 1.
+  */
+case class CosineSimPre(a: Expression, b: Expression,
+    na: Expression, nb: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim_pre"
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = na
+  override def fourth: Expression = nb
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (a.dataType, b.dataType, na.dataType, nb.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _),
+            org.apache.spark.sql.types.DoubleType,
+            org.apache.spark.sql.types.DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r, x, y) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim_pre requires (array<float>, array<float>, double, " +
+          s"double), got (${l.catalogString}, ${r.catalogString}, " +
+          s"${x.catalogString}, ${y.catalogString})")
+    }
+
+  override protected def nullSafeEval(va: Any, vb: Any, xna: Any,
+      xnb: Any): Any =
+    CosineSimPre.compute(va.asInstanceOf[ArrayData],
+      vb.asInstanceOf[ArrayData], xna.asInstanceOf[Double],
+      xnb.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (va, vb, xna, xnb) => {
+      s"""
+         |java.lang.Double ${ev.value}_r =
+         |  graft.functions.CosineSimPre.compute($va, $vb, $xna, $xnb);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newA: Expression,
+      newB: Expression, newNa: Expression, newNb: Expression): CosineSimPre =
+    copy(a = newA, b = newB, na = newNa, nb = newNb)
+}
+
+object CosineSimPre {
+
+  /** Static helper invoked from generated code — must stay public.
+    * `na`/`nb` must be the [[VecNorm]] of `a`/`b`; then the result equals
+    * [[CosineSim.compute]](a, b) bit-for-bit.
+    */
+  def compute(a: ArrayData, b: ArrayData, na: Double,
+      nb: Double): java.lang.Double = {
+    val x = a.toFloatArray()
+    val y = b.toFloatArray()
+    if (x.length != y.length) return null
+    var dot = 0.0
+    var i = 0
+    while (i < x.length) { dot += x(i).toDouble * y(i).toDouble; i += 1 }
+    val denom = na * nb
+    if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+  }
+
+  def apply(a: Column, b: Column, na: Column, nb: Column): Column =
+    GraftShim.column(CosineSimPre(GraftShim.expression(a),
+      GraftShim.expression(b), GraftShim.expression(na),
+      GraftShim.expression(nb)))
+}
+
 /** Integer dot product of two array<bigint> columns (NULL on ragged
   * pairs, like [[CosineSim]]) — the scoring kernel for quantized (int8)
   * similarity search, where exactness matters: every input and output is

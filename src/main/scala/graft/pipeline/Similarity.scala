@@ -35,6 +35,20 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSim(a, b)
 
+  /** [[cosine]] with per-ROW pre-computed norms (r18, guide §1.2 step 2):
+    * candidate-pair scoring recomputed both operands' norm loops per
+    * PAIR — ⅔ of the kernel's arithmetic, paid ~(candidates/rows)× per
+    * vector (≈2500× in px64's batch serve). Callers attach
+    * `VecNorm(vec)` once per side before the candidate join and score
+    * pairs with the single dot loop; values are bit-for-bit CosineSim
+    * (same loops, same operand order, same NULL semantics —
+    * FunctionsSpec pins it), so no oracle can move.
+    */
+  private def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    graft.functions.CosineSimPre(a, b, na, nb)
+
+  private def vecNorm(v: Column): Column = graft.functions.VecNorm(v)
+
   /** Existence check through the session's Hadoop FileSystem — the same
     * path resolution every index read/write uses (`spark.read.parquet`
     * accepts any Hadoop URI), so probing for an optional index artifact
@@ -182,6 +196,13 @@ object Similarity {
   /** See [[shouldCompact]]. */
   val DefaultCompactFilesPerCell: Double = 8.0
 
+  /** The live generation's cells-table file count (manifest-aware) —
+    * the fragmentation number [[shouldCompact]] thresholds on, exposed
+    * for receipts (tools/CompactionRehearsal). */
+  def liveCellFileCount(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Long =
+    resolveCells(spark, dir).entries(spark).iterator.map(_._2.size.toLong).sum
+
   /** Remove vectors from a persisted two-level index WITHOUT retraining —
     * the maintenance-on-unlink half of the lifecycle (the reference
     * deletes index keys on removeTarget, /root/reference/library/
@@ -283,9 +304,9 @@ object Similarity {
     * REFERENCES the source's current files (copy-on-write: a later
     * remove/append on the clone writes only its own new files under
     * `dst`, and a [[compactTwoLevelIndex]]/[[compactIndex]] on the clone
-    * localizes it completely). At 200k vectors this turns a multi-second
-    * recursive file copy into milliseconds of metadata (CloneRehearsal
-    * receipt, SERVE_r18).
+    * localizes it completely). This turns a multi-second recursive file
+    * copy into milliseconds of metadata (clone receipt in
+    * tools/CompactionRehearsal → SERVE_r18).
     *
     * A clone is a POINT-IN-TIME SNAPSHOT: the source's own maintenance
     * deletes superseded files after its one-generation grace window and
@@ -418,10 +439,13 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("_qn", vecNorm(col("qv")))
     val c = corpus.select(col(idCol).as("nbr"), col(vecCol).as("cv"))
+      .withColumn("_cn", vecNorm(col("cv")))
     topKPerQuery(
       c.join(broadcast(q), col("qid") =!= col("nbr"))
-        .withColumn("sim", round(cosine(col("qv"), col("cv")), 6)),
+        .withColumn("sim",
+          round(cosinePre(col("qv"), col("cv"), col("_qn"), col("_cn")), 6)),
       k)
   }
 
@@ -474,10 +498,13 @@ object Similarity {
       .where(col("qid") =!= col("nbr"))
       .select("qid", "nbr").dropDuplicates("qid", "nbr")
     val withVecs = cand
-      .join(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), "qid")
-      .join(corpus.select(col(idCol).as("nbr"), col(vecCol).as("cv")), "nbr")
+      .join(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+        .withColumn("_qn", vecNorm(col("qv"))), "qid")
+      .join(corpus.select(col(idCol).as("nbr"), col(vecCol).as("cv"))
+        .withColumn("_cn", vecNorm(col("cv"))), "nbr")
     topKPerQuery(
-      withVecs.withColumn("sim", round(cosine(col("qv"), col("cv")), 6)), k)
+      withVecs.withColumn("sim",
+        round(cosinePre(col("qv"), col("cv"), col("_qn"), col("_cn")), 6)), k)
   }
 
   /** Per-table LSH bucket signatures as rows (id, t, b) — the audit export
@@ -512,8 +539,11 @@ object Similarity {
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val (cells, probes) = ivfModel(corpus, queries, idCol, vecCol, nlist, nprobe)
     topKPerQuery(
-      cells.join(probes, Seq("_cell")).where(col("qid") =!= col("nbr"))
-        .withColumn("sim", round(cosine(col("qv"), col("cv")), 6)),
+      cells.withColumn("_cn", vecNorm(col("cv")))
+        .join(probes.withColumn("_qn", vecNorm(col("qv"))), Seq("_cell"))
+        .where(col("qid") =!= col("nbr"))
+        .withColumn("sim",
+          round(cosinePre(col("qv"), col("cv"), col("_qn"), col("_cn")), 6)),
       k)
   }
 
@@ -628,9 +658,11 @@ object Similarity {
     */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): IvfIndex = {
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .select("_cell", "centroid").orderBy("_cell").collect()
-      .map(_.getSeq[Float](1).toArray)
+    val cents = l1MatrixCache.computeIfAbsent(
+      (s"$dir/centroids", mtimeOf(spark, s"$dir/centroids")), _ =>
+        spark.read.parquet(s"$dir/centroids")
+          .select("_cell", "centroid").orderBy("_cell").collect()
+          .map(_.getSeq[Float](1).toArray))
     val raw = resolveCells(spark, dir).df(spark)
     // partition-column type inference reads `_cell=N` back as int; keep
     // the attribute UNCAST so the probe join key stays the partition
@@ -722,8 +754,11 @@ object Similarity {
       vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
     val probes = ivfProbes(queries, idCol, vecCol, index.centroids, nprobe)
     topKPerQuery(
-      index.cells.join(probes, Seq("_cell")).where(col("qid") =!= col("nbr"))
-        .withColumn("sim", round(cosine(col("qv"), col("cv")), 6)),
+      index.cells.withColumn("_cn", vecNorm(col("cv")))
+        .join(probes.withColumn("_qn", vecNorm(col("qv"))), Seq("_cell"))
+        .where(col("qid") =!= col("nbr"))
+        .withColumn("sim",
+          round(cosinePre(col("qv"), col("cv"), col("_qn"), col("_cn")), 6)),
       k)
   }
 
@@ -863,9 +898,11 @@ object Similarity {
     val (cells, probes) = twoLevelModelFor(corpus, queries, idCol, vecCol,
       nlist1, k2, p1, nprobe, iters)
     topKPerQuery(
-      cells.join(probes, Seq("_c1", "_c2"))
+      cells.withColumn("_cn", vecNorm(col("cv")))
+        .join(probes.withColumn("_qn", vecNorm(col("qv"))), Seq("_c1", "_c2"))
         .where(col("qid") =!= col("nbr"))
-        .withColumn("sim", round(cosine(col("qv"), col("cv")), 6)),
+        .withColumn("sim",
+          round(cosinePre(col("qv"), col("cv"), col("_qn"), col("_cn")), 6)),
       k)
   }
 
@@ -1031,6 +1068,12 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Integer]()
   private val corpusCountCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
+  // r18: the driver-held centroid matrices are model artifacts written
+  // once at save time — the per-serve collect() job (one Spark job +
+  // parquet read per loadIndex/loadTwoLevelIndex call) joins the same
+  // mtime-stamped cache family; a re-save invalidates via the stamp.
+  private val l1MatrixCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Array[Array[Float]]]()
 
   /** mtime of `path`, −1 if absent — the cache-invalidation stamp. */
   private def mtimeOf(spark: org.apache.spark.sql.SparkSession,
@@ -1074,9 +1117,11 @@ object Similarity {
     */
   def loadTwoLevelIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): TwoLevelIndex = {
-    val l1 = spark.read.parquet(s"$dir/l1")
-      .select("_c1", "centroid").orderBy("_c1").collect()
-      .map(_.getSeq[Float](1).toArray)
+    val l1 = l1MatrixCache.computeIfAbsent(
+      (s"$dir/l1", mtimeOf(spark, s"$dir/l1")), _ =>
+        spark.read.parquet(s"$dir/l1")
+          .select("_c1", "centroid").orderBy("_c1").collect()
+          .map(_.getSeq[Float](1).toArray))
     val l2 = spark.read.parquet(s"$dir/l2").select("_c1", "_c2", "_cent")
     val raw = resolveCells(spark, dir).df(spark)
     Seq("_c1", "_c2").foreach { c =>
@@ -1204,9 +1249,11 @@ object Similarity {
     val probes = twoLevelProbes(queries, idCol, vecCol,
       TwoLevelModel(index.l1, index.l2), p1R, nprobeR)
     topKPerQuery(
-      index.cells.join(probes, Seq("_c1", "_c2"))
+      index.cells.withColumn("_cn", vecNorm(col("cv")))
+        .join(probes.withColumn("_qn", vecNorm(col("qv"))), Seq("_c1", "_c2"))
         .where(col("qid") =!= col("nbr"))
-        .withColumn("sim", round(cosine(col("qv"), col("cv")), 6)),
+        .withColumn("sim",
+          round(cosinePre(col("qv"), col("cv"), col("_qn"), col("_cn")), 6)),
       k)
   }
 
@@ -1370,11 +1417,14 @@ object Similarity {
         .select(col("nbr"), col("cv"), col("_c1"), col("_c2"))
         .join(broadcast(probedCells), Seq("_c1", "_c2"))
       val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+        .withColumn("_qn", vecNorm(col("qv")))
       topKPerQuery(
-        floats.join(guarded(top.select("qid", "nbr", "_c1", "_c2")),
+        floats.withColumn("_cn", vecNorm(col("cv")))
+          .join(guarded(top.select("qid", "nbr", "_c1", "_c2")),
             Seq("_c1", "_c2", "nbr"))
           .join(guarded(q), Seq("qid"))
-          .withColumn("sim", round(cosine(col("qv"), col("cv")), 6)),
+          .withColumn("sim",
+            round(cosinePre(col("qv"), col("cv"), col("_qn"), col("_cn")), 6)),
         k)
     }
   }
@@ -1714,11 +1764,14 @@ object Similarity {
         .select(col("nbr"), col("cv"), col("_c1"), col("_c2"))
         .join(broadcast(probedCells), Seq("_c1", "_c2"))
       val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+        .withColumn("_qn", vecNorm(col("qv")))
       topKPerQuery(
-        floats.join(guarded(top.select("qid", "nbr", "_c1", "_c2")),
+        floats.withColumn("_cn", vecNorm(col("cv")))
+          .join(guarded(top.select("qid", "nbr", "_c1", "_c2")),
             Seq("_c1", "_c2", "nbr"))
           .join(guarded(q), Seq("qid"))
-          .withColumn("sim", round(cosine(col("qv"), col("cv")), 6)),
+          .withColumn("sim",
+            round(cosinePre(col("qv"), col("cv"), col("_qn"), col("_cn")), 6)),
         k)
     }
   }
@@ -1891,10 +1944,14 @@ object Similarity {
       .select(col("a._id").as("id1"), col("b._id").as("id2"))
       .dropDuplicates("id1", "id2")
     val v = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .withColumn("_n", vecNorm(col("_v")))
     cand
-      .join(v.select(col("_id").as("id1"), col("_v").as("_v1")), "id1")
-      .join(v.select(col("_id").as("id2"), col("_v").as("_v2")), "id2")
-      .withColumn("sim", round(cosine(col("_v1"), col("_v2")), 6))
+      .join(v.select(col("_id").as("id1"), col("_v").as("_v1"),
+        col("_n").as("_n1")), "id1")
+      .join(v.select(col("_id").as("id2"), col("_v").as("_v2"),
+        col("_n").as("_n2")), "id2")
+      .withColumn("sim",
+        round(cosinePre(col("_v1"), col("_v2"), col("_n1"), col("_n2")), 6))
       .where(col("sim") >= threshold)
       .select("id1", "id2", "sim")
   }
@@ -1962,10 +2019,15 @@ object Similarity {
   def semanticClusterPrune(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 0, threshold: Double = 0.95,
       iters: Int = 1): DataFrame = {
+    // per-row norm attached once before the within-cell pair join — the
+    // pair compare is then one dot loop per pair (CosineSimPre, r18;
+    // values bit-identical)
     val cells = clusterAssignments(df, idCol, vecCol, nlist, iters)
+      .withColumn("_n", vecNorm(col("_v")))
     val pruned = cells.as("a").join(cells.as("b"),
         col("a._cell") === col("b._cell") && col("a._id") < col("b._id"))
-      .where(round(cosine(col("a._v"), col("b._v")), 6) >= threshold)
+      .where(round(cosinePre(col("a._v"), col("b._v"),
+        col("a._n"), col("b._n")), 6) >= threshold)
       .select(col("b._id").as("_id")).distinct()
       .withColumn("_pruned", lit(true))
     cells.join(pruned, Seq("_id"), "left")
@@ -2019,20 +2081,27 @@ object Similarity {
   def semanticPruneAppend(base: DataFrame, batch: DataFrame, idCol: String,
       vecCol: String, nlist: Int = 0, threshold: Double = 0.95,
       iters: Int = 1): DataFrame = {
-    val (baseCells, newCells) =
+    val (baseCells0, newCells0) =
       semanticAppendCells(base, batch, idCol, vecCol, nlist, iters)
+    // per-row norms once per side; pair compares are single dot loops
+    // (CosineSimPre, r18; values bit-identical)
+    val baseCells = baseCells0.withColumn("_n", vecNorm(col("_v")))
+    val newCells = newCells0.withColumn("_n", vecNorm(col("_v")))
     val basePruned = baseCells.as("a").join(baseCells.as("b"),
         col("a._cell") === col("b._cell") && col("a._id") < col("b._id"))
-      .where(round(cosine(col("a._v"), col("b._v")), 6) >= threshold)
+      .where(round(cosinePre(col("a._v"), col("b._v"),
+        col("a._n"), col("b._n")), 6) >= threshold)
       .select(col("b._id").as("_id")).distinct()
     val kept = baseCells.join(basePruned, Seq("_id"), "left_anti")
     val vsKept = newCells.as("n").join(kept.as("k"),
         col("n._cell") === col("k._cell"))
-      .where(round(cosine(col("n._v"), col("k._v")), 6) >= threshold)
+      .where(round(cosinePre(col("n._v"), col("k._v"),
+        col("n._n"), col("k._n")), 6) >= threshold)
       .select(col("n._id").as("_id"))
     val vsBatch = newCells.as("a").join(newCells.as("b"),
         col("a._cell") === col("b._cell") && col("a._id") < col("b._id"))
-      .where(round(cosine(col("a._v"), col("b._v")), 6) >= threshold)
+      .where(round(cosinePre(col("a._v"), col("b._v"),
+        col("a._n"), col("b._n")), 6) >= threshold)
       .select(col("b._id").as("_id"))
     val pruned = vsKept.unionByName(vsBatch).distinct()
       .withColumn("_pruned", lit(true))

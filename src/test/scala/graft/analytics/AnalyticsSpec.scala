@@ -50,9 +50,19 @@ class AnalyticsSpec extends AnyFunSuite {
   }
 
   test("alternating-star DF components == GraphX components") {
-    def ccDF(edges: org.apache.spark.sql.DataFrame) =
-      GraphAnalytics.connectedComponentsDF(edges)
+    // exercise BOTH r18 paths on the same graphs: the driver union-find
+    // (default gate — every graph here is far below DriverCCMaxEdges)
+    // and the distributed alternating-star loop (gate forced off)
+    def ccDF(edges: org.apache.spark.sql.DataFrame) = {
+      val viaDriver = GraphAnalytics.connectedComponentsDF(edges)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaLoop = GraphAnalytics
+        .connectedComponentsDF(edges, driverMaxEdges = -1L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaDriver === viaLoop,
+        "driver union-find and distributed loop must agree")
+      viaDriver
+    }
     def ccGX(edges: org.apache.spark.sql.DataFrame) =
       GraphAnalytics.connectedComponents(edges)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

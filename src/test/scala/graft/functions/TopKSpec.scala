@@ -112,6 +112,34 @@ class TopKSpec extends AnyFunSuite {
     }
   }
 
+  test("CosineSimPre(VecNorm) == CosineSim bit-for-bit (zero norms, ragged)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = ((0L until 100L).map { i =>
+      val d = if (i % 17 == 0) 5 else 8 // ragged pairs → NULL both ways
+      (i, Array.fill(d)(if (i % 13 == 0) 0f // zero-norm → NULL both ways
+        else rnd.nextGaussian().toFloat).toSeq)
+    }).toDF("id", "v").select(col("id"), col("v").cast("array<float>").as("v"))
+    val a = vecs.select(col("id").as("ia"), col("v").as("va"),
+      VecNorm(col("v")).as("na"))
+    val b = vecs.select(col("id").as("ib"), col("v").as("vb"),
+      VecNorm(col("v")).as("nb"))
+    val pairs = a.join(b, col("ia") < col("ib"))
+    val both = pairs.select(col("ia"), col("ib"),
+      CosineSim(col("va"), col("vb")).as("plain"),
+      CosineSimPre(col("va"), col("vb"), col("na"), col("nb")).as("pre"))
+      .collect()
+    both.foreach { r =>
+      val (p, q) = (r.isNullAt(2), r.isNullAt(3))
+      assert(p === q, s"null mismatch at ${r.getLong(0)},${r.getLong(1)}")
+      if (!p) assert(
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ===
+          java.lang.Double.doubleToRawLongBits(r.getDouble(3)),
+        s"bit mismatch at ${r.getLong(0)},${r.getLong(1)}")
+    }
+    assert(both.nonEmpty)
+  }
+
   test("AdcSum == posexplode codes -> join LUT rows -> group sum") {
     import spark.implicits._
     val m = 6
