@@ -122,8 +122,13 @@ object Decontaminate {
   def semanticOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
       vecCol: String, threshold: Double, excludeSameId: Boolean = true,
       maxBroadcastBenchBytes: Long = 512L << 20): DataFrame = {
+    // per-row norms once per side: the cross-score below evaluates
+    // |corpus| × |bench| cosines, and CosineSimPre (bit-identical to
+    // CosineSim — r18) drops the two norm loops from every pair
     val c = corpus.select(col(idCol), col(vecCol).as("_cv"))
+      .withColumn("_cn", graft.functions.VecNorm(col("_cv")))
     val b = bench.select(col(idCol).as("_bid"), col(vecCol).as("_bv"))
+      .withColumn("_bn", graft.functions.VecNorm(col("_bv")))
     // sizeInBytes for a parquet scan is the ON-DISK (compressed, encoded)
     // size; the broadcast hashed relation holds DESERIALIZED rows —
     // UnsafeRow array payloads plus per-row/object overhead — which for a
@@ -140,7 +145,8 @@ object Decontaminate {
       if (excludeSameId) col(idCol) =!= col("_bid") else lit(true)
     c.join(benchSide, cond)
       .select(col(idCol),
-        round(Similarity.cosine(col("_cv"), col("_bv")), 6).as("_sim"))
+        round(graft.functions.CosineSimPre(col("_cv"), col("_bv"),
+          col("_cn"), col("_bn")), 6).as("_sim"))
       .groupBy(col(idCol))
       .agg(max(col("_sim")).as("max_sim"))
       .withColumn("contaminated", col("max_sim") >= threshold)
