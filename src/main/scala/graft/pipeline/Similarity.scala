@@ -1074,6 +1074,10 @@ object Similarity {
   // mtime-stamped cache family; a re-save invalidates via the stamp.
   private val l1MatrixCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long), Array[Array[Float]]]()
+  // (mSub, subLen, ksubStride, denseGrid) of a persisted PQ codebook —
+  // see pqAdcTopKFromIndex
+  private val pqCbMetaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), (Int, Int, Int, Boolean)]()
 
   /** mtime of `path`, −1 if absent — the cache-invalidation stamp. */
   private def mtimeOf(spark: org.apache.spark.sql.SparkSession,
@@ -1604,13 +1608,18 @@ object Similarity {
     // m, the slice width, and the grid shape from the (model-sized)
     // codebook itself — count == m·(maxCode+1) with unique (sub, code)
     // rows means every subspace carries the full dense code range, which
-    // is what lets serving lay the per-query LUT out POSITIONALLY (r18)
-    val meta = codebook.agg(max(col("sub")), min(size(col("cent"))),
-      count(lit(1)), max(col("code"))).head()
-    val mSub = meta.getInt(0) + 1
-    val subLen = meta.getInt(1)
-    val ksubStride = meta.getInt(3) + 1
-    val denseGrid = meta.getLong(2) == mSub.toLong * ksubStride
+    // is what lets serving lay the per-query LUT out POSITIONALLY (r18).
+    // Cached per (dir, pq_cb mtime) like pqIsResidual — the agg head()
+    // was one Spark job on EVERY ADC serve call (the Wire.handleAnn hot
+    // path); a re-train rewrites pq_cb and invalidates via the stamp.
+    val (mSub, subLen, ksubStride, denseGrid) =
+      pqCbMetaCache.computeIfAbsent((dir, mtimeOf(spark, s"$dir/pq_cb")), _ => {
+        val meta = codebook.agg(max(col("sub")), min(size(col("cent"))),
+          count(lit(1)), max(col("code"))).head()
+        val m = meta.getInt(0) + 1
+        val stride = meta.getInt(3) + 1
+        (m, meta.getInt(1), stride, meta.getLong(2) == m.toLong * stride)
+      })
     val (p1R, nprobeR) = resolvedKnobsFor(spark, dir, idx, p1, nprobe)
     // one generation resolution per call — see quantizedTopKFromIndex
     val cellsSrc = resolveCells(spark, dir)
