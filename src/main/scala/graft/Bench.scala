@@ -103,6 +103,32 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] detail file write failed (non-fatal): $e")
     }
+    // r19: the driver's ~4 KB stdout tail window truncates the full line's
+    // queries map (PERF_r18 `per_query` came back empty — the tail caught
+    // only the trailing SPREAD map), so the per-query times are RE-EMITTED
+    // here as compact chunked lines, each far below the window and all of
+    // them together (~3.3 KB) inside it, placed just before the compact
+    // total so the tail always carries complete per-query data. Additive
+    // only: the full line above and the total_compact trailer below are
+    // byte-identical to r18.
+    locally {
+      val entries = results.map(r => "\"" + r._1 + "\":" + fmt(r._2))
+      val maxChunkBytes = 1100
+      val chunks = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[String])
+      var sz = 0
+      entries.foreach { e =>
+        if (sz + e.length > maxChunkBytes && chunks.last.nonEmpty) {
+          chunks += scala.collection.mutable.ArrayBuffer.empty[String]
+          sz = 0
+        }
+        chunks.last += e
+        sz += e.length + 1
+      }
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        println(s"""{"metric":"per_query","part":${i + 1},"parts":${chunks.length},"queries":{${c.mkString(",")}}}""")
+      }
+    }
     // tail-truncation insurance: the full line above exceeds the driver's
     // ~4 KB tail window once per-query maps grow, and round 6 lost its
     // headline number exactly that way ("parsed": null). This compact

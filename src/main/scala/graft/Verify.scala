@@ -295,7 +295,17 @@ object Verify {
         // clone it maintained) — the oracle excludes exactly what the
         // session unlinked, not a re-evaluated predicate
         import spark.implicits._
-        pipeline.PipelineQueries.px69RemovedIds(spark, sfDir)
+        val removed = pipeline.PipelineQueries.px69RemovedIds(spark, sfDir)
+        // r19 hardening (VERDICT r18 item 3): the export-replay set is
+        // trusted from the engine, so pin it here to the deterministic
+        // predicate px69's builder constructed it from (ids 0..99 with
+        // i % 9 == 3) — a session that silently dropped or added a
+        // removal now fails Verify loudly instead of skewing the oracle
+        val expected = (0L until 100L).filter(_ % 9 == 3)
+        require(removed.sorted == expected,
+          s"px69 removed-id export drifted from its constructing " +
+            s"predicate: got ${removed.sorted.mkString(",")}")
+        removed
           .toDF("vec_id")
           .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/px69_removed")
       }

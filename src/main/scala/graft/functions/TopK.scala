@@ -9,29 +9,56 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** Bounded top-k buffer: entries ordered best-first by EXACTLY the window
-  * order the two-phase rank used — `ord` DESC NULLS LAST (raw
-  * [[java.lang.Double#compare]] semantics: NaN greatest, 0.0 above -0.0 —
-  * the same total order Spark's `SortOrder` applies to doubles), ties by
-  * `nbr` ASC. Kept sorted descending; the common full-buffer update is an
-  * O(1) rejection against the current worst, merge is one sorted walk.
+  * order the two-phase rank used — `ord` DESC NULLS LAST with Spark's
+  * `SortOrder` double semantics (SQLOrderingUtil.compareDoubles: NaN
+  * greatest, ±0.0 EQUAL — r19 fix; raw Double.compare put 0.0 strictly
+  * above -0.0, which could reorder an unrounded-cosine boundary vs the
+  * old window), ties by `nbr` ASC. Kept sorted descending; the common
+  * full-buffer update is an O(1) rejection against the current worst,
+  * merge is one sorted walk.
+  *
+  * Arrays are sized to the entries actually seen (grown geometrically up
+  * to `k`, r19): the ADC/rerank paths aggregate with k = max(rerank, k),
+  * where eager k-sized allocation per group held multiples of the real
+  * buffer footprint in the hash aggregate for sparse groups.
   */
 private[functions] final class TopKBuf(val k: Int) {
   // parallel arrays, sorted best-first; hasOrd=false entries (NULL order
   // key) sort after every real score, mirroring NULLS LAST
   var n: Int = 0
-  val ords: Array[Double] = new Array[Double](k)
-  val hasOrd: Array[Boolean] = new Array[Boolean](k)
-  val nbrs: Array[Long] = new Array[Long](k)
-  val c1s: Array[Int] = new Array[Int](k)
-  val c2s: Array[Int] = new Array[Int](k)
-  val auxs: Array[Long] = new Array[Long](k)
+  private var cap: Int = 0
+  var ords: Array[Double] = TopKBuf.emptyD
+  var hasOrd: Array[Boolean] = TopKBuf.emptyB
+  var nbrs: Array[Long] = TopKBuf.emptyL
+  var c1s: Array[Int] = TopKBuf.emptyI
+  var c2s: Array[Int] = TopKBuf.emptyI
+  var auxs: Array[Long] = TopKBuf.emptyL
+
+  /** Grow to hold at least `need` entries (≤ k). */
+  def ensure(need: Int): Unit = {
+    if (need <= cap) return
+    val nc = math.min(k, math.max(need, math.max(8, cap * 2)))
+    ords = java.util.Arrays.copyOf(ords, nc)
+    hasOrd = java.util.Arrays.copyOf(hasOrd, nc)
+    nbrs = java.util.Arrays.copyOf(nbrs, nc)
+    c1s = java.util.Arrays.copyOf(c1s, nc)
+    c2s = java.util.Arrays.copyOf(c2s, nc)
+    auxs = java.util.Arrays.copyOf(auxs, nc)
+    cap = nc
+  }
 
   /** negative → entry a sorts BEFORE (is better than) the entry at
     * buffer slot i. */
   @inline private def cmp(aHas: Boolean, aOrd: Double, aNbr: Long,
       i: Int): Int = {
     val c =
-      if (aHas && hasOrd(i)) -java.lang.Double.compare(aOrd, ords(i))
+      if (aHas && hasOrd(i)) {
+        // ±0.0 compare equal (fall to the nbr tie-break), NaN == NaN too —
+        // exactly SQLOrderingUtil.compareDoubles' total order, which is
+        // what the window rank this aggregate replaced sorted by
+        if (aOrd == ords(i)) 0
+        else -java.lang.Double.compare(aOrd, ords(i))
+      }
       else if (aHas) -1 // real score before NULL
       else if (hasOrd(i)) 1
       else 0
@@ -43,6 +70,7 @@ private[functions] final class TopKBuf(val k: Int) {
   def insert(has: Boolean, ord: Double, nbr: Long, c1: Int, c2: Int,
       aux: Long): Boolean = {
     if (n == k && cmp(has, ord, nbr, n - 1) >= 0) return false
+    ensure(math.min(k, n + 1))
     var pos = n
     while (pos > 0 && cmp(has, ord, nbr, pos - 1) < 0) pos -= 1
     val last = if (n < k) n else k - 1
@@ -81,7 +109,8 @@ private[functions] final class TopKBuf(val k: Int) {
   * sorted walk. The emitted array is ordered best-first, so
   * `posexplode` position + 1 IS the row_number the window produced —
   * row-identical by construction (same total order: ord DESC NULLS LAST
-  * with raw IEEE-754 double comparison, `nbr` ASC ties).
+  * with SortOrder's double comparison — NaN greatest, ±0.0 equal —
+  * `nbr` ASC ties).
   *
   * Generic payload: `(nbr, sim, c1, c2, aux)` — the float paths use
   * (sim, nbr) and pass zero literals for the rest; the quantized/ADC
@@ -95,6 +124,14 @@ private[functions] final class TopKBuf(val k: Int) {
   * raise it so high-cardinality query batches aggregate by hash, not by
   * sort (the whole point of replacing the windows).
   */
+private[functions] object TopKBuf {
+  // shared zero-length seeds so an empty buffer allocates nothing
+  val emptyD: Array[Double] = new Array[Double](0)
+  val emptyB: Array[Boolean] = new Array[Boolean](0)
+  val emptyL: Array[Long] = new Array[Long](0)
+  val emptyI: Array[Int] = new Array[Int](0)
+}
+
 case class TopKEntries(ord: Expression, nbr: Expression, c1: Expression,
     c2: Expression, aux: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -170,6 +207,7 @@ case class TopKEntries(ord: Expression, nbr: Expression, c1: Expression,
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val buf = new TopKBuf(bb.getInt())
     val n = bb.getInt()
+    buf.ensure(n)
     var i = 0
     while (i < n) { // entries arrive sorted; append preserves order
       buf.hasOrd(i) = bb.get() == 1

@@ -658,11 +658,10 @@ object Similarity {
     */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): IvfIndex = {
-    val cents = l1MatrixCache.computeIfAbsent(
-      (s"$dir/centroids", mtimeOf(spark, s"$dir/centroids")), _ =>
-        spark.read.parquet(s"$dir/centroids")
-          .select("_cell", "centroid").orderBy("_cell").collect()
-          .map(_.getSeq[Float](1).toArray))
+    val cents = cachedL1(spark, s"$dir/centroids")(
+      spark.read.parquet(s"$dir/centroids")
+        .select("_cell", "centroid").orderBy("_cell").collect()
+        .map(_.getSeq[Float](1).toArray))
     val raw = resolveCells(spark, dir).df(spark)
     // partition-column type inference reads `_cell=N` back as int; keep
     // the attribute UNCAST so the probe join key stays the partition
@@ -966,12 +965,22 @@ object Similarity {
         del(s"$dir/pq_meta", true)
       }
     }
-    val m = twoLevelCentroids(corpus, idCol, vecCol, nlist1, k2, iters)
-    m.l1.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
-      .toDF("_c1", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/l1")
-    m.l2.select(col("_c1"), col("_c2"), col("_cent"))
-      .write.mode("overwrite").parquet(s"$dir/l2")
+    // phase labels (guide §1.5): the build is a chain of driver-blocking
+    // actions — labeling each lets tools/BuildProfile (and the UI)
+    // attribute the cold-build wall clock per phase
+    def phase[T](name: String)(f: => T): T = {
+      spark.sparkContext.setJobDescription(s"ivf2-build: $name")
+      try f finally spark.sparkContext.setJobDescription(null)
+    }
+    val m = phase("l1 train")(
+      twoLevelCentroids(corpus, idCol, vecCol, nlist1, k2, iters))
+    phase("l1 write")(
+      m.l1.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("_c1", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/l1"))
+    phase("l2 refine+write")(
+      m.l2.select(col("_c1"), col("_c2"), col("_cent"))
+        .write.mode("overwrite").parquet(s"$dir/l2"))
     // PQ is part of the index LIFECYCLE, not an aux artifact: the trained
     // per-subspace codebook persists next to l1/l2, the packed codes live
     // as a column INSIDE the cells table (exactly like the scalar int8
@@ -997,6 +1006,14 @@ object Similarity {
     // encoding (and a dir with no pq_meta — an older index — serves raw).
     val dim = m.l1.head.length
     val mSub = pqSubspaces(dim, pqM)
+    // r19: every downstream consumer (cell assignment, PQ residuals)
+    // reads the level-2 table BACK from the parquet just written instead
+    // of re-deriving the refinement subtree — floats round-trip parquet
+    // bit-exactly (the same guarantee loadTwoLevelIndex serves on), and
+    // the old plan recomputed the seeds-window + decimal-Lloyd chain once
+    // for the cells table and once more inside the PQ residual input.
+    val l2df = spark.read.parquet(s"$dir/l2")
+      .select(col("_c1"), col("_c2"), col("_cent"))
     val assigned = corpus.select(col(idCol).as("nbr"), col(vecCol).as("cv"))
       .withColumn("_c1", NearestCentroid(col("cv"), m.l1))
     // the cells table carries THREE precisions: `cv` (float32) for exact
@@ -1014,31 +1031,32 @@ object Similarity {
     // pruning and file-listing dominates the serve; at 10⁶ cells × 1000
     // tasks it is fatal metadata pressure). Hash-clustered, each cell is
     // exactly ONE file sized by its occupancy.
-    val base = assignToL2(assigned, m.l2)
+    val base = assignToL2(assigned, l2df)
       .withColumn("codes", packedCodes(col("cv")))
       .withColumn("qscale", qscaleOf(col("cv")))
     val codebook =
       if (mSub == 0) None
       else {
         val pqInput =
-          if (pqResidual) pqResiduals(base, m.l2)
+          if (pqResidual) pqResiduals(base, l2df)
           else base.select(col("nbr"), col("cv").as("_pqv"))
         // pqIters < 0 → inherit the coarse trainer's iteration count
-        pqCodebook(pqInput, "nbr", "_pqv", dim, mSub, pqKsub,
-          if (pqIters < 0) iters else pqIters)
-          .write.mode("overwrite").parquet(s"$dir/pq_cb")
-        Seq(pqResidual).toDF("residual")
-          .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_meta")
-        Some((spark.read.parquet(s"$dir/pq_cb"), pqInput))
+        phase("pq codebook train+write")(
+          pqCodebook(pqInput, "nbr", "_pqv", dim, mSub, pqKsub,
+            if (pqIters < 0) iters else pqIters)
+            .write.mode("overwrite").parquet(s"$dir/pq_cb"))
+        phase("pq meta write")(
+          Seq(pqResidual).toDF("residual")
+            .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_meta"))
+        Some(spark.read.parquet(s"$dir/pq_cb"))
       }
-    codebook.fold(base) { case (cb, pqInput) =>
-      base.join(
-        packedPqCodes(pqEncode(pqInput, "nbr", "_pqv", cb, dim, mSub)),
-        Seq("nbr"))
-    }
-      .repartition(col("_c1"), col("_c2"))
-      .write.mode("overwrite").partitionBy("_c1", "_c2")
-      .parquet(s"$dir/cells")
+    phase("cells encode+write")(
+      codebook.fold(base)(cb =>
+        withPackedPqCodes(base, cb,
+          if (pqResidual) Some(l2df) else None, dim, mSub))
+        .repartition(col("_c1"), col("_c2"))
+        .write.mode("overwrite").partitionBy("_c1", "_c2")
+        .parquet(s"$dir/cells"))
   }
 
   /** Residual rows (`nbr, _pqv = cv − centroid(c1, c2)`) for PQ training
@@ -1072,8 +1090,23 @@ object Similarity {
   // once at save time — the per-serve collect() job (one Spark job +
   // parquet read per loadIndex/loadTwoLevelIndex call) joins the same
   // mtime-stamped cache family; a re-save invalidates via the stamp.
+  // r19 (ADVICE): keyed by PATH with the mtime in the VALUE, so a
+  // re-train in a long-lived serving JVM REPLACES the previous matrix
+  // instead of leaking it — the cache is bounded to one matrix per index
+  // path. (mtime granularity caveat unchanged: two rewrites within the
+  // same stamp serve the first — the same exposure every cache in this
+  // family documents.)
   private val l1MatrixCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), Array[Array[Float]]]()
+    String, (Long, Array[Array[Float]])]()
+
+  /** One cached driver matrix per index path, refreshed when the
+    * artifact's mtime moves. */
+  private def cachedL1(spark: org.apache.spark.sql.SparkSession,
+      path: String)(load: => Array[Array[Float]]): Array[Array[Float]] = {
+    val mt = mtimeOf(spark, path)
+    l1MatrixCache.compute(path, (_, old) =>
+      if (old != null && old._1 == mt) old else (mt, load))._2
+  }
   // (mSub, subLen, ksubStride, denseGrid) of a persisted PQ codebook —
   // see pqAdcTopKFromIndex
   private val pqCbMetaCache = new java.util.concurrent.ConcurrentHashMap[
@@ -1111,6 +1144,34 @@ object Similarity {
         expr("transform(array_sort(collect_list(struct(sub, code))), " +
           "p -> cast(p.code as bigint))")).as("pqcodes"))
 
+  /** `cells` rows (`nbr, cv, _c1, _c2, ...`) with their packed `pqcodes`
+    * column computed IN-PLAN (r19): the residual subtraction is the same
+    * zip_with as [[pqResiduals]] (one model-sized join), the assignment
+    * is the native [[graft.functions.PqCodes]] argmax, and the m codes
+    * pack directly in subspace order — replacing slice-explode →
+    * ksub-way replication join → argmax exchange → pack groupBy →
+    * join-back-on-nbr with ZERO added shuffles. Bytes identical to
+    * `packedPqCodes(pqEncode(...))` (PqCodesSpec pins it).
+    */
+  private def withPackedPqCodes(cells: DataFrame, codebook: DataFrame,
+      residualL2: Option[DataFrame], dim: Int, m: Int): DataFrame = {
+    val (codes, cents) = pqGrid(codebook, m)
+    val withPqv = residualL2 match {
+      case Some(l2) => cells
+        .join(l2.select(col("_c1"), col("_c2"), col("_cent")),
+          Seq("_c1", "_c2"))
+        .withColumn("_pqv", zip_with(col("cv"), col("_cent"), (a, b) => a - b))
+        .drop("_cent")
+      case None => cells.withColumn("_pqv", col("cv"))
+    }
+    withPqv
+      .withColumn("pqcodes", graft.functions.PackI8(
+        transform(
+          graft.functions.PqCodes(col("_pqv"), codes, cents, dim / m),
+          c => c.cast("long"))))
+      .drop("_pqv")
+  }
+
   /** Reload a persisted two-level index. Floats round-trip parquet
     * bit-exactly — level-1, level-2, AND the assigned cells are
     * identical to the freshly trained model's, so probes and serves from
@@ -1121,11 +1182,10 @@ object Similarity {
     */
   def loadTwoLevelIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): TwoLevelIndex = {
-    val l1 = l1MatrixCache.computeIfAbsent(
-      (s"$dir/l1", mtimeOf(spark, s"$dir/l1")), _ =>
-        spark.read.parquet(s"$dir/l1")
-          .select("_c1", "centroid").orderBy("_c1").collect()
-          .map(_.getSeq[Float](1).toArray))
+    val l1 = cachedL1(spark, s"$dir/l1")(
+      spark.read.parquet(s"$dir/l1")
+        .select("_c1", "centroid").orderBy("_c1").collect()
+        .map(_.getSeq[Float](1).toArray))
     val l2 = spark.read.parquet(s"$dir/l2").select("_c1", "_c2", "_cent")
     val raw = resolveCells(spark, dir).df(spark)
     Seq("_c1", "_c2").foreach { c =>
@@ -1216,12 +1276,8 @@ object Similarity {
         // assigned cell centroid before encoding — the same decomposition
         // the save path used, so appended codes equal save-time codes for
         // the same vector (append-parity spec)
-        val pqInput =
-          if (pqIsResidual(spark, dir)) pqResiduals(assigned, idx.l2)
-          else assigned.select(col("nbr"), col("cv").as("_pqv"))
-        assigned.join(
-          packedPqCodes(pqEncode(pqInput, "nbr", "_pqv", cb, dim, mSub)),
-          Seq("nbr"))
+        withPackedPqCodes(assigned, cb,
+          if (pqIsResidual(spark, dir)) Some(idx.l2) else None, dim, mSub)
       }
     appendCells(spark, dir, withPq, Seq("_c1", "_c2"), autoCompact)
   }
@@ -1439,7 +1495,7 @@ object Similarity {
     * contiguous subspaces of `dim / m` dims each — the decomposition PQ
     * codebooks train on. `dim % m == 0` is required loudly.
     */
-  private def pqSlices(df: DataFrame, idCol: String, vecCol: String,
+  private[pipeline] def pqSlices(df: DataFrame, idCol: String, vecCol: String,
       m: Int, subLen: Int): DataFrame =
     df.select(col(idCol).as("nbr"), col(vecCol).as("v"))
       .select(col("nbr"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
@@ -1453,8 +1509,15 @@ object Similarity {
     * cosine-scored, argmax with smaller-code tie-breaks. Zero-norm
     * slices (cosine NULL) coalesce below any real score and land in
     * code 0 deterministically.
+    *
+    * r19: retired from the build/encode hot path — the codebook is
+    * driver-bounded (dim × ksub floats), so [[graft.functions.PqCodes]]
+    * performs this argmax as one fused per-row loop with no explode, no
+    * ksub-way join and no exchange. Kept (private[pipeline]) as the
+    * reference implementation the PqCodesSpec equality test pins the
+    * native kernel against.
     */
-  private def pqAssign(slices: DataFrame, codebook: DataFrame): DataFrame =
+  private[pipeline] def pqAssign(slices: DataFrame, codebook: DataFrame): DataFrame =
     slices.join(codebook, Seq("sub"))
       .withColumn("_s", coalesce(cosine(col("sv"), col("cent")), lit(-2d)))
       .groupBy(col("nbr"), col("sub"))
@@ -1478,25 +1541,68 @@ object Similarity {
       dim: Int, m: Int = 8, ksub: Int = 16, iters: Int = 1): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     require(ksub >= 1 && ksub <= 127, s"ksub $ksub outside [1, 127] (codes pack to int8)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val subLen = dim / m
-    val slices = pqSlices(corpus, idCol, vecCol, m, subLen)
-    val seeds = slices.withColumn("_rn", row_number().over(
-        Window.partitionBy("sub").orderBy(xxhash64(col("nbr")), col("nbr"))))
-      .where(col("_rn") <= ksub)
-      .select(col("sub"), (col("_rn") - 1).as("code"), col("sv").as("cent"))
-    var cb = seeds
+    // r19 reshape (identical codebook, PqCodesSpec pins it): the model is
+    // driver-bounded (dim × ksub floats — the l1-matrix class), so train
+    // holds it on the driver and assigns natively instead of through the
+    // ksub-way replication join (guide §1.2 step 1 / §2.4).
+    //
+    // Seeds: every id contributes exactly one slice per sub, so the old
+    // per-sub window rank over (xxhash64(nbr), nbr) equals the GLOBAL id
+    // rank — one driver-bounded TakeOrdered of the ksub hash-smallest
+    // vectors replaces the all-slices exchange + sort.
+    val seedVecs = corpus
+      .select(col(idCol).as("nbr"), col(vecCol).as("v"))
+      .orderBy(xxhash64(col("nbr")), col("nbr")).limit(ksub)
+      .select(col("v")).collect().map(_.getSeq[Float](0).toArray)
+    var codes: Array[Array[Int]] =
+      Array.fill(m)(seedVecs.indices.toArray)
+    var cents: Array[Array[Array[Float]]] = Array.tabulate(m)(sub =>
+      seedVecs.map(v => v.slice(sub * subLen, sub * subLen + subLen)))
     for (_ <- 1 to math.max(iters, 0)) {
-      cb = pqAssign(slices, cb)
+      // decimal-Lloyd refinement: native assignment (one map pass, zero
+      // joins), exact decimal means per (sub, code, dim), floats cast
+      // IN-PLAN (Spark's decimal→float cast, bit-identical to the old
+      // transform) and collected — the refined model is m·ksub·subLen
+      // floats, the same driver budget the seeds already hold
+      val refined = corpus
+        .select(col(idCol).as("nbr"), col(vecCol).as("v"))
+        .select(posexplode(graft.functions.PqCodes(col("v"), codes, cents,
+          subLen)).as(Seq("sub", "code")), col("v"))
         .select(col("sub"), col("code"),
-          posexplode(col("sv")).as(Seq("_dim", "_x")))
+          posexplode(expr(s"slice(v, sub * $subLen + 1, $subLen)"))
+            .as(Seq("_dim", "_x")))
         .groupBy("sub", "code", "_dim")
         .agg(avg(col("_x").cast("decimal(38,18)")).as("_m"))
-        .groupBy("sub", "code")
-        .agg(array_sort(collect_list(struct(col("_dim"), col("_m")))).as("_dm"))
-        .select(col("sub"), col("code"),
-          expr("transform(_dm, p -> cast(p._m as float))").as("cent"))
+        .select(col("sub"), col("code"), col("_dim"),
+          col("_m").cast("float").as("_f"))
+        .collect()
+      // entries left empty by the pass are dropped (absent from the
+      // groups), as before
+      val bySub = refined.groupBy(_.getInt(0))
+      val subsKept = (0 until m).filter(bySub.contains)
+      val newCodes = Array.ofDim[Array[Int]](m)
+      val newCents = Array.ofDim[Array[Array[Float]]](m)
+      (0 until m).foreach { sub =>
+        val entries = bySub.getOrElse(sub, Array.empty[org.apache.spark.sql.Row])
+          .groupBy(_.getInt(1)).toSeq.sortBy(_._1)
+        newCodes(sub) = entries.map(_._1).toArray
+        newCents(sub) = entries.map { case (_, dims) =>
+          dims.sortBy(_.getInt(2)).map(_.getFloat(3))
+        }.toArray
+      }
+      require(subsKept.size == m,
+        s"PQ refinement left subspace(s) ${(0 until m).diff(subsKept).mkString(",")} empty")
+      codes = newCodes
+      cents = newCents
     }
-    cb
+    val rows = for {
+      sub <- 0 until m
+      j <- codes(sub).indices
+    } yield (sub, codes(sub)(j), cents(sub)(j).toSeq)
+    rows.toDF("sub", "code", "cent")
   }
 
   /** PQ-encode a corpus against a trained codebook: long-form
@@ -1508,8 +1614,37 @@ object Similarity {
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
       codebook: DataFrame, dim: Int, m: Int = 8): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim $dim must split evenly into $m subspaces")
-    pqAssign(pqSlices(corpus, idCol, vecCol, m, dim / m), codebook)
-      .select(col("nbr"), col("sub"), col("code"))
+    // r19: one native argmax pass (see pqCodebook) — no slice explode, no
+    // ksub-way join, no exchange; codes identical (PqCodesSpec)
+    val (codes, cents) = pqGrid(codebook, m)
+    corpus.select(col(idCol).as("nbr"),
+      posexplode(graft.functions.PqCodes(col(vecCol), codes, cents, dim / m))
+        .as(Seq("sub", "code")))
+  }
+
+  /** A persisted/trained PQ codebook collected to the driver as aligned
+    * (codes, cents) per-subspace arrays, entries in ascending code order
+    * — the iteration order that reproduces the `max(struct(_s, -code))`
+    * tie rule. Model-sized by construction: m × ksub × (dim/m) = dim ×
+    * ksub floats, the same driver budget as the l1 centroid matrix.
+    */
+  private def pqGrid(codebook: DataFrame,
+      m: Int): (Array[Array[Int]], Array[Array[Array[Float]]]) = {
+    val rows = codebook
+      .select(col("sub").cast("int"), col("code").cast("int"), col("cent"))
+      .collect()
+    val bySub = rows.groupBy(_.getInt(0))
+    val missing = (0 until m).filterNot(bySub.contains)
+    require(missing.isEmpty,
+      s"PQ codebook has no entries for subspace(s) ${missing.mkString(",")}")
+    val codes = Array.ofDim[Array[Int]](m)
+    val cents = Array.ofDim[Array[Array[Float]]](m)
+    (0 until m).foreach { sub =>
+      val entries = bySub(sub).sortBy(_.getInt(1))
+      codes(sub) = entries.map(_.getInt(1))
+      cents(sub) = entries.map(_.getSeq[Float](2).toArray)
+    }
+    (codes, cents)
   }
 
   /** The int8 quantization of a float vector column as `array<bigint>`
@@ -1614,11 +1749,18 @@ object Similarity {
     // path); a re-train rewrites pq_cb and invalidates via the stamp.
     val (mSub, subLen, ksubStride, denseGrid) =
       pqCbMetaCache.computeIfAbsent((dir, mtimeOf(spark, s"$dir/pq_cb")), _ => {
+        // r19 (ADVICE): the dense gate also requires (sub, code) UNIQUE —
+        // a corrupted codebook with duplicates plus holes totalling
+        // m·stride rows would otherwise pass and mis-score every
+        // candidate through a misaligned positional LUT
         val meta = codebook.agg(max(col("sub")), min(size(col("cent"))),
-          count(lit(1)), max(col("code"))).head()
+          count(lit(1)), max(col("code")),
+          countDistinct(col("sub"), col("code"))).head()
         val m = meta.getInt(0) + 1
         val stride = meta.getInt(3) + 1
-        (m, meta.getInt(1), stride, meta.getLong(2) == m.toLong * stride)
+        (m, meta.getInt(1), stride,
+          meta.getLong(2) == m.toLong * stride &&
+            meta.getLong(4) == meta.getLong(2))
       })
     val (p1R, nprobeR) = resolvedKnobsFor(spark, dir, idx, p1, nprobe)
     // one generation resolution per call — see quantizedTopKFromIndex

@@ -64,6 +64,47 @@ class TopKSpec extends AnyFunSuite {
     }
   }
 
+  test("TopKEntries ±0.0 straddling the top-k boundary == window (SortOrder equality)") {
+    import spark.implicits._
+    // r19 (ADVICE): the k-boundary lands INSIDE a mixed 0.0 / -0.0
+    // plateau, so survival is decided by the tie-break. SortOrder
+    // (SQLOrderingUtil.compareDoubles) treats ±0.0 as EQUAL and breaks
+    // ties on nbr ASC; raw Double.compare would rank every 0.0 strictly
+    // above every -0.0 and pick different survivors.
+    val rows = (0L until 120L).map { nbr =>
+      val qid = nbr % 4
+      val sim: java.lang.Double = (nbr % 3) match {
+        case 0 => 0.0d
+        case 1 => -0.0d
+        case _ => -1.0d // below the zero plateau
+      }
+      (qid, nbr, sim)
+    }
+    val df = rows.toDF("qid", "nbr", "sim").repartition(5)
+    for (k <- Seq(1, 2, 7, 25)) {
+      val wLocal = Window.partitionBy(col("qid"), col("_part"))
+        .orderBy(col("sim").desc, col("nbr"))
+      val wGlobal = Window.partitionBy("qid")
+        .orderBy(col("sim").desc, col("nbr"))
+      val viaWindow = df
+        .withColumn("_part", spark_partition_id())
+        .withColumn("_lr", row_number().over(wLocal))
+        .where(col("_lr") <= k)
+        .withColumn("rank", row_number().over(wGlobal).cast("bigint"))
+        .where(col("rank") <= k)
+        .select(col("qid"), col("nbr"), col("rank"))
+        .orderBy("qid", "rank").collect().toSeq
+      val viaAgg = df.groupBy("qid")
+        .agg(TopKEntries(col("sim"), col("nbr"), lit(0), lit(0), lit(0L), k)
+          .as("_top"))
+        .select(col("qid"), posexplode(col("_top")).as(Seq("_r", "_e")))
+        .select(col("qid"), col("_e.nbr").as("nbr"),
+          (col("_r") + 1).cast("bigint").as("rank"))
+        .orderBy("qid", "rank").collect().toSeq
+      assert(viaAgg.map(_.toString) === viaWindow.map(_.toString), s"k=$k")
+    }
+  }
+
   test("TopKEntries carries (c1, c2, aux) payloads with the winning entries") {
     import spark.implicits._
     val df = Seq(
