@@ -20,6 +20,27 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** `df` spread across the session's core budget WHEN its physical
+    * partitioning came back narrower (r19, guide §2.5's unsplittable-
+    * input remedy): the driver fixtures are single-file, SINGLE-ROW-GROUP
+    * parquet, so a scan cannot split and heavy per-row work downstream —
+    * shingling, regex redaction, tokenization — runs at file granularity
+    * no matter the core count (measured: px2's 1.1M-shingle explode and
+    * px35's triple-regex pass each ran as ONE task). A NO-OP whenever the
+    * input already carries ≥ cores partitions — the 100 TB shape, where
+    * scans have thousands of splits and an added exchange would reshuffle
+    * the corpus for nothing. The gate reads the planned RDD's partition
+    * count — zero jobs run. Row-preserving: callers' aggregations and
+    * two-phase ranks are partitioning-insensitive by construction.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    // streaming plans cannot be probed via .rdd (and micro-batches are
+    // already split by the source) — pass through untouched
+    if (df.isStreaming) return df
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+  }
+
   /** The fixture has stored `events.ts` two ways across driver
     * generations: parquet TIMESTAMP(NANOS) (no native Spark type — read
     * as nanos-since-epoch LONG via `nanosAsLong`) and, currently,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftShim}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
 
 /** Nearest-centroid assignment for IVF-style vector indexes, as a native
@@ -657,4 +657,175 @@ object HyperplaneSig {
 
   def apply(col: Column, planes: Array[Array[Double]]): Column =
     GraftShim.column(HyperplaneSig(GraftShim.expression(col), planes))
+}
+
+/** Symmetric int8 quantization of one vector as ONE native pass (r19) —
+  * the codes `floor(x·127/max|x| + 0.5)` (all-zero for zero/empty/
+  * all-NULL vectors) that [[graft.pipeline.Similarity]]'s withCodes /
+  * packedCodes / quantizeInt8 previously built from a chain of
+  * higher-order `transform`/`array_max` lambdas, which evaluate
+  * INTERPRETED per element (guide §4.1: prefer codegen'd expressions) —
+  * measured as the dominant per-row cost of the x4/px38/px44/px47
+  * quantization family and of the index build's codes column. Numerics
+  * replicate the lambda chain exactly (FunctionsSpec pins bit equality):
+  * element casts to double, max|x| skips NULL elements with NaN greatest
+  * (Spark's array_max order), the `> 0` gate uses Spark's double
+  * comparison (NaN > 0 true), NULL elements yield NULL codes in the
+  * scaled branch but 0 in the zero branch, and floor(double)→long uses
+  * the Java cast like Spark's Floor.
+  */
+case class IntCodes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = true)
+  override def prettyName: String = "int_codes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"int_codes requires array<float|double>, got ${other.catalogString}")
+  }
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    IntCodes.codes(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.IntCodes.codes($c, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): IntCodes =
+    copy(child = newChild)
+}
+
+object IntCodes {
+
+  private[functions] def elem(vec: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+
+  /** max |x| over non-NULL elements, NaN greatest (array_max's order);
+    * returns NaN-boxed "none" as Double.NaN with `any=false` folded into
+    * the caller via the returned (found, value) encoding: NegativeInfinity
+    * start cannot be used because a genuine -Inf element must win over
+    * "nothing seen". */
+  private def maxAbs(vec: ArrayData, isFloat: Boolean): (Boolean, Double) = {
+    val n = vec.numElements()
+    var any = false
+    var ma = 0.0
+    var i = 0
+    while (i < n) {
+      if (!vec.isNullAt(i)) {
+        val a = math.abs(elem(vec, i, isFloat))
+        if (!any) { ma = a; any = true }
+        else if (a > ma || java.lang.Double.isNaN(a)) ma = a
+      }
+      i += 1
+    }
+    (any, ma)
+  }
+
+  /** Static helper invoked from generated code — must stay public. */
+  def codes(vec: ArrayData, isFloat: Boolean): GenericArrayData = {
+    val n = vec.numElements()
+    val (any, ma) = maxAbs(vec, isFloat)
+    val out = new Array[Any](n)
+    // Spark's GreaterThan on doubles: NaN > 0 is TRUE (total order)
+    val scaled = any && (ma > 0.0 || java.lang.Double.isNaN(ma))
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (!scaled) java.lang.Long.valueOf(0L)
+        else if (vec.isNullAt(i)) null
+        else java.lang.Long.valueOf(
+          math.floor(elem(vec, i, isFloat) * 127.0 / ma + 0.5).toLong)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(col: Column): Column =
+    GraftShim.column(IntCodes(GraftShim.expression(col)))
+}
+
+/** The per-row quantization scale correction `max|x| / (127·‖x‖)` (0 for
+  * zero/empty/all-NULL vectors) as one native pass — the qscale column
+  * [[graft.pipeline.Similarity.qscaleOf]] previously derived through the
+  * same interpreted lambda chain as [[IntCodes]]; numerics replicated
+  * exactly (same maxAbs fold, Σx² in ascending index order, one divide).
+  * NULL elements contribute NULL to the lambda form's x·x fold — which
+  * null-poisons the SQL `aggregate` — so the norm term reproduces that:
+  * any NULL element yields a NULL scale in the scaled branch.
+  */
+case class QScale(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "q_scale"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"q_scale requires array<float|double>, got ${other.catalogString}")
+  }
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    QScale.compute(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |java.lang.Double ${ev.value}_r = graft.functions.QScale.compute($c, $isFloat);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QScale =
+    copy(child = newChild)
+}
+
+object QScale {
+
+  /** Static helper invoked from generated code — must stay public. */
+  def compute(vec: ArrayData, isFloat: Boolean): java.lang.Double = {
+    val n = vec.numElements()
+    var any = false
+    var ma = 0.0
+    var i = 0
+    while (i < n) {
+      if (!vec.isNullAt(i)) {
+        val a = math.abs(IntCodes.elem(vec, i, isFloat))
+        if (!any) { ma = a; any = true }
+        else if (a > ma || java.lang.Double.isNaN(a)) ma = a
+      }
+      i += 1
+    }
+    if (!(any && (ma > 0.0 || java.lang.Double.isNaN(ma))))
+      return java.lang.Double.valueOf(0.0)
+    var ss = 0.0
+    i = 0
+    while (i < n) {
+      if (vec.isNullAt(i)) return null // the lambda fold null-poisons
+      val x = IntCodes.elem(vec, i, isFloat)
+      ss += x * x
+      i += 1
+    }
+    java.lang.Double.valueOf(ma / (127.0 * math.sqrt(ss)))
+  }
+
+  def apply(col: Column): Column =
+    GraftShim.column(QScale(GraftShim.expression(col)))
 }

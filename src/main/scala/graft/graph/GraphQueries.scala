@@ -169,14 +169,20 @@ object GraphQueries {
   }
 
   /** One index hop: targets of `from` under key (kind, key?), as a DF of dst
-    * ids — `getTargets` as a composable plan fragment.
+    * ids — `getTargets` as a composable plan fragment. Emits dst ids in
+    * BAG form (r19): every consumer is a left-semi join (the next hop, or
+    * the final nodes lookup), which is duplicate-insensitive, so the
+    * per-hop `distinct()` was one pure-overhead exchange per hop — the
+    * visited-set dedup the reference specifies (Graph.hs:72-77) is
+    * re-established by the final semi-join against the unique-id nodes
+    * table. Result rows identical; gq1 drops 2 and gq2 drops 3 exchanges.
     */
   private def hop(index: DataFrame, from: DataFrame, kkind: String,
       key: Option[String]): DataFrame = {
     val keyed = key.fold(index.where(col("kkind") === kkind))(k =>
       index.where(col("kkind") === kkind && col("key") === k))
     keyed.join(from, keyed("src") === from("id"), "left_semi")
-      .select(col("dst").as("id")).distinct()
+      .select(col("dst").as("id"))
   }
 
   val all: Seq[Q] = Seq(

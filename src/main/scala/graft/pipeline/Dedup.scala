@@ -157,6 +157,10 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6,
       maxDF: Option[Int] = Some(DefaultMaxDF)): DataFrame = {
+    // r19: single-row-group inputs scan as ONE partition, serializing the
+    // shingle explode (measured 1.42 s on one task at sf0.1) — spread to
+    // the core budget first; a no-op on multi-split inputs (guide §2.5)
+    val dfP = graft.Tables.spread(df)
     // materialize the shingle sets once: the plan references them 4× (both
     // self-join sides + both size lookups) and Catalyst does not reuse
     // non-exchange subtrees, so without this the corpus is scanned and
@@ -165,7 +169,7 @@ object Dedup {
     // unpersist nobody is positioned to call, so every invocation would
     // leak a MEMORY_AND_DISK entry for the session's lifetime; checkpoint
     // blocks are owned by the returned plan and are GC-reclaimed with it
-    val sh = df.select(col(idCol).as("_id"),
+    val sh = dfP.select(col(idCol).as("_id"),
       TextAnalysis.shingles(col(textCol), n).as("_sh"))
       .where(size(col("_sh")) > 0)
       .localCheckpoint(true)
@@ -247,6 +251,8 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    // r19: spread before the shingle pass — see ngramJaccardPairs
+    val dfP = graft.Tables.spread(df)
     // materialized once — referenced by banding, the inverted index, and
     // the size lookups (see ngramJaccardPairs, incl. why this is a
     // localCheckpoint and not a CacheManager-leaking persist). The trade:
@@ -254,7 +260,7 @@ object Dedup {
     // instead of recomputing the lost partitions — acceptable for a
     // bounded-size intermediate; the alternative leaks storage memory on
     // every call
-    val sh = df.select(col(idCol).as("_id"),
+    val sh = dfP.select(col(idCol).as("_id"),
       TextAnalysis.shingles(col(textCol), n).as("_sh"))
       .where(size(col("_sh")) > 0)
       .localCheckpoint(true)

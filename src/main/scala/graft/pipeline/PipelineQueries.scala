@@ -97,7 +97,10 @@ object PipelineQueries {
     * for the same batch/stream sharing as [[curateText]].
     */
   def curateMultimodal(doc0: DataFrame, emb: DataFrame): DataFrame = {
-    val doc = doc0.select(col("doc_id"), col("lang"),
+    // r19: spread the docs scan before the tokenize pass (single-row-group
+    // inputs scan as ONE partition — measured 0.59 s on one task at sf0.1;
+    // no-op on multi-split inputs, guide §2.5)
+    val doc = graft.Tables.spread(doc0).select(col("doc_id"), col("lang"),
       TextAnalysis.tokenCount(col("text")).as("n_tokens"))
     val codes = Similarity.quantizeInt8(emb, "vec_id", "embedding")
       .withColumnRenamed("vec_id", "doc_id")
@@ -1158,7 +1161,11 @@ object PipelineQueries {
         val idx = Similarity.loadTwoLevelIndex(s, twoLevelIndexDir(s, d))
         Similarity.twoLevelTopKFromIndex(idx,
           e.select(col("vec_id"), col("embedding")),
-          idCol = "vec_id", vecCol = "embedding", k = 3, p1 = 2, nprobe = 4)
+          idCol = "vec_id", vecCol = "embedding", k = 3, p1 = 2, nprobe = 4,
+          // whole-corpus batch: the probes cover every cell, so the DPP
+          // subqueries would re-run the batch probes plan twice to prune
+          // nothing (the r19 receipt on twoLevelTopKFromIndex)
+          pruneProbedCells = false)
           .select("qid", "nbr", "rank")
           .orderBy("qid", "rank")
       },

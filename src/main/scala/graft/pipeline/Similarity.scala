@@ -1304,13 +1304,59 @@ object Similarity {
     */
   def twoLevelTopKFromIndex(index: TwoLevelIndex, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, p1: Int = 2,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4, pruneProbedCells: Boolean = true): DataFrame = {
     val (p1R, nprobeR) = resolvedKnobs(index, p1, nprobe)
     val probes = twoLevelProbes(queries, idCol, vecCol,
       TwoLevelModel(index.l1, index.l2), p1R, nprobeR)
+    val cellsSide = index.cells.withColumn("_cn", vecNorm(col("cv")))
+    val probesSide = probes.withColumn("_qn", vecNorm(col("qv")))
+    // r19 (px64): `pruneProbedCells = false` is for callers that declare a
+    // whole-corpus batch — the batch's probes cover essentially every
+    // cell, so the TWO standalone DPP subqueries re-run the full-batch
+    // probes plan single-threaded to prune NOTHING (measured: 2 × 0.86 s
+    // per px64 run to keep 16/16 partitions — the query's two dominant
+    // jobs). Joining on the packed compound key (bijective for the
+    // non-negative cell ints — the same packing twoLevelProbes orders by)
+    // keeps rows and join strategy identical while taking the partition
+    // columns out of the equi-join keys. Packing alone still left ONE
+    // pruning subquery (Spark prunes through expressions OVER partition
+    // columns), so the cells-side key mixes in the no-op `nbr & 0`: a
+    // non-partition reference the PartitionPruning rule cannot strip,
+    // value-identical (x & 0 = 0; a NULL nbr would null the key and drop
+    // the row, but such a row is already dropped by the qid =!= nbr
+    // filter below). Small-batch serves keep the default (8/484 files
+    // read — the r18 DPP receipt).
+    val joined =
+      if (pruneProbedCells)
+        cellsSide.join(probesSide, Seq("_c1", "_c2"))
+      else {
+        def pk(c1: Column, c2: Column): Column =
+          shiftleft(c1.cast("long"), 32).bitwiseOR(c2.cast("long"))
+        // pin the stream side's parallelism to the session's core budget
+        // (an explicit-N repartition is exempt from AQE coalescing):
+        // AQE sizes the probes-exchange read by BYTES (~2.4 MB → 1
+        // partition) and cannot see the join's fan-out multiplier, so
+        // the corpus-sized cosine scoring ran as ONE task (~0.9 s of
+        // px64's 2.4 s; 16-task A/B: 0.16 s wall). defaultParallelism
+        // tracks the cluster's cores at any scale — the right divisor
+        // for a compute-bound broadcast-join stage, where shuffle bytes
+        // are the wrong signal.
+        val n = queries.sparkSession.sparkContext.defaultParallelism
+        // (qid, _cc): NOT qid alone — the probes agg already hash-
+        // partitions by qid, so a same-key repartition is optimized away
+        // as redundant and the coalescing returns. The top-k agg behind
+        // the join re-establishes qid clustering through its map-side
+        // partial (≤ k entries per query per task cross the wire).
+        cellsSide.withColumn("_cc",
+            pk(col("_c1"), col("_c2")).bitwiseOR(col("nbr").bitwiseAND(lit(0L))))
+          .drop("_c1", "_c2")
+          .join(probesSide.withColumn("_cc", pk(col("_c1"), col("_c2")))
+            .drop("_c1", "_c2")
+            .repartition(n, col("qid"), col("_cc")), Seq("_cc"))
+          .drop("_cc")
+      }
     topKPerQuery(
-      index.cells.withColumn("_cn", vecNorm(col("cv")))
-        .join(probes.withColumn("_qn", vecNorm(col("qv"))), Seq("_c1", "_c2"))
+      joined
         .where(col("qid") =!= col("nbr"))
         .withColumn("sim",
           round(cosinePre(col("qv"), col("cv"), col("_qn"), col("_cn")), 6)),
@@ -1352,14 +1398,10 @@ object Similarity {
     * 8 bytes/row against the 4·dim-byte float column the integer path
     * exists to avoid reading.
     */
-  private[pipeline] def qscaleOf(vec: Column): Column = {
-    val v = transform(vec, x => x.cast("double"))
-    val ma = array_max(transform(v, x => abs(x)))
-    when(ma > 0d,
-      ma / (lit(127.0d) * sqrt(aggregate(transform(v, x => x * x),
-        lit(0d), _ + _))))
-      .otherwise(lit(0d))
-  }
+  private[pipeline] def qscaleOf(vec: Column): Column =
+    // r19: native one-pass kernel, same numerics as the lambda chain it
+    // replaces (FunctionsSpec pins bit equality incl. the zero-vector 0)
+    graft.functions.QScale(vec)
 
   /** ANN top-k served from the QUANTIZED codes inside a persisted
     * two-level index — the IVF-SQ serving shape for a 100 TB store: the
@@ -1651,13 +1693,11 @@ object Similarity {
     * codes — the arithmetic [[packedCodes]] packs; factored out so PQ's
     * per-slice quantization shares the exact (px44-replayable) numerics.
     */
-  private[graft] def intCodes(vec: Column): Column = {
-    val v = transform(vec, x => x.cast("double"))
-    val ma = array_max(transform(v, x => abs(x)))
-    when(ma > 0d,
-      transform(v, x => floor(x * lit(127.0d) / ma + lit(0.5d))))
-      .otherwise(transform(v, _ => lit(0L)))
-  }
+  private[graft] def intCodes(vec: Column): Column =
+    // r19: one native codegen'd pass ([[graft.functions.IntCodes]]) —
+    // the transform/array_max lambda chain it replaces evaluates
+    // interpreted per element; numerics bit-identical (FunctionsSpec)
+    graft.functions.IntCodes(vec)
 
   /** Integer asymmetric-distance (ADC) top-k served from a persisted
     * two-level index's OWN PQ artifacts — IVF-PQ proper: the coarse
@@ -2285,15 +2325,11 @@ object Similarity {
     * [[quantizeInt8]], [[quantizedTopK]] and [[codeCentroids]] build on.
     */
   private[pipeline] def withCodes(df: DataFrame, idCol: String,
-      vecCol: String, keep: Seq[String] = Nil): DataFrame = {
-    val v = transform(col(vecCol), x => x.cast("double"))
-    df.select((col(idCol) +: keep.map(col)) ++ Seq(v.as("_v"),
-      array_max(transform(v, x => abs(x))).as("_ma")): _*)
-      .select((col(idCol) +: keep.map(col)) :+
-        when(col("_ma") > 0d,
-          transform(col("_v"), x => floor(x * lit(127.0d) / col("_ma") + lit(0.5d))))
-          .otherwise(transform(col("_v"), _ => lit(0L))).as("codes"): _*)
-  }
+      vecCol: String, keep: Seq[String] = Nil): DataFrame =
+    // r19: the two-select lambda pipeline collapsed to the shared native
+    // kernel — same codes bit-for-bit (FunctionsSpec)
+    df.select((col(idCol) +: keep.map(col)) :+
+      intCodes(col(vecCol)).as("codes"): _*)
 
   /** Per-label centroids of the int8 codes — the assignment-fixed half of
     * a k-means/IVF training step (sum vectors per cell, divide by count).

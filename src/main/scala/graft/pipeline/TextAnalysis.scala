@@ -193,6 +193,11 @@ object TextAnalysis {
   val PhonePattern = "\\b555-[0-9]{4}\\b"
 
   def redactPii(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // r19: the triple-regex pass is the heaviest per-row map in the text
+    // family and single-row-group inputs scan as ONE partition (measured
+    // 0.43 s on one task at sf0.1) — spread to the core budget first; a
+    // no-op on multi-split inputs (guide §2.5)
+    val dfP = graft.Tables.spread(df)
     val t = col(textCol)
     val redacted =
       regexp_replace(
@@ -200,7 +205,7 @@ object TextAnalysis {
           regexp_replace(t, EmailPattern, "<EMAIL>"),
           Ipv4Pattern, "<IP>"),
         PhonePattern, "<PHONE>")
-    df.select(
+    dfP.select(
       col(idCol),
       regexp_count(t, lit(EmailPattern)).cast("bigint").as("n_email"),
       regexp_count(t, lit(Ipv4Pattern)).cast("bigint").as("n_ipv4"),
@@ -270,7 +275,9 @@ object TextAnalysis {
   def oovBigrams(df: DataFrame, textCol: String, idCol: String,
       k: Int = 200): DataFrame = {
     val toks = tokens(lower(col(textCol)))
-    val base = df.select(col(idCol),
+    // r19: spread before the tokenize+bag pass (it feeds three consumers)
+    // — see redactPii; no-op on multi-split inputs
+    val base = graft.Tables.spread(df).select(col(idCol),
       graft.functions.ShinglesBag(toks, 2).as("_bag"),
       greatest(size(toks) - 1, lit(0)).cast("bigint").as("n_bigrams"))
     val ex = base.select(col(idCol), explode(col("_bag")).as("_bigram"))

@@ -196,4 +196,44 @@ class FunctionsSpec extends AnyFunSuite {
     val out = df.select(CosineSim(col("a"), col("b"))).collect()
     assert(out.forall(_.isNullAt(0)))
   }
+
+  test("IntCodes / QScale == legacy lambda chains bit-for-bit") {
+    // adversarial vectors: normal, zero, empty, single, huge/tiny floats,
+    // negatives, a NULL element (array SQL-built so floats stay floats)
+    val df = spark.range(0, 1).select(
+      expr("""array(
+        array(cast(1.5 as float),  cast(-2.25 as float), cast(0.1 as float)),
+        array(cast(0.0 as float),  cast(0.0 as float)),
+        array(cast(1e30 as float), cast(-1e-30 as float)),
+        array(cast(-3.0 as float)),
+        array(cast(null as float), cast(4.0 as float)),
+        array(cast(null as float), cast(null as float)),
+        array(cast(127.0 as float), cast(-127.0 as float), cast(63.5 as float))
+      ) as vs"""))
+      .select(posexplode(col("vs")).as(Seq("i", "v")))
+    // the exact lambda chains IntCodes/QScale replaced (r19)
+    val vd = transform(col("v"), x => x.cast("double"))
+    val ma = array_max(transform(vd, x => abs(x)))
+    val legacyCodes = when(ma > 0d,
+      transform(vd, x => floor(x * lit(127.0d) / ma + lit(0.5d))))
+      .otherwise(transform(vd, _ => lit(0L)))
+    val legacyScale = when(ma > 0d,
+      ma / (lit(127.0d) * sqrt(aggregate(transform(vd, x => x * x),
+        lit(0d), _ + _))))
+      .otherwise(lit(0d))
+    val rows = df.select(col("i"),
+      IntCodes(col("v")).as("nc"), legacyCodes.as("lc"),
+      QScale(col("v")).as("ns"), legacyScale.as("ls"))
+      .orderBy("i").collect()
+    assert(rows.length === 7)
+    rows.foreach { r =>
+      assert(r.get(1) === r.get(2), s"codes differ at ${r.getInt(0)}")
+      val (n, l) = (r.isNullAt(3), r.isNullAt(4))
+      assert(n === l, s"scale null mismatch at ${r.getInt(0)}")
+      if (!n) assert(
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)) ===
+          java.lang.Double.doubleToRawLongBits(r.getDouble(4)),
+        s"scale bits differ at ${r.getInt(0)}")
+    }
+  }
 }
