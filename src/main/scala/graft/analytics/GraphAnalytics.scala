@@ -82,9 +82,13 @@ object GraphAnalytics {
         .localCheckpoint(true)
       frontierSize = next.count()
       if (frontierSize > 0) {
+        // r19: no per-level eager checkpoint of the union — `visited` is
+        // only ever a union of ≤ maxDepth ALREADY-checkpointed frontiers
+        // (each `next` above is materialized for its count anyway), so
+        // its lineage stays flat without paying one extra eager job per
+        // level; rows identical
         visited = visited
           .unionByName(next.withColumn("depth", lit(depth)))
-          .localCheckpoint(true)
         frontier = next
       }
     }
@@ -302,16 +306,31 @@ object GraphAnalytics {
     val nVerts = if (danglingRedistribute) verts.count().toDouble else 0d
     var ranks = verts.select(col("id"), lit(1.0).as("rank"))
     for (i <- 1 to iters) {
-      val contrib = withDeg.join(ranks, withDeg("src") === ranks("id"))
-        .select(col("dst"), (col("rank") / col("_deg")).as("_c"))
-        .groupBy("dst").agg(sum("_c").as("_s"))
-      val base = verts.join(contrib, verts("id") === contrib("dst"), "left_outer")
-      ranks =
-        if (!danglingRedistribute)
-          base.select(verts("id"),
-            (lit(resetProb) + lit(damping) * coalesce(col("_s"), lit(0d)))
-              .as("rank"))
-        else {
+      // r19 (default branch): vertices with no in-edges used to be
+      // re-attached through a per-iteration LEFT OUTER join against
+      // `verts` (8 extra joins in ga3's plan — pure plan depth and
+      // scheduler floor at small scale, an extra shuffle per step at
+      // large). Instead every vertex contributes one literal 0.0 into
+      // the SAME per-dst sum, so the aggregation itself re-emits all
+      // vertices. Bit-identical: contributions are strictly positive
+      // (rank ≥ resetProb > 0, _deg ≥ 1), and s + 0.0 == s bitwise for
+      // every non-(-0.0) partial regardless of where the 0.0 lands in
+      // the partial-aggregation order; a no-contribution vertex sums to
+      // 0.0 exactly as coalesce(NULL, 0) did. AnalyticsSpec pins DF ==
+      // GraphX on every test graph either way.
+      if (!danglingRedistribute) {
+        ranks = withDeg.join(ranks, withDeg("src") === ranks("id"))
+          .select(col("dst"), (col("rank") / col("_deg")).as("_c"))
+          .unionByName(verts.select(col("id").as("dst"), lit(0d).as("_c")))
+          .groupBy("dst").agg(sum("_c").as("_s"))
+          .select(col("dst").as("id"),
+            (lit(resetProb) + lit(damping) * col("_s")).as("rank"))
+      } else {
+        val contrib = withDeg.join(ranks, withDeg("src") === ranks("id"))
+          .select(col("dst"), (col("rank") / col("_deg")).as("_c"))
+          .groupBy("dst").agg(sum("_c").as("_s"))
+        val base = verts.join(contrib, verts("id") === contrib("dst"), "left_outer")
+        ranks = {
           val dm = ranks.join(srcs, Seq("id"), "left_anti")
             .agg(coalesce(sum("rank"), lit(0d)).as("_dm"))
           base.crossJoin(dm).select(verts("id"),
@@ -319,6 +338,7 @@ object GraphAnalytics {
               (coalesce(col("_s"), lit(0d)) + col("_dm") / lit(nVerts)))
               .as("rank"))
         }
+      }
       if (ckptEvery > 0 && i % ckptEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint(true)
     }

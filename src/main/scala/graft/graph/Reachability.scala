@@ -40,7 +40,11 @@ object Reachability {
         .localCheckpoint(true)
       frontierSize = next.count()
       if (frontierSize > 0) {
-        visited = visited.unionByName(next).localCheckpoint(true)
+        // r19: no per-level eager checkpoint of the union — `visited` is
+        // only ever a union of already-checkpointed frontiers (each
+        // `next` is materialized for its count), so lineage stays flat
+        // without one extra eager job per level; rows identical
+        visited = visited.unionByName(next)
         frontier = next
       }
     }

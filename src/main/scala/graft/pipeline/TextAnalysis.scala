@@ -164,6 +164,12 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol)
       .orderBy((col("tf").cast("double") / col("dfreq")).desc, col("term"))
+    // r19 anti-result: Tables.spread before this explode was measured
+    // FLAT-to-worse (job sum 1.27 -> 1.44 s warm): the tf subtree is
+    // referenced twice (tf + dfreq), so the spread exchange is computed
+    // twice, and shuffling the text column costs as much as the light
+    // term tokenize saves — unlike px35's triple-regex or px2's shingle
+    // explode, where the per-row work dominates. Left unspread.
     val tf = df
       .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
