@@ -281,9 +281,12 @@ object TextAnalysis {
   def oovBigrams(df: DataFrame, textCol: String, idCol: String,
       k: Int = 200): DataFrame = {
     val toks = tokens(lower(col(textCol)))
-    // r19: spread before the tokenize+bag pass (it feeds three consumers)
-    // — see redactPii; no-op on multi-split inputs
-    val base = graft.Tables.spread(df).select(col(idCol),
+    // r19 anti-result: Tables.spread here REGRESSED px40 (bench 1.07 ->
+    // 1.32 s): the base feeds three consumers whose scans differ, so the
+    // spread exchange is planned on EACH branch — three text shuffles
+    // cost more than the bag pass saves. Left unspread (contrast
+    // redactPii, one consumer, heavy triple-regex: 1.71x win).
+    val base = df.select(col(idCol),
       graft.functions.ShinglesBag(toks, 2).as("_bag"),
       greatest(size(toks) - 1, lit(0)).cast("bigint").as("n_bigrams"))
     val ex = base.select(col(idCol), explode(col("_bag")).as("_bigram"))
